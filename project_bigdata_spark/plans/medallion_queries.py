@@ -1,0 +1,190 @@
+"""Catalog entries for the medallion ETL (SURVEY.md §2.1-2.3, §3.1).
+
+The ``events`` table plays the measurement-fact role (SURVEY.md §1.1):
+``(user_id, event_type, ts, value)`` ≙ ``(station, pollutant, datetime,
+concentration)``. Each layer is registered as its own query so the driver's
+DuckDB oracle pins the exact filter/projection/aggregation semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.functions.aqi import aqi_category_sql
+from project_bigdata_spark.operators import medallion as M
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+# Shared CTE text so every layer's oracle is literally built on the previous
+# layer's SQL — same single-source-of-truth idea as the Spark side.
+BRONZE_CTE = """
+bronze AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INT) AS props_k,
+         CAST(year(ts) AS INT) AS year,
+         CAST(month(ts) AS INT) AS month,
+         CAST(day(ts) AS INT) AS day
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+)"""
+
+SILVER_CTE = (
+    BRONZE_CTE
+    + """,
+silver AS (
+  SELECT event_id, ts, user_id, event_type, value, props_k, year, month, day
+  FROM bronze
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
+)"""
+)
+
+GOLD_CTE = (
+    SILVER_CTE
+    + """,
+gold AS (
+  SELECT user_id,
+         date_trunc('hour', ts) AS hour_ts,
+         year, month, day,
+         max(value) AS max_value,
+         avg(value) AS avg_value,
+         count(*) AS n_events,
+         list(event_type ORDER BY event_type, value) AS event_types,
+         list(value ORDER BY event_type, value) AS values
+  FROM silver
+  GROUP BY user_id, date_trunc('hour', ts), year, month, day
+)"""
+)
+
+
+def _bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.bronze(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "bronze_ingest",
+    oracle="WITH"
+    + BRONZE_CTE
+    + """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       round(value, 4) AS value,
+       CAST(props_k AS BIGINT) AS props_k,
+       CAST(year AS BIGINT) AS year, CAST(month AS BIGINT) AS month,
+       CAST(day AS BIGINT) AS day
+FROM bronze""",
+    doc="P1/P2/P5/P6: JSON shred + null-gate + partition-col derivation.",
+    survey_ids=("P1", "P2", "P5", "P6"),
+)
+def bronze_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _bronze(spark, sf_dir)
+    return b.select(
+        N.big("event_id").alias("event_id"),
+        N.ts_str("ts", micros=True).alias("ts"),
+        N.big("user_id").alias("user_id"),
+        "event_type",
+        N.rnd("value").alias("value"),
+        N.big("props_k").alias("props_k"),
+        N.big("year").alias("year"),
+        N.big("month").alias("month"),
+        N.big("day").alias("day"),
+    )
+
+
+@query(
+    "silver_clean",
+    oracle="WITH"
+    + SILVER_CTE
+    + """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       round(value, 4) AS value,
+       CAST(props_k AS BIGINT) AS props_k
+FROM silver""",
+    doc="P3/P4: validation filter (NOT NULL, >=0, non-NaN) + prune/rename.",
+    survey_ids=("P3", "P4"),
+)
+def silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = M.silver(_bronze(spark, sf_dir))
+    return s.select(
+        N.big("event_id").alias("event_id"),
+        N.ts_str("ts", micros=True).alias("ts"),
+        N.big("user_id").alias("user_id"),
+        "event_type",
+        N.rnd("value").alias("value"),
+        N.big("props_k").alias("props_k"),
+    )
+
+
+@query(
+    "gold_hourly",
+    oracle="WITH"
+    + GOLD_CTE
+    + f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       round(max_value, 4) AS max_value,
+       round(avg_value, 4) AS avg_value,
+       CAST(n_events AS BIGINT) AS n_events,
+       array_to_string(event_types, ',') AS event_types,
+       array_to_string(list_transform(values, v -> CAST(round(v, 2) AS VARCHAR)), ',')
+         AS values,
+       {aqi_category_sql('max_value')} AS category
+FROM gold""",
+    doc="A1 flagship agg: (entity, hour) grain, deterministic parallel "
+    "arrays + map companion, category from max post-agg (fixes §4.3-4/6).",
+    headline=True,
+    survey_ids=("A1", "P7", "F3"),
+)
+def gold_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = M.gold_hourly(M.silver(_bronze(spark, sf_dir)))
+    return g.select(
+        N.big("user_id").alias("user_id"),
+        N.ts_str("hour_ts").alias("hour_ts"),
+        N.rnd("max_value").alias("max_value"),
+        N.rnd("avg_value").alias("avg_value"),
+        N.big("n_events").alias("n_events"),
+        N.arr_str("event_types").alias("event_types"),
+        F.concat_ws(
+            ",", F.transform(F.col("values"), lambda v: F.round(v, 2).cast("string"))
+        ).alias("values"),
+        "category",
+    )
+
+
+@query(
+    "gold_cohort_stats",
+    oracle="WITH"
+    + GOLD_CTE
+    + """
+SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(avg(max_value), 4) AS avg_max_value,
+       round(max(max_value), 4) AS peak_value,
+       round(min(max_value), 4) AS low_value,
+       round(stddev_pop(max_value), 4) AS stddev_value
+FROM gold
+GROUP BY user_id % 10""",
+    doc="The reference's flagship analytic (clickhouse_queries.sql:94-105): "
+    "per-dimension stats over hourly Gold — count/avg/max/min/stddev_pop.",
+    headline=True,
+    survey_ids=("A4", "O1"),
+)
+def gold_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = M.gold_hourly(M.silver(_bronze(spark, sf_dir)))
+    return (
+        g.groupBy((F.col("user_id") % 10).cast("bigint").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            N.rnd(F.avg("max_value")).alias("avg_max_value"),
+            N.rnd(F.max("max_value")).alias("peak_value"),
+            N.rnd(F.min("max_value")).alias("low_value"),
+            N.rnd(F.stddev_pop("max_value")).alias("stddev_value"),
+        )
+        .orderBy(F.desc("avg_max_value"))
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for columnar OLAP.
+
+Replaces the reference's session builders (``spark/batch_processor.py:48-77``,
+``spark/stream_processor.py:48-69``) with one factory that keeps the good
+settings (AQE, coalescing, shuffle sizing) and fixes the defects noted in
+SURVEY.md §4.3:
+
+- ``spark.local.dir`` is left on local disk (the reference pointed it at an
+  S3A URI — ``spark/batch_processor.py:52,63`` — which is ineffective for
+  shuffle/spill).
+- dynamic partition overwrite instead of overwrite-the-world
+  (``spark/batch_processor.py:126``).
+- session timezone pinned to UTC so event-time semantics are stable across
+  deployments (and comparable against external oracles).
+
+Scale notes (100 TB / 1000-executor mindset):
+
+- AQE re-plans at runtime: coalesces small post-shuffle partitions, splits
+  skewed ones, and converts sort-merge joins to broadcast when the built
+  side turns out small. All enabled here.
+- ``shuffle.partitions`` defaults to 2x cores locally; on a real cluster it
+  is the *initial* partition count only — AQE coalescing makes the exact
+  value non-critical as long as it is high enough to split the largest
+  shuffle stage.
+- Arrow execution is on so any pandas-UDF fallback path transfers columns
+  in batches, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "project_bigdata_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local mode is a single JVM; on a cluster the same conf applies per
+    executor. Nothing here is local-only except ``master``.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- adaptive execution: runtime re-planning ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing: 2x cores initial, AQE coalesces down ---
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        # --- partitioned-write hygiene: only rewrite touched partitions ---
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # --- deterministic event-time semantics + oracle comparability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- Arrow for any pandas-UDF path ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- parquet TIMESTAMP(NANOS) columns surface as long; the source
+        #     registry converts them to TimestampType (µs) explicitly ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- quiet, non-interactive ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

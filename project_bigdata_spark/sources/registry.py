@@ -1,0 +1,106 @@
+"""Source / sink registry.
+
+Maps the reference's I/O surface (SURVEY.md §2.1) onto Spark built-ins:
+
+- S3/S4 parquet scans        -> :func:`load_table` (``spark.read.parquet``;
+  glob + parallel read are native, unlike the reference's per-file s3fs
+  loop at ``load_to_clickhouse.py:62-76``).
+- S7 partitioned parquet sink -> :func:`write_partitioned_parquet` with
+  *dynamic* partition overwrite (fixes the overwrite-the-world write at
+  ``spark/batch_processor.py:125-129``).
+- S10 CSV export              -> :func:`write_csv`.
+- S1/S2/S6 Kafka scan/sink    -> :func:`read_kafka_batch` /
+  :func:`kafka_sink_frame`; gated because the test image carries no Kafka
+  broker or connector jar. The JSON envelope transform is pure DataFrame
+  code and is tested without a broker.
+
+Scale notes: parquet scans get predicate pushdown, column pruning, and
+Hive-style partition pruning from Catalyst for free; keep filters and
+``select`` lists on top of the raw scan so they reach the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one of the registered tables (S3/S4).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    only as a raw long (``spark.sql.legacy.parquet.nanosAsLong``, set by
+    the session factory). Convert ns -> µs with integer ``div`` — a double
+    division would lose precision above 2^53 ns (~mid-1970s epoch).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink (S7).
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by the
+    session factory) an overwrite only replaces partitions present in
+    ``df`` — at 100 TB a daily run touches one ``year/month/day`` leaf,
+    not the whole table.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export (S10; reference: ``clickhouse_queries.sql:167-183``)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def kafka_sink_frame(df: DataFrame) -> DataFrame:
+    """JSON-envelope a DataFrame for a Kafka sink (S6).
+
+    Reference serializes dicts driver-side (``collect_data.py:180-186``);
+    here it is a single JVM expression, executor-side.
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def read_kafka_batch(
+    spark: SparkSession, bootstrap: str, topic: str
+) -> DataFrame:  # pragma: no cover - needs a broker + connector jar
+    """Full-topic batch scan (S1; reference ``spark/batch_processor.py:85-92``)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str
+) -> DataFrame:  # pragma: no cover - needs a broker + connector jar
+    """Unbounded scan (S2; reference ``spark/stream_processor.py:244-251``)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("failOnDataLoss", "false")
+        .load()
+    )

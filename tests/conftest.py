@@ -1,0 +1,43 @@
+"""Shared pytest fixtures: one SparkSession per test run, testdata paths."""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from project_bigdata_spark.session import get_spark
+
+    # Modest thread count for the test session; CI boxes vary.
+    s = get_spark(app_name="project_bigdata_spark-tests", cpus=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the driver's table views pre-registered."""
+    import duckdb
+
+    con = duckdb.connect()
+    from project_bigdata_spark.sources import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    return con
