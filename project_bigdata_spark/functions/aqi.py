@@ -102,6 +102,17 @@ def _round_half_up(col: Column) -> Column:
     return F.floor(col + F.lit(0.5)).cast("bigint")
 
 
+def _f(x: float) -> str:
+    """Float literal for oracle SQL, in scientific notation.
+
+    A bare ``0.9259259259259259`` parses as DECIMAL in DuckDB (even inside
+    ``CAST(... AS DOUBLE)`` the decimal parse happens first) and converts
+    to a *different double* than the Python/Spark literal. ``9.259...e-01``
+    parses directly as DOUBLE and round-trips exactly.
+    """
+    return f"{float(x):.17e}"
+
+
 def aqi_for_pollutant(conc: Column, pollutant: str) -> Column:
     """F1: piecewise-linear AQI for one pollutant (aqi_calculator.py:59-88).
 
@@ -132,13 +143,14 @@ def aqi_for_pollutant_sql(conc: str, pollutant: str) -> str:
     for c_low, c_high, i_low, i_high in brackets:
         slope = (i_high - i_low) / (c_high - c_low)
         cases.append(
-            f"WHEN ({conc}) >= {c_low!r} AND ({conc}) <= {c_high!r} THEN "
-            f"CAST(floor({slope!r} * (({conc}) - {c_low!r}) + {i_low} + 0.5) AS BIGINT)"
+            f"WHEN ({conc}) >= {_f(c_low)} AND ({conc}) <= {_f(c_high)} THEN "
+            f"CAST(floor({_f(slope)} * (({conc}) - {_f(c_low)}) + {i_low} + 0.5)"
+            " AS BIGINT)"
         )
     inner = "\n      ".join(cases)
     return (
         f"CASE WHEN ({conc}) IS NULL OR isnan({conc}) OR ({conc}) < 0 THEN NULL\n"
-        f"      WHEN ({conc}) > {brackets[-1][1]!r} THEN CAST(500 AS BIGINT)\n"
+        f"      WHEN ({conc}) > {_f(brackets[-1][1])} THEN CAST(500 AS BIGINT)\n"
         f"      {inner}\n      ELSE NULL END"
     )
 
@@ -179,7 +191,7 @@ def convert_unit_to_standard_sql(value: str, parameter: str, unit: str) -> str:
     for name, factor in UNIT_CONVERSION_FACTORS.items():
         cases.append(
             f"WHEN ({parameter}) = '{name}' AND ({unit}) = 'µg/m³' "
-            f"THEN ({value}) * {factor!r}"
+            f"THEN ({value}) * {_f(factor)}"
         )
     return "CASE " + "\n  ".join(cases) + f" ELSE ({value}) END"
 

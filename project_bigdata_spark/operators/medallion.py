@@ -88,7 +88,12 @@ def gold_hourly(silver_df: DataFrame) -> DataFrame:
         silver_df.groupBy(F.col("user_id"), hour, "year", "month", "day")
         .agg(
             F.max("value").alias("max_value"),
-            F.avg("value").alias("avg_value"),
+            # exact-decimal sum / count: order-free, engine-neutral (see
+            # plans/_norm.py avg_exact rationale)
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
             pairs.alias("pairs"),
         )

@@ -1,0 +1,306 @@
+"""Analytics catalog (SURVEY.md §2.3 A3-A8, §2.5 W5-W6, §2.6 O1-O4, §2.2 P9-P12).
+
+Spark-SQL/DataFrame re-expression of every query in the reference's
+``clickhouse_queries.sql`` and the pandas audit scripts, over the ``events``
+measurement-stream analog. One catalog entry per distinct operator shape.
+
+Scale notes: all are single-shuffle groupBy/window plans. ``layer_stats``
+uses one global aggregate (Spark computes partial aggregates per partition
+— no driver bottleneck); top-k uses ``orderBy().limit(k)`` which Spark
+executes as per-partition top-k + driver merge of k rows, not a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+
+@query(
+    "layer_stats",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS total_records,
+       strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS earliest,
+       strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS latest,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events""",
+    doc="A3: layer statistics — count, time range, distinct entities "
+    "(clickhouse_queries.sql:9-32).",
+    survey_ids=("A3",),
+)
+def layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        N.ts_str(F.min("ts"), micros=True).alias("earliest"),
+        N.ts_str(F.max("ts"), micros=True).alias("latest"),
+        F.countDistinct("user_id").alias("n_entities"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "dq_conditional_counts",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS null_values,
+       CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS negative_values,
+       CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS null_props,
+       CAST(count(*) FILTER (WHERE value > 300) AS BIGINT) AS extreme_values
+FROM events""",
+    doc="A5: data-quality conditional counts — ClickHouse countIf "
+    "(clickhouse_queries.sql:111-125) as count+when.",
+    survey_ids=("A5",),
+)
+def dq_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def cif(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return e.agg(
+        F.count(F.lit(1)).alias("total"),
+        cif(F.col("value").isNull()).alias("null_values"),
+        cif(F.col("value") < 0).alias("negative_values"),
+        cif(F.col("props").isNull()).alias("null_props"),
+        cif(F.col("value") > 300).alias("extreme_values"),
+    )
+
+
+@query(
+    "distinct_entities",
+    oracle="""
+SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+FROM events""",
+    doc="A6/O4: DISTINCT projection (clickhouse_queries.sql:61).",
+    survey_ids=("A6", "O4"),
+)
+def distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(N.big("user_id").alias("user_id"), "event_type").distinct()
+
+
+@query(
+    "entity_activity_profile",
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+       strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id""",
+    doc="A6/A10: per-entity census — count, first/last seen, distinct types "
+    "(clickhouse_queries.sql:61-72; check_countries.py:47,65,93).",
+    survey_ids=("A6", "A10"),
+)
+def entity_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(N.big("user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        N.ts_str(F.min("ts"), micros=True).alias("first_seen"),
+        N.ts_str(F.max("ts"), micros=True).alias("last_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "time_bucketed_counts",
+    oracle="""
+SELECT CAST(year(ts) AS BIGINT) AS year,
+       CAST(month(ts) AS BIGINT) AS month,
+       CAST(dayofmonth(ts) AS BIGINT) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)
+         AS avg_value
+FROM events GROUP BY 1, 2, 3, 4""",
+    doc="A7: time-bucketed counts — ClickHouse toYear groupings "
+    "(clickhouse_queries.sql:131-146) at daily grain x type.",
+    survey_ids=("A7", "F10"),
+)
+def time_bucketed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.year("ts").cast("bigint").alias("year"),
+        F.month("ts").cast("bigint").alias("month"),
+        F.dayofmonth("ts").cast("bigint").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        N.avg_exact("value").alias("avg_value"),
+    )
+
+
+@query(
+    "event_type_distribution",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {N.sql_avg_exact('value')} AS avg_value,
+       round(max(value), 4) AS max_value,
+       round(min(value), 4) AS min_value,
+       {N.sql_stddev_exact('value')} AS stddev_value
+FROM events GROUP BY event_type""",
+    doc="A8/A4: per-parameter distribution (clickhouse_queries.sql:153-160, "
+    "94-105).",
+    survey_ids=("A8", "A4"),
+)
+def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        N.avg_exact("value").alias("avg_value"),
+        N.rnd(F.max("value")).alias("max_value"),
+        N.rnd(F.min("value")).alias("min_value"),
+        N.stddev_exact("value").alias("stddev_value"),
+    )
+
+
+@query(
+    "top_k_latest",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(user_id AS BIGINT) AS user_id, event_type, round(value, 4) AS value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 10""",
+    doc="W5/O1/O2: global top-k latest records (clickhouse_queries.sql:79-88)"
+    " — Spark executes as per-partition top-k + k-row merge, no full sort.",
+    survey_ids=("W5", "O1", "O2"),
+)
+def top_k_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+        .select(
+            N.big("event_id").alias("event_id"),
+            N.ts_str("ts", micros=True).alias("ts"),
+            N.big("user_id").alias("user_id"),
+            "event_type",
+            N.rnd("value").alias("value"),
+        )
+    )
+
+
+@query(
+    "latest_per_entity",
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       event_type, round(value, 4) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+    doc="W6: latest record per entity — the reference's latest_aqi "
+    "materialized view (clickhouse/init.sql:67-80) as a row_number window.",
+    survey_ids=("W6",),
+)
+def latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            N.big("user_id").alias("user_id"),
+            N.ts_str("ts", micros=True).alias("ts"),
+            "event_type",
+            N.rnd("value").alias("value"),
+        )
+    )
+
+
+@query(
+    "date_range_filter",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, event_type, round(value, 4) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type IN ('click', 'purchase')""",
+    doc="P9: date-range + IN-list predicate (data_loader.py:103-110; "
+    "clickhouse_queries.sql:69). Both predicates push down to the scan.",
+    survey_ids=("P9",),
+)
+def date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        & F.col("event_type").isin("click", "purchase")
+    ).select(
+        N.big("event_id").alias("event_id"),
+        N.big("user_id").alias("user_id"),
+        "event_type",
+        N.rnd("value").alias("value"),
+    )
+
+
+@query(
+    "null_fill",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS props_k,
+       round(coalesce(value, 0.0), 4) AS value,
+       coalesce(event_type, '') AS event_type
+FROM events""",
+    doc="P10: null-fill semantics of the OLAP loader — strings->'' , "
+    "numerics->0 (load_to_clickhouse.py:87-96,145-156).",
+    survey_ids=("P10",),
+)
+def null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        N.big("event_id").alias("event_id"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)
+        ).alias("props_k"),
+        N.rnd(F.coalesce(F.col("value"), F.lit(0.0))).alias("value"),
+        F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, round(value, 4) AS value
+FROM events WHERE event_id % 20 = 3""",
+    doc="P12: row sampling — engine offers df.sample(fraction, seed); the "
+    "oracle-checkable form is a deterministic key-hash sample "
+    "(data_loader.py:80-81).",
+    survey_ids=("P12",),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 20 == 3).select(
+        N.big("event_id").alias("event_id"),
+        N.big("user_id").alias("user_id"),
+        N.rnd("value").alias("value"),
+    )
+
+
+@query(
+    "union_distinct_keys",
+    oracle="""
+SELECT DISTINCT CAST(nationkey AS BIGINT) AS nationkey, origin FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS origin FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS origin FROM supplier
+)""",
+    doc="O3/O4: UNION ALL + DISTINCT (pd.concat at data_loader.py:97).",
+    survey_ids=("O3", "O4"),
+)
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        N.big("c_nationkey").alias("nationkey"), F.lit("customer").alias("origin")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        N.big("s_nationkey").alias("nationkey"), F.lit("supplier").alias("origin")
+    )
+    return c.unionByName(s).distinct()

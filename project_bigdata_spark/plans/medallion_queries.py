@@ -48,7 +48,7 @@ gold AS (
          date_trunc('hour', ts) AS hour_ts,
          year, month, day,
          max(value) AS max_value,
-         avg(value) AS avg_value,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
          count(*) AS n_events,
          list(event_type ORDER BY event_type, value) AS event_types,
          list(value ORDER BY event_type, value) AS values
@@ -164,12 +164,13 @@ def gold_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
        CAST(count(*) AS BIGINT) AS n_hours,
-       round(avg(max_value), 4) AS avg_max_value,
+       round(CAST(sum(CAST(max_value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)
+         AS avg_max_value,
        round(max(max_value), 4) AS peak_value,
        round(min(max_value), 4) AS low_value,
-       round(stddev_pop(max_value), 4) AS stddev_value
+       {stddev_pop_sql} AS stddev_value
 FROM gold
-GROUP BY user_id % 10""",
+GROUP BY user_id % 10""".format(stddev_pop_sql=N.sql_stddev_exact("max_value", pop=True)),
     doc="The reference's flagship analytic (clickhouse_queries.sql:94-105): "
     "per-dimension stats over hourly Gold — count/avg/max/min/stddev_pop.",
     headline=True,
@@ -181,10 +182,10 @@ def gold_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.groupBy((F.col("user_id") % 10).cast("bigint").alias("cohort"))
         .agg(
             F.count(F.lit(1)).alias("n_hours"),
-            N.rnd(F.avg("max_value")).alias("avg_max_value"),
+            N.avg_exact("max_value").alias("avg_max_value"),
             N.rnd(F.max("max_value")).alias("peak_value"),
             N.rnd(F.min("max_value")).alias("low_value"),
-            N.rnd(F.stddev_pop("max_value")).alias("stddev_value"),
+            N.stddev_exact("max_value", pop=True).alias("stddev_value"),
         )
         .orderBy(F.desc("avg_max_value"))
     )
