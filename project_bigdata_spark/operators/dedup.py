@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines (north-star M7).
+
+Beyond the reference's surface (it has no dedup at all — SURVEY.md §2.8
+"no deduplication"), these are the standard large-corpus dedup family,
+each expressed as pure DataFrame ops so Catalyst/Tungsten execute them
+JVM-side:
+
+- :func:`exact_dedup_groups` — hash-groupBy on a text digest.
+- :func:`bow_fingerprint` — order-insensitive bag-of-words digest
+  (catches word-permuted copies).
+- :func:`minhash_signatures` + :func:`minhash_candidate_pairs` — MinHash
+  over word shingles, LSH banding, bucket self-join, exact Jaccard
+  verification. shingle -> minhash -> band -> bucket-join.
+- :func:`simhash` — 16-bit SimHash from per-word md5 bits.
+- :func:`ngram_jaccard_pairs` — blocked exact word-bigram Jaccard.
+
+Determinism note: hashing is md5-based (not Spark's ``hash``/``xxhash64``)
+so results are engine-portable and the DuckDB oracles can replay them
+bit-for-bit. MinHash "min" is the lexicographic min of a 12-hex-char md5
+prefix — order statistics over a uniform hash, which is all MinHash needs.
+
+Scale notes (100 TB corpus):
+
+- exact/bow dedup shuffle a 16-byte digest + id, never the document text.
+- MinHash: signatures are computed in one narrow pass (no shuffle); the
+  only shuffle is the band-bucket exchange on (band_key). Bucket sizes are
+  the skew risk — a degenerate corpus (all-identical docs) makes one
+  bucket quadratic; cap bucket size (``max_bucket``) to bound the
+  self-join, the standard production guard.
+- Jaccard verification touches only candidate pairs (LSH output), not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_HASHES = 8
+BAND_ROWS = 2  # 8 hashes -> 4 bands of 2: ~(1/4, 1/2)-sensitive family
+SHINGLE_WORDS = 3
+SIG_PREFIX = 12  # hex chars of md5 kept per shingle hash
+
+
+def words_col(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (mirrors the oracle's
+    ``list_filter(string_split_regex(lower(text), '\\s+'), ...)``)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def shingles_col(text: Column, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles; a doc shorter than k words is its own shingle."""
+    ws = words_col(text)
+    n = F.size(ws)
+    k_shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    )
+    return F.when(n >= k, k_shingles).otherwise(F.array(F.lower(text)))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5-digest groups with a canonical (min-id) survivor.
+
+    Adds ``canonical_id`` and ``dup_group_size``. Only the digest shuffles.
+    """
+    digest = F.md5(F.col(text_col)).alias("_digest")
+    w = Window.partitionBy("_digest")
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(w))
+        .drop("_digest")
+    )
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Order-insensitive digest: md5 of the sorted distinct word bag —
+    catches exact copies up to word order/whitespace."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_col(text)))))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """MinHash signature per document: for hash i, the minimum over
+    shingles of ``md5(i || ':' || shingle)[:12]``.
+
+    Pure column expressions — one narrow pass, no shuffle, no UDF.
+    Returns id, the shingle array (for exact-Jaccard verification), and
+    ``sig`` as ``array<string>(num_hashes)``.
+    """
+    sh = shingles_col(F.col(text_col)).alias("shingles")
+    out = df.select(F.col(id_col), sh)
+
+    def hasher(seed: int):
+        # NOTE: must be a 1-arg lambda via closure — a `lambda s, i=i:`
+        # default-arg capture makes F.transform treat it as an
+        # (element, index) lambda and pass the array index as `i`.
+        prefix = f"{seed}:"
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(prefix), s)), 1, SIG_PREFIX
+        )
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return out.withColumn("sig", sig)
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    band_rows: int = BAND_ROWS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a pair.
+
+    Emits distinct (id_a, id_b) with id_a < id_b. ``max_bucket`` drops
+    degenerate buckets (all-identical corpora) whose self-join would be
+    quadratic — the standard guard at scale.
+    """
+    num_hashes = NUM_HASHES
+    bands = [
+        F.concat_ws(
+            "|", F.lit(str(b)), *[F.col("sig")[b * band_rows + r] for r in range(band_rows)]
+        ).alias("band_key")
+        for b in range(num_hashes // band_rows)
+    ]
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band_key")
+    )
+    bucket_w = Window.partitionBy("band_key")
+    bounded = exploded.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("_bsz") <= max_bucket
+    )
+    a = bounded.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = bounded.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sigs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs only."""
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct("shingles").alias("set_a"),
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct("shingles").alias("set_b"),
+    )
+    j = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash: per word, md5's first 4 hex chars supply 16 bits;
+    each bit votes +1/-1; the sign vector is the fingerprint.
+
+    Composed entirely of higher-order array functions (``aggregate`` over
+    the word array with a 16-slot accumulator) — executor-side, no explode,
+    no UDF.
+    """
+    ws = words_col(text)
+
+    def bit(w: Column, b: int) -> Column:
+        nibble = F.conv(F.substring(F.md5(w), 1 + b // 4, 1), 16, 10).cast("int")
+        return F.shiftright(nibble, 3 - b % 4).bitwiseAND(F.lit(1))
+
+    # accumulator: array of 16 vote counters
+    zero = F.array(*[F.lit(0)] * 16)
+    votes = F.aggregate(
+        ws,
+        zero,
+        lambda acc, w: F.array(
+            *[acc[b] + (bit(w, b) * 2 - 1) for b in range(16)]
+        ),
+    )
+    bits = [
+        F.when(votes[b] > 0, F.lit(1 << (15 - b))).otherwise(F.lit(0))
+        for b in range(16)
+    ]
+    total = bits[0]
+    for piece in bits[1:]:
+        total = total + piece
+    return total.cast("bigint")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    n: int = 2,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: compare only docs sharing a blocking
+    key (cheap metadata), with distinct word-n-gram sets.
+
+    Blocking is what keeps this sub-quadratic at scale; the block key
+    choice (language, source, length bucket, ...) is the recall/cost dial.
+    """
+    grams = F.array_distinct(shingles_col(F.col(text_col), k=n)).alias("_grams")
+    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], grams)
+    a = base.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("_grams").alias("ga")
+    )
+    b = base.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("_grams").alias("gb")
+    )
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(*block_cols, "id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (north-star M7).
+
+Images/audio/video ride through the engine as opaque ``binary`` payload
+columns plus a typed metadata struct — the lakehouse-standard shape. The
+Spark-side plumbing here is REAL and tested (schemas, Arrow-batched
+``mapInPandas`` signature, per-batch shape, partition sizing); the actual
+media decoding is STUBBED because the image/audio libraries are not in
+this container:
+
+- with Pillow/librosa installed, :func:`decode_features` would decode and
+  emit true width/height/luma (the ``_real_decode`` seam);
+- without them it emits a DETERMINISTIC FAKE derived from the payload's
+  md5, so pipelines exercise the full path with stable, oracle-checkable
+  outputs.
+
+Scale notes: binary payloads dominate bytes, so never shuffle them —
+derive features early, project the blob away, and join features back by
+id. ``maxPartitionBytes`` governs scan parallelism; Arrow batches stream
+through the Python worker without materializing a partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "media_id bigint, media_type string, byte_len bigint, "
+    "width int, height int, mean_luma double"
+)
+
+
+def to_media_table(
+    df: DataFrame, id_col: str, payload_col: str, media_type: str
+) -> DataFrame:
+    """Normalize any source into the media-table shape:
+    (media_id, media_type, payload binary, byte_len)."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.octet_length(F.col(payload_col).cast("binary")).cast("bigint").alias(
+            "byte_len"
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for a real decoder: md5-derived dimensions
+    and luminance. Replace via ``_real_decode`` when media libs exist."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 64 + int(h[0:2], 16) % 192
+    height = 64 + int(h[2:4], 16) % 192
+    mean_luma = int(h[4:8], 16) / 65535.0
+    return width, height, mean_luma
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, float]:  # pragma: no cover
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decoding requires Pillow; this container ships without "
+            "image libraries — the engine uses the deterministic fake"
+        ) from exc
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    px = list(img.getdata())
+    return img.width, img.height, (sum(px) / len(px)) / 255.0
+
+
+def decode_features(media: DataFrame, use_real: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas`` streams record batches through a Python worker: the
+    canonical seam for media decode at scale (CPU-bound per-row work,
+    arbitrary Python libs, no JVM round-trip per row).
+    """
+
+    # NOTE: the worker-side closure must be fully self-contained — Spark's
+    # Python workers don't have this package on sys.path, and cloudpickle
+    # serializes module-level functions by reference. Nested defs with
+    # local imports pickle by value.
+    if use_real:  # pragma: no cover - media libs absent in this container
+        decode = _real_decode
+    else:
+
+        def decode(payload: bytes) -> tuple[int, int, float]:
+            import hashlib as _hashlib
+
+            h = _hashlib.md5(payload).hexdigest()
+            return (
+                64 + int(h[0:2], 16) % 192,
+                64 + int(h[2:4], 16) % 192,
+                int(h[4:8], 16) / 65535.0,
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits (media_id,
+    frame_idx) pairs for frames to decode, sized by byte_len as a proxy
+    until a real demuxer exists. Pure column expressions; the decode of
+    each sampled frame goes through :func:`decode_features`."""
+    n_frames = F.greatest((F.col("byte_len") / 1000).cast("int"), F.lit(1))
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines (north-star M7).
+
+Language ID (stopword-profile heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and a polynomial rolling-hash fingerprint —
+all as Catalyst column expressions (regexp/array/aggregate built-ins), no
+UDFs, so a 100 TB corpus scan stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators.dedup import words_col
+
+# Tiny stopword profiles per language (public common-word lists). The
+# heuristic is profile-hit density; argmax with lexicographic tiebreak.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "and", "is", "of", "to", "in"],
+    "es": ["el", "la", "los", "y", "es", "de", "un"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un"],
+    "zh": ["de", "shi", "le", "bu", "wo", "you", "zai"],
+}
+
+# BPE-ish tokenization: word pieces OR single non-space punctuation.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_col(text)).cast("bigint")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("bigint")
+
+
+def type_token_ratio(text: Column) -> Column:
+    ws = words_col(text)
+    return F.size(F.array_distinct(ws)) / F.size(ws)
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    ws = words_col(text)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    return hits / F.size(ws)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation characters / total characters."""
+    n = F.length(text)
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9_\s]"), 0)
+    ) / n
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]:
+
+    - length component: saturating chars/500;
+    - stopword component: English-profile hit density (capped at 0.3/0.3);
+    - punctuation penalty: 1 - min(punct_ratio * 5, 1).
+
+    Weights 0.4/0.3/0.3 — the shape of the reference-free quality filters
+    used in large corpus curation; thresholds are explicit constants so
+    the oracle replays them.
+    """
+    length_c = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_c = F.least(
+        stopword_ratio(text, LANG_PROFILES["en"]) / F.lit(0.3), F.lit(1.0)
+    )
+    punct_p = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return length_c * 0.4 + stop_c * 0.3 + punct_p * 0.3
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-profile hit density."""
+    ws = words_col(text)
+    n = F.size(ws)
+
+    def hit_filter(stopwords: list[str]):
+        # 1-arg lambda via closure — a default-arg capture would make
+        # F.filter treat it as an (element, index) lambda (see dedup.py).
+        sw = tuple(stopwords)
+        return lambda w: w.isin(*sw)
+
+    return {
+        lang: F.size(F.filter(ws, hit_filter(sw))) / n
+        for lang, sw in LANG_PROFILES.items()
+    }
+
+
+def predict_lang(text: Column, min_score: float = 0.02) -> Column:
+    """Argmax language over profile scores; 'unknown' when nothing clears
+    ``min_score``. Ties break to the lexicographically first language
+    (deterministic; mirrored in the oracle SQL)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # lexicographic tiebreak via scan order
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best < F.lit(min_score), F.lit("unknown"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def rolling_hash(text: Column, prefix_chars: int = 64) -> Column:
+    """Polynomial rolling hash of the first ``prefix_chars`` characters:
+    ``h = (h * 31 + ascii(ch)) mod 1e9+7`` — a pure left-fold over the
+    character array, bit-identical on any engine with 64-bit int math."""
+    chars = F.split(F.substring(F.lower(text), 1, prefix_chars), "")
+    chars = F.filter(chars, lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * HASH_BASE + F.ascii(ch)) % HASH_MOD,
+    )

@@ -1,0 +1,231 @@
+"""Dedup catalog entries over the ``documents`` table (north-star M7).
+
+Every query here is deterministic (md5-based hashing) and carries a full
+DuckDB oracle: the shingle -> minhash -> band -> bucket-join pipeline is
+replayed in SQL, so the driver's differential gate covers the whole LSH
+construction, not just the final counts. Shared constants come from
+:mod:`project_bigdata_spark.operators.dedup`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import dedup as DD
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+# ---- shared SQL fragments (mirror operators/dedup.py exactly) ----
+
+WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+
+SHINGLES_SQL = f"""
+CASE WHEN len({WORDS_SQL}) >= {DD.SHINGLE_WORDS}
+     THEN list_transform(range(1, len({WORDS_SQL}) - 1),
+            i -> concat_ws(' ', {WORDS_SQL}[i], {WORDS_SQL}[i+1], {WORDS_SQL}[i+2]))
+     ELSE [lower(text)] END"""
+
+
+def _sig_sql(i: int) -> str:
+    return (
+        "list_aggregate(list_transform(shingles, "
+        f"s -> substring(md5(concat('{i}:', s)), 1, {DD.SIG_PREFIX})), 'min')"
+    )
+
+
+_SIG_COLS = ",\n         ".join(f"{_sig_sql(i)} AS sig_{i}" for i in range(DD.NUM_HASHES))
+
+_BAND_KEYS = ", ".join(
+    f"concat_ws('|', '{b}', sig_{b * DD.BAND_ROWS}, sig_{b * DD.BAND_ROWS + 1})"
+    for b in range(DD.NUM_HASHES // DD.BAND_ROWS)
+)
+
+MINHASH_CTES = f"""
+sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+),
+sigs AS (
+  SELECT doc_id, shingles,
+         {_SIG_COLS}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_group_size
+FROM documents""",
+    doc="Exact dedup: md5-digest groups, min-id canonical survivor. Only "
+    "the 16-byte digest shuffles, never the text.",
+    survey_ids=("M7",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.exact_dedup_groups(d, "doc_id", "text")
+    return out.select(
+        N.big("doc_id").alias("doc_id"),
+        N.big("canonical_id").alias("canonical_id"),
+        N.big("dup_group_size").alias("dup_group_size"),
+    )
+
+
+@query(
+    "dedup_bow_fingerprint",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({WORDS_SQL})), ' ')) AS bow
+  FROM documents
+)
+SELECT bow, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM fp GROUP BY bow""",
+    doc="Bag-of-words fingerprint dedup: order/whitespace-insensitive "
+    "digest groups (catches word-permuted copies).",
+    survey_ids=("M7",),
+)
+def dedup_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", DD.bow_fingerprint(F.col("text")).alias("bow"))
+    return fp.groupBy("bow").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        N.big(F.min("doc_id")).alias("canonical_id"),
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(shingles) AS BIGINT) AS n_shingles,
+       concat_ws(',', {", ".join(_sig_sql(i) for i in range(DD.NUM_HASHES))}) AS sig
+FROM sh""",
+    doc="MinHash signatures: per-doc minimum of md5(i || shingle) prefixes "
+    "for 8 hash seeds over 3-word shingles — one narrow pass, no shuffle.",
+    survey_ids=("M7",),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text")
+    return sigs.select(
+        N.big("doc_id").alias("doc_id"),
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+        F.concat_ws(",", "sig").alias("sig"),
+    )
+
+
+@query(
+    "minhash_near_dups",
+    oracle="WITH"
+    + MINHASH_CTES
+    + """
+SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+       round(CAST(len(list_intersect(list_distinct(sa.shingles),
+                                     list_distinct(sb.shingles))) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+         AS jaccard
+FROM pairs p
+JOIN sh sa ON p.id_a = sa.doc_id
+JOIN sh sb ON p.id_b = sb.doc_id
+WHERE CAST(len(list_intersect(list_distinct(sa.shingles),
+                              list_distinct(sb.shingles))) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2""",
+    doc="MinHash LSH near-dup pipeline end-to-end: shingle -> minhash -> "
+    "band -> bucket self-join -> exact-Jaccard verification at 0.2. Only "
+    "candidate pairs (not n²) reach verification.",
+    headline=True,
+    survey_ids=("M7",),
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text")
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    verified = DD.jaccard_verify(pairs, sigs, "doc_id", threshold=0.2)
+    return verified.select(
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        N.rnd("jaccard").alias("jaccard"),
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=rf"""
+WITH w AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents
+), bits AS (
+  SELECT doc_id,
+         {", ".join(
+            f"sum(((strpos('0123456789abcdef', substring(md5(word), {1 + b // 4}, 1)) - 1) >> {3 - b % 4} & 1) * 2 - 1) AS v{b}"
+            for b in range(16)
+         )}
+  FROM w GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << (15 - b)} ELSE 0 END)" for b in range(16))}
+            AS BIGINT) AS simhash
+FROM bits""",
+    doc="16-bit SimHash from per-word md5 bit votes, composed with "
+    "F.aggregate over the word array (no explode, no UDF).",
+    survey_ids=("M7",),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        N.big("doc_id").alias("doc_id"),
+        DD.simhash16(F.col("text")).alias("simhash"),
+    )
+
+
+@query(
+    "ngram_jaccard_block",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len({WORDS_SQL}) >= 2
+           THEN list_transform(range(1, len({WORDS_SQL})),
+                  i -> concat_ws(' ', {WORDS_SQL}[i], {WORDS_SQL}[i+1]))
+           ELSE [lower(text)] END) AS grams
+  FROM documents
+)
+SELECT a.lang, a.source,
+       CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2""",
+    doc="Blocked word-bigram Jaccard: compare only within (lang, source) "
+    "blocks — the sub-quadratic blocking pattern for n-gram dedup.",
+    survey_ids=("M7",),
+)
+def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "source"], threshold=0.2, n=2
+    )
+    return pairs.select(
+        "lang",
+        "source",
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        N.rnd("jaccard").alias("jaccard"),
+    )

@@ -1,0 +1,216 @@
+"""Similarity-search catalog entries over ``embeddings`` (north-star M7).
+
+Oracle strategy: cosine terms are computed as left-fold dot products over
+``DOUBLE``-cast lists on both engines, rounded to 6 decimals before any
+ordering/threshold so the comparison is immune to last-bit float noise.
+LSH plane signs are plan-build-time md5 literals shared by both sides
+(see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import similarity as SIM
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+DOT_SQL = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+    "p -> p[1] * p[2]))"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return DOT_SQL.format(a=a, b=b)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+def _signs_sql(plane: int) -> str:
+    return "[" + ", ".join(f"{s:.1f}" for s in SIM.plane_signs(plane)) + "]"
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = [
+        f"CASE WHEN {_dot_sql(vec, _signs_sql(p))} > 0 THEN '1' ELSE '0' END"
+        for p in range(SIM.N_PLANES)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS BIGINT) AS label,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt({_dot_sql('embedding', 'embedding')}), 6) AS l2_norm
+FROM embeddings""",
+    doc="Embedding hygiene scan: dimension + L2 norm per vector, dot via "
+    "left-fold zip_with/aggregate — JVM-side, no UDF.",
+    survey_ids=("M7",),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double(F.col("embedding"))
+    return e.select(
+        N.big("vec_id").alias("vec_id"),
+        N.big("label").alias("label"),
+        F.size("embedding").cast("bigint").alias("dim"),
+        N.rnd(SIM.norm(v), 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "knn_brute_force",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e, q
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+    doc="Exact ANN baseline: brute-force cosine top-10 for query vec_id=0 "
+    "— broadcast query row, one narrow scoring pass, per-partition top-k "
+    "merge. Linear scaling, no corpus shuffle.",
+    headline=True,
+    survey_ids=("M7",),
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    scored = e.crossJoin(
+        F.broadcast(q.select(SIM.as_double(F.col("embedding")).alias("_qvec")))
+    ).select(
+        F.col("vec_id"),
+        N.rnd(SIM.cosine(SIM.as_double(F.col("embedding")), F.col("_qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .select(N.big("vec_id").alias("vec_id"), "cosine")
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM b GROUP BY bucket""",
+    doc="Random-sign hyperplane LSH bucketing (8 planes -> 256 buckets): "
+    "the ANN scale path. Plane signs are deterministic md5-derived "
+    "literals shared with the oracle.",
+    survey_ids=("M7",),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", SIM.lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        N.big(F.min("vec_id")).alias("min_vec_id"),
+    )
+
+
+@query(
+    "ann_lsh_query",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT bucket AS qbucket, embedding AS qvec FROM b WHERE vec_id = 0
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+FROM b e, q
+WHERE e.bucket = q.qbucket AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+    doc="ANN query via LSH: candidates = query's bucket only, then exact "
+    "cosine re-rank — the approximate path that avoids scoring the full "
+    "corpus.",
+    survey_ids=("M7",),
+)
+def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        SIM.as_double(F.col("embedding")).alias("_v"),
+        SIM.lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("_v").alias("qvec")
+    )
+    cands = e.join(F.broadcast(q), e.bucket == F.col("qbucket")).filter(
+        F.col("vec_id") != 0
+    )
+    scored = cands.select(
+        N.big("vec_id").alias("vec_id"),
+        N.rnd(SIM.cosine(F.col("_v"), F.col("qvec")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(5)
+
+
+@query(
+    "ivf_assign",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS cosine
+  FROM embeddings e, c
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(centroid_id AS BIGINT) AS centroid_id, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) = 1""",
+    doc="IVF coarse quantization: nearest of 8 broadcast centroids per "
+    "vector (argmax window) — the inverted-file partition assignment; at "
+    "scale the centroid table comes from sampled k-means.",
+    survey_ids=("M7",),
+)
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # round cosine BEFORE the argmax so both engines rank identical keys
+    c = F.broadcast(
+        cents.select("centroid_id", SIM.as_double(F.col("embedding")).alias("_cvec"))
+    )
+    scored = (
+        e.select("vec_id", SIM.as_double(F.col("embedding")).alias("_v"))
+        .crossJoin(c)
+        .select(
+            "vec_id",
+            "centroid_id",
+            N.rnd(SIM.cosine(F.col("_v"), F.col("_cvec")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            N.big("vec_id").alias("vec_id"),
+            N.big("centroid_id").alias("centroid_id"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,174 @@
+"""Text-analysis + multimodal catalog entries over ``documents`` (M7).
+
+The multimodal entry runs the REAL mapInPandas plumbing with the
+deterministic fake decoder, so even the Python-worker path is covered by
+the DuckDB differential gate (md5-derived features are SQL-replayable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import multimodal as MM
+from project_bigdata_spark.operators import text as TX
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+TOKEN_RE_SQL = r"'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'"
+PUNCT_RE_SQL = r"'[^A-Za-z0-9_\s]'"
+
+
+def _profile_score_sql(stopwords: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    return (
+        f"CAST(len(list_filter({WORDS_SQL}, w -> w IN ({inlist}))) AS DOUBLE)"
+        f" / len({WORDS_SQL})"
+    )
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, {TOKEN_RE_SQL})) AS BIGINT) AS n_tokens_bpe,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(len(list_distinct({WORDS_SQL})) AS DOUBLE) / len({WORDS_SQL}), 4)
+         AS type_token_ratio
+FROM documents""",
+    doc="Token counting: whitespace + BPE-ish regex tokenizers, char count, "
+    "type-token ratio — all regexp/array built-ins inside codegen.",
+    survey_ids=("M7",),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        N.big("doc_id").alias("doc_id"),
+        TX.token_count_ws(t).alias("n_tokens_ws"),
+        TX.token_count_bpe(t).alias("n_tokens_bpe"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        N.rnd(TX.type_token_ratio(t)).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(
+         least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
+         + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0) * 3.0e-1
+         + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
+                          / length(text) * 5, 1.0e0)) * 3.0e-1,
+       4) AS quality
+FROM documents""",
+    doc="Quality scoring: length saturation + stopword density + "
+    "punctuation penalty, explicit constants replayed by the oracle.",
+    survey_ids=("M7",),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        N.big("doc_id").alias("doc_id"),
+        N.rnd(TX.quality_score(F.col("text"))).alias("quality"),
+    )
+
+
+_LANG_SCORE_COLS = ",\n       ".join(
+    f"{_profile_score_sql(sw)} AS s_{lang}"
+    for lang, sw in sorted(TX.LANG_PROFILES.items())
+)
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(TX.LANG_PROFILES)) + ")"
+_PRED_CASES = "\n         ".join(
+    f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in sorted(TX.LANG_PROFILES)
+)
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+       {_LANG_SCORE_COLS}
+  FROM documents
+), pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_BEST} < 2.0e-2 THEN 'unknown'
+         {_PRED_CASES}
+         ELSE 'unknown' END AS predicted
+  FROM scores
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, predicted""",
+    doc="Language-ID heuristic (stopword-profile argmax with lexicographic "
+    "tiebreak) and its confusion matrix against the labeled lang column.",
+    survey_ids=("M7",),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        "lang", TX.predict_lang(F.col("text")).alias("predicted")
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substring(lower(text), 1, 64), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * {TX.HASH_BASE} + x) % {TX.HASH_MOD}) AS prefix_hash,
+       md5(substring(lower(text), 1, 128)) AS prefix_md5
+FROM documents""",
+    doc="Document fingerprinting: polynomial rolling hash (left-fold over "
+    "char codes, mod 1e9+7) + md5 prefix digest.",
+    survey_ids=("M7",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        N.big("doc_id").alias("doc_id"),
+        TX.rolling_hash(F.col("text"), 64).alias("prefix_hash"),
+        F.md5(F.substring(F.lower("text"), 1, 128)).alias("prefix_md5"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(64 + CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 192 AS BIGINT)
+         AS width,
+       CAST(64 + CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 192 AS BIGINT)
+         AS height,
+       round(CAST(('0x' || substring(md5(text), 5, 4)) AS INT) / 6.5535e4, 6)
+         AS mean_luma
+FROM documents""",
+    doc="Multimodal plumbing end-to-end: binary payload table -> Arrow-"
+    "batched mapInPandas feature extraction (STUBBED decoder: md5-derived "
+    "deterministic fake; real decode seam documented in "
+    "operators/multimodal.py). The Python-worker path itself is what this "
+    "query verifies.",
+    survey_ids=("M7",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_table(d, "doc_id", "text", "image")
+    feats = MM.decode_features(media)
+    return feats.select(
+        N.big("media_id").alias("media_id"),
+        "media_type",
+        N.big("byte_len").alias("byte_len"),
+        N.big("width").alias("width"),
+        N.big("height").alias("height"),
+        N.rnd("mean_luma", 6).alias("mean_luma"),
+    )

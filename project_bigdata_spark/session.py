@@ -29,6 +29,7 @@ Scale notes (100 TB / 1000-executor mindset):
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -46,6 +47,14 @@ def get_spark(
     executor. Nothing here is local-only except ``master``.
     """
     cpus = cpus or DEFAULT_CPUS
+    # Python workers (pandas UDF / mapInPandas) must be able to import this
+    # package regardless of the driver's cwd; they inherit the process env.
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

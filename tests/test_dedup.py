@@ -1,0 +1,80 @@
+"""Dedup behavior tests on synthetic duplicates: each technique must catch
+exactly the duplication class it is designed for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import dedup as DD
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "today the quick brown fox jumps over the lazy dog near the river bank"),  # word-rotated 0
+    (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # 1 word changed
+    (4, "completely different content about spark query engines and columnar io"),
+    (5, "spark streaming watermarks handle late data with event time windows ok"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r for r in DD.exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert out[0].canonical_id == 0 and out[0].dup_group_size == 2
+    assert out[1].canonical_id == 0
+    assert out[2].dup_group_size == 1  # word order differs -> not exact
+    assert out[4].dup_group_size == 1
+
+
+def test_bow_fingerprint_catches_permutation(docs):
+    fp = docs.select("doc_id", DD.bow_fingerprint(F.col("text")).alias("bow"))
+    groups = {}
+    for r in fp.collect():
+        groups.setdefault(r.bow, []).append(r.doc_id)
+    sets = sorted(sorted(v) for v in groups.values())
+    # 0,1 exact and 2 word-rotated share the bag; 3 differs by one word
+    assert [0, 1, 2] in sets
+    assert [3] in sets
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = DD.minhash_signatures(docs, "doc_id", "text")
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    verified = DD.jaccard_verify(pairs, sigs, "doc_id", threshold=0.3)
+    found = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (0, 1) in found           # identical -> jaccard 1.0
+    assert (0, 3) in found or (1, 3) in found  # one-word edit -> high jaccard
+    assert all({a, b} != {4, 5} for a, b in found)  # unrelated stay apart
+    j = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert j[(0, 1)] == 1.0
+
+
+def test_minhash_bucket_cap(docs):
+    sigs = DD.minhash_signatures(docs, "doc_id", "text")
+    capped = DD.minhash_candidate_pairs(sigs, "doc_id", max_bucket=1)
+    assert capped.count() == 0  # every bucket dropped by the guard
+
+
+def test_simhash_similar_docs_close(docs):
+    out = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", DD.simhash16(F.col("text")).alias("sh")).collect()}
+    assert out[0] == out[1]  # identical text -> identical fingerprint
+    ham = bin(out[0] ^ out[3]).count("1")
+    ham_far = bin(out[0] ^ out[4]).count("1")
+    assert ham <= ham_far  # one-word edit at most as far as unrelated text
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [(i, t, "en", "srcA") for i, t in [(d[0], d[1]) for d in DOCS]]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    pairs = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", block_cols=["lang", "source"], threshold=0.5, n=2
+    )
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert found[(0, 1)] == 1.0
+    assert (0, 3) in found  # bigram overlap of the one-word edit is high
