@@ -1,0 +1,151 @@
+"""Structured Streaming medallion pipeline (SURVEY.md §2.8 T1-T7, §3.2).
+
+Re-expresses the reference's ``spark/stream_processor.py`` with its defects
+fixed (SURVEY.md §4.3-2):
+
+- the source is parsed ONCE and fanned out, instead of three independent
+  queries re-parsing the same Kafka payload (stream_processor.py:77,123,172);
+- the batch and streaming pipelines share the SAME transform functions
+  (operators/medallion.py) — bronze/silver/gold semantics cannot drift
+  between modes;
+- gold's hour aggregation uses a 1-hour watermark + append mode exactly as
+  the reference (T1/T2/T4), with the deterministic-array fix.
+
+Two fan-out strategies:
+
+- :func:`start_multi_sink` — one ``writeStream`` per layer (three
+  concurrent queries, independent triggers/checkpoints: the reference's
+  topology, minus the triple parse since Silver derives from the parsed
+  stream, not the raw source).
+- :func:`foreach_batch_fanout` — ONE query; each micro-batch is written to
+  all three layers transactionally-ish per epoch. Fewer state stores, one
+  source offset log; the right default when sinks share cadence.
+
+Scale notes: the streaming gold agg keeps state per (entity, hour) in the
+state store; the 1-hour watermark bounds state to ~2h × |entities| rows.
+Checkpoint/state-store I/O is per-micro-batch and scales with updated keys
+only. ``failOnDataLoss=false`` (T7) tolerates source truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from project_bigdata_spark.operators import medallion as M
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def parse_stream(raw: DataFrame) -> DataFrame:
+    """P1 on a stream: Kafka-envelope value -> typed columns, or pass
+    through an already-typed stream. Called ONCE per pipeline."""
+    if "value" in raw.columns and dict(raw.dtypes).get("value") == "binary":
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("m")
+        ).select("m.*")
+    return raw
+
+
+def bronze_stream(parsed: DataFrame) -> DataFrame:
+    """Bronze with processing-time audit stamp (T: P8)."""
+    return M.bronze(parsed).withColumn("processed_at", F.current_timestamp())
+
+
+def silver_stream(bronze_df: DataFrame) -> DataFrame:
+    return M.silver(bronze_df.drop("processed_at"))
+
+
+def gold_stream(silver_df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T1+T2: watermarked tumbling-hour aggregation in append mode.
+
+    A 1-hour tumbling ``window()`` ≡ the reference's ``date_trunc('hour')``
+    group key (stream_processor.py:200-215) — but only ``window()``
+    carries the event-time metadata append mode needs (Spark 4 rejects a
+    trunc-derived key as an unwatermarked aggregation). The watermark
+    finalizes an hour-group once event time passes hour_end + 1h, at which
+    point append mode emits it exactly once.
+    """
+    return (
+        silver_df.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.window(F.col("ts"), "1 hour").alias("_w"),
+        )
+        .agg(
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("event_type").alias("k"),
+                                        F.col("value").alias("v")))
+            ).alias("pairs"),
+        )
+        .withColumn("event_types", F.transform("pairs", lambda p: p["k"]))
+        .withColumn("values", F.transform("pairs", lambda p: p["v"]))
+        .withColumn("hour_ts", F.col("_w.start"))
+        .drop("pairs", "_w")
+    )
+
+
+def start_multi_sink(
+    raw: DataFrame,
+    out_dir: str,
+    trigger_secs: int = 10,
+    gold_trigger_secs: int = 60,
+    fmt: str = "parquet",
+) -> list[StreamingQuery]:
+    """T3-T6: three concurrent queries off one parsed stream, each with its
+    own checkpoint and processing-time trigger (10 s / 10 s / 60 s cadence
+    like the reference)."""
+    parsed = parse_stream(raw)
+    b, s = bronze_stream(parsed), silver_stream(bronze_stream(parsed))
+    g = gold_stream(silver_stream(bronze_stream(parsed)))
+    queries = []
+    for name, df, mode, secs in [
+        ("bronze", b, "append", trigger_secs),
+        ("silver", s, "append", trigger_secs),
+        ("gold", g, "append", gold_trigger_secs),
+    ]:
+        queries.append(
+            df.writeStream.format(fmt)
+            .outputMode(mode)
+            .option("path", f"{out_dir}/{name}")
+            .option("checkpointLocation", f"{out_dir}/_chk/{name}")
+            .trigger(processingTime=f"{secs} seconds")
+            .start()
+        )
+    return queries
+
+
+def foreach_batch_fanout(
+    raw: DataFrame, out_dir: str, trigger_secs: int = 10
+) -> StreamingQuery:
+    """T5 fixed: ONE streaming query; each micro-batch fans out to all
+    three layers (parse once, write thrice). Gold here is per-epoch
+    incremental (no cross-batch state) — the batch gold job provides the
+    consolidated hourly view; this sink feeds it fresh partitions."""
+    parsed = parse_stream(raw)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        b = M.bronze(batch_df)
+        b.persist()
+        try:
+            b.write.mode("append").parquet(f"{out_dir}/bronze")
+            s = M.silver(b)
+            s.write.mode("append").parquet(f"{out_dir}/silver")
+            M.gold_hourly(s).drop("type_values").write.mode("append").parquet(
+                f"{out_dir}/gold_increments"
+            )
+        finally:
+            b.unpersist()
+
+    return (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/_chk/fanout")
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .start()
+    )

@@ -1,0 +1,117 @@
+"""Streaming tests (SURVEY.md §5-4): file-source micro-batches driven
+synchronously; watermark late-data semantics verified batch by batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pandas as pd
+import pytest
+
+from project_bigdata_spark.streaming import pipeline as SP
+
+
+def _write_batch(spark, path, rows, batch_id):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf, schema=SP.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _rows(hour, n, uid=1, base_id=0, value=10.0):
+    t0 = dt.datetime(2024, 3, 1, hour)
+    return [
+        (base_id + i, t0 + dt.timedelta(minutes=5 * i), uid, "click", value, None)
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batch(spark, src, _rows(hour=1, n=3, base_id=0), 0)
+    raw = (
+        spark.readStream.schema(SP.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return raw, src, out
+
+
+def test_gold_watermark_append_finalization(spark, stream_env):
+    raw, src, out = stream_env
+    gold = SP.gold_stream(SP.silver_stream(SP.bronze_stream(SP.parse_stream(raw))))
+    q = (
+        gold.writeStream.format("memory")
+        .queryName("gold_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/_chk/gold_mem")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark = max(event) - 1h is still inside hour 1: nothing final
+        assert spark.sql("SELECT * FROM gold_mem").count() == 0
+
+        # batch 2: events at hour 4 push the watermark past hour 1's end
+        _write_batch(spark, src, _rows(hour=4, n=2, base_id=100, value=50.0), 1)
+        q.processAllAvailable()
+        # batch 3: any batch after the watermark update emits hour 1
+        _write_batch(spark, src, _rows(hour=4, n=1, base_id=200, value=60.0), 2)
+        q.processAllAvailable()
+        done = {r.hour_ts.hour: r for r in spark.sql("SELECT * FROM gold_mem").collect()}
+        assert 1 in done
+        assert done[1].n_events == 3
+        assert done[1].max_value == 10.0
+        assert done[1].event_types == ["click", "click", "click"]
+
+        # batch 4: a LATE event for hour 1 (older than the watermark) must
+        # NOT re-emit or alter the finalized group
+        _write_batch(spark, src, _rows(hour=1, n=1, base_id=300, value=99.0), 3)
+        q.processAllAvailable()
+        rows_h1 = [
+            r for r in spark.sql("SELECT * FROM gold_mem").collect()
+            if r.hour_ts.hour == 1
+        ]
+        assert len(rows_h1) == 1 and rows_h1[0].max_value == 10.0
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_fanout_single_parse(spark, stream_env):
+    raw, src, out = stream_env
+    q = SP.foreach_batch_fanout(raw, out, trigger_secs=1)
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, _rows(hour=2, n=2, base_id=50, value=-1.0), 1)
+        q.processAllAvailable()
+        bronze = spark.read.parquet(f"{out}/bronze")
+        silver = spark.read.parquet(f"{out}/silver")
+        gold = spark.read.parquet(f"{out}/gold_increments")
+        assert bronze.count() == 5          # 3 + 2
+        assert silver.count() == 3          # negatives dropped
+        assert gold.count() == 1            # one (uid, hour) group from valid rows
+    finally:
+        q.stop()
+
+
+def test_multi_sink_topology(spark, stream_env):
+    raw, src, out = stream_env
+    queries = SP.start_multi_sink(raw, out, trigger_secs=1, gold_trigger_secs=1)
+    try:
+        deadline = time.time() + 60
+        for q in queries:
+            q.processAllAvailable()
+        bronze = spark.read.parquet(f"{out}/bronze")
+        assert bronze.count() == 3
+        assert "processed_at" in bronze.columns  # T: P8 audit stamp
+        silver = spark.read.parquet(f"{out}/silver")
+        assert silver.count() == 3
+        assert time.time() < deadline
+    finally:
+        for q in queries:
+            q.stop()
