@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the catalog's headline queries end-to-end.
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is forced through a full execution with the noop sink (no
+collect — results never hit the driver), timed after a session warm-up so
+JVM startup is excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from project_bigdata_spark.plans.catalog import load_all  # noqa: E402
+from project_bigdata_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    specs = load_all()
+    headliners = [s for s in specs.values() if s.headline]
+    spark = get_spark(app_name="bench", cpus=CPUS)
+
+    # warm-up: touch every input file once (parquet footer + JVM JIT)
+    for s in headliners:
+        s.builder(spark, SF_DIR).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for s in headliners:
+        t0 = time.perf_counter()
+        s.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[s.name] = round(time.perf_counter() - t0, 3)
+
+    sf = float(Path(SF_DIR).name.removeprefix("sf") or "0.1")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -155,7 +155,10 @@ WHERE CAST(len(list_intersect(list_distinct(sa.shingles),
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(d, "doc_id", "text")
+    # the signature frame feeds three plan branches (banding + both sides
+    # of the verification join): persist it so the md5/shingle work — the
+    # dominant cost — runs once, not three times
+    sigs = DD.minhash_signatures(d, "doc_id", "text").persist()
     pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
     verified = DD.jaccard_verify(pairs, sigs, "doc_id", threshold=0.2)
     return verified.select(

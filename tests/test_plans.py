@@ -1,0 +1,85 @@
+"""Physical-plan audits: assert the plan shapes that matter at 100 TB.
+
+These tests read ``.explain``-style output and pin the properties the
+engine's scale story depends on: predicate/column pushdown into parquet,
+broadcast strategies for dim joins, partial aggregation, and the absence
+of cartesian products. A green catalog with a wrong plan is a perf bug —
+this is where it fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project_bigdata_spark.plans.catalog import load_all
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = load_all()[name].builder(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "date_range_filter")
+    assert "PushedFilters" in plan
+    # the event_type IN-list must reach the parquet reader. (The ts bounds
+    # cannot: events.ts is TIMESTAMP(NANOS) parquet, read as long and
+    # converted — a derived column is not pushable. A production table
+    # written with µs timestamps pushes both; this is a testdata artifact.)
+    assert "In(event_type" in plan or "EqualTo(event_type" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "deterministic_sample")
+    # ReadSchema must not include unused columns like props/event_type
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "props" not in read[0] and "event_type" not in read[0]
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # partial -> exchange -> final: map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = plan_of(spark, sf_dir, "semi_join_customers")
+    anti = plan_of(spark, sf_dir, "anti_join_customers")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_knn_broadcasts_query_not_corpus(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # top-k must be a TakeOrderedAndProject, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_k_latest")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_join_events")
+    # union + window construction: no join operator at all, and only
+    # hash-partitioning exchanges (no range-join blowup)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gold_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "gold_hourly")
+    # one aggregation exchange; bronze/silver stages are narrow
+    assert plan.count("Exchange hashpartitioning") <= 1
