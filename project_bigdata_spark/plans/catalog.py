@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.analytics_queries",
     "project_bigdata_spark.plans.aqi_queries",
     "project_bigdata_spark.plans.relational_queries",
+    "project_bigdata_spark.plans.relational_queries2",
     "project_bigdata_spark.plans.feature_queries",
     "project_bigdata_spark.plans.dedup_queries",
     "project_bigdata_spark.plans.similarity_queries",

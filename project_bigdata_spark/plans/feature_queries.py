@@ -259,3 +259,140 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("value").alias("value"),
         N.rnd("click_value_asof").alias("click_value_asof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The full ML feature frame (reference ML_TRAINING.md:57-199), M5 deliverable
+# ---------------------------------------------------------------------------
+
+from project_bigdata_spark.plans.medallion_queries import GOLD_CTE  # noqa: E402
+
+_GD = "CAST(max_value AS DECIMAL(12,2))"
+_WO = "PARTITION BY user_id ORDER BY hour_ts"
+_W7 = f"{_WO} ROWS BETWEEN 167 PRECEDING AND CURRENT ROW"
+_W30 = f"{_WO} ROWS BETWEEN 719 PRECEDING AND CURRENT ROW"
+
+
+def _ptype_sql(t: str) -> str:
+    pos = f"list_position(event_types, '{t}')"
+    return (
+        f"CASE WHEN coalesce({pos}, 0) = 0 THEN 0.0e0 "
+        f"ELSE round(values[{pos}], 4) END"
+    )
+
+
+_FEATURE_SQL = (
+    "WITH"
+    + GOLD_CTE
+    + f""",
+feat AS (
+  SELECT user_id, hour_ts, n_events, event_types, values,
+         lag(max_value, 1)   OVER ({_WO}) AS lag_1,
+         lag(max_value, 24)  OVER ({_WO}) AS lag_24,
+         lag(max_value, 168) OVER ({_WO}) AS lag_168,
+         lead(max_value, 1)  OVER ({_WO}) AS target_next,
+         CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE) / count(*) OVER ({_W7}) AS mean_168,
+         CASE WHEN count(*) OVER ({_W7}) <= 1 THEN NULL ELSE
+           sqrt(greatest(
+             (CAST(sum(CAST({_GD} * {_GD} AS DECIMAL(28,4))) OVER ({_W7}) AS DOUBLE)
+              - CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE)
+                * CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE)
+                / CAST(count(*) OVER ({_W7}) AS DOUBLE))
+             / (CAST(count(*) OVER ({_W7}) AS DOUBLE) - 1.0), 0.0)) END AS std_168,
+         max(max_value) OVER ({_W7}) AS max_168,
+         min(max_value) OVER ({_W7}) AS min_168,
+         CAST(sum({_GD}) OVER ({_W30}) AS DOUBLE) / count(*) OVER ({_W30}) AS mean_720,
+         max_value
+  FROM gold
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       CAST(hour(hour_ts) AS BIGINT) AS hour,
+       CAST(isodow(hour_ts) - 1 AS BIGINT) AS day_of_week,
+       CAST(month(hour_ts) AS BIGINT) AS month,
+       CAST(dayofyear(hour_ts) AS BIGINT) AS day_of_year,
+       CAST(CASE WHEN isodow(hour_ts) - 1 >= 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_weekend,
+       round(lag_1, 4) AS value_lag_1h,
+       round(lag_24, 4) AS value_lag_24h,
+       round(lag_168, 4) AS value_lag_168h,
+       round(mean_168, 4) AS value_mean_7d,
+       round(std_168, 4) AS value_std_7d,
+       round(max_168, 4) AS value_max_7d,
+       round(min_168, 4) AS value_min_7d,
+       round(mean_720, 4) AS value_mean_30d,
+       CAST(dense_rank() OVER (ORDER BY user_id) - 1 AS BIGINT) AS user_encoded,
+       CAST(n_events AS BIGINT) AS n_events,
+       {_ptype_sql('click')} AS v_click,
+       {_ptype_sql('view')} AS v_view,
+       {_ptype_sql('purchase')} AS v_purchase,
+       {_ptype_sql('signup')} AS v_signup,
+       {_ptype_sql('error')} AS v_error,
+       round(max_value, 4) AS value,
+       round(target_next, 4) AS target_next
+FROM feat"""
+)
+
+
+@query(
+    "feature_frame",
+    oracle=_FEATURE_SQL,
+    doc="The reference's full 22-feature ML frame (ML_TRAINING.md:57-199, "
+    "data_loader.py:121-194) computed at Spark scale over the hourly Gold "
+    "aggregate: 5 time features, 3 row-lags, 5 rolling stats "
+    "(min_periods=1, ddof=1), entity label-encode (broadcast dense-rank, "
+    "not a global window), per-type first-value unnest with fill-0 (F6), "
+    "and the shifted(-1) target. One shuffle for gold + one for the "
+    "entity windows.",
+    headline=True,
+    survey_ids=("W1", "W2", "W3", "W4", "F4", "F6", "F7"),
+)
+def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import medallion as M
+
+    e = load_table(spark, sf_dir, "events")
+    gold = M.gold_hourly(M.silver(M.bronze(e)))
+    g = FE.add_time_features(gold, "hour_ts")
+    g = FE.add_lag_features(
+        g, "max_value", order_by=["hour_ts"], lags=(1, 24, 168)
+    )
+    g = FE.add_target_lead(
+        g, "max_value", order_by=["hour_ts"], target_name="target_next"
+    )
+    g = FE.add_rolling_features(
+        g, "max_value", order_by=["hour_ts"], window_rows=168, long_window_rows=720
+    )
+    g = FE.label_encode(g, "user_id", "user_encoded")
+
+    def ptype(t: str) -> F.Column:
+        pos = F.array_position(F.col("event_types"), t)
+        return F.when(pos == 0, F.lit(0.0)).otherwise(
+            F.round(F.element_at("values", pos.cast("int")), 4)
+        )
+
+    return g.select(
+        N.big("user_id").alias("user_id"),
+        N.ts_str("hour_ts").alias("hour_ts"),
+        N.big("hour").alias("hour"),
+        N.big("day_of_week").alias("day_of_week"),
+        N.big("month").alias("month"),
+        N.big("day_of_year").alias("day_of_year"),
+        F.col("is_weekend").cast("int").cast("bigint").alias("is_weekend"),
+        N.rnd("max_value_lag_1").alias("value_lag_1h"),
+        N.rnd("max_value_lag_24").alias("value_lag_24h"),
+        N.rnd("max_value_lag_168").alias("value_lag_168h"),
+        N.rnd("max_value_mean_168").alias("value_mean_7d"),
+        N.rnd("max_value_std_168").alias("value_std_7d"),
+        N.rnd("max_value_max_168").alias("value_max_7d"),
+        N.rnd("max_value_min_168").alias("value_min_7d"),
+        N.rnd("max_value_mean_720").alias("value_mean_30d"),
+        N.big("user_encoded").alias("user_encoded"),
+        N.big("n_events").alias("n_events"),
+        ptype("click").alias("v_click"),
+        ptype("view").alias("v_view"),
+        ptype("purchase").alias("v_purchase"),
+        ptype("signup").alias("v_signup"),
+        ptype("error").alias("v_error"),
+        N.rnd("max_value").alias("value"),
+        N.rnd("target_next").alias("target_next"),
+    )

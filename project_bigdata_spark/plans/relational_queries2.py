@@ -1,0 +1,294 @@
+"""Second relational batch: scan-heavy filters, conditional join aggs,
+grouping sets, top-k by group-total, and sessionization.
+
+Same normalization rules as relational_queries.py (exact DECIMAL money
+math, BIGINT integrals, rounded-double presentation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.relational_queries import REVENUE_SQL, _dec, _revenue
+from project_bigdata_spark.sources import load_table
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24""",
+    doc="TPC-H Q6 shape: pure scan + triple predicate + global agg — the "
+    "predicate-pushdown/codegen throughput benchmark (no shuffle at all "
+    "beyond the final single-row reduce).",
+    headline=True,
+    survey_ids=("P9", "A3"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag""",
+    doc="TPC-H Q12 shape: fact-fact join + conditional counts by priority "
+    "class (countIf over a join).",
+    survey_ids=("A5", "M4"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+SELECT round(
+  1.0e2 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL}
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        / CAST(sum({REVENUE_SQL}) AS DOUBLE), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""",
+    doc="TPC-H Q14 shape: promo revenue share — conditional ratio over a "
+    "broadcast dim join with an equality predicate on the promo type.",
+    survey_ids=("M4", "A5"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.when(
+        F.col("p_type") == "PROMO", _revenue()
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return joined.agg(
+        N.rnd(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_revenue()).cast("double"),
+            4,
+        ).alias("promo_share")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(CAST((SELECT sum(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem
+                   WHERE l_orderkey = o_orderkey) AS DOUBLE), 2) AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)""",
+    doc="TPC-H Q18 shape: large-volume orders — HAVING subquery as a "
+    "semi-join against an aggregated fact, then dim enrich.",
+    survey_ids=("M4", "A1"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    totals = l.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty_exact")
+    )
+    big = totals.filter(F.col("qty_exact") > 150)
+    joined = (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return joined.select(
+        N.big("c_custkey").alias("c_custkey"),
+        N.big("o_orderkey").alias("o_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        N.rnd("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.col("qty_exact").cast("double"), 2).alias("total_qty"),
+    )
+
+
+@query(
+    "q19_bracketed_revenue",
+    oracle=f"""
+SELECT round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+    doc="TPC-H Q19 shape: disjunctive bracketed predicates across a "
+    "broadcast join — the OR-of-ANDs pushdown stress case.",
+    survey_ids=("M4", "P9"),
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue")
+    )
+
+
+@query(
+    "rollup_order_stats",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    doc="ROLLUP hierarchy totals (status -> priority -> grand total) — "
+    "grouping-sets surface beyond the reference (it has none), one shuffle.",
+    survey_ids=("A4",),
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    doc="CUBE over the two lineitem flags — all 2^2 grouping sets in one "
+    "pass (Spark expands to a single expand+aggregate).",
+    survey_ids=("A4",),
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM gaps
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM sess GROUP BY user_id, session_idx""",
+    doc="Sessionization: lag-gap detection + running-sum session index + "
+    "per-session rollup — the batch form of session_window, one shuffle "
+    "on the entity key reused by both windows and the aggregation.",
+    headline=True,
+    survey_ids=("W1", "W3", "A1"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs precision: a cast-to-long gap is whole seconds and would disagree
+    # with the oracle's exact INTERVAL comparison on fractional-second gaps
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_idx",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(
+        N.big("user_id").alias("user_id"),
+        N.big("session_idx").alias("session_idx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        N.ts_str(F.min("ts"), micros=True).alias("session_start"),
+        N.ts_str(F.max("ts"), micros=True).alias("session_end"),
+    )
