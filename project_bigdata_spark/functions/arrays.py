@@ -38,7 +38,14 @@ def pairs_values(pairs: Column) -> Column:
 
 
 def pairs_to_map(pairs: Column) -> Column:
-    """``array<struct<k,v>>`` -> ``map<k,v>`` (duplicate keys: last wins)."""
+    """``array<struct<k,v>>`` -> ``map<k,v>``.
+
+    Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by the session
+    factory): with pairs sorted by (k, v), the surviving value per key is
+    the MAX value — i.e. gold's ``type_values['pm25']`` is the hour's peak
+    reading for that pollutant. (The EXCEPTION default would throw on any
+    hour with two readings of one type.)
+    """
     return F.map_from_entries(pairs)
 
 

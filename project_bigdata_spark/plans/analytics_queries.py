@@ -304,3 +304,23 @@ def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("s_nationkey").alias("nationkey"), F.lit("supplier").alias("origin")
     )
     return c.unionByName(s).distinct()
+
+
+@query(
+    "approx_stats",
+    oracle=None,  # sketch outputs are engine-specific: rows-only check
+    doc="Approximate aggregates for interactive scale: HyperLogLog++ "
+    "distinct counts and quantile sketches (percentile_approx). No "
+    "DuckDB oracle — sketch results are engine-defined; accuracy is "
+    "asserted against exact values in tests/test_approx.py.",
+    survey_ids=("A3",),
+)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+            "value_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

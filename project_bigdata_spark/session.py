@@ -68,6 +68,9 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- deterministic event-time semantics + oracle comparability ---
         .config("spark.sql.session.timeZone", "UTC")
+        # --- map_from_entries over sorted (k,v) pairs: last wins = the
+        #     max value per key (gold's type_values semantics) ---
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # --- Arrow for any pandas-UDF path ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- parquet TIMESTAMP(NANOS) columns surface as long; the source

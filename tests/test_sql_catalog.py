@@ -1,0 +1,65 @@
+"""The raw-SQL interface: every ClickHouse-side analytic shape from the
+reference runs as spark.sql over the registered views."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_bigdata_spark.plans import sql_catalog as SC
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    return SC.register_views(spark, sf_dir)
+
+
+def test_all_views_registered(spark, views):
+    expected = {"region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings",
+                "bronze", "silver", "gold", "latest_per_entity"}
+    assert expected <= set(views)
+    for v in expected:
+        assert spark.catalog.tableExists(v), v
+
+
+def test_layer_stats_sql(spark, views):
+    # clickhouse_queries.sql:9-32 shape over the medallion views
+    row = spark.sql("""
+        SELECT count(*) AS n, count(DISTINCT user_id) AS entities
+        FROM silver
+    """).first()
+    assert row.n > 0 and row.entities > 0
+
+
+def test_latest_per_entity_view(spark, views):
+    dup = spark.sql("""
+        SELECT user_id, count(*) AS c FROM latest_per_entity
+        GROUP BY user_id HAVING count(*) > 1
+    """)
+    assert dup.count() == 0
+    # and it really is the max hour per entity
+    row = spark.sql("""
+        SELECT count(*) AS bad FROM latest_per_entity l
+        JOIN (SELECT user_id, max(hour_ts) AS mh FROM gold GROUP BY user_id) m
+          ON l.user_id = m.user_id AND l.hour_ts <> m.mh
+    """).first()
+    assert row.bad == 0
+
+
+def test_gold_arrays_queryable_in_sql(spark, views):
+    # F6 lookup via map form, pure SQL
+    row = spark.sql("""
+        SELECT count(*) AS with_click
+        FROM gold WHERE type_values['click'] IS NOT NULL
+    """).first()
+    assert row.with_click > 0
+
+
+def test_country_stats_shape_sql(spark, views):
+    rows = spark.sql("""
+        SELECT user_id % 10 AS cohort, count(*) AS n, avg(max_value) AS avg_v,
+               max(max_value) AS max_v, min(max_value) AS min_v,
+               stddev_pop(max_value) AS sd
+        FROM gold GROUP BY user_id % 10 ORDER BY avg_v DESC
+    """).collect()
+    assert len(rows) == 10
