@@ -189,3 +189,93 @@ def gold_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("avg_max_value"))
     )
+
+
+@query(
+    "gold_unpivot",
+    oracle="WITH"
+    + GOLD_CTE
+    + """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       unnest(event_types) AS event_type,
+       round(unnest(values), 4) AS value
+FROM gold""",
+    doc="Explode/unpivot: the Gold parallel arrays back to long format — "
+    "the inverse of A1's collect, via arrays_zip + explode (the reference "
+    "re-zips driver-side at data_loader.py:177-194).",
+    survey_ids=("F6", "A1"),
+)
+def gold_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = M.gold_hourly(M.silver(_bronze(spark, sf_dir)))
+    exploded = g.select(
+        N.big("user_id").alias("user_id"),
+        N.ts_str("hour_ts").alias("hour_ts"),
+        F.explode(F.arrays_zip("event_types", "values")).alias("z"),
+    )
+    return exploded.select(
+        "user_id",
+        "hour_ts",
+        F.col("z.event_types").alias("event_type"),
+        N.rnd(F.col("z.values")).alias("value"),
+    )
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type""",
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "SQL quantile_cont continuous interpolation). The approx_stats entry "
+    "is the sketch-based scale path; this is the exact baseline.",
+    survey_ids=("A4",),
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        N.rnd(F.percentile("value", F.lit(0.5))).alias("p50"),
+        N.rnd(F.percentile("value", F.lit(0.9))).alias("p90"),
+        N.rnd(F.percentile("value", F.lit(0.99))).alias("p99"),
+    )
+
+
+@query(
+    "scalar_misc",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       upper(event_type) AS type_upper,
+       CAST(greatest(0.0, value - 100) AS DOUBLE) AS clamped_excess,
+       strftime(CAST(ts AS TIMESTAMP) + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S.%f')
+         AS ts_plus_7d,
+       strftime(date_trunc('month', ts), '%Y%m') AS yyyymm,
+       concat('evt-', CAST(user_id AS VARCHAR), '/', event_type) AS event_path
+FROM events""",
+    doc="Scalar grab-bag F8-F11/F13: clamp via greatest, interval "
+    "arithmetic, toYYYYMM, case mapping, path formatting — all codegen'd "
+    "expressions (driver-side Python in the reference: app.py:490,527, "
+    "collect_data.py:57).",
+    survey_ids=("F8", "F9", "F10", "F11"),
+)
+def scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        N.big("event_id").alias("event_id"),
+        F.upper("event_type").alias("type_upper"),
+        F.greatest(F.lit(0.0), F.col("value") - 100).cast("double").alias(
+            "clamped_excess"
+        ),
+        N.ts_str(
+            F.col("ts") + F.expr("INTERVAL 7 DAYS"), micros=True
+        ).alias("ts_plus_7d"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyyMM").alias("yyyymm"),
+        F.concat(
+            F.lit("evt-"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            F.col("event_type"),
+        ).alias("event_path"),
+    )

@@ -214,3 +214,32 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT a.bucket,
+       CAST(a.vec_id AS BIGINT) AS id_a, CAST(x.vec_id AS BIGINT) AS id_b,
+       round({_cos_sql('a.embedding', 'x.embedding')}, 6) AS cosine
+FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
+    doc="Embedding near-dup dedup: exact cosine verification restricted to "
+    "LSH-bucket cohabitants (sub-quadratic; bucket-size capped at scale).",
+    survey_ids=("M7",),
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.lsh_near_dup_pairs(e, threshold=0.0, max_bucket=100000)
+    out = pairs.withColumn("cosine", N.rnd("cosine", 6)).filter(
+        F.col("cosine") >= 0.85
+    )
+    return out.select(
+        "bucket",
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        "cosine",
+    )

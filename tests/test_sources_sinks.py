@@ -1,0 +1,80 @@
+"""Source/sink + join-helper coverage (SURVEY.md §2.1 S6/S7/S10, §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import joins as J
+from project_bigdata_spark.sources import registry as R
+
+
+def test_kafka_envelope_roundtrip(spark):
+    """S6/F13: the JSON envelope transform is lossless (tested without a
+    broker — the envelope is pure DataFrame code)."""
+    df = spark.createDataFrame(
+        [(1, "click", 2.5), (2, None, None)], ["id", "etype", "value"]
+    )
+    enveloped = R.kafka_sink_frame(df)
+    assert enveloped.columns == ["value"]
+    back = enveloped.select(
+        F.from_json("value", "id long, etype string, value double").alias("m")
+    ).select("m.*")
+    orig = {r.id: r for r in df.collect()}
+    rt = {r.id: r for r in back.collect()}
+    for i in orig:
+        assert (orig[i].etype, orig[i].value) == (rt[i].etype, rt[i].value)
+
+
+def test_partitioned_parquet_dynamic_overwrite(spark, tmp_path):
+    """S7: dynamic partition overwrite only rewrites touched partitions."""
+    p = str(tmp_path / "t")
+    d1 = spark.createDataFrame([(1, 2024, 1), (2, 2024, 2)], ["v", "year", "month"])
+    R.write_partitioned_parquet(d1, p, ["year", "month"])
+    # overwrite only month=2
+    d2 = spark.createDataFrame([(99, 2024, 2)], ["v", "year", "month"])
+    R.write_partitioned_parquet(d2, p, ["year", "month"])
+    got = {(r.year, r.month): r.v for r in spark.read.parquet(p).collect()}
+    assert got == {(2024, 1): 1, (2024, 2): 99}  # month=1 untouched
+
+
+def test_csv_export_roundtrip(spark, tmp_path):
+    """S10: CSV export with header (clickhouse_queries.sql:167-183)."""
+    p = str(tmp_path / "csv")
+    df = spark.createDataFrame([("KH", 61.33), ("VN", 55.0)], ["country", "avg_aqi"])
+    R.write_csv(df, p)
+    back = spark.read.option("header", True).csv(p)
+    assert back.columns == ["country", "avg_aqi"]
+    assert back.count() == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew-salted join is semantics-preserving."""
+    left = spark.createDataFrame(
+        [(k, i) for k in ["hot", "cold"] for i in range(50 if k == "hot" else 2)],
+        ["k", "li"],
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "rv"])
+    plain = {(r.k, r.li, r.rv) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.li, r.rv)
+        for r in J.salted_join(left, right, "k", salt_buckets=4).collect()
+    }
+    assert salted == plain
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Hive-layout partition pruning: a year/month predicate must prune
+    directories, visible as a partition filter in the scan plan."""
+    p = str(tmp_path / "pp")
+    df = spark.createDataFrame(
+        [(i, 2024, m) for m in (1, 2, 3) for i in range(10)],
+        ["v", "year", "month"],
+    )
+    R.write_partitioned_parquet(df, p, ["year", "month"])
+    q = spark.read.parquet(p).filter("month = 2").select("v")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = q._jdf.queryExecution().explainString(jmode)
+    assert "PartitionFilters" in plan and "month" in plan
+    assert q.count() == 10

@@ -115,3 +115,78 @@ def test_multi_sink_topology(spark, stream_env):
     finally:
         for q in queries:
             q.stop()
+
+
+def test_stateful_record_breaker_across_batches(spark, tmp_path):
+    """applyInPandasWithState: running-max state survives micro-batches."""
+    from project_bigdata_spark.streaming import stateful as ST
+
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    # batch 1: values 10, 5 (10 is a record; 5 is not)
+    _write_batch(spark, src, [
+        (1, dt.datetime(2024, 3, 1, 1, 0), 7, "click", 10.0, None),
+        (2, dt.datetime(2024, 3, 1, 1, 5), 7, "click", 5.0, None),
+    ], 0)
+    raw = (
+        spark.readStream.schema(SP.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ST.record_breaker_stream(raw.select("user_id", "ts", "value"))
+        .writeStream.format("memory")
+        .queryName("records_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/_chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 8 (no record), 12 (new record; prev must be 10 from batch 1)
+        _write_batch(spark, src, [
+            (3, dt.datetime(2024, 3, 1, 2, 0), 7, "click", 8.0, None),
+            (4, dt.datetime(2024, 3, 1, 2, 5), 7, "click", 12.0, None),
+        ], 1)
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("SELECT * FROM records_mem").collect(), key=lambda r: r.ts
+        )
+        assert [(r.value, r.prev_record) for r in rows] == [
+            (10.0, None), (12.0, 10.0)
+        ]
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicates keyed on event_id within the
+    watermark horizon — the streaming face of the dedup suite."""
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "out3")
+    _write_batch(spark, src, _rows(hour=1, n=3, base_id=0), 0)
+    raw = (
+        spark.readStream.schema(SP.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = (
+        SP.parse_stream(raw)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/_chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 replays the same event_ids (duplicate delivery)
+        _write_batch(spark, src, _rows(hour=1, n=3, base_id=0), 1)
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM dedup_mem").count() == 3
+    finally:
+        q.stop()
