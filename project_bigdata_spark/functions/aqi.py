@@ -240,3 +240,36 @@ def aqi_reference_py(concentration: float | None, pollutant: str) -> int | None:
     if concentration > brackets[-1][1]:
         return 500
     return None
+
+
+# AQI category -> advisory payload (F12; reference duplicates this 6-way
+# mapping in app.py:65-104 and static/js/app.js:240-247 — here it is one
+# struct-returning expression usable from any query).
+AQI_RECOMMENDATIONS: dict[str, tuple[str, str, str]] = {
+    "Good": ("Air quality is satisfactory.", "smile", "#00e400"),
+    "Moderate": ("Acceptable; unusually sensitive people should reduce "
+                 "prolonged outdoor exertion.", "meh", "#ffff00"),
+    "Unhealthy for Sensitive Groups": (
+        "Sensitive groups should reduce outdoor exertion.", "frown", "#ff7e00"),
+    "Unhealthy": ("Everyone may experience effects; limit outdoor "
+                  "exertion.", "mask", "#ff0000"),
+    "Very Unhealthy": ("Health alert: avoid outdoor activity.", "alert",
+                       "#8f3f97"),
+    "Hazardous": ("Emergency conditions: stay indoors.", "danger",
+                  "#7e0023"),
+}
+
+
+def aqi_recommendation(category: Column) -> Column:
+    """F12: category -> struct(message, icon, color) as a chained CASE."""
+    expr: Column | None = None
+    for cat, (msg, icon, color) in AQI_RECOMMENDATIONS.items():
+        payload = F.struct(
+            F.lit(msg).alias("message"),
+            F.lit(icon).alias("icon"),
+            F.lit(color).alias("color"),
+        )
+        cond = category == F.lit(cat)
+        expr = F.when(cond, payload) if expr is None else expr.when(cond, payload)
+    assert expr is not None
+    return expr.otherwise(F.lit(None))

@@ -104,3 +104,45 @@ def read_kafka_stream(
         .option("failOnDataLoss", "false")
         .load()
     )
+
+
+def write_olap_table(
+    df: DataFrame,
+    name: str,
+    string_fill: str = "",
+    numeric_fill: float = 0.0,
+    mode: str = "overwrite",
+) -> None:
+    """S9: OLAP-serving sink with non-nullable-column fill semantics.
+
+    The reference exports parquet to ClickHouse through a pandas loader
+    that fills NULLs per MergeTree's non-nullable columns — strings to '',
+    numerics to 0, arrays to [] (``load_to_clickhouse.py:87-96,145-156,
+    201-227``). Here the fill is a pair of expressions and the "OLAP
+    store" is a saved Spark table on columnar parquet — same engine, no
+    export hop.
+    """
+    filled = df.na.fill(string_fill).na.fill(numeric_fill)
+    for col, dtype in filled.dtypes:
+        if dtype.startswith("array"):
+            filled = filled.withColumn(
+                col, F.coalesce(F.col(col), F.array().cast(dtype))
+            )
+    filled.write.mode(mode).format("parquet").saveAsTable(name)
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage layout so later joins
+    and aggregations on ``bucket_col`` are exchange-free — the storage-side
+    co-location strategy for repeated big-big joins at scale.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(name)
+    )
