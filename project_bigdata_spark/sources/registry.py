@@ -38,14 +38,41 @@ TABLES = [
 ]
 
 
+# Runtime-settable SQL confs the catalog depends on. The driver may hand
+# us a VANILLA SparkSession (it owns the session, not our factory), so
+# every entry point re-asserts these — all are runtime-scoped SQLConf
+# entries, safe to set on a live session, idempotent.
+RUNTIME_CONFS = {
+    # TIMESTAMP(NANOS) parquet (events.ts) is unreadable otherwise
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # event-time determinism + oracle comparability
+    "spark.sql.session.timeZone": "UTC",
+    # sorted-pairs map build: last wins = max value per key
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # runtime re-planning (coalesce/skew) on any session
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - a static conf on some build
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one of the registered tables (S3/S4).
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    only as a raw long (``spark.sql.legacy.parquet.nanosAsLong``, set by
-    the session factory). Convert ns -> µs with integer ``div`` — a double
-    division would lose precision above 2^53 ns (~mid-1970s epoch).
+    only as a raw long (``spark.sql.legacy.parquet.nanosAsLong``, asserted
+    here so ANY session works). Convert ns -> µs with integer ``div`` — a
+    double division would lose precision above 2^53 ns (~mid-1970s epoch).
     """
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
