@@ -292,3 +292,173 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.ts_str(F.min("ts"), micros=True).alias("session_start"),
         N.ts_str(F.max("ts"), micros=True).alias("session_end"),
     )
+
+
+@query(
+    "range_join_events",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value FROM events
+  WHERE event_type = 'click'
+)
+SELECT CAST(p.p_id AS BIGINT) AS p_id,
+       CAST(c.c_id AS BIGINT) AS c_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       round(c.c_value, 4) AS c_value
+FROM purchases p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts
+ AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR""",
+    doc="Range join (operator Spark lacks): clicks within 1h after each "
+    "purchase, via time-bucketize + explode-to-2-buckets + equi-join + "
+    "exact filter — one shuffle, no per-key cross product. Oracle: DuckDB "
+    "IEJoin on the plain inequality form.",
+    survey_ids=("M4",),
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts",
+        F.col("value").alias("c_value"),
+    )
+    joined = range_join(purchases, clicks, key="user_id",
+                        lo_seconds=0, hi_seconds=3600)
+    return joined.select(
+        N.big("p_id").alias("p_id"),
+        N.big("c_id").alias("c_id"),
+        N.big("user_id").alias("user_id"),
+        N.rnd("c_value").alias("c_value"),
+    )
+
+
+@query(
+    "multi_granularity_rollup",
+    oracle="""
+SELECT granularity,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+FROM (
+  SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket, event_type, value
+  FROM events
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type, value FROM events
+  UNION ALL
+  SELECT 'week', date_trunc('week', ts), event_type, value FROM events
+)
+GROUP BY granularity, bucket, event_type""",
+    doc="Hypertable-style continuous-aggregate rollup: hour/day/week "
+    "buckets materialized in one job (union of truncations -> single "
+    "grouped aggregate; at scale each granularity partition-overwrites "
+    "its own output path).",
+    survey_ids=("A7", "P7"),
+)
+def multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def level(name: str) -> DataFrame:
+        return e.select(
+            F.lit(name).alias("granularity"),
+            F.date_trunc(name, "ts").alias("bucket"),
+            "event_type",
+            "value",
+        )
+
+    u = level("hour").unionByName(level("day")).unionByName(level("week"))
+    return u.groupBy(
+        "granularity", N.ts_str("bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH s_geo AS (
+  SELECT s_suppkey, s_name, s_acctbal, r_regionkey
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+), min_bal AS (
+  SELECT r_regionkey, min(s_acctbal) AS min_bal FROM s_geo GROUP BY r_regionkey
+), cheapest AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+  FROM s_geo s JOIN min_bal m
+    ON s.r_regionkey = m.r_regionkey AND s.s_acctbal = m.min_bal
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       round(s_acctbal, 2) AS s_acctbal
+FROM part, cheapest
+WHERE p_size <= 10
+QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY s_suppkey) = 1""",
+    doc="TPC-H Q2 shape: correlated-min subquery (cheapest supplier per "
+    "region) decorrelated into an aggregate + join — the standard Catalyst "
+    "decorrelation pattern, written explicitly.",
+    survey_ids=("M4",),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s_geo = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    min_bal = s_geo.groupBy("r_regionkey").agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    cheapest = s_geo.join(F.broadcast(min_bal), on="r_regionkey").filter(
+        F.col("s_acctbal") == F.col("min_bal")
+    )
+    crossed = p.crossJoin(
+        F.broadcast(cheapest.select("s_suppkey", "s_name", "s_acctbal"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("s_suppkey")
+    return (
+        crossed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            N.big("p_partkey").alias("p_partkey"),
+            N.big("s_suppkey").alias("s_suppkey"),
+            "s_name",
+            N.rnd("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 1 AND 15
+GROUP BY p_brand, p_type""",
+    doc="TPC-H Q16 shape: distinct-count by two dim attributes over a "
+    "broadcast join (count(DISTINCT) expands to a two-phase aggregate).",
+    survey_ids=("M4", "A6"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(1, 15)
+    )
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
