@@ -41,6 +41,22 @@ SHINGLE_WORDS = 3
 SIG_PREFIX = 12  # hex chars of md5 kept per shingle hash
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a small-file input up to the session's parallelism.
+
+    Hash-heavy narrow ops (minhash, simhash) are CPU-bound: a corpus that
+    arrives as one parquet split would run on ONE task regardless of
+    cluster size. A cheap row-shuffle first (the rows are tiny — the text
+    column dominates and is exactly what we must ship once anyway) buys
+    full parallelism for the expensive pass. No-op when the input already
+    has enough splits.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def words_col(text: Column) -> Column:
     """Lowercased whitespace tokens, empties dropped (mirrors the oracle's
     ``list_filter(string_split_regex(lower(text), '\\s+'), ...)``)."""
@@ -90,7 +106,7 @@ def minhash_signatures(
     ``sig`` as ``array<string>(num_hashes)``.
     """
     sh = shingles_col(F.col(text_col)).alias("shingles")
-    out = df.select(F.col(id_col), sh)
+    out = fan_out(df).select(F.col(id_col), sh)
 
     def hasher(seed: int):
         # NOTE: must be a 1-arg lambda via closure — a `lambda s, i=i:`

@@ -190,7 +190,7 @@ FROM bits""",
     survey_ids=("M7",),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = DD.fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         N.big("doc_id").alias("doc_id"),
         DD.simhash16(F.col("text")).alias("simhash"),
