@@ -462,3 +462,165 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand", "p_type").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
+
+
+@query(
+    "q7_nation_pair_revenue",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
+    doc="TPC-H Q7 shape: the same dimension joined twice under two roles "
+    "(supplier nation x customer nation) with a symmetric pair predicate.",
+    survey_ids=("M4",),
+)
+def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        joined.filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey""",
+    doc="TPC-H Q22 shape: scalar-subquery threshold (global avg as a "
+    "broadcast single row) + anti join + group — the no-orders "
+    "above-average-balance census.",
+    survey_ids=("M4", "A5"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import joins as J
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = J.anti_join(rich, o, on="c_custkey")
+    return idle.groupBy(N.big("c_nationkey").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("totacctbal"),
+    )
+
+
+@query(
+    "ranking_suite",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(row_number()   OVER w AS BIGINT) AS rn,
+       CAST(rank()         OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+    doc="The full ranking-function surface (row_number/rank/dense_rank/"
+    "ntile/percent_rank/cume_dist) per entity — absent from the reference "
+    "(SURVEY.md §2.5 'no ranking functions'), required for engine "
+    "completeness.",
+    survey_ids=("W5", "W6"),
+)
+def ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        N.big("o_custkey").alias("o_custkey"),
+        N.big("o_orderkey").alias("o_orderkey"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        N.rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        N.rnd(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+SELECT 'both' AS which, CAST(k AS BIGINT) AS nationkey FROM (
+  SELECT c_nationkey AS k FROM customer
+  INTERSECT
+  SELECT s_nationkey AS k FROM supplier
+)
+UNION ALL
+SELECT 'customer_only', CAST(k AS BIGINT) FROM (
+  SELECT c_nationkey AS k FROM customer
+  EXCEPT
+  SELECT s_nationkey AS k FROM supplier
+)""",
+    doc="INTERSECT / EXCEPT set operators (absent from the reference — "
+    "SURVEY.md §2.6 'No INTERSECT/EXCEPT'), completing the set-op surface.",
+    survey_ids=("O3", "O4"),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    both = c.intersect(s).select(
+        F.lit("both").alias("which"), N.big("k").alias("nationkey")
+    )
+    only = c.subtract(s).select(
+        F.lit("customer_only").alias("which"), N.big("k").alias("nationkey")
+    )
+    return both.unionByName(only)

@@ -190,3 +190,31 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
         assert spark.sql("SELECT * FROM dedup_mem").count() == 3
     finally:
         q.stop()
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: streaming events joined to a
+    static dimension (absent from the reference — SURVEY.md §2.8 'no
+    stream-static joins')."""
+    src = str(tmp_path / "src4")
+    out = str(tmp_path / "out4")
+    _write_batch(spark, src, _rows(hour=1, n=3, base_id=0, uid=1)
+                 + _rows(hour=1, n=1, base_id=10, uid=2), 0)
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], ["user_id", "tier"])
+    raw = spark.readStream.schema(SP.EVENT_SCHEMA).parquet(src)
+    enriched = SP.parse_stream(raw).join(dim, on="user_id", how="left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/_chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM enrich_mem").collect()
+        tiers = {r.user_id: r.tier for r in rows}
+        assert tiers == {1: "gold", 2: "basic"}
+        assert len(rows) == 4
+    finally:
+        q.stop()
