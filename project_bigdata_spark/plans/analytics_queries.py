@@ -324,3 +324,66 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "dq_check_suite",
+    oracle="""
+WITH wide AS (
+  SELECT count(*) AS total_rows,
+         CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS c_ts,
+         CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS c_neg,
+         CAST(count(*) FILTER (WHERE value < 0 OR value > 1000) AS BIGINT) AS c_rng,
+         CAST(count(*) FILTER (WHERE event_type NOT IN
+              ('click','view','purchase','signup','error')) AS BIGINT) AS c_set
+  FROM events
+)
+SELECT 'not_null(ts)' AS check, c_ts AS violations, CAST(total_rows AS BIGINT)
+         AS total_rows, round(CAST(c_ts AS DOUBLE)/total_rows, 6) AS violation_rate
+  FROM wide
+UNION ALL
+SELECT 'non_negative(value)', c_neg, CAST(total_rows AS BIGINT),
+       round(CAST(c_neg AS DOUBLE)/total_rows, 6) FROM wide
+UNION ALL
+SELECT 'in_range(value,0.0,1000.0)', c_rng, CAST(total_rows AS BIGINT),
+       round(CAST(c_rng AS DOUBLE)/total_rows, 6) FROM wide
+UNION ALL
+SELECT 'in_set(event_type)', c_set, CAST(total_rows AS BIGINT),
+       round(CAST(c_set AS DOUBLE)/total_rows, 6) FROM wide""",
+    doc="Declarative DQ constraint suite evaluated in ONE aggregation pass "
+    "(conditional-count expressions), long-form report — the engine's "
+    "form of the reference's countIf probes (clickhouse_queries.sql:"
+    "111-125).",
+    survey_ids=("A5",),
+)
+def dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import quality as Q
+
+    e = load_table(spark, sf_dir, "events")
+    return Q.run_checks(
+        e,
+        [
+            Q.not_null("ts"),
+            Q.non_negative("value"),
+            Q.in_range("value", 0.0, 1000.0),
+            Q.in_set("event_type", ["click", "view", "purchase", "signup",
+                                    "error"]),
+        ],
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS orphan_rows
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)""",
+    doc="Referential-integrity census: orders with no customer (anti-join "
+    "count) — the FK probe the reference never runs.",
+    survey_ids=("A5", "M4"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import quality as Q
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return Q.referential_integrity(o, c, fk="o_custkey", pk="c_custkey")
