@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.aqi_queries",
     "project_bigdata_spark.plans.relational_queries",
     "project_bigdata_spark.plans.relational_queries2",
+    "project_bigdata_spark.plans.relational_queries3",
     "project_bigdata_spark.plans.feature_queries",
     "project_bigdata_spark.plans.dedup_queries",
     "project_bigdata_spark.plans.similarity_queries",

@@ -1,0 +1,210 @@
+"""Third relational batch: profit rollups, scalar-max views, correlated
+averages, and multi-exists shapes (TPC-H q9/q15/q17/q20/q21 adapted to the
+driver's star schema — it has no partsupp table, so supply-cost terms use
+``p_retailprice``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import joins as J
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.relational_queries import REVENUE_SQL, _dec, _revenue
+from project_bigdata_spark.sources import load_table
+
+PROFIT_SQL = (
+    f"{REVENUE_SQL} - CAST(l_quantity AS DECIMAL(12,2))"
+    " * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.8 AS DECIMAL(3,1))"
+)
+
+
+@query(
+    "q9_nation_profit",
+    oracle=f"""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum({PROFIT_SQL}) AS DOUBLE), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%_1%'
+GROUP BY n_name, year(o_orderdate)""",
+    doc="TPC-H Q9 shape: profit (revenue - cost term) by supplier nation "
+    "and order year across a 5-way join with a LIKE part filter.",
+    survey_ids=("M4", "A7"),
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%_1%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = _revenue() - _dec("l_quantity") * _dec("p_retailprice") * F.lit(
+        "0.8"
+    ).cast("decimal(3,1)")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(
+        "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue_view AS (
+  SELECT l_suppkey AS supplier_no, sum({REVENUE_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue_view ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue_view)""",
+    doc="TPC-H Q15 shape: revenue view + scalar-max subquery (broadcast "
+    "single-row max joined back) — exact decimal makes the max tie-free "
+    "across engines.",
+    survey_ids=("M4",),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return s.join(top, s.s_suppkey == top.supplier_no).select(
+        N.big("s_suppkey").alias("s_suppkey"),
+        "s_name",
+        F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey, 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           / count(*)) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+JOIN part_avg a ON l.l_partkey = a.l_partkey
+WHERE p_brand = 'Brand#1' AND l.l_quantity < a.threshold""",
+    doc="TPC-H Q17 shape: correlated per-part average decorrelated into an "
+    "aggregate + join; small-quantity revenue estimate.",
+    survey_ids=("M4", "A4"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("threshold")
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg, l.l_partkey == avg.pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+    )
+    return joined.agg(
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q20_bulk_suppliers",
+    oracle="""
+WITH bulk AS (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN ('Brand#1', 'Brand#2')
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM bulk)""",
+    doc="TPC-H Q20 shape: semi-join against a HAVING-filtered aggregate "
+    "(suppliers who moved bulk volume of the named brands).",
+    survey_ids=("M4",),
+)
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    bulk = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 50)
+        .select("s_suppkey")
+    )
+    hit = J.semi_join(s, bulk, on="s_suppkey")
+    return hit.join(F.broadcast(n), hit.s_nationkey == n.n_nationkey).select(
+        N.big("s_suppkey").alias("s_suppkey"), "s_name", "n_name"
+    )
+
+
+@query(
+    "q21_sole_returner",
+    oracle="""
+WITH order_stats AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R') AS n_ret
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(l.l_suppkey AS BIGINT) AS s_suppkey,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l
+JOIN order_stats os ON l.l_orderkey = os.l_orderkey
+WHERE l.l_returnflag = 'R' AND os.n_supps > 1 AND os.n_ret = 1
+GROUP BY l.l_suppkey""",
+    doc="TPC-H Q21 shape: the exists/not-exists pair (other suppliers on "
+    "the order; none of them returned) decorrelated into per-order "
+    "distinct-count stats + join — one aggregation instead of two "
+    "correlated subqueries per row.",
+    survey_ids=("M4", "A5"),
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    stats = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    )
+    joined = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(stats, l.l_orderkey == stats.ok)
+        .filter((F.col("n_supps") > 1) & (F.col("n_ret") == 1))
+    )
+    return joined.groupBy(N.big("l_suppkey").alias("s_suppkey")).agg(
+        F.countDistinct("l_orderkey").alias("numwait")
+    )

@@ -118,3 +118,58 @@ def test_unit_conversion(spark):
     ).collect()
     for r in got:
         assert math.isclose(r.c, r.expected, rel_tol=1e-12)
+
+
+def test_pandas_udf_reference_matches_native(spark):
+    """SURVEY §2.9: the engine keeps AQI as native column expressions; this
+    pins them against an Arrow-batched pandas-UDF port of the same math —
+    the differential-reference role the survey assigns to pandas UDFs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # NOTE: no pd.Series type hints — `from __future__ import annotations`
+    # turns them into strings pyspark can't resolve with pandas imported
+    # function-locally; the default SCALAR eval type is what we want.
+    @F.pandas_udf(LongType())
+    def aqi_udf(conc, pollutant):
+        # self-contained worker closure (no package import)
+        import math
+
+        tables = {
+            "pm25": [(0.0, 12.0, 0, 50), (12.1, 35.4, 51, 100),
+                     (35.5, 55.4, 101, 150), (55.5, 150.4, 151, 200),
+                     (150.5, 250.4, 201, 300), (250.5, 500.4, 301, 500)],
+            "o3": [(0.0, 0.054, 0, 50), (0.055, 0.07, 51, 100),
+                   (0.071, 0.085, 101, 150), (0.086, 0.105, 151, 200),
+                   (0.106, 0.2, 201, 300)],
+        }
+
+        def one(c, p):
+            if c is None or (isinstance(c, float) and math.isnan(c)) or c < 0:
+                return None
+            brackets = tables.get(p)
+            if not brackets:
+                return None
+            for lo, hi, ilo, ihi in brackets:
+                if lo <= c <= hi:
+                    return int(math.floor((ihi - ilo) / (hi - lo) * (c - lo)
+                                          + ilo + 0.5))
+            return 500 if c > brackets[-1][1] else None
+
+        return pd.Series(
+            [one(c, p) for c, p in zip(conc, pollutant)], dtype="object"
+        )
+
+    from project_bigdata_spark.functions import aqi as AQ
+
+    rows = [(i * 0.9, "pm25") for i in range(600)] + [
+        (i * 0.00041, "o3") for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "conc double, pollutant string")
+    out = df.select(
+        AQ.aqi_any_pollutant(F.col("conc"), F.col("pollutant")).alias("native"),
+        aqi_udf("conc", "pollutant").alias("udf"),
+    ).collect()
+    for r in out:
+        assert r.native == r.udf

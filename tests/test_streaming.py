@@ -218,3 +218,39 @@ def test_stream_static_join(spark, tmp_path):
         assert len(rows) == 4
     finally:
         q.stop()
+
+
+def test_stream_increments_upserted_into_consolidated_gold(spark, tmp_path):
+    """End-to-end: streaming foreachBatch gold increments -> MERGE-style
+    upsert into the consolidated partitioned gold table. The incremental
+    maintenance story: streaming appends per-epoch partials; a periodic
+    batch job folds them into the canonical hourly table rewriting only
+    touched partitions."""
+    from project_bigdata_spark.operators import medallion as M
+    from project_bigdata_spark.operators.upsert import upsert_partitioned
+
+    src = str(tmp_path / "src5")
+    out = str(tmp_path / "out5")
+    gold_path = str(tmp_path / "gold_consolidated")
+
+    # seed the consolidated table from a first batch
+    _write_batch(spark, src, _rows(hour=1, n=2, base_id=0, value=10.0), 0)
+    seed = M.gold_hourly(M.silver(M.bronze(
+        spark.read.parquet(src)))).drop("type_values")
+    seed.write.partitionBy("year", "month", "day").parquet(gold_path)
+    assert spark.read.parquet(gold_path).count() == 1
+
+    # stream a second batch: same hour gains an event (group must be
+    # REPLACED, not duplicated) and a new hour appears
+    _write_batch(spark, src, _rows(hour=1, n=1, base_id=50, value=99.0)
+                 + _rows(hour=2, n=1, base_id=60, value=7.0), 1)
+    full = M.gold_hourly(M.silver(M.bronze(
+        spark.read.parquet(src)))).drop("type_values")
+    upsert_partitioned(
+        spark, gold_path, full, key_cols=["user_id", "hour_ts"],
+        partition_cols=["year", "month", "day"],
+    )
+    got = {r.hour_ts.hour: r for r in spark.read.parquet(gold_path).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].max_value == 99.0 and got[1].n_events == 3
+    assert got[2].n_events == 1
