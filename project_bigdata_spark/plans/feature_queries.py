@@ -396,3 +396,48 @@ def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("max_value").alias("value"),
         N.rnd("target_next").alias("target_next"),
     )
+
+
+@query(
+    "gap_fill_ffill",
+    oracle="""
+WITH gold AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, max(value) AS max_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(hour_ts) AS h0, max(hour_ts) AS h1 FROM gold GROUP BY user_id
+), spine AS (
+  SELECT b.user_id, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds b
+), filled AS (
+  SELECT s.user_id, s.hour_ts, g.max_value
+  FROM spine s LEFT JOIN gold g ON s.user_id = g.user_id AND s.hour_ts = g.hour_ts
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       round(last_value(max_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
+FROM filled""",
+    doc="Gap-fill + forward-fill: densify the hourly series then carry the "
+    "last observation forward (last_value IGNORE NULLS over the cumulative "
+    "frame) — the standard time-series imputation before time-correct "
+    "lags/rolling stats.",
+    survey_ids=("W1", "W3"),
+)
+def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    gold = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max("value").alias("max_value"))
+    filled = FE.gap_fill_hourly(gold, "user_id", "hour_ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        N.big("user_id").alias("user_id"),
+        N.ts_str("hour_ts").alias("hour_ts"),
+        N.rnd(F.last("max_value", ignorenulls=True).over(w)).alias("value_ffill"),
+    )
