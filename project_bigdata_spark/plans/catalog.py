@@ -86,13 +86,3 @@ def load_all() -> dict[str, QuerySpec]:
         except ModuleNotFoundError:
             pass  # module not built yet (incremental rounds)
     return QUERIES
-
-
-# ---------------------------------------------------------------------------
-# Shared output-normalization helpers (Spark side lives in plans/_norm.py)
-# ---------------------------------------------------------------------------
-
-TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
-TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
-TS_FMT_SPARK_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-TS_FMT_DUCK_US = "%Y-%m-%d %H:%M:%S.%f"

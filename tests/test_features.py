@@ -10,7 +10,6 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from pyspark.sql import functions as F
 
 from project_bigdata_spark.operators import asof as ASOF
 from project_bigdata_spark.operators import features as FE

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from project_bigdata_spark.functions.aqi import aqi_recommendation

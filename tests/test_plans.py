@@ -9,8 +9,6 @@ this is where it fails loudly.
 
 from __future__ import annotations
 
-import pytest
-
 from project_bigdata_spark.plans.catalog import load_all
 
 

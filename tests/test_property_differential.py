@@ -5,8 +5,6 @@ evaluates one batch DataFrame per test, not per example."""
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from hypothesis import given, settings, strategies as st

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from project_bigdata_spark.operators import quality as Q
 from project_bigdata_spark.operators.upsert import upsert_partitioned
 
