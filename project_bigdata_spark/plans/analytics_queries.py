@@ -387,3 +387,30 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return Q.referential_integrity(o, c, fk="o_custkey", pk="c_custkey")
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+FROM events
+WHERE (event_type = 'click'    AND event_id % 10 = 0)
+   OR (event_type = 'view'     AND event_id % 5  = 0)
+   OR (event_type NOT IN ('click', 'view') AND event_id % 2 = 0)
+GROUP BY event_type""",
+    doc="Stratified sampling with per-stratum rates (df.sampleBy at scale; "
+    "the oracle-checkable form uses deterministic key-mod rates: 10% "
+    "clicks, 20% views, 50% rest) — the class-rebalancing primitive for "
+    "training-data curation.",
+    survey_ids=("P12",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    keep = (
+        ((F.col("event_type") == "click") & (F.col("event_id") % 10 == 0))
+        | ((F.col("event_type") == "view") & (F.col("event_id") % 5 == 0))
+        | (~F.col("event_type").isin("click", "view") & (F.col("event_id") % 2 == 0))
+    )
+    return e.filter(keep).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )

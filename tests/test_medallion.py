@@ -69,3 +69,21 @@ def test_run_batch_medallion_observe_counts(spark, tmp_path):
     assert gold.count() == 2
     # partition columns materialized as Hive-style dirs
     assert (tmp_path / "out" / "gold" / "year=2024").exists()
+
+
+def test_salted_gold_matches_plain_gold(spark):
+    """Two-stage salted aggregation is semantics-preserving vs the plain
+    gold aggregate (operators/skew.py)."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_spark.operators.skew import salted_hourly_gold
+
+    raw = _raw(spark)
+    plain = M.gold_hourly(M.silver(M.bronze(raw)))
+    salted = salted_hourly_gold(M.silver(M.bronze(raw)), buckets=4)
+
+    p = {(r.user_id, r.hour_ts): (r.max_value, r.n_events, r.event_types,
+                                  r.values) for r in plain.collect()}
+    s = {(r.user_id, r.hour_ts): (r.max_value, r.n_events, r.event_types,
+                                  r.values) for r in salted.collect()}
+    assert p == s
