@@ -172,3 +172,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("height").alias("height"),
         N.rnd("mean_luma", 6).alias("mean_luma"),
     )
+
+
+_QUALITY_SQL = f"""
+         least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
+         + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0) * 3.0e-1
+         + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
+                          / length(text) * 5, 1.0e0)) * 3.0e-1"""
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         ({_QUALITY_SQL}) AS quality,
+         md5(array_to_string(list_sort(list_distinct({WORDS_SQL})), ' ')) AS bow,
+         len({WORDS_SQL}) AS n_tokens
+  FROM documents
+), survivors AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.5
+  QUALIFY row_number() OVER (PARTITION BY bow ORDER BY doc_id) = 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM survivors GROUP BY lang""",
+    doc="The training-data curation capstone: quality-score filter (>=0.5) "
+    "-> bag-of-words dedup (first-id survivor per fingerprint) -> "
+    "per-language document and token budget. One narrow scoring pass + "
+    "one dedup window + one rollup — the composition an LLM-corpus "
+    "pipeline runs per snapshot.",
+    headline=True,
+    survey_ids=("M7",),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from project_bigdata_spark.operators import dedup as DDp
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text")).alias("quality"),
+        DDp.bow_fingerprint(F.col("text")).alias("bow"),
+        TX.token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("bow").orderBy("doc_id")
+    survivors = (
+        scored.filter(F.col("quality") >= 0.5)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        N.rnd(F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
+    )
