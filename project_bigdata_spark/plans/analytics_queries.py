@@ -414,3 +414,138 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(keep).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS signed_up,
+       CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup)
+            AS BIGINT) AS clicked_after,
+       CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                             AND t_purchase > t_click) AS BIGINT) AS purchased_after
+FROM firsts""",
+    doc="Funnel analysis: ordered signup -> click -> purchase conversion "
+    "via per-user first-occurrence times — one groupBy pass, no joins "
+    "(the event-analytics staple).",
+    survey_ids=("A11", "W6"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+
+    def cif(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cif(signed).alias("signed_up"),
+        cif(clicked).alias("clicked_after"),
+        cif(purchased).alias("purchased_after"),
+    )
+
+
+@query(
+    "weekly_retention",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('week', c.cohort_week, a.active_week) AS BIGINT) AS week_n,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM cohort c JOIN activity a ON c.user_id = a.user_id
+GROUP BY c.cohort_week, date_diff('week', c.cohort_week, a.active_week)""",
+    doc="Retention cohorts: first-activity week x weeks-since-cohort "
+    "distinct-user matrix — cohort join + distinct count, the other "
+    "event-analytics staple.",
+    survey_ids=("A10", "A7"),
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    joined = cohort.join(activity, on="user_id")
+    week_n = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("bigint")
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        week_n.alias("week_n"),
+    ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+@query(
+    "value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, floor(value / 25.0)""",
+    doc="Fixed-width histogram binning per type — the groupBy form of "
+    "width_bucket; at scale this is the profiling pass before choosing "
+    "skew/salting strategies.",
+    survey_ids=("A8",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "top3_per_group",
+    oracle="""
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id, round(value, 4) AS value,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3""",
+    doc="Top-k per group: row_number window + filter (k rows retained per "
+    "partition, no global sort) — the per-group variant of W5.",
+    survey_ids=("W5", "W6"),
+)
+def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            N.big("event_id").alias("event_id"),
+            N.rnd("value").alias("value"),
+            N.big("rn").alias("rn"),
+        )
+    )
