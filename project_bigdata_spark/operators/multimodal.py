@@ -129,3 +129,40 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+EMBED_DIM = 8
+EMBED_SCHEMA = f"doc_id bigint, embedding array<double>"
+
+
+def text_to_embedding(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Embedding-generation plumbing: text -> fixed-dim vector through the
+    Arrow-batched Python-worker path (where a real encoder model would
+    run). STUBBED encoder: md5-derived deterministic floats in [-1, 1] —
+    the batching, schema, and partition behavior are the real thing.
+
+    At scale this is the GPU/encoder stage: mapInPandas streams batches
+    through the worker, output is a narrow (id, vector) table feeding the
+    similarity operators (operators/similarity.py).
+    """
+    d = df.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                  F.col(text_col).alias("text"))
+
+    def encode(it):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        dim = 8
+        for pdf in it:
+            vecs = []
+            for t in pdf["text"]:
+                h = _hashlib.md5(str(t).encode()).hexdigest()
+                vecs.append([
+                    int(h[4 * i : 4 * i + 4], 16) / 32767.5 - 1.0
+                    for i in range(dim)
+                ])
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return d.mapInPandas(encode, schema=EMBED_SCHEMA)

@@ -441,3 +441,40 @@ def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.ts_str("hour_ts").alias("hour_ts"),
         N.rnd(F.last("max_value", ignorenulls=True).over(w)).alias("value_ffill"),
     )
+
+
+@query(
+    "time_range_rolling",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             / count(*) OVER w, 4) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+    doc="Time-RANGE window frame: trailing 1-hour average per entity — the "
+    "range-frame surface the reference lacks (SURVEY §2.5 'no rangeBetween"
+    " frames'). Spark side uses rangeBetween over unix seconds (RANGE "
+    "frames take numeric ORDER BY), giving identical [-3600s, now] "
+    "semantics; exact-decimal sums keep it engine-neutral.",
+    survey_ids=("W3", "W4"),
+)
+def time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # RANGE frames need a numeric sort key; µs-exact seconds-as-double
+    # would lose precision, so use microseconds as long
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    avg = F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double") / cnt
+    return e.select(
+        N.big("event_id").alias("event_id"),
+        N.big("user_id").alias("user_id"),
+        cnt.cast("bigint").alias("n_1h"),
+        N.rnd(avg).alias("avg_1h"),
+    )

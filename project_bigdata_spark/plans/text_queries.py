@@ -234,3 +234,31 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens"
         ),
     )
+
+
+@query(
+    "text_to_embedding",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(CAST(('0x' || substring(md5(text), 1, 4)) AS INT) / 3.27675e4 - 1.0, 6)
+         AS e0,
+       round(CAST(('0x' || substring(md5(text), 5, 4)) AS INT) / 3.27675e4 - 1.0, 6)
+         AS e1,
+       round(CAST(('0x' || substring(md5(text), 29, 4)) AS INT) / 3.27675e4 - 1.0, 6)
+         AS e7
+FROM documents""",
+    doc="Embedding-generation plumbing: text -> vector through Arrow-"
+    "batched mapInPandas (the encoder-model stage; stubbed md5-derived "
+    "deterministic floats). Output feeds the similarity operators; the "
+    "oracle replays components 0, 1, and 7 of every vector.",
+    survey_ids=("M7",),
+)
+def text_to_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    emb = MM.text_to_embedding(d)
+    return emb.select(
+        N.big("doc_id").alias("doc_id"),
+        N.rnd(F.col("embedding")[0], 6).alias("e0"),
+        N.rnd(F.col("embedding")[1], 6).alias("e1"),
+        N.rnd(F.col("embedding")[7], 6).alias("e7"),
+    )
