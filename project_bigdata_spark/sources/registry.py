@@ -74,9 +74,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ns-epoch long -> TimestampType (µs) when a TIMESTAMP(NANOS) parquet
+    column surfaced as bigint; passthrough otherwise."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return df
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events-shaped parquet reader for arbitrary paths (jobs/CLI use)."""
+    ensure_runtime_confs(spark)
+    return normalize_event_ts(spark.read.parquet(path))
 
 
 def write_partitioned_parquet(
