@@ -132,7 +132,7 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 EMBED_DIM = 8
-EMBED_SCHEMA = f"doc_id bigint, embedding array<double>"
+EMBED_SCHEMA = "doc_id bigint, embedding array<double>"
 
 
 def text_to_embedding(df: DataFrame, id_col: str = "doc_id",

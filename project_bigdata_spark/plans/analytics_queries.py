@@ -549,3 +549,67 @@ def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.big("rn").alias("rn"),
         )
     )
+
+
+@query(
+    "dataset_profile_5v",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS volume_records,
+       round(CAST(count(*) AS DOUBLE)
+             / (date_diff('day', min(ts), max(ts)) + 1), 4) AS velocity_per_day,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS variety_types,
+       round(CAST(count(*) FILTER (WHERE value IS NOT NULL AND props IS NOT NULL)
+             AS DOUBLE) / count(*), 6) AS veracity_complete_rate,
+       CAST(count(*) * 200 AS BIGINT) AS value_est_bytes_raw,
+       CAST(CAST(count(*) * 200 * 0.2 AS BIGINT) AS BIGINT)
+         AS value_est_bytes_parquet
+FROM events""",
+    doc="The reference's '5V' dataset census (check_countries.py:9-178): "
+    "volume, velocity (records/day), variety (distinct types), veracity "
+    "(completeness rate), value (size estimate: 200 B/record x 0.2 "
+    "parquet ratio, F14 arithmetic) — one aggregate pass.",
+    survey_ids=("A10", "F14", "A3"),
+)
+def dataset_profile_5v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = F.datediff(F.max("ts"), F.min("ts")) + 1
+    n = F.count(F.lit(1))
+    return e.agg(
+        n.cast("bigint").alias("volume_records"),
+        N.rnd(n.cast("double") / days).alias("velocity_per_day"),
+        F.countDistinct("event_type").alias("variety_types"),
+        N.rnd(
+            F.sum(
+                F.when(
+                    F.col("value").isNotNull() & F.col("props").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("double")
+            / n,
+            6,
+        ).alias("veracity_complete_rate"),
+        (n * 200).cast("bigint").alias("value_est_bytes_raw"),
+        (n * 200 * 0.2).cast("bigint").alias("value_est_bytes_parquet"),
+    )
+
+
+@query(
+    "iso_parsing",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       strftime(CAST(replace(strftime(CAST(ts AS TIMESTAMP),
+                     '%Y-%m-%dT%H:%M:%S.%fZ'), 'Z', '+00:00') AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S.%f') AS reparsed
+FROM events WHERE event_id % 100 = 0""",
+    doc="F5: ISO-8601 round trip incl. the Z-suffix fixup the reference "
+    "does by string replace (collect_data.py:88, app.py:347-350) — the "
+    "engine's to_timestamp handles the offset natively.",
+    survey_ids=("F5",),
+)
+def iso_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    reparsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    return e.select(
+        N.big("event_id").alias("event_id"),
+        N.ts_str(reparsed, micros=True).alias("reparsed"),
+    )
