@@ -162,3 +162,58 @@ def ivf_assign(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col(centroid_id), "cosine")
     )
+
+
+def ivf_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-Flat search: score the query against the (broadcast) centroid
+    table, keep the ``nprobe`` nearest inverted lists, and run exact cosine
+    only inside those lists.
+
+    Corpus assignment is a narrow broadcast pass (no shuffle); the probe
+    filter prunes ~``nprobe/|centroids|`` of the corpus before the exact
+    re-rank, which is what makes this the scale path over brute force.
+    Cosines are rounded before every argmax/top-k so rankings are
+    reproducible across engines.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id), as_double(F.col(vec_col)).alias("_cvec")
+        )
+    )
+    q = F.broadcast(query_df.select(as_double(F.col(vec_col)).alias("_qvec")))
+    probed = (
+        c.crossJoin(q)
+        .withColumn("_qcos", F.round(cosine(F.col("_cvec"), F.col("_qvec")), round_to))
+        .orderBy(F.desc("_qcos"), centroid_id)
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    scored = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(c)
+        .withColumn("_acos", F.round(cosine(F.col("_v"), F.col("_cvec")), round_to))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_acos"), centroid_id)
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(centroid_id), "_v")
+    )
+    return (
+        assigned.join(F.broadcast(probed), centroid_id)
+        .crossJoin(q)
+        .withColumn("cosine", F.round(cosine(F.col("_v"), F.col("_qvec")), round_to))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+        .select(F.col(id_col), F.col(centroid_id), "cosine")
+    )

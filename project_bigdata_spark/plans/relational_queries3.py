@@ -208,3 +208,126 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(N.big("l_suppkey").alias("s_suppkey")).agg(
         F.countDistinct("l_orderkey").alias("numwait")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum({REVENUE_SQL}
+                      * CASE WHEN n2.n_name = 'NATION_3' THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum({REVENUE_SQL}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part      ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY year(o_orderdate)""",
+    doc="TPC-H Q8 shape: national market share — one supplier nation's "
+    "revenue fraction of a region's yearly volume; conditional numerator "
+    "and total share one decimal-exact aggregation pass (no second scan).",
+    survey_ids=("M4", "A7"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    )
+    rev = _revenue()
+    is_target = F.when(F.col("supp_nation") == "NATION_3", F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        N.rnd(
+            F.sum(rev * is_target).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS t FROM lineitem
+)
+SELECT CAST(pv.l_partkey AS BIGINT) AS l_partkey,
+       round(CAST(pv.val AS DOUBLE), 2) AS value
+FROM pv, tot
+WHERE pv.val > tot.t * CAST(0.0008 AS DECIMAL(5,4))""",
+    doc="TPC-H Q11 shape: per-key value with a global-fraction HAVING "
+    "threshold — the scalar subquery decorrelated to a broadcast one-row "
+    "total (no driver collect, no second shuffle; decimal-exact compare).",
+    survey_ids=("M4", "A3"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    tot = l.agg(F.sum(_dec("l_extendedprice")).alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.col("t") * F.lit("0.0008").cast("decimal(5,4)"))
+        .select(
+            N.big("l_partkey").alias("l_partkey"),
+            F.round(F.col("val").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count""",
+    doc="TPC-H Q13 shape: order-count distribution over ALL customers — "
+    "the predicate lives in the LEFT JOIN condition (a WHERE would drop "
+    "zero-order customers), then a two-level aggregation; expressed as "
+    "filter-before-left-join so the scan prunes.",
+    survey_ids=("M4", "A4"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(N.big("c_count").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )

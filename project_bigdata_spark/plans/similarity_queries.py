@@ -243,3 +243,49 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("id_b").alias("id_b"),
         "cosine",
     )
+
+
+@query(
+    "ivf_search",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id, round({_cos_sql('c.cvec', 'q.qvec')}, 6) AS qcos
+    FROM c, q)
+  QUALIFY row_number() OVER (ORDER BY qcos DESC, centroid_id) <= 2
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS acos
+    FROM embeddings e, c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY acos DESC, centroid_id) = 1
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       round({_cos_sql('a.embedding', 'q.qvec')}, 6) AS cosine
+FROM assign a JOIN probe p USING (centroid_id), q
+ORDER BY cosine DESC, a.vec_id LIMIT 5""",
+    doc="IVF-Flat search end-to-end: probe the 2 nearest of 8 centroids "
+    "for the query, exact-cosine re-rank only within those inverted "
+    "lists — completes the IVF path begun by ivf_assign (the scale "
+    "alternative to knn_brute_force: candidates ~nprobe/ncentroids of "
+    "the corpus, all joins broadcast).",
+    survey_ids=("M7",),
+)
+def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qdf = e.filter(F.col("vec_id") == 0).select("embedding")
+    out = SIM.ivf_search(e, cents, qdf, k=5, nprobe=2)
+    return out.select(
+        N.big("vec_id").alias("vec_id"),
+        N.big("centroid_id").alias("centroid_id"),
+        "cosine",
+    )
