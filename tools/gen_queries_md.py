@@ -67,6 +67,8 @@ def main() -> None:
         "S10": "`write_csv` + round-trip test",
         "S11": "infra (bucket bootstrap) — not an operator",
         "P8": "`streaming/pipeline.py:bronze_stream` (processed_at audit stamp, tested)",
+        "P11": "`plans/_norm.py:rnd` — sign-aware deterministic rounding pinned in every "
+        "oracle query (the HALF_UP/banker's divergence is documented in `functions/aqi.py`)",
         "A2": "`streaming/pipeline.py:gold_stream` + watermark finalization test",
         "A9": "`operators/medallion.py:run_batch_medallion` observe() counts (tested)",
         "W8": "subsumed by Window.orderBy everywhere; standalone in `top_k_latest`",
