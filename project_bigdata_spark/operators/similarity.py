@@ -136,31 +136,85 @@ def lsh_near_dup_pairs(
     )
 
 
+def _centroid_row(
+    centroids: DataFrame, centroid_id: str, vec_col: str
+) -> DataFrame:
+    """Pack the centroid table into ONE row holding a cid-sorted
+    ``array<struct<cid, cvec>>`` — the broadcastable form that lets the
+    per-vector argmax run as a column expression instead of a shuffle."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id).alias("cid"),
+                    as_double(F.col(vec_col)).alias("cvec"),
+                )
+            )
+        ).alias("_cents")
+    )
+
+
+def _nearest_centroid(
+    v: Column, cents: Column, round_to: int | None, rnd=F.round
+) -> Column:
+    """Per-row argmax over the packed centroid array: a left fold keeping
+    ``struct(key, cos, cid)``. Strict ``>`` over a cid-ascending array
+    reproduces ``ORDER BY cosine DESC [NULLS LAST], cid ASC`` exactly
+    (NULL cosines compare as -2, below any real cosine). ``rnd`` lets the
+    caller swap in an engine-neutral rounding form for differential runs."""
+
+    def score(c: Column) -> Column:
+        cos = cosine(v, c["cvec"])
+        return rnd(cos, round_to) if round_to is not None else cos
+
+    first = F.element_at(cents, 1)
+    init = F.struct(
+        F.coalesce(score(first), F.lit(-2.0)).alias("key"),
+        score(first).alias("cos"),
+        first["cid"].alias("cid"),
+    )
+
+    def merge(acc: Column, c: Column) -> Column:
+        cos = score(c)
+        key = F.coalesce(cos, F.lit(-2.0))
+        return F.when(
+            key > acc["key"],
+            F.struct(key.alias("key"), cos.alias("cos"), c["cid"].alias("cid")),
+        ).otherwise(acc)
+
+    # Folding the full array re-compares element 1 against itself — a
+    # strict-> no-op that keeps the init expression type-aligned without
+    # a typed NULL seed.
+    return F.aggregate(cents, init, merge)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    round_to: int | None = None,
+    rnd=F.round,
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid (max cosine) per vector.
 
-    Centroids broadcast; the corpus is scored in one pass and reduced with
-    a window argmax — the inverted-file partitioning step of IVF-Flat.
+    The centroid table is packed into a single broadcast row and the
+    argmax runs as a per-row fold — a narrow map over the corpus with NO
+    shuffle (the window/groupBy formulation re-shuffles corpus×centroids,
+    which is the dominant cost at billions of vectors).
     """
-    c = F.broadcast(
-        centroids.select(
-            F.col(centroid_id), as_double(F.col(vec_col)).alias("_cvec")
-        )
-    )
-    scored = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    ).crossJoin(c).withColumn("cosine", cosine(F.col("_v"), F.col("_cvec")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), centroid_id)
+    crow = F.broadcast(_centroid_row(centroids, centroid_id, vec_col))
+    best = _nearest_centroid(F.col("_v"), F.col("_cents"), round_to, rnd)
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(centroid_id), "cosine")
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(crow)
+        .withColumn("_best", best)
+        .select(
+            F.col(id_col),
+            F.col("_best")["cid"].alias(centroid_id),
+            F.col("_best")["cos"].alias("cosine"),
+        )
     )
 
 
@@ -174,46 +228,64 @@ def ivf_search(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     round_to: int = 6,
+    rnd=F.round,
 ) -> DataFrame:
-    """IVF-Flat search: score the query against the (broadcast) centroid
-    table, keep the ``nprobe`` nearest inverted lists, and run exact cosine
-    only inside those lists.
+    """IVF-Flat search: pick the ``nprobe`` centroids nearest the query,
+    then exact-cosine re-rank only the vectors whose nearest centroid is
+    one of the probed cells.
 
-    Corpus assignment is a narrow broadcast pass (no shuffle); the probe
-    filter prunes ~``nprobe/|centroids|`` of the corpus before the exact
-    re-rank, which is what makes this the scale path over brute force.
-    Cosines are rounded before every argmax/top-k so rankings are
-    reproducible across engines.
+    The whole index side (centroid array + query vector + probe set) is
+    ONE broadcast row; the corpus pass is a narrow map + filter ending in
+    a TakeOrderedAndProject — zero shuffles end to end. The probe filter
+    prunes ~``nprobe/|centroids|`` of the corpus before the exact re-rank,
+    which is what makes this the scale path over brute force. Cosines are
+    rounded before every argmax/top-k so rankings replay across engines.
     """
-    c = F.broadcast(
-        centroids.select(
-            F.col(centroid_id), as_double(F.col(vec_col)).alias("_cvec")
+    qrow = query_df.select(as_double(F.col(vec_col)).alias("_qvec"))
+    combo = (
+        _centroid_row(centroids, centroid_id, vec_col)
+        .crossJoin(qrow)
+        .withColumn(
+            "_probes",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_cents"),
+                            lambda c: F.struct(
+                                (
+                                    -F.coalesce(
+                                        rnd(
+                                            cosine(F.col("_qvec"), c["cvec"]),
+                                            round_to,
+                                        ),
+                                        F.lit(-2.0),
+                                    )
+                                ).alias("nk"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            ),
         )
     )
-    q = F.broadcast(query_df.select(as_double(F.col(vec_col)).alias("_qvec")))
-    probed = (
-        c.crossJoin(q)
-        .withColumn("_qcos", F.round(cosine(F.col("_cvec"), F.col("_qvec")), round_to))
-        .orderBy(F.desc("_qcos"), centroid_id)
-        .limit(nprobe)
-        .select(centroid_id)
-    )
-    scored = (
-        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-        .crossJoin(c)
-        .withColumn("_acos", F.round(cosine(F.col("_v"), F.col("_cvec")), round_to))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_acos"), centroid_id)
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(centroid_id), "_v")
-    )
+    best = _nearest_centroid(F.col("_v"), F.col("_cents"), round_to, rnd)
     return (
-        assigned.join(F.broadcast(probed), centroid_id)
-        .crossJoin(q)
-        .withColumn("cosine", F.round(cosine(F.col("_v"), F.col("_qvec")), round_to))
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(F.broadcast(combo))
+        .withColumn("_best", best)
+        .filter(F.array_contains(F.col("_probes"), F.col("_best")["cid"]))
+        .select(
+            F.col(id_col),
+            F.col("_best")["cid"].alias(centroid_id),
+            rnd(cosine(F.col("_v"), F.col("_qvec")), round_to).alias(
+                "cosine"
+            ),
+        )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
-        .select(F.col(id_col), F.col(centroid_id), "cosine")
     )

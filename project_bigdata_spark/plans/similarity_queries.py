@@ -180,7 +180,8 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) = 1""",
     doc="IVF coarse quantization: nearest of 8 broadcast centroids per "
-    "vector (argmax window) — the inverted-file partition assignment; at "
+    "vector — a per-row fold over the packed centroid array (zero "
+    "shuffles; the window-argmax form re-shuffles corpus×centroids); at "
     "scale the centroid table comes from sampled k-means.",
     survey_ids=("M7",),
 )
@@ -190,29 +191,11 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     # round cosine BEFORE the argmax so both engines rank identical keys
-    c = F.broadcast(
-        cents.select("centroid_id", SIM.as_double(F.col("embedding")).alias("_cvec"))
-    )
-    scored = (
-        e.select("vec_id", SIM.as_double(F.col("embedding")).alias("_v"))
-        .crossJoin(c)
-        .select(
-            "vec_id",
-            "centroid_id",
-            N.rnd(SIM.cosine(F.col("_v"), F.col("_cvec")), 6).alias("cosine"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "centroid_id")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            N.big("vec_id").alias("vec_id"),
-            N.big("centroid_id").alias("centroid_id"),
-            "cosine",
-        )
+    out = SIM.ivf_assign(e, cents, round_to=6, rnd=N.rnd)
+    return out.select(
+        N.big("vec_id").alias("vec_id"),
+        N.big("centroid_id").alias("centroid_id"),
+        "cosine",
     )
 
 
@@ -283,7 +266,7 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     qdf = e.filter(F.col("vec_id") == 0).select("embedding")
-    out = SIM.ivf_search(e, cents, qdf, k=5, nprobe=2)
+    out = SIM.ivf_search(e, cents, qdf, k=5, nprobe=2, rnd=N.rnd)
     return out.select(
         N.big("vec_id").alias("vec_id"),
         N.big("centroid_id").alias("centroid_id"),

@@ -81,3 +81,16 @@ def test_gold_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "gold_hourly")
     # one aggregation exchange; bronze/silver stages are narrow
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ivf_zero_corpus_shuffle(spark, sf_dir):
+    # The index side (centroids [+ query + probe set]) collapses to ONE
+    # broadcast row; the corpus side must stay a narrow map — the
+    # window-argmax formulation would re-shuffle corpus×centroids, the
+    # dominant cost at billions of vectors.
+    for name in ("ivf_assign", "ivf_search"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "Window" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "ivf_search")
