@@ -252,3 +252,59 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(*block_cols, "id_a", "id_b", "jaccard")
     )
+
+
+CLUSTER_ROUNDS = 4
+
+
+def min_label_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = CLUSTER_ROUNDS,
+) -> DataFrame:
+    """Duplicate clustering: bounded min-label propagation over an
+    undirected near-dup pair graph -> ``(id, cluster_id)``.
+
+    Each round every vertex takes the min of its own label and its
+    neighbors' labels; after ``r`` rounds a vertex holds the smallest id
+    within ``r`` hops, so components with diameter <= ``rounds`` get their
+    exact connected component (near-dup clusters are almost always
+    shallow). The bounded unroll keeps the whole computation one
+    deterministic DAG — no driver-side convergence loop, and an oracle
+    can replay it as ``rounds`` unrolled self-joins.
+
+    Scale: 2 shuffles per round on (vertex, label) pairs — the standard
+    iterative-join cost (what GraphFrames' connected components pays per
+    iteration). ``sym`` and each round's labels are persisted because the
+    next round references them twice; without that, lineage doubles every
+    round.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))

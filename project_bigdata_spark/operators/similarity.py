@@ -289,3 +289,62 @@ def ivf_search(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    round_to: int = 6,
+    rnd=F.round,
+) -> DataFrame:
+    """Batch exact kNN: top-``k`` corpus neighbors for EVERY query in a
+    (small, broadcast) query batch.
+
+    The corpus is scored once in a narrow pass against the broadcast
+    batch, then reduced with a two-level bounded top-k: per-input-
+    partition candidates (map-side, ObjectHashAggregate keyed by
+    ``(query, partition)``) followed by a merge of only
+    ``k × n_partitions`` survivors per query. No Window runs over the
+    full scored set, so the corpus×queries product is never shuffled —
+    the property that matters when the corpus is billions of rows.
+    Exactness: with the total order ``(-cosine, id)``, any row dropped by
+    a partition-local top-k is strictly worse than k rows that survived
+    from that partition, so the merge sees every global-top-k candidate.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col), as_double(F.col(vec_col)).alias("_qvec")
+        )
+    )
+    cos = rnd(cosine(F.col("_v"), F.col("_qvec")), round_to)
+    scored = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(q)
+        .select(
+            F.col(qid_col),
+            F.struct(
+                (-F.coalesce(cos, F.lit(-2.0))).alias("nk"),
+                F.col(id_col).alias("id"),
+                cos.alias("cos"),
+            ).alias("_cand"),
+        )
+    )
+    part = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .groupBy(qid_col, "_p")
+        .agg(F.slice(F.array_sort(F.collect_list("_cand")), 1, k).alias("_top"))
+    )
+    merged = part.groupBy(qid_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias(
+            "_top"
+        )
+    )
+    return merged.select(F.col(qid_col), F.explode("_top").alias("_t")).select(
+        F.col(qid_col),
+        F.col("_t")["id"].alias(id_col),
+        F.col("_t")["cos"].alias("cosine"),
+    )

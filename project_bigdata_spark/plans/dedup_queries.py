@@ -232,3 +232,65 @@ def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("id_b").alias("id_b"),
         N.rnd("jaccard").alias("jaccard"),
     )
+
+
+def _cluster_rounds_sql(rounds: int) -> str:
+    """Unrolled min-label propagation rounds (mirrors
+    operators/dedup.py:min_label_clusters exactly — same round count)."""
+    ctes = []
+    for k in range(1, rounds + 1):
+        prev = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS (
+  SELECT l.id, least(l.label, coalesce(m.nm, l.label)) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT e.src AS id, min(x.label) AS nm
+    FROM edges e JOIN {prev} x ON e.dst = x.id
+    GROUP BY e.src) m USING (id)
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "dedup_clusters",
+    oracle="WITH"
+    + MINHASH_CTES
+    + f""",
+vp AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON p.id_a = sa.doc_id
+  JOIN sh sb ON p.id_b = sb.doc_id
+  WHERE CAST(len(list_intersect(list_distinct(sa.shingles),
+                                list_distinct(sb.shingles))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vp
+),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+{_cluster_rounds_sql(DD.CLUSTER_ROUNDS)}
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(label AS BIGINT) AS cluster_id
+FROM l{DD.CLUSTER_ROUNDS}""",
+    doc="Duplicate clustering: verified MinHash near-dup pairs -> "
+    f"connected components via {DD.CLUSTER_ROUNDS} rounds of bounded "
+    "min-label propagation (one deterministic DAG, no driver loop; "
+    "cluster_id = min doc_id within reach, i.e. the canonical survivor). "
+    "The pairs->clusters step every curation dedup pipeline needs before "
+    "it can drop duplicates transitively.",
+    survey_ids=("M7",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text").persist()
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    verified = DD.jaccard_verify(pairs, sigs, "doc_id", threshold=0.2)
+    labels = DD.min_label_clusters(verified.select("id_a", "id_b"))
+    return labels.select(
+        N.big("id").alias("doc_id"),
+        N.big("cluster_id").alias("cluster_id"),
+    )

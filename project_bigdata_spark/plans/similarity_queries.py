@@ -272,3 +272,36 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("centroid_id").alias("centroid_id"),
         "cosine",
     )
+
+
+@query(
+    "knn_batch",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 4
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM (
+  SELECT q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e, q)
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC NULLS LAST, vec_id) <= 3""",
+    doc="Batch exact kNN: top-3 neighbors for each of 4 broadcast queries "
+    "in ONE corpus pass, reduced by a two-level bounded top-k (per-"
+    "partition candidates, then a k-per-partition merge) — no Window over "
+    "the scored corpus x queries product, so the corpus never reshuffles.",
+    survey_ids=("M7",),
+)
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk_batch(e, qdf, k=3, rnd=N.rnd)
+    return out.select(
+        N.big("query_id").alias("query_id"),
+        N.big("vec_id").alias("vec_id"),
+        "cosine",
+    )
