@@ -162,3 +162,104 @@ def await_all(
             q.awaitTermination(timeout_secs)
     else:
         spark_or_queries.streams.awaitAnyTermination(timeout_secs)
+
+
+def session_stream(
+    parsed: DataFrame, gap: str = "15 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization with dynamic-gap session windows.
+
+    ``session_window`` merges consecutive events per user that arrive
+    < ``gap`` apart into one growing window; the watermark closes a
+    session once event time passes its end + watermark, at which point
+    append mode emits it exactly once. The streaming face of the batch
+    ``sessionize_events`` query (which uses the lag > gap cumulative-sum
+    idiom); absent from the reference (SURVEY.md §2.8: 'no
+    sliding/session windows').
+
+    State per (user, open session) only — bounded by active users, not
+    history.
+    """
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("_s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("_s.start").alias("session_start"),
+            F.col("_s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def sliding_stream(
+    parsed: DataFrame,
+    size: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window aggregation: each event lands in size/slide
+    overlapping windows (here 2). Append mode emits a window when the
+    watermark passes its end. Absent from the reference (tumbling only)."""
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), size, slide).alias("_w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+        .select(
+            "user_id",
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_events",
+            "max_value",
+        )
+    )
+
+
+def stream_stream_conversion_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound: each
+    purchase matches clicks by the same user within the preceding
+    ``horizon``. Both sides are watermarked so the state store can evict
+    rows that can no longer match (state is bounded by watermark +
+    interval, the canonical Structured Streaming interval-join recipe).
+    Absent from the reference (SURVEY.md §2.8: 'no stream-stream joins').
+    """
+    c = (
+        clicks.withWatermark("ts", horizon)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", horizon)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        [
+            c["user_id"] == p["user_id"],
+            p["purchase_ts"] >= c["click_ts"],
+            p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {horizon}"),
+        ],
+        "inner",
+    ).select(
+        c["user_id"].alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -254,3 +254,115 @@ def test_stream_increments_upserted_into_consolidated_gold(spark, tmp_path):
     assert set(got) == {1, 2}
     assert got[1].max_value == 99.0 and got[1].n_events == 3
     assert got[2].n_events == 1
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Dynamic-gap session windows: 3 events 5 min apart form ONE session;
+    a later batch pushes the watermark past its end and append mode emits
+    it exactly once."""
+    src = str(tmp_path / "src_sess")
+    out = str(tmp_path / "out_sess")
+    _write_batch(spark, src, _rows(hour=1, n=3, base_id=0), 0)
+    raw = (
+        spark.readStream.schema(SP.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sess = SP.session_stream(SP.parse_stream(raw), gap="15 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/_chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sess_mem").count() == 0  # still open
+        _write_batch(spark, src, _rows(hour=6, n=1, base_id=100), 1)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM sess_mem ORDER BY session_start"
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_events == 3 and r.session_value == 30.0
+        # gap semantics: end = last event + gap
+        assert (r.session_end - r.session_start).total_seconds() == 25 * 60
+    finally:
+        q.stop()
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    """2h-size / 1h-slide windows: each event lands in two overlapping
+    windows; both finalize once the watermark passes their ends."""
+    src = str(tmp_path / "src_slide")
+    out = str(tmp_path / "out_slide")
+    _write_batch(spark, src, _rows(hour=1, n=3, base_id=0), 0)
+    raw = (
+        spark.readStream.schema(SP.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sl = SP.sliding_stream(SP.parse_stream(raw))
+    q = (
+        sl.writeStream.format("memory")
+        .queryName("slide_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/_chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, _rows(hour=8, n=1, base_id=100), 1)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM slide_mem WHERE user_id = 1 ORDER BY window_start"
+        ).collect()
+        assert [(r.window_start.hour, r.n_events) for r in rows] == [
+            (0, 3),
+            (1, 3),
+        ]
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with an event-time bound: purchases match
+    clicks by the same user within the preceding hour; a too-late purchase
+    does not match."""
+    clicks_src = str(tmp_path / "src_clicks")
+    buys_src = str(tmp_path / "src_buys")
+    out = str(tmp_path / "out_ssj")
+    t0 = dt.datetime(2024, 3, 1, 1)
+    _write_batch(spark, clicks_src, [(1, t0, 1, "click", 1.0, None)], 0)
+    _write_batch(
+        spark,
+        buys_src,
+        [
+            (50, t0 + dt.timedelta(minutes=30), 1, "purchase", 99.0, None),
+            (51, t0 + dt.timedelta(hours=3), 1, "purchase", 5.0, None),
+            (52, t0 + dt.timedelta(minutes=30), 2, "purchase", 7.0, None),
+        ],
+        0,
+    )
+    clicks = spark.readStream.schema(SP.EVENT_SCHEMA).parquet(clicks_src)
+    buys = spark.readStream.schema(SP.EVENT_SCHEMA).parquet(buys_src)
+    joined = SP.stream_stream_conversion_join(
+        SP.parse_stream(clicks), SP.parse_stream(buys)
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{out}/_chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj_mem").collect()
+        assert [(r.click_id, r.purchase_id, r.purchase_value) for r in rows] == [
+            (1, 50, 99.0)
+        ]
+    finally:
+        q.stop()
