@@ -78,3 +78,37 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     plan = q._jdf.queryExecution().explainString(jmode)
     assert "PartitionFilters" in plan and "month" in plan
     assert q.count() == 10
+
+
+def test_clustered_parquet_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered layout: every output file must carry a disjoint
+    min/max range on the cluster key in its parquet footer — the property
+    file- and row-group-skipping needs to prune a selective range scan to
+    ~1/n_files of the table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from project_bigdata_spark.sources.registry import write_clustered_parquet
+
+    df = R.load_table(spark, sf_dir, "events").select("event_id", "value")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(df, out, ["value"], n_files=4)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "value"
+        )
+        stats = [
+            md.row_group(rg).column(idx).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        ranges.append(
+            (min(s.min for s in stats), max(s.max for s in stats))
+        )
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
