@@ -8,7 +8,7 @@ UDFs, so a 100 TB corpus scan stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from project_bigdata_spark.operators.dedup import words_col
@@ -118,4 +118,94 @@ def rolling_hash(text: Column, prefix_chars: int = 64) -> Column:
         chars,
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * HASH_BASE + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+CHUNK_TOKENS = 50
+CHUNK_OVERLAP = 10
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the unit of
+    work an embedding pipeline feeds to the encoder.
+
+    Chunk ``i`` covers tokens ``[1 + i*stride, i*stride + chunk_tokens]``
+    (1-based, ``stride = chunk_tokens - overlap``); the last chunk starts
+    at the final stride boundary at or before ``n - overlap`` so every
+    token lands in >= 1 chunk and no empty tail chunk is emitted.
+
+    Entirely JVM-side: ``sequence`` builds the start offsets,
+    ``posexplode`` fans out, ``slice`` + ``array_join`` materialize each
+    chunk — a narrow pass (no UDF, no shuffle) whose output is
+    ~``1/stride`` rows per token, ready for `mapInPandas` encoding.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = words_col(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_tokens") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("_start").cast("bigint").alias("start_token"),
+        )
+    )
+
+
+def chunk_documents_with_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """:func:`chunk_documents` plus the chunk text itself and its token
+    count (separate entry point so offset-only consumers skip carrying
+    the token array through the explode)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = words_col(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_tokens") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return (
+        df.select(
+            F.col(id_col), toks.alias("_toks"), F.size(toks).alias("n_tokens")
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "_toks",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("_start").cast("bigint").alias("start_token"),
+            F.size(chunk).cast("bigint").alias("chunk_len"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
     )

@@ -262,3 +262,46 @@ def text_to_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.col("embedding")[1], 6).alias("e1"),
         N.rnd(F.col("embedding")[7], 6).alias("e7"),
     )
+
+
+_STRIDE = TX.CHUNK_TOKENS - TX.CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {WORDS_SQL} AS toks, len({WORDS_SQL}) AS n FROM documents
+), s AS (
+  SELECT doc_id, n, toks,
+         unnest(range(1, greatest(n - {TX.CHUNK_OVERLAP}, 1) + 1, {_STRIDE}))
+           AS start_token
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((start_token - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(toks[start_token : start_token + {TX.CHUNK_TOKENS - 1}])
+            AS BIGINT) AS chunk_len,
+       array_to_string(toks[start_token : start_token + {TX.CHUNK_TOKENS - 1}],
+                       ' ') AS chunk_text
+FROM s""",
+    doc=f"Document chunking for embedding pipelines: overlapping "
+    f"{TX.CHUNK_TOKENS}-token windows (stride {_STRIDE}) via "
+    "sequence + posexplode + slice — all JVM-side, a narrow fan-out of "
+    "~1/stride rows per token ready for mapInPandas encoding; every "
+    "token lands in at least one chunk.",
+    survey_ids=("M7",),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = TX.chunk_documents_with_text(d)
+    return out.select(
+        N.big("doc_id").alias("doc_id"),
+        "chunk_id",
+        "n_tokens",
+        "start_token",
+        "chunk_len",
+        "chunk_text",
+    )
