@@ -158,17 +158,42 @@ def time_split(
     return train, val, test
 
 
-def label_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+def label_encode(
+    df: DataFrame, col: str, out_col: str | None = None, n_parts: int = 32
+) -> DataFrame:
     """F7: dense integer codes in lexicographic order — exactly sklearn's
-    ``LabelEncoder`` (data_loader.py:163), without collecting the dictionary
-    to the driver. ``dense_rank`` over a global order is a single pass; the
-    code table can be persisted for inference like the reference pickles
-    its encoder.
+    ``LabelEncoder`` (data_loader.py:163), without collecting the
+    dictionary to the driver.
+
+    Scales to high-cardinality columns (entity ids, not just country
+    codes) with a two-phase distributed rank: range-partition the
+    distinct values, ``row_number`` WITHIN each sorted range (a
+    partitioned window — no single-partition global sort), then add each
+    range's cumulative start offset (an ``n_parts``-row broadcast).
+    ``repartitionByRange`` assigns ascending key ranges to ascending
+    partition ids, so offset(p) + local_rank reproduces the global dense
+    code exactly (values are distinct, so row_number ≡ dense_rank). The
+    final code join is left to AQE: broadcast when the dictionary is
+    small, shuffle join when it is not.
     """
-    w = Window.orderBy(col)
-    codes = (
+    out = out_col or f"{col}_encoded"
+    dv = (
         df.select(col)
         .distinct()
-        .withColumn(out_col or f"{col}_encoded", F.dense_rank().over(w) - 1)
+        .repartitionByRange(n_parts, F.col(col))
+        .withColumn("_p", F.spark_partition_id())
     )
-    return df.join(F.broadcast(codes), on=col, how="left")
+    local = dv.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_p").orderBy(col))
+    )
+    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        dv.groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+        .select("_p", "_off")
+    )
+    codes = local.join(F.broadcast(offsets), on="_p").select(
+        col, (F.col("_lr") + F.col("_off") - 1).alias(out)
+    )
+    return df.join(codes, on=col, how="left")

@@ -340,8 +340,8 @@ FROM feat"""
     doc="The reference's full 22-feature ML frame (ML_TRAINING.md:57-199, "
     "data_loader.py:121-194) computed at Spark scale over the hourly Gold "
     "aggregate: 5 time features, 3 row-lags, 5 rolling stats "
-    "(min_periods=1, ddof=1), entity label-encode (broadcast dense-rank, "
-    "not a global window), per-type first-value unnest with fill-0 (F6), "
+    "(min_periods=1, ddof=1), entity label-encode (two-phase distributed "
+    "rank — no global window), per-type first-value unnest with fill-0 (F6), "
     "and the shifted(-1) target. One shuffle for gold + one for the "
     "entity windows.",
     headline=True,
