@@ -215,3 +215,63 @@ def write_clustered_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    """Sum of data-file sizes under ``path`` via the Hadoop FileSystem API
+    (works for any supported scheme — local, HDFS, s3a)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(bytes / target_file_bytes)`` right-sized files; returns the new
+    file count.
+
+    Streaming appends and per-epoch upserts fragment a table into
+    thousands of small files, and at 100 TB scan cost becomes dominated
+    by file-open/footer overhead and tiny row groups. Periodic bin-
+    packing to ~128 MB (HDFS-block-ish) restores scan efficiency. With
+    ``cluster_cols`` the rewrite also range-clusters (see
+    :func:`write_clustered_parquet`), so compaction doubles as layout
+    maintenance. The rewrite lands in a sibling temp dir first and is
+    swapped in with two FileSystem renames — readers never observe a
+    half-written table (rename is atomic per directory on HDFS-like
+    stores; on S3A use a committer-backed overwrite instead).
+    """
+    n = max(1, -(-table_bytes(spark, path) // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__pre_compact"
+    if cluster_cols:
+        (
+            df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    fs.rename(p, jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    return n

@@ -112,3 +112,36 @@ def test_clustered_parquet_disjoint_file_ranges(spark, sf_dir, tmp_path):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_compact_parquet_bin_packs_small_files(spark, sf_dir, tmp_path):
+    """Compaction folds a fragmented table into right-sized files with
+    identical contents, atomically (no leftover temp dirs)."""
+    import glob
+    import os
+
+    from project_bigdata_spark.sources.registry import (
+        compact_parquet,
+        table_bytes,
+    )
+
+    out = str(tmp_path / "frag")
+    df = R.load_table(spark, sf_dir, "events").select("event_id", "value")
+    df.repartition(20).write.parquet(out)
+    assert len(glob.glob(out + "/*.parquet")) == 20
+    before = spark.read.parquet(out)
+    n_rows = before.count()
+    id_sum, val_sum = before.agg(F.sum("event_id"), F.sum("value")).collect()[0]
+
+    total = table_bytes(spark, out)
+    n = compact_parquet(spark, out, target_file_bytes=total // 2)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n <= 3
+    after = spark.read.parquet(out)
+    assert after.count() == n_rows
+    id_sum2, val_sum2 = after.agg(F.sum("event_id"), F.sum("value")).collect()[0]
+    assert id_sum2 == id_sum
+    # double sum is summation-order-dependent across layouts
+    assert abs(val_sum2 - val_sum) < 1e-6 * max(1.0, abs(val_sum))
+    assert not os.path.exists(out + "__compacting")
+    assert not os.path.exists(out + "__pre_compact")
