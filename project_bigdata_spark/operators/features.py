@@ -177,11 +177,11 @@ def label_encode(
     small, shuffle join when it is not.
     """
     out = out_col or f"{col}_encoded"
-    dv = (
-        df.select(col)
-        .distinct()
-        .repartitionByRange(n_parts, F.col(col))
-        .withColumn("_p", F.spark_partition_id())
+    # persist BEFORE repartitionByRange: its range-boundary sampling is an
+    # extra job that would otherwise re-execute the whole upstream plan
+    distinct_vals = df.select(col).distinct().persist()
+    dv = distinct_vals.repartitionByRange(n_parts, F.col(col)).withColumn(
+        "_p", F.spark_partition_id()
     )
     local = dv.withColumn(
         "_lr", F.row_number().over(Window.partitionBy("_p").orderBy(col))
