@@ -305,3 +305,89 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_len",
         "chunk_text",
     )
+
+
+_EMB_COMP_SQL = (
+    "list_transform(range(0, 8), i -> "
+    "CAST(('0x' || substring(md5(chunk_text), 4*i + 1, 4)) AS INT)"
+    " / 3.27675e4 - 1.0)"
+)
+
+from project_bigdata_spark.plans.similarity_queries import _cos_sql  # noqa: E402
+
+
+@query(
+    "chunk_embed_search",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {WORDS_SQL} AS toks, len({WORDS_SQL}) AS n FROM documents
+), s AS (
+  SELECT doc_id, n, toks,
+         unnest(range(1, greatest(n - {TX.CHUNK_OVERLAP}, 1) + 1, {_STRIDE}))
+           AS start_token
+  FROM w
+), ch AS (
+  SELECT doc_id, (start_token - 1) // {_STRIDE} AS chunk_id,
+         array_to_string(toks[start_token : start_token + {TX.CHUNK_TOKENS - 1}],
+                         ' ') AS chunk_text
+  FROM s
+), emb AS (
+  SELECT doc_id, chunk_id, doc_id * 10000 + chunk_id AS cid,
+         {_EMB_COMP_SQL} AS v
+  FROM ch
+), q AS (
+  SELECT cid AS qcid, v AS qv FROM emb ORDER BY cid LIMIT 1
+)
+SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+       CAST(e.chunk_id AS BIGINT) AS chunk_id,
+       round({{COS}}, 6) AS cosine
+FROM emb e, q
+WHERE e.cid <> q.qcid
+ORDER BY cosine DESC, e.cid
+LIMIT 5""".replace("{COS}", _cos_sql("e.v", "q.qv")),
+    doc="Capstone retrieval pipeline: chunk -> Arrow-batched embed "
+    "(mapInPandas encoder stage, stubbed deterministic) -> exact cosine "
+    "top-5 against the first chunk as query. The full chunk/embed/index/"
+    "search flow a training-data pipeline runs, end-to-end under the "
+    "differential gate; every stage is the scale path (narrow chunk "
+    "fan-out, one Python pass, broadcast query, TakeOrderedAndProject).",
+    survey_ids=("M7",),
+)
+def chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import similarity as SIM
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = TX.chunk_documents_with_text(d).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    # one Python encoder pass feeding both the query row and the corpus
+    emb = (
+        MM.text_to_embedding(ch, id_col="cid", text_col="chunk_text")
+        .select(F.col("doc_id").alias("cid"), "embedding")
+        .persist()
+    )
+    q = (
+        emb.orderBy("cid")
+        .limit(1)
+        .select(F.col("cid").alias("qcid"), F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qcid"))
+        .select(
+            "cid",
+            N.rnd(SIM.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "cid")
+        .limit(5)
+        .select(
+            F.floor(F.col("cid") / 10000).cast("bigint").alias("doc_id"),
+            (F.col("cid") % 10000).cast("bigint").alias("chunk_id"),
+            "cosine",
+        )
+    )
