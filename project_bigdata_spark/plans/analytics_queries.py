@@ -613,3 +613,74 @@ def iso_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("event_id").alias("event_id"),
         N.ts_str(reparsed, micros=True).alias("reparsed"),
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type""",
+    doc="Markov transition matrix over per-user event sequences: lag "
+    "window (entity-partitioned, event_id tiebreak) then a count "
+    "aggregation — the path-analysis primitive; one shuffle for the "
+    "window, map-side partials for the count.",
+    survey_ids=("W1", "A8"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return t.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+
+
+@query(
+    "value_outliers",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         {N.sql_avg_exact('value', 6)} AS mu,
+         {N.sql_stddev_exact('value', 6)} AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       e.event_type,
+       round(e.value, 2) AS value,
+       round((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND abs(round((e.value - s.mu) / s.sigma, 4)) > 3.0""",
+    doc="Z-score outlier flagging per event type: one aggregation pass "
+    "for decimal-exact per-type mean/stddev (broadcast back — the stats "
+    "table is |event types| rows), then a narrow scan emits |z| > 3 "
+    "rows. The anomaly-screen shape for data quality at scale.",
+    survey_ids=("A4", "A5"),
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        N.avg_exact("value", 6).alias("mu"),
+        N.stddev_exact("value", 6).alias("sigma"),
+    )
+    z = N.rnd((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(F.broadcast(stats), on="event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            N.big("event_id").alias("event_id"),
+            "event_type",
+            N.rnd("value", 2).alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+    )

@@ -94,3 +94,23 @@ def test_ivf_zero_corpus_shuffle(spark, sf_dir):
         assert "Window" not in plan, name
         assert "SortMergeJoin" not in plan, name
     assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "ivf_search")
+
+
+def test_knn_batch_no_window_over_scored_set(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_batch")
+    # two-level bounded top-k: aggregates, never a Window/global Sort over
+    # the corpus x queries product
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_dedup_clusters_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_clusters")
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_embed_search_single_python_stage_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "chunk_embed_search")
+    # top-k is a TakeOrderedAndProject; the query-row branch is broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
