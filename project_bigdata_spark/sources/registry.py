@@ -275,3 +275,26 @@ def compact_parquet(
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
     fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
     return n
+
+
+def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: ``mergeSchema`` unions the
+    footers of every file, so older files simply carry NULL for columns
+    added later — the standard lake pattern when a producer gains fields.
+
+    Costs one footer read per file at planning time (why it is opt-in
+    here rather than the default ``load_table`` path: a stable-schema
+    table should not pay it on every query).
+    """
+    ensure_runtime_confs(spark)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_tolerant_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Corrupt-file-tolerant read: skip unreadable files instead of
+    failing the job — at 100 TB a single torn file from a dead writer
+    must not kill a scan. Scoped to this reader (per-read option, not a
+    session-wide conf), so default paths still fail loudly on corruption.
+    """
+    ensure_runtime_confs(spark)
+    return spark.read.option("ignoreCorruptFiles", "true").parquet(path)

@@ -145,3 +145,31 @@ def test_compact_parquet_bin_packs_small_files(spark, sf_dir, tmp_path):
     assert abs(val_sum2 - val_sum) < 1e-6 * max(1.0, abs(val_sum))
     assert not os.path.exists(out + "__compacting")
     assert not os.path.exists(out + "__pre_compact")
+
+
+def test_read_evolving_parquet_merges_schemas(spark, tmp_path):
+    """Files written before a column existed read back as NULL for it."""
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, 10.0)], ["id", "value"]).write.parquet(
+        p + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, 20.0, "eu")], ["id", "value", "region"]
+    ).write.parquet(p + "/batch=1")
+    df = R.read_evolving_parquet(spark, p)
+    rows = {r.id: (r.value, r.region) for r in df.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, "eu")}
+
+
+def test_read_tolerant_parquet_skips_corrupt_file(spark, tmp_path):
+    p = str(tmp_path / "tolerant")
+    spark.createDataFrame([(i,) for i in range(5)], ["id"]).coalesce(
+        1
+    ).write.parquet(p)
+    with open(p + "/part-corrupt.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet file")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(p).count()
+    assert R.read_tolerant_parquet(spark, p).count() == 5
