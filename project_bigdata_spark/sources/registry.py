@@ -258,6 +258,17 @@ def compact_parquet(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__pre_compact"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    # clear leftovers of a previously crashed compaction — a stale dir
+    # would make the renames below fail
+    for stale in (p_tmp, p_old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
     if cluster_cols:
         (
             df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
@@ -267,13 +278,12 @@ def compact_parquet(
         )
     else:
         df.repartition(n).write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    fs.rename(p, jvm.org.apache.hadoop.fs.Path(old))
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    if not fs.rename(p, p_old):
+        raise IOError(f"compaction swap failed: cannot move {path} aside")
+    if not fs.rename(p_tmp, p):
+        fs.rename(p_old, p)  # roll back; table was never unavailable
+        raise IOError(f"compaction swap failed: cannot move {tmp} into place")
+    fs.delete(p_old, True)
     return n
 
 
