@@ -140,14 +140,16 @@ def _centroid_row(
     centroids: DataFrame, centroid_id: str, vec_col: str
 ) -> DataFrame:
     """Pack the centroid table into ONE row holding a cid-sorted
-    ``array<struct<cid, cvec>>`` — the broadcastable form that lets the
-    per-vector argmax run as a column expression instead of a shuffle."""
+    ``array<struct<cid, cvec, cnorm>>`` — the broadcastable form that lets
+    the per-vector argmax run as a column expression instead of a shuffle.
+    Centroid L2 norms are computed once here, not once per corpus row."""
     return centroids.agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col(centroid_id).alias("cid"),
                     as_double(F.col(vec_col)).alias("cvec"),
+                    norm(as_double(F.col(vec_col))).alias("cnorm"),
                 )
             )
         ).alias("_cents")
@@ -155,37 +157,43 @@ def _centroid_row(
 
 
 def _nearest_centroid(
-    v: Column, cents: Column, round_to: int | None, rnd=F.round
+    v: Column,
+    cents: Column,
+    round_to: int | None,
+    rnd=F.round,
+    vnorm: Column | None = None,
 ) -> Column:
-    """Per-row argmax over the packed centroid array: a left fold keeping
-    ``struct(key, cos, cid)``. Strict ``>`` over a cid-ascending array
-    reproduces ``ORDER BY cosine DESC [NULLS LAST], cid ASC`` exactly
-    (NULL cosines compare as -2, below any real cosine). ``rnd`` lets the
-    caller swap in an engine-neutral rounding form for differential runs."""
+    """Per-row argmax over the packed centroid array: score every centroid
+    ONCE (`transform`), then sort the tiny struct array by
+    ``(-cosine, cid)`` and take the head — exactly ``ORDER BY cosine DESC
+    [NULLS LAST], cid ASC`` (NULL cosines key as -2, below any real
+    cosine). HOFs evaluate interpreted (outside codegen), so evaluation
+    counts matter: each score is one dot fold — centroid norms ride in
+    the packed array, the row norm arrives precomputed via ``vnorm`` —
+    and the two-stage transform avoids referencing a score twice. The
+    ``dot/(nv*nc)`` form is bit-identical to :func:`cosine`. ``rnd``
+    lets the caller swap in an engine-neutral rounding form."""
 
     def score(c: Column) -> Column:
-        cos = cosine(v, c["cvec"])
+        nv = vnorm if vnorm is not None else norm(v)
+        cos = F.when(
+            (nv == 0) | (c["cnorm"] == 0), F.lit(None).cast("double")
+        ).otherwise(dot(v, c["cvec"]) / (nv * c["cnorm"]))
         return rnd(cos, round_to) if round_to is not None else cos
 
-    first = F.element_at(cents, 1)
-    init = F.struct(
-        F.coalesce(score(first), F.lit(-2.0)).alias("key"),
-        score(first).alias("cos"),
-        first["cid"].alias("cid"),
+    raw = F.transform(
+        cents,
+        lambda c: F.struct(score(c).alias("cos"), c["cid"].alias("cid")),
     )
-
-    def merge(acc: Column, c: Column) -> Column:
-        cos = score(c)
-        key = F.coalesce(cos, F.lit(-2.0))
-        return F.when(
-            key > acc["key"],
-            F.struct(key.alias("key"), cos.alias("cos"), c["cid"].alias("cid")),
-        ).otherwise(acc)
-
-    # Folding the full array re-compares element 1 against itself — a
-    # strict-> no-op that keeps the init expression type-aligned without
-    # a typed NULL seed.
-    return F.aggregate(cents, init, merge)
+    keyed = F.transform(
+        raw,
+        lambda s: F.struct(
+            (-F.coalesce(s["cos"], F.lit(-2.0))).alias("key"),
+            s["cid"].alias("cid"),
+            s["cos"].alias("cos"),
+        ),
+    )
+    return F.element_at(F.array_sort(keyed), 1)
 
 
 def ivf_assign(
@@ -205,9 +213,12 @@ def ivf_assign(
     which is the dominant cost at billions of vectors).
     """
     crow = F.broadcast(_centroid_row(centroids, centroid_id, vec_col))
-    best = _nearest_centroid(F.col("_v"), F.col("_cents"), round_to, rnd)
+    best = _nearest_centroid(
+        F.col("_v"), F.col("_cents"), round_to, rnd, vnorm=F.col("_vnorm")
+    )
     return (
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_vnorm", norm(F.col("_v")))
         .crossJoin(crow)
         .withColumn("_best", best)
         .select(
@@ -273,9 +284,12 @@ def ivf_search(
             ),
         )
     )
-    best = _nearest_centroid(F.col("_v"), F.col("_cents"), round_to, rnd)
+    best = _nearest_centroid(
+        F.col("_v"), F.col("_cents"), round_to, rnd, vnorm=F.col("_vnorm")
+    )
     return (
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_vnorm", norm(F.col("_v")))
         .crossJoin(F.broadcast(combo))
         .withColumn("_best", best)
         .filter(F.array_contains(F.col("_probes"), F.col("_best")["cid"]))

@@ -258,6 +258,7 @@ ORDER BY cosine DESC, a.vec_id LIMIT 5""",
     "lists — completes the IVF path begun by ivf_assign (the scale "
     "alternative to knn_brute_force: candidates ~nprobe/ncentroids of "
     "the corpus, all joins broadcast).",
+    headline=True,
     survey_ids=("M7",),
 )
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:

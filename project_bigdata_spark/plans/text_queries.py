@@ -351,6 +351,7 @@ LIMIT 5""".replace("{COS}", _cos_sql("e.v", "q.qv")),
     "search flow a training-data pipeline runs, end-to-end under the "
     "differential gate; every stage is the scale path (narrow chunk "
     "fan-out, one Python pass, broadcast query, TakeOrderedAndProject).",
+    headline=True,
     survey_ids=("M7",),
 )
 def chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
