@@ -131,14 +131,26 @@ def minhash_candidate_pairs(
     id_col: str,
     band_rows: int = BAND_ROWS,
     max_bucket: int = 1000,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a pair.
 
     Emits distinct (id_a, id_b) with id_a < id_b. ``max_bucket`` drops
     degenerate buckets (all-identical corpora) whose self-join would be
     quadratic — the standard guard at scale.
+
+    ``num_hashes`` must match the width the signatures were built with
+    (defaults to ``NUM_HASHES``, the builder's default); a width not
+    divisible by ``band_rows`` raises rather than silently indexing past
+    the array (NULL band keys under non-ANSI mode would corrupt every
+    bucket).
     """
-    num_hashes = NUM_HASHES
+    if num_hashes is None:
+        num_hashes = NUM_HASHES
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_rows={band_rows}"
+        )
     bands = [
         F.concat_ws(
             "|", F.lit(str(b)), *[F.col("sig")[b * band_rows + r] for r in range(band_rows)]
@@ -226,15 +238,24 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     n: int = 2,
+    max_block: int = 1000,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard: compare only docs sharing a blocking
     key (cheap metadata), with distinct word-n-gram sets.
 
     Blocking is what keeps this sub-quadratic at scale; the block key
     choice (language, source, length bucket, ...) is the recall/cost dial.
+    ``max_block`` drops hot blocks (one dominant language/source — the norm
+    in web corpora) whose self-join would be quadratic, mirroring
+    ``minhash_candidate_pairs``'s ``max_bucket`` guard; route oversized
+    blocks through MinHash LSH instead.
     """
     grams = F.array_distinct(shingles_col(F.col(text_col), k=n)).alias("_grams")
     base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], grams)
+    block_w = Window.partitionBy(*block_cols)
+    base = base.withColumn("_bsz", F.count(F.lit(1)).over(block_w)).filter(
+        F.col("_bsz") <= max_block
+    )
     a = base.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("_grams").alias("ga")
     )

@@ -186,7 +186,14 @@ def label_encode(
     local = dv.withColumn(
         "_lr", F.row_number().over(Window.partitionBy("_p").orderBy(col))
     )
-    off_w = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy(lit(0)): same single-partition execution over this
+    # n_parts-row aggregate, but with an explicit partition spec so the
+    # global-window WARN stays reserved for real unpartitioned windows
+    off_w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         dv.groupBy("_p")
         .agg(F.count(F.lit(1)).alias("_n"))

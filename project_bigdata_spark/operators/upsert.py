@@ -24,6 +24,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from project_bigdata_spark.sources.registry import ensure_runtime_confs
+
 
 def upsert_partitioned(
     spark: SparkSession,
@@ -37,6 +39,21 @@ def upsert_partitioned(
     Rows whose ``key_cols`` match an update are replaced; new keys are
     inserted. Only partitions present in ``updates`` are read or written.
     """
+    # Dynamic partition overwrite is load-bearing here: in STATIC mode the
+    # final overwrite would delete every partition not present in `merged`.
+    # Assert it on the live session (runtime-scoped conf) rather than
+    # trusting the caller to have used our session factory.
+    ensure_runtime_confs(spark)
+    if (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
+        != "dynamic"
+    ):  # pragma: no cover - only reachable if the conf was made static
+        raise RuntimeError(
+            "upsert_partitioned requires "
+            "spark.sql.sources.partitionOverwriteMode=dynamic; refusing to "
+            "overwrite (STATIC mode would drop untouched partitions)"
+        )
+
     touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
     if not touched:
         return

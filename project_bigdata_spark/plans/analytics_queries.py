@@ -316,12 +316,14 @@ def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("A3",),
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar quantile columns (not one array column): the driver's rows-only
+    # canonicalization sorts the pandas frame, and array cells are unhashable.
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-            "value_quantiles"
-        ),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

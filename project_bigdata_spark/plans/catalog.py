@@ -78,11 +78,87 @@ def query(
     return wrap
 
 
+# The driver attests only the first 50 ``queries()`` entries per round, so
+# catalog order is the attestation schedule. Round 1 ran the registration
+# order (CORRECTNESS_r01.json == first 50); round 2 leads with everything the
+# driver has not yet attested — all LLM-pipeline operators (dedup / ANN /
+# text / multimodal), the TPC-H tail, and the feature/window queries — plus
+# the repaired ``approx_stats``. Four entries whose operator family already
+# has an attested sibling (``knn_batch``, ``lag_lead_features``,
+# ``time_range_rolling``, ``multi_granularity_rollup``) wait for round 3.
+_ATTESTATION_PRIORITY = [
+    # M7: dedup family
+    "dedup_exact",
+    "dedup_bow_fingerprint",
+    "minhash_signatures",
+    "minhash_near_dups",
+    "simhash_fingerprints",
+    "ngram_jaccard_block",
+    "dedup_clusters",
+    # M7: embedding similarity / ANN
+    "embedding_norms",
+    "knn_brute_force",
+    "ann_lsh_buckets",
+    "ann_lsh_query",
+    "ivf_assign",
+    "ivf_search",
+    "embedding_near_dups",
+    # M7: text analysis + multimodal + capstones
+    "token_stats",
+    "quality_scores",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "doc_chunks",
+    "multimodal_decode",
+    "text_to_embedding",
+    "chunk_embed_search",
+    "curation_pipeline",
+    # repaired in round 2 (scalar quantile columns)
+    "approx_stats",
+    # TPC-H tail
+    "q2_min_cost_supplier",
+    "q7_nation_pair_revenue",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_bulk_suppliers",
+    "q21_sole_returner",
+    "q22_idle_customers",
+    # feature/window queries
+    "time_features",
+    "rolling_features",
+    "label_encode",
+    "time_split_counts",
+    "gap_fill_hourly",
+    "gap_fill_ffill",
+    "asof_join_events",
+    "feature_frame",
+    # grouping sets / sessionization / range join / set ops / ranking
+    "rollup_order_stats",
+    "cube_lineitem_flags",
+    "sessionize_events",
+    "range_join_events",
+    "ranking_suite",
+    "set_ops",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry,
+    ordered so never-attested entries fill the driver's 50-query window."""
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError:
             pass  # module not built yet (incremental rounds)
-    return QUERIES
+    ordered = {
+        name: QUERIES[name] for name in _ATTESTATION_PRIORITY if name in QUERIES
+    }
+    for name, spec in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

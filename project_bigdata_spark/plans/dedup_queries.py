@@ -200,13 +200,17 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_block",
     oracle=f"""
-WITH g AS (
+WITH g0 AS (
   SELECT doc_id, lang, source,
          list_distinct(CASE WHEN len({WORDS_SQL}) >= 2
            THEN list_transform(range(1, len({WORDS_SQL})),
                   i -> concat_ws(' ', {WORDS_SQL}[i], {WORDS_SQL}[i+1]))
            ELSE [lower(text)] END) AS grams
   FROM documents
+), g AS (
+  SELECT * FROM (
+    SELECT g0.*, count(*) OVER (PARTITION BY lang, source) AS bsz FROM g0
+  ) WHERE bsz <= 1000
 )
 SELECT a.lang, a.source,
        CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,

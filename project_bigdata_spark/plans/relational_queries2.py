@@ -410,8 +410,6 @@ QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY s_suppkey) = 1""",
     survey_ids=("M4",),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -425,19 +423,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest = s_geo.join(F.broadcast(min_bal), on="r_regionkey").filter(
         F.col("s_acctbal") == F.col("min_bal")
     )
-    crossed = p.crossJoin(
-        F.broadcast(cheapest.select("s_suppkey", "s_name", "s_acctbal"))
-    )
-    w = Window.partitionBy("p_partkey").orderBy("s_suppkey")
-    return (
-        crossed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            N.big("p_partkey").alias("p_partkey"),
-            N.big("s_suppkey").alias("s_suppkey"),
-            "s_name",
-            N.rnd("s_acctbal", 2).alias("s_acctbal"),
-        )
+    # The per-part winner (min s_suppkey among all cheapest rows) is the
+    # same single supplier for every part, so reduce cheapest to that ONE
+    # row first and broadcast it — no |part|x|cheapest| inflation, no
+    # per-part window shuffle. TakeOrdered over the tiny cheapest set.
+    winner = cheapest.select("s_suppkey", "s_name", "s_acctbal").orderBy(
+        "s_suppkey"
+    ).limit(1)
+    return p.crossJoin(F.broadcast(winner)).select(
+        N.big("p_partkey").alias("p_partkey"),
+        N.big("s_suppkey").alias("s_suppkey"),
+        "s_name",
+        N.rnd("s_acctbal", 2).alias("s_acctbal"),
     )
 
 

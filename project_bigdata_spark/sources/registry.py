@@ -53,6 +53,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # partitioned overwrites replace only touched partitions; in STATIC
+    # mode upsert_partitioned would silently drop every untouched
+    # partition on a caller-provided vanilla session
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 
@@ -100,11 +104,13 @@ def write_partitioned_parquet(
 ) -> None:
     """Partitioned parquet sink (S7).
 
-    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by the
-    session factory) an overwrite only replaces partitions present in
-    ``df`` — at 100 TB a daily run touches one ``year/month/day`` leaf,
-    not the whole table.
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (asserted
+    here so a caller-provided vanilla session can't run STATIC and wipe
+    untouched partitions) an overwrite only replaces partitions present
+    in ``df`` — at 100 TB a daily run touches one ``year/month/day``
+    leaf, not the whole table.
     """
+    ensure_runtime_confs(df.sparkSession)
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

@@ -25,6 +25,6 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
 def test_approx_quantiles_ordered_and_bounded(spark, sf_dir):
     df = load_all()["approx_stats"].builder(spark, sf_dir)
     for r in df.collect():
-        q50, q95, q99 = r.value_quantiles
+        q50, q95, q99 = r.p50, r.p95, r.p99
         assert q50 <= q95 <= q99
         assert 0 <= q50 and q99 <= 500.1

@@ -78,3 +78,19 @@ def test_ngram_jaccard_pairs(spark):
     found = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert found[(0, 1)] == 1.0
     assert (0, 3) in found  # bigram overlap of the one-word edit is high
+
+
+def test_ngram_jaccard_hot_block_capped(spark):
+    # One hot (lang, source) block over max_block plus one small block:
+    # the guard must drop the hot block entirely (0 quadratic pairs from
+    # it) while the small block still yields its duplicate pair.
+    hot = [(i, "the same text repeated", "en", "hot") for i in range(10)]
+    cold = [(100, "a cold block doc", "fr", "cold"),
+            (101, "a cold block doc", "fr", "cold")]
+    df = spark.createDataFrame(hot + cold, ["doc_id", "text", "lang", "source"])
+    pairs = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", block_cols=["lang", "source"],
+        threshold=0.2, n=2, max_block=5,
+    ).collect()
+    assert all(r.source == "cold" for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
