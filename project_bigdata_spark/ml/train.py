@@ -114,3 +114,50 @@ def train_and_evaluate(
     test = frame.filter(F.col("hour_ts") >= split_ts).drop("hour_ts")
     model = train_regressor(train, kind=kind)
     return metrics(predict(model, test))
+
+
+def save_artifacts(
+    model,
+    path: str,
+    feature_cols: list[str],
+    train_metrics: dict[str, float],
+    encoder: DataFrame | None = None,
+) -> None:
+    """Persist the full serving bundle, the distributed analog of the
+    reference's pickle of {model, label encoder, metrics}
+    (``ml_training/train_lightgbm.py:192-201``):
+
+    - ``<path>/model`` — the fitted PipelineModel (assembler + regressor,
+      so feature assembly order ships WITH the model);
+    - ``<path>/meta.json`` — feature column order + training metrics;
+    - ``<path>/encoder`` — the label-encode dictionary as parquet, joined
+      back at inference so codes can never drift from training.
+    """
+    import json
+    import os
+
+    model.write().overwrite().save(f"{path}/model")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as fh:
+        json.dump({"feature_cols": feature_cols, "metrics": train_metrics}, fh)
+    if encoder is not None:
+        encoder.write.mode("overwrite").parquet(f"{path}/encoder")
+
+
+def load_artifacts(
+    spark: SparkSession, path: str
+) -> tuple[object, dict, DataFrame | None]:
+    """Reload (model, meta, encoder). Predictions from the reloaded model
+    are bit-identical to the original — asserted in tests/test_ml.py."""
+    import json
+    import os
+
+    from pyspark.ml import PipelineModel
+
+    model = PipelineModel.load(f"{path}/model")
+    with open(f"{path}/meta.json") as fh:
+        meta = json.load(fh)
+    encoder = None
+    if os.path.isdir(f"{path}/encoder"):
+        encoder = spark.read.parquet(f"{path}/encoder")
+    return model, meta, encoder

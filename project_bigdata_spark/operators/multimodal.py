@@ -59,19 +59,109 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def _real_decode(payload: bytes) -> tuple[int, int, float]:  # pragma: no cover
-    try:
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real PNG decode with the stdlib only (struct + zlib): parse IHDR,
+    inflate IDAT, undo per-scanline filters (None/Sub/Up/Average/Paeth,
+    PNG spec §9), return (width, height, mean Rec.601 luma in [0,1]).
+
+    Supports the common web shapes — 8-bit non-interlaced grayscale,
+    gray+alpha, RGB, RGBA. Palette/16-bit/interlaced variants raise
+    ValueError (route those through Pillow when available).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG variant (depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    prev = bytearray(stride)
+    luma_total = 0.0
+    rpos = 0
+    for _y in range(height):
+        filt = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if filt == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"bad PNG filter byte {filt}")
+        if ch <= 2:  # grayscale (+alpha): luma is the gray sample
+            luma_total += sum(line[0::ch])
+        else:  # Rec.601 weights, the same matrix PIL's convert("L") uses
+            for j in range(0, stride, ch):
+                luma_total += (
+                    0.299 * line[j] + 0.587 * line[j + 1] + 0.114 * line[j + 2]
+                )
+        prev = line
+    return width, height, luma_total / (width * height) / 255.0
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real image decode: Pillow when installed (any format), else the
+    stdlib PNG path — so ``use_real=True`` executes even in this
+    container. Non-PNG payloads without Pillow raise NotImplementedError.
+    """
+    try:  # pragma: no cover - Pillow absent in this container
         import io
 
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media decoding requires Pillow; this container ships without "
-            "image libraries — the engine uses the deterministic fake"
-        ) from exc
-    img = Image.open(io.BytesIO(payload)).convert("L")
-    px = list(img.getdata())
-    return img.width, img.height, (sum(px) / len(px)) / 255.0
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        px = list(img.getdata())
+        return img.width, img.height, (sum(px) / len(px)) / 255.0
+    except ImportError:
+        pass
+    if payload[:8] == PNG_MAGIC:
+        return _png_decode(payload)
+    raise NotImplementedError(
+        "non-PNG media decoding requires Pillow; this container ships "
+        "without image libraries"
+    )
 
 
 def decode_features(media: DataFrame, use_real: bool = False) -> DataFrame:
@@ -85,8 +175,15 @@ def decode_features(media: DataFrame, use_real: bool = False) -> DataFrame:
     # NOTE: the worker-side closure must be fully self-contained — Spark's
     # Python workers don't have this package on sys.path, and cloudpickle
     # serializes module-level functions by reference. Nested defs with
-    # local imports pickle by value.
-    if use_real:  # pragma: no cover - media libs absent in this container
+    # local imports pickle by value; for the real path we register this
+    # module for by-value pickling so _real_decode/_png_decode ship inside
+    # the closure instead of being re-imported on the worker.
+    if use_real:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
         decode = _real_decode
     else:
 

@@ -128,31 +128,76 @@ def kafka_sink_frame(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
+# Kafka source schema as the connector emits it (the "wire frame") —
+# what read_kafka_batch/stream .load() returns, and what recorded-frame
+# contract tests construct by hand so the parse path runs broker-free.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_batch_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """Option set for a full-topic batch scan (S1; reference
+    ``spark/batch_processor.py:85-92``). Pure, so the contract is
+    assertable without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        "endingOffsets": "latest",
+    }
+
+
+def kafka_stream_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """Option set for an unbounded scan (S2/T7; reference
+    ``spark/stream_processor.py:244-251``). ``failOnDataLoss=false``
+    keeps the query alive across retention-expired offsets."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "failOnDataLoss": "false",
+    }
+
+
+def parse_kafka_frame(raw: DataFrame, value_schema: str) -> DataFrame:
+    """Kafka wire frame -> typed rows: JSON-decode ``value``, keep the
+    broker metadata the medallion layer audits (event-time vs broker
+    ``timestamp``, exactly-once bookkeeping off (partition, offset)).
+
+    Works identically on the connector's output and on a recorded frame
+    built with :data:`KAFKA_WIRE_SCHEMA` — the broker-free contract test.
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("m"),
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("topic").alias("kafka_topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("m.*", *[c for c in ["kafka_key", "kafka_topic",
+                                  "kafka_partition", "kafka_offset",
+                                  "kafka_ts"]])
+
+
 def read_kafka_batch(
     spark: SparkSession, bootstrap: str, topic: str
 ) -> DataFrame:  # pragma: no cover - needs a broker + connector jar
     """Full-topic batch scan (S1; reference ``spark/batch_processor.py:85-92``)."""
-    return (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
-        .load()
-    )
+    reader = spark.read.format("kafka")
+    for k, v in kafka_batch_options(bootstrap, topic).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def read_kafka_stream(
     spark: SparkSession, bootstrap: str, topic: str
 ) -> DataFrame:  # pragma: no cover - needs a broker + connector jar
     """Unbounded scan (S2; reference ``spark/stream_processor.py:244-251``)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("failOnDataLoss", "false")
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_stream_options(bootstrap, topic).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def write_olap_table(

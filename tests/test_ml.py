@@ -34,6 +34,43 @@ def test_predictions_clamped_nonnegative(spark, sf_dir):
     assert pred.filter(F.col("prediction") < 0).count() == 0
 
 
+def test_artifact_roundtrip_identical_predictions(spark, sf_dir, tmp_path):
+    """Save/load of {model, feature order, encoder dict, metrics} — the
+    reference's pickle bundle (train_lightgbm.py:192-201). The reloaded
+    model must predict bit-identically and the encoder dictionary must
+    preserve its code assignment exactly (ordering survives)."""
+    from project_bigdata_spark.operators.features import label_encode
+
+    frame = ML.prepare_training_frame(spark, sf_dir).drop("hour_ts")
+    model = ML.train_regressor(frame, kind="linear")
+    m = ML.metrics(ML.predict(model, frame))
+    encoder = (
+        label_encode(
+            frame.select(F.col("user_encoded").alias("user_id")).distinct(),
+            "user_id",
+        )
+        .select("user_id", "user_id_encoded")
+    )
+    path = str(tmp_path / "bundle")
+    ML.save_artifacts(model, path, ML.FEATURE_COLS, m, encoder=encoder)
+
+    model2, meta, encoder2 = ML.load_artifacts(spark, path)
+    assert meta["feature_cols"] == ML.FEATURE_COLS
+    assert meta["metrics"]["rmse"] == m["rmse"]
+    before = {
+        r.user_encoded: r.prediction
+        for r in ML.predict(model, frame).select("user_encoded", "prediction").collect()
+    }
+    after = {
+        r.user_encoded: r.prediction
+        for r in ML.predict(model2, frame).select("user_encoded", "prediction").collect()
+    }
+    assert before == after  # bit-identical, not approx
+    codes = {r.user_id: r.user_id_encoded for r in encoder2.collect()}
+    expect = {u: i for i, u in enumerate(sorted(codes))}
+    assert codes == expect  # lexicographic code order survived the round-trip
+
+
 def test_kmeans_ivf_centroids_plug_into_assign(spark, sf_dir):
     """End-to-end IVF index build: sampled k-means centroids -> ivf_assign.
     Every vector gets a cell; the cells partition the corpus; and a

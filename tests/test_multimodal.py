@@ -1,0 +1,133 @@
+"""Multimodal decode: real stdlib PNG path + Arrow plumbing.
+
+Builds PNGs with a minimal in-test encoder (struct + zlib, spec-compliant)
+so the decoder's scanline-filter branches (None/Sub/Up/Average/Paeth) are
+each exercised against known pixel values — no image libraries needed.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from project_bigdata_spark.operators import multimodal as MM
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _filter_line(filt: int, line: bytes, prev: bytes, ch: int) -> bytes:
+    """Forward-apply a PNG filter (spec §9) to produce the stored bytes."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - ch] if i >= ch else 0
+        b = prev[i]
+        c = prev[i - ch] if i >= ch else 0
+        if filt == 0:
+            pred = 0
+        elif filt == 1:
+            pred = a
+        elif filt == 2:
+            pred = b
+        elif filt == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    rows: list[list[int]], color_type: int, filters: list[int] | None = None
+) -> bytes:
+    """rows = per-scanline flat samples (ch per pixel); returns PNG bytes."""
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    width = len(rows[0]) // ch
+    filters = filters or [0] * len(rows)
+    raw = bytearray()
+    prev = bytes(len(rows[0]))
+    for filt, row in zip(filters, rows):
+        line = bytes(row)
+        raw += bytes([filt]) + _filter_line(filt, line, prev, ch)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, len(rows), 8, color_type, 0, 0, 0)
+    return (
+        MM.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_grayscale_all_filters():
+    # 5 rows x 4 px, one row per filter type; known mean
+    rows = [
+        [0, 64, 128, 255],
+        [10, 20, 30, 40],
+        [200, 150, 100, 50],
+        [7, 7, 7, 7],
+        [255, 0, 255, 0],
+    ]
+    png = encode_png(rows, color_type=0, filters=[0, 1, 2, 3, 4])
+    w, h, luma = MM._png_decode(png)
+    assert (w, h) == (4, 5)
+    expect = sum(sum(r) for r in rows) / 20 / 255.0
+    assert luma == pytest.approx(expect, abs=1e-9)
+
+
+def test_png_decode_rgb_and_rgba_luma():
+    # pure red 2x1 RGB: Rec.601 luma = 0.299
+    red = encode_png([[255, 0, 0, 255, 0, 0]], color_type=2, filters=[4])
+    assert MM._png_decode(red)[2] == pytest.approx(0.299, abs=1e-9)
+    # white RGBA with alpha ignored for luma
+    white = encode_png([[255, 255, 255, 0, 255, 255, 255, 0]], color_type=6)
+    w, h, luma = MM._png_decode(white)
+    assert (w, h, luma) == (2, 1, pytest.approx(1.0, abs=1e-9))
+
+
+def test_png_decode_rejects_unsupported():
+    with pytest.raises(ValueError):
+        MM._png_decode(b"JFIF not a png")
+    bad_depth = (
+        MM.PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        MM._png_decode(bad_depth)
+
+
+def test_real_decode_spark_path(spark):
+    # use_real=True must run end-to-end through mapInPandas on workers
+    # (module registered for by-value pickling — no package import there)
+    pngs = [
+        (1, encode_png([[0, 0, 0, 0], [0, 0, 0, 0]], color_type=0)),
+        (2, encode_png([[255, 255], [255, 255]], color_type=0, filters=[0, 2])),
+    ]
+    df = spark.createDataFrame(pngs, ["media_id", "payload"])
+    media = MM.to_media_table(df, "media_id", "payload", "image")
+    out = {
+        r.media_id: r
+        for r in MM.decode_features(media, use_real=True).collect()
+    }
+    assert (out[1].width, out[1].height, out[1].mean_luma) == (4, 2, 0.0)
+    assert (out[2].width, out[2].height, out[2].mean_luma) == (2, 2, 1.0)
+
+
+def test_fake_decode_deterministic(spark):
+    df = spark.createDataFrame([(1, b"payload")], ["media_id", "payload"])
+    media = MM.to_media_table(df, "media_id", "payload", "image")
+    a = MM.decode_features(media).collect()[0]
+    b = MM.decode_features(media).collect()[0]
+    assert (a.width, a.height, a.mean_luma) == (b.width, b.height, b.mean_luma)
+    assert 64 <= a.width < 256 and 0.0 <= a.mean_luma <= 1.0

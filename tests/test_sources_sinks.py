@@ -25,6 +25,40 @@ def test_kafka_envelope_roundtrip(spark):
         assert (orig[i].etype, orig[i].value) == (rt[i].etype, rt[i].value)
 
 
+def test_kafka_recorded_frame_contract(spark):
+    """S1/S2 broker-free contract: a recorded Kafka wire frame (the exact
+    shape the connector's .load() emits) parses into typed rows with
+    broker metadata preserved; only the socket itself stays untested."""
+    import datetime as dt
+
+    envelope = R.kafka_sink_frame(
+        spark.createDataFrame([(7, "click", 1.5)], ["id", "etype", "value"])
+    ).collect()[0].value.encode()
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    recorded = spark.createDataFrame(
+        [(b"k7", envelope, "events", 3, 42, ts, 0)],
+        schema=R.KAFKA_WIRE_SCHEMA,
+    )
+    out = R.parse_kafka_frame(
+        recorded, "id long, etype string, value double"
+    ).collect()[0]
+    assert (out.id, out.etype, out.value) == (7, "click", 1.5)
+    assert (out.kafka_key, out.kafka_topic) == ("k7", "events")
+    assert (out.kafka_partition, out.kafka_offset, out.kafka_ts) == (3, 42, ts)
+
+
+def test_kafka_option_contracts():
+    """Option-building for S1/S2 matches the reference's read contract
+    (batch_processor.py:85-92, stream_processor.py:244-251)."""
+    b = R.kafka_batch_options("broker:9092", "events")
+    assert b["startingOffsets"] == "earliest"
+    assert b["endingOffsets"] == "latest"
+    assert b["subscribe"] == "events"
+    s = R.kafka_stream_options("broker:9092", "events")
+    assert s["failOnDataLoss"] == "false"  # T7 data-loss tolerance
+    assert "endingOffsets" not in s  # unbounded
+
+
 def test_partitioned_parquet_dynamic_overwrite(spark, tmp_path):
     """S7: dynamic partition overwrite only rewrites touched partitions."""
     p = str(tmp_path / "t")
