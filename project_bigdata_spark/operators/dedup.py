@@ -275,6 +275,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    distinct k-word shingles that appear anywhere in the benchmark set —
+    the standard eval-set decontamination signal for training corpora.
+
+    Scale shape: the benchmark's distinct shingle set is the SMALL side
+    (eval suites are tiny next to a 100 TB corpus) — broadcast it and
+    hash-join exploded corpus shingles against it; the corpus side stays
+    a narrow explode + two-level aggregate, no corpus-vs-corpus join.
+    """
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias(
+            "_sh"
+        ),
+    )
+    bench_sh = (
+        bench.select(
+            F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias(
+                "_sh"
+            )
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = doc_sh.join(F.broadcast(bench_sh), on="_sh", how="left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))
+        ).alias("containment"),
+    )
+
+
 CLUSTER_ROUNDS = 4
 
 

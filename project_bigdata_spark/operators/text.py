@@ -121,6 +121,67 @@ def rolling_hash(text: Column, prefix_chars: int = 64) -> Column:
     )
 
 
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): character classes, bounded repetition, \b only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# Redaction order matters: an IPv4 inside an already-redacted email can't
+# double-fire, and phone before ipv4 avoids partial overlaps. Applied in
+# this fixed sequence on both engines.
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrences per PII class (pre-redaction), for audit metrics."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace each PII class with a typed placeholder (``[EMAIL]`` ...).
+
+    Pure ``regexp_replace`` chain — codegen'd, no UDF; the standard
+    pre-training scrub pass. Counts come from :func:`pii_counts` so the
+    pipeline can report what it removed.
+    """
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"[{kind.upper()}]"
+        )
+    return out
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition — the classic low-quality-text signal
+    (boilerplate, keyword stuffing, generator loops):
+
+    - ``dup_word_ratio``: 1 - distinct/total words;
+    - ``top_word_share``: frequency of the most common word / total.
+
+    Shaped for scale: explode -> two-level aggregate keyed (doc, word)
+    then (doc) — partial aggregation shrinks each level, never an O(n²)
+    per-row array scan.
+    """
+    w = df.select(F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w"))
+    per_word = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return per_word.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_word_ratio"),
+        (F.max("c") / F.sum("c")).alias("top_word_share"),
+    )
+
+
 CHUNK_TOKENS = 50
 CHUNK_OVERLAP = 10
 

@@ -298,3 +298,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("id").alias("doc_id"),
         N.big("cluster_id").alias("cluster_id"),
     )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS sh FROM documents
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.sh) AS BIGINT) AS n_contaminated,
+       round(CAST(count(b.sh) AS DOUBLE) / count(*), 4) AS containment
+FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id""",
+    doc="Eval-set decontamination: per-document fraction of distinct "
+    "3-word shingles found anywhere in the benchmark set (docs with "
+    "doc_id %% 97 = 0 stand in for an eval suite). The benchmark shingle "
+    "set is broadcast — the corpus side stays a narrow explode + "
+    "two-level aggregate (operators/dedup.py:shingle_containment).",
+    survey_ids=("M7",),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = DD.shingle_containment(corpus, bench)
+    return out.select(
+        N.big("doc_id").alias("doc_id"),
+        "n_shingles",
+        "n_contaminated",
+        N.rnd("containment").alias("containment"),
+    )

@@ -392,3 +392,85 @@ def chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# Deterministic PII augmentation shared by the Spark query and the oracle:
+# the synthetic corpus contains no PII, so each doc gets one email, one
+# phone, and one IPv4 derived from doc_id — making redaction observable
+# and parity-checkable.
+_PII_AUG_SPARK = (
+    "concat(text, ' contact user', doc_id, '@example.com or 555-123-4567 "
+    "at 192.168.1.', doc_id % 256)"
+)
+_PII_EMAIL_SQL = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+_PII_PHONE_SQL = r"'\b\d{3}[-.]\d{3}[-.]\d{4}\b'"
+_PII_IPV4_SQL = r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, ' contact user', doc_id, '@example.com or '
+                || '555-123-4567 at 192.168.1.', doc_id % 256) AS t
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(t, {_PII_EMAIL_SQL})) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, {_PII_PHONE_SQL})) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, {_PII_IPV4_SQL})) AS BIGINT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, {_PII_EMAIL_SQL}, '[EMAIL]', 'g'),
+           {_PII_PHONE_SQL}, '[PHONE]', 'g'),
+         {_PII_IPV4_SQL}, '[IPV4]', 'g') AS redacted
+FROM aug""",
+    doc="PII scrub for training corpora: count + redact emails / phones / "
+    "IPv4s with a fixed regexp_replace chain — pure codegen'd column "
+    "expressions; patterns chosen to agree between Java regex and RE2.",
+    survey_ids=("M7",),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(_PII_AUG_SPARK)
+    )
+    counts = TX.pii_counts(F.col("t"))
+    return d.select(
+        N.big("doc_id").alias("doc_id"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        TX.pii_redact(F.col("t")).alias("redacted"),
+    )
+
+
+@query(
+    "repetition_scores",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+), pw AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_word_ratio,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_share
+FROM pw GROUP BY doc_id""",
+    doc="Within-document repetition (boilerplate / keyword-stuffing "
+    "signal): explode -> two-level aggregate, partial agg shrinks both "
+    "levels — never an O(n^2) per-row array scan.",
+    survey_ids=("M7",),
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rep = TX.repetition_metrics(d)
+    return rep.select(
+        N.big("doc_id").alias("doc_id"),
+        "n_words",
+        "n_distinct_words",
+        N.rnd("dup_word_ratio").alias("dup_word_ratio"),
+        N.rnd("top_word_share").alias("top_word_share"),
+    )

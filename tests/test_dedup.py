@@ -94,3 +94,23 @@ def test_ngram_jaccard_hot_block_capped(spark):
     ).collect()
     assert all(r.source == "cold" for r in pairs)
     assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
+
+
+def test_shingle_containment(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares a shingle prefix
+            (2, "completely unrelated content words here"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # full copy
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in DD.shingle_containment(docs, bench).collect()}
+    assert out[3].containment == 1.0            # verbatim copy fully contained
+    assert 0.0 < out[1].containment < 1.0       # partial overlap
+    assert out[2].containment == 0.0            # disjoint
+    assert out[2].n_contaminated == 0

@@ -104,6 +104,23 @@ def test_knn_batch_no_window_over_scored_set(spark, sf_dir):
     assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
 
 
+def test_q2_no_row_inflation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    # the cheapest-supplier set reduces to ONE broadcast row before
+    # touching part: no per-part window, no window shuffle
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_block_guard_in_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ngram_jaccard_block")
+    # the max_block windowed-count filter must sit in the plan (the
+    # quadratic-block guard), and the self-join must not be cartesian
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_clusters_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_clusters")
     assert "CartesianProduct" not in plan

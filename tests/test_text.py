@@ -4,6 +4,8 @@ tails)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from project_bigdata_spark.operators import text as TX
 
 
@@ -53,3 +55,41 @@ def test_chunk_exact_stride_boundary_no_empty_tail(spark):
         (0, 1, 50),
         (1, 41, 50),
     ]
+
+
+def test_pii_redact_and_counts(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "call 555-123-4567 or visit 10.0.0.1 now"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = TX.pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ipv4"].alias("i"),
+            TX.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p, out[1].i) == (1, 0, 0)
+    assert out[1].red == "mail me at [EMAIL] today"
+    assert (out[2].e, out[2].p, out[2].i) == (0, 1, 1)
+    assert out[2].red == "call [PHONE] or visit [IPV4] now"
+    assert out[3].red == rows[2][1]  # untouched
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"), (2, "all words here differ")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in TX.repetition_metrics(df).collect()}
+    assert out[1].n_words == 5 and out[1].n_distinct_words == 2
+    assert abs(out[1].dup_word_ratio - 0.6) < 1e-9
+    assert abs(out[1].top_word_share - 0.8) < 1e-9
+    assert out[2].dup_word_ratio == 0.0
+    assert abs(out[2].top_word_share - 0.25) < 1e-9
