@@ -42,11 +42,14 @@ _BAND_KEYS = ", ".join(
     for b in range(DD.NUM_HASHES // DD.BAND_ROWS)
 )
 
+# MATERIALIZED: each CTE is referenced 2-3 times downstream; without the
+# hint DuckDB re-inlines (re-evaluating the md5 x shingles work per
+# reference), tripling oracle wall-clock in the driver's gate.
 MINHASH_CTES = f"""
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT doc_id, shingles,
          {_SIG_COLS}
   FROM sh
@@ -245,7 +248,7 @@ def _cluster_rounds_sql(rounds: int) -> str:
     for k in range(1, rounds + 1):
         prev = f"l{k - 1}"
         ctes.append(
-            f"""l{k} AS (
+            f"""l{k} AS MATERIALIZED (
   SELECT l.id, least(l.label, coalesce(m.nm, l.label)) AS label
   FROM {prev} l LEFT JOIN (
     SELECT e.src AS id, min(x.label) AS nm
@@ -261,7 +264,7 @@ def _cluster_rounds_sql(rounds: int) -> str:
     oracle="WITH"
     + MINHASH_CTES
     + f""",
-vp AS (
+vp AS MATERIALIZED (
   SELECT p.id_a, p.id_b
   FROM pairs p
   JOIN sh sa ON p.id_a = sa.doc_id
@@ -270,12 +273,12 @@ vp AS (
                                 list_distinct(sb.shingles))) AS DOUBLE)
         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM vp
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM vp
 ),
-l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
 {_cluster_rounds_sql(DD.CLUSTER_ROUNDS)}
 SELECT CAST(id AS BIGINT) AS doc_id,
        CAST(label AS BIGINT) AS cluster_id
@@ -303,7 +306,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "contamination_check",
     oracle=f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS sh FROM documents
 ), bench AS (
   SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
