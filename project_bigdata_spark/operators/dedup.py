@@ -340,9 +340,14 @@ def min_label_clusters(
 
     Scale: 2 shuffles per round on (vertex, label) pairs — the standard
     iterative-join cost (what GraphFrames' connected components pays per
-    iteration). ``sym`` and each round's labels are persisted because the
-    next round references them twice; without that, lineage doubles every
-    round.
+    iteration). Each round is ONE ``join -> union -> min-aggregate``:
+    ``min(own label, neighbors' labels)`` computed by unioning the
+    current labels with the neighbor-propagated labels and taking the
+    grouped min — algebraically identical to a left-join-then-least
+    formulation but one shuffle cheaper per round (AQE stage latency
+    is the floor at small data; shuffled bytes are the floor at 100 TB).
+    ``sym`` and each round's labels are persisted because the next round
+    references them twice; without that, lineage doubles every round.
     """
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -356,19 +361,13 @@ def min_label_clusters(
         .persist()
     )
     for _ in range(rounds):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("label").alias("nbr_min"))
+        nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "label"
         )
         labels = (
-            labels.join(nbr, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
             .persist()
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
