@@ -9,7 +9,10 @@ Prints ONE JSON line:
 
 Each query is forced through a full execution with the noop sink (no
 collect — results never hit the driver), timed after a session warm-up so
-JVM startup is excluded.
+JVM startup is excluded. Reported time is the BEST of SPARK_GRAFT_RUNS
+(default 3) back-to-back runs per query: single-run wall-clock on this
+VM jitters by 20-40%, and best-of-n isolates the engine's cost from the
+neighbors' noise.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from project_bigdata_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
 
 
 def main() -> None:
@@ -42,9 +46,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for s in headliners:
-        t0 = time.perf_counter()
-        s.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[s.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            s.builder(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[s.name] = round(best, 3)
 
     sf = float(Path(SF_DIR).name.removeprefix("sf") or "0.1")
     print(

@@ -86,6 +86,11 @@ def query(
 # the repaired ``approx_stats``. Four entries whose operator family already
 # has an attested sibling (``knn_batch``, ``lag_lead_features``,
 # ``time_range_rolling``, ``multi_granularity_rollup``) wait for round 3.
+#
+# ROUND 3 TODO: replace this list with the entries still lacking a green row
+# after CORRECTNESS_r02 — the four deferred above plus any query added after
+# the round-2 window was frozen (``pii_redact``, ``repetition_scores``,
+# ``contamination_check``, ...) — then backfill with round-1-attested names.
 _ATTESTATION_PRIORITY = [
     # M7: dedup family
     "dedup_exact",

@@ -351,6 +351,10 @@ def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import medallion as M
 
     e = load_table(spark, sf_dir, "events")
+    # NOT persisted: label_encode's dictionary branch re-reads gold, but
+    # it is column-pruned to user_id only and measured CHEAPER than the
+    # cache write a persist would cost (serializing the whole 25-column
+    # frame once to save a pruned re-aggregation)
     gold = M.gold_hourly(M.silver(M.bronze(e)))
     g = FE.add_time_features(gold, "hour_ts")
     g = FE.add_lag_features(
