@@ -8,7 +8,7 @@ UDFs, so a 100 TB corpus scan stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from project_bigdata_spark.operators.dedup import words_col
@@ -179,6 +179,41 @@ def repetition_metrics(
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
         (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_word_ratio"),
         (F.max("c") / F.sum("c")).alias("top_word_share"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 64,
+) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to token-budget
+    bins (training sequences) with a deterministic greedy fill.
+
+    Packing is inherently sequential, so a global order would serialize
+    on one partition; instead docs are sharded (``id % shards`` — the
+    per-worker packing pattern real data loaders use) and packed
+    independently per shard: a windowed running token sum ordered by id,
+    ``bin = floor((cumsum - n_tokens) / budget)``. Each shard's window is
+    one partition of work; shards scale out.
+    """
+    toks = F.size(words_col(F.col(text_col))).cast("bigint")
+    shard = (F.col(id_col) % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.select(F.col(id_col), shard, toks.alias("n_tokens"))
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+        ).cast("bigint").alias("bin_id"),
     )
 
 

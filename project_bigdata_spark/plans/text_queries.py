@@ -474,3 +474,72 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("dup_word_ratio").alias("dup_word_ratio"),
         N.rnd("top_word_share").alias("top_word_share"),
     )
+
+
+@query(
+    "token_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 64 AS shard,
+         CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / 512.0) AS BIGINT) AS bin_id
+FROM t""",
+    doc="Sequence packing: assign docs to 512-token training bins with a "
+    "per-shard (doc_id % 64) windowed running sum — packing parallelizes "
+    "across shards instead of serializing on a global order "
+    "(operators/text.py:pack_documents).",
+    survey_ids=("M7",),
+)
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = TX.pack_documents(d, budget=512, shards=64)
+    return out.select(
+        N.big("doc_id").alias("doc_id"),
+        N.big("shard").alias("shard"),
+        "n_tokens",
+        "bin_id",
+    )
+
+
+@query(
+    "corpus_mix",
+    oracle="""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n) AS mn FROM c
+), r AS (
+  SELECT lang, CAST(floor(1000.0 * mn / n) AS BIGINT) AS rate_millis
+  FROM c, m
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE d.doc_id % 1000 < r.rate_millis""",
+    doc="Corpus mixing: rebalance languages by downsampling every lang to "
+    "the smallest lang's count — per-lang rates (quantized to 1/1000) from "
+    "a broadcast 2-row-per-lang rate table, rows kept by deterministic "
+    "id-hash so the sample is reproducible and oracle-checkable.",
+    survey_ids=("M7", "P12"),
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(F.lit(1000.0) * F.col("mn") / F.col("n"))
+        .cast("bigint")
+        .alias("rate_millis"),
+    )
+    return (
+        d.join(F.broadcast(rates), on="lang")
+        .filter(F.col("doc_id") % 1000 < F.col("rate_millis"))
+        .select(N.big("doc_id").alias("doc_id"), "lang")
+    )

@@ -93,3 +93,34 @@ def test_repetition_metrics(spark):
     assert abs(out[1].top_word_share - 0.8) < 1e-9
     assert out[2].dup_word_ratio == 0.0
     assert abs(out[2].top_word_share - 0.25) < 1e-9
+
+
+def test_pack_documents_bins(spark):
+    # 6 docs of 4 tokens each in one shard, budget 8 -> bins of 2 docs
+    rows = [(i * 64, "a b c d") for i in range(6)]  # same shard (id%64==0)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        (r.doc_id, r.bin_id)
+        for r in TX.pack_documents(df, budget=8, shards=64).collect()
+    )
+    assert out == [(0, 0), (64, 0), (128, 1), (192, 1), (256, 2), (320, 2)]
+
+
+def test_pack_documents_oversized_doc_gets_own_bin_start(spark):
+    # doc bigger than the budget starts at its cumsum-derived bin and
+    # pushes the next doc into a later bin — no doc is dropped
+    rows = [(0, "w " * 20), (64, "x y")]  # 20 tokens then 2, same shard
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.pack_documents(df, budget=8, shards=64).collect()}
+    assert out[0].bin_id == 0
+    assert out[64].bin_id == 2  # 20 tokens consumed bins 0-1
+    assert out[0].n_tokens == 20 and out[64].n_tokens == 2
+
+
+def test_pack_documents_shards_pack_independently(spark):
+    rows = [(0, "a b"), (1, "c d"), (64, "e f")]  # shards 0,1,0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.shard, r.bin_id)
+           for r in TX.pack_documents(df, budget=2, shards=64).collect()}
+    assert out[0] == (0, 0) and out[64] == (0, 1)   # shard 0 fills bins 0,1
+    assert out[1] == (1, 0)                          # shard 1 starts fresh
