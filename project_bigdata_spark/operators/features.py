@@ -159,7 +159,11 @@ def time_split(
 
 
 def label_encode(
-    df: DataFrame, col: str, out_col: str | None = None, n_parts: int = 32
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    n_parts: int = 32,
+    dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """F7: dense integer codes in lexicographic order — exactly sklearn's
     ``LabelEncoder`` (data_loader.py:163), without collecting the
@@ -175,11 +179,19 @@ def label_encode(
     code exactly (values are distinct, so row_number ≡ dense_rank). The
     final code join is left to AQE: broadcast when the dictionary is
     small, shuffle join when it is not.
+
+    ``dictionary``: optional cheaper source of the SAME value set (e.g.
+    the pre-aggregation table when ``df`` sits on top of an expensive
+    aggregate — distinct user_ids are identical before and after a
+    groupBy on user_id, but the pre-agg scan skips the aggregation).
+    The caller owns the equality guarantee; codes are computed from
+    ``dictionary`` and joined onto ``df``.
     """
     out = out_col or f"{col}_encoded"
     # persist BEFORE repartitionByRange: its range-boundary sampling is an
     # extra job that would otherwise re-execute the whole upstream plan
-    distinct_vals = df.select(col).distinct().persist()
+    dict_src = dictionary if dictionary is not None else df
+    distinct_vals = dict_src.select(col).distinct().persist()
     dv = distinct_vals.repartitionByRange(n_parts, F.col(col)).withColumn(
         "_p", F.spark_partition_id()
     )

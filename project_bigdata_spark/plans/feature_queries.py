@@ -351,11 +351,8 @@ def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import medallion as M
 
     e = load_table(spark, sf_dir, "events")
-    # NOT persisted: label_encode's dictionary branch re-reads gold, but
-    # it is column-pruned to user_id only and measured CHEAPER than the
-    # cache write a persist would cost (serializing the whole 25-column
-    # frame once to save a pruned re-aggregation)
-    gold = M.gold_hourly(M.silver(M.bronze(e)))
+    silver = M.silver(M.bronze(e))
+    gold = M.gold_hourly(silver)
     g = FE.add_time_features(gold, "hour_ts")
     g = FE.add_lag_features(
         g, "max_value", order_by=["hour_ts"], lags=(1, 24, 168)
@@ -366,7 +363,13 @@ def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = FE.add_rolling_features(
         g, "max_value", order_by=["hour_ts"], window_rows=168, long_window_rows=720
     )
-    g = FE.label_encode(g, "user_id", "user_encoded")
+    # dictionary from SILVER, not the windowed gold frame: gold only
+    # groups by user_id so the distinct user sets are identical, but the
+    # silver branch is a pruned scan+filter — no second pass through the
+    # gold aggregation and window chain just to list users
+    g = FE.label_encode(
+        g, "user_id", "user_encoded", dictionary=silver.select("user_id")
+    )
 
     def ptype(t: str) -> F.Column:
         pos = F.array_position(F.col("event_types"), t)

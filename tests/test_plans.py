@@ -121,6 +121,36 @@ def test_ngram_block_guard_in_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_pii_redact_stays_in_codegen(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pii_redact")
+    # pure per-row regex work: no shuffle, no Python worker, one codegen span
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_corpus_mix_broadcasts_rates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_mix")
+    # the per-lang rate table is broadcast; the corpus never shuffles for it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_packing_single_window_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "token_packing")
+    # one hash exchange on shard for the running sum; no global sort
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "contamination_check")
+    # benchmark shingle set broadcast; corpus side narrow + aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_clusters_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_clusters")
     assert "CartesianProduct" not in plan
