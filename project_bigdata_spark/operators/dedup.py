@@ -346,19 +346,23 @@ def min_label_clusters(
     grouped min — algebraically identical to a left-join-then-least
     formulation but one shuffle cheaper per round (AQE stage latency
     is the floor at small data; shuffled bytes are the floor at 100 TB).
-    ``sym`` and each round's labels are persisted because the next round
-    references them twice; without that, lineage doubles every round.
+    ``sym`` and each round's labels are ``localCheckpoint``ed: each round
+    references the previous labels twice, so the LOGICAL plan doubles per
+    round (2^rounds copies of the whole upstream pipeline — ~700 plan
+    nodes at 4 rounds) even though persisted execution is linear;
+    checkpointing truncates the lineage so Catalyst re-optimizes a
+    constant-size plan per round. The label table is (vertex, label) —
+    tiny next to the corpus — so executor-local checkpoint storage is
+    cheap; the recompute-on-executor-loss caveat applies only to this
+    bounded intermediate, never the corpus.
     """
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .persist()
+        .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
-        .persist()
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
     )
     for _ in range(rounds):
         nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
@@ -368,6 +372,6 @@ def min_label_clusters(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
