@@ -305,3 +305,109 @@ def chunk_documents_with_text(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def unigram_vocab_row(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 4096
+) -> DataFrame:
+    """ONE-row frame ``(_vmap: map<token,count>, _total: double)`` — the
+    corpus unigram model, capped to the ``vocab_size`` most frequent
+    tokens (ties broken lexicographically so the cutoff replays across
+    engines). ``_total`` counts ALL token occurrences (pre-cap), so
+    out-of-vocab mass is still normalized correctly.
+
+    Scale shape: one token-keyed shuffle builds the counts; the top-K is
+    a TakeOrdered (per-partition top-K + merge, never a global sort);
+    the map packs into a single broadcastable row — the same
+    index-in-one-row pattern as IVF centroids. ``counts`` is persisted
+    because the map and the total both consume it.
+    """
+    counts = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    vrow = (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "cnt"))
+            ).alias("_vmap")
+        )
+    )
+    trow = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    return vrow.crossJoin(trow)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    vocab_row: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_count: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: the mean unigram
+    log-probability of each document under the corpus unigram model
+    (low = gibberish / OOV-heavy; the standard pre-training quality
+    filter alongside heuristic scores).
+
+    ``avg ln(c_i/total) == (sum ln c_i)/n - ln(total)`` — the fold only
+    evaluates ``ln(map[token])`` per element (HOFs run interpreted, so
+    per-element work is the cost driver); the normalization happens once
+    per row outside the lambda. Scoring is a narrow map over the corpus
+    against the single broadcast vocab row — zero shuffles.
+    """
+    toks = words_col(F.col(text_col))
+    ln_sum = F.aggregate(
+        F.col("_toks"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.log(
+            F.coalesce(
+                F.element_at(F.col("_vmap"), t).cast("double"),
+                F.lit(oov_count),
+            )
+        ),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .crossJoin(F.broadcast(vocab_row))
+        .select(
+            F.col(id_col),
+            (ln_sum / F.size("_toks") - F.log(F.col("_total"))).alias(
+                "lm_logprob"
+            ),
+        )
+    )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_col: str,
+    epsilon: float = 0.0,
+) -> DataFrame:
+    """Data-dependent curation filter: keep rows whose ``score_col`` is at
+    or above the ``q``-th quantile of their ``group_col`` cohort (e.g.
+    "drop the bottom quartile per language" — corpus-relative, unlike a
+    fixed threshold which over-prunes low-resource languages).
+
+    Two passes by construction (the threshold depends on the full score
+    distribution): pass 1 reduces to ONE row per group (exact
+    interpolated percentile), which broadcasts; pass 2 is a narrow
+    filter. For cross-engine replay, pre-round the scores to a fixed
+    grid and pass an ``epsilon`` far below the grid spacing: the
+    comparison ``score >= thr - epsilon`` then tolerates the ulp-level
+    noise of interpolated thresholds without ever admitting a
+    genuinely-below-threshold row.
+    """
+    thr = df.groupBy(group_col).agg(
+        F.percentile(score_col, F.lit(q)).alias("_thr")
+    )
+    return df.join(F.broadcast(thr), on=group_col).filter(
+        F.col(score_col) >= F.col("_thr") - F.lit(epsilon)
+    )

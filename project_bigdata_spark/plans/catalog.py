@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.dedup_queries",
     "project_bigdata_spark.plans.similarity_queries",
     "project_bigdata_spark.plans.text_queries",
+    "project_bigdata_spark.plans.corpus_queries",
 ]
 
 
@@ -88,9 +89,13 @@ def query(
 # ``time_range_rolling``, ``multi_granularity_rollup``) wait for round 3.
 #
 # ROUND 3 TODO: replace this list with the entries still lacking a green row
-# after CORRECTNESS_r02 — the four deferred above plus any query added after
-# the round-2 window was frozen (``pii_redact``, ``repetition_scores``,
-# ``contamination_check``, ...) — then backfill with round-1-attested names.
+# after CORRECTNESS_r02 — the four deferred above (``knn_batch``,
+# ``lag_lead_features``, ``time_range_rolling``, ``multi_granularity_rollup``)
+# plus every query added after the round-2 window was frozen
+# (``pii_redact``, ``repetition_scores``, ``contamination_check``,
+# ``token_packing``, ``corpus_mix``, ``unigram_logprob``,
+# ``quality_quantile_filter``, ``snapshot_diff``) — then backfill with
+# round-1-attested names.
 _ATTESTATION_PRIORITY = [
     # M7: dedup family
     "dedup_exact",

@@ -1,0 +1,158 @@
+"""Corpus-lifecycle catalog entries over ``documents``: unigram-LM quality
+scoring, quantile-threshold curation, and snapshot diffing.
+
+These extend the M7 training-data pipeline past per-document heuristics to
+the corpus-relative passes a refresh cycle needs: "score against the corpus
+LM", "drop the bottom quartile per language", "what changed since the last
+dump" (the reference re-ingests full dumps with no delta accounting —
+``spark/batch_processor.py`` overwrites in place).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import snapshot as SN
+from project_bigdata_spark.operators import text as TX
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.text_queries import (
+    PUNCT_RE_SQL,
+    WORDS_SQL,
+    _profile_score_sql,
+)
+from project_bigdata_spark.sources import load_table
+
+VOCAB_SIZE = 4096
+
+# The quality formula of quality_scores, rounded to the shared 4-decimal
+# grid BEFORE any threshold math (see quality_quantile_filter).
+QUALITY_SQL = f"""round(
+  least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
+  + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0) * 3.0e-1
+  + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
+                   / length(text) * 5, 1.0e0)) * 3.0e-1,
+4)"""
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+), counts AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+), vocab AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {VOCAB_SIZE}
+)
+SELECT CAST(toks.doc_id AS BIGINT) AS doc_id,
+       round(avg(ln(coalesce(CAST(v.c AS DOUBLE), 5.0e-1)))
+             - ln(min(total.t)), 4) AS lm_logprob
+FROM toks LEFT JOIN vocab v ON toks.w = v.w CROSS JOIN total
+GROUP BY toks.doc_id""",
+    doc="CCNet-style LM quality proxy: mean unigram log-probability per "
+    "document under the corpus top-4096 unigram model (OOV mass 0.5). "
+    "Vocab builds with one token shuffle + TakeOrdered, packs into ONE "
+    "broadcast map row; scoring is a zero-shuffle fold per document.",
+    survey_ids=("M7",),
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vrow = TX.unigram_vocab_row(d, vocab_size=VOCAB_SIZE)
+    scores = TX.unigram_logprob_scores(d, vrow)
+    return scores.select(
+        N.big("doc_id").alias("doc_id"),
+        N.rnd("lm_logprob").alias("lm_logprob"),
+    )
+
+
+@query(
+    "quality_quantile_filter",
+    oracle=f"""
+WITH q AS MATERIALIZED (
+  SELECT doc_id, lang, {QUALITY_SQL} AS quality FROM documents
+), thr AS (
+  SELECT lang, quantile_cont(quality, 2.5e-1) AS thr FROM q GROUP BY lang
+)
+SELECT q.lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(q.quality AS DECIMAL(14,4))) AS DOUBLE)
+             / count(*), 4) AS avg_quality,
+       round(min(thr.thr), 4) AS threshold
+FROM q JOIN thr ON q.lang = thr.lang
+WHERE q.quality >= thr.thr - 1.0e-9
+GROUP BY q.lang""",
+    doc="Corpus-relative curation: drop the bottom quality quartile PER "
+    "LANGUAGE (a fixed global threshold over-prunes low-resource "
+    "languages). Two passes by construction: a one-row-per-language "
+    "exact-percentile table (broadcast), then a narrow filter. Scores "
+    "are pre-rounded to the 4-decimal grid and the comparison carries a "
+    "1e-9 slack so interpolated-threshold ulp noise can never flip a "
+    "row across engines (the grid spacing is 1e-4).",
+    survey_ids=("M7",),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        N.rnd(TX.quality_score(F.col("text"))).alias("quality"),
+    )
+    kept = TX.quantile_threshold_filter(
+        scored, "quality", q=0.25, group_col="lang", epsilon=1e-9
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        N.rnd(
+            F.sum(F.col("quality").cast("decimal(14,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+        N.rnd(F.min("_thr")).alias("threshold"),
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 11 <> 3
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END)
+           AS dg
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.dg <> n.dg THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+GROUP BY 1""",
+    doc="Corpus refresh audit: diff two snapshot views of documents by "
+    "content digest (full-outer join on doc_id) and roll up to "
+    "added/removed/changed/unchanged counts. Only 16-byte digests "
+    "shuffle, never payloads. Snapshots are simulated deterministically "
+    "from the one documents table: doc_id%11==3 rows are 'late "
+    "additions' (absent from old), doc_id%7==0 rows were 'removed', and "
+    "doc_id%5==0 rows carry an edited payload in new.",
+    survey_ids=("M7",),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    return SN.snapshot_diff_summary(old, new)

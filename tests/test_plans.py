@@ -161,3 +161,28 @@ def test_chunk_embed_search_single_python_stage_topk(spark, sf_dir):
     # top-k is a TakeOrderedAndProject; the query-row branch is broadcast
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_unigram_scoring_zero_corpus_shuffle(spark, sf_dir):
+    # vocab packs into ONE broadcast row (crossJoin-broadcast); the
+    # scoring pass over documents must be a narrow fold — no token
+    # explode+join on the corpus side, no window
+    plan = plan_of(spark, sf_dir, "unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_quantile_threshold_broadcasts(spark, sf_dir):
+    # the one-row-per-language threshold table joins broadcast, never SMJ
+    plan = plan_of(spark, sf_dir, "quality_quantile_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_joins_digests_only(spark, sf_dir):
+    # full-outer join on doc_id: SMJ is the right strategy (both sides
+    # large at scale); the join schema must carry digests, never text
+    plan = plan_of(spark, sf_dir, "snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan

@@ -124,3 +124,52 @@ def test_pack_documents_shards_pack_independently(spark):
            for r in TX.pack_documents(df, budget=2, shards=64).collect()}
     assert out[0] == (0, 0) and out[64] == (0, 1)   # shard 0 fills bins 0,1
     assert out[1] == (1, 0)                          # shard 1 starts fresh
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus: 6 tokens total; counts: a=3, b=2, c=1
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+    vrow = TX.unigram_vocab_row(df, vocab_size=10)
+    got = {
+        r.doc_id: r.lm_logprob
+        for r in TX.unigram_logprob_scores(df, vrow).collect()
+    }
+    exp1 = (2 * math.log(3) + math.log(2)) / 3 - math.log(6)
+    exp2 = (math.log(3) + math.log(2) + math.log(1)) / 3 - math.log(6)
+    assert abs(got[1] - exp1) < 1e-9
+    assert abs(got[2] - exp2) < 1e-9
+    assert 3 not in got  # empty doc has no tokens -> filtered
+
+
+def test_unigram_vocab_cap_and_oov(spark):
+    import math
+
+    # vocab_size=1 keeps only the top token; everything else scores OOV
+    df = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    vrow = TX.unigram_vocab_row(df, vocab_size=1)
+    row = TX.unigram_logprob_scores(df, vrow).collect()[0]
+    exp = (2 * math.log(2) + math.log(0.5)) / 3 - math.log(3)
+    assert abs(row.lm_logprob - exp) < 1e-9
+
+
+def test_quantile_threshold_filter_keeps_upper_quartile(spark):
+    rows = [(i, "en", float(i)) for i in range(1, 9)]  # scores 1..8
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    kept = TX.quantile_threshold_filter(df, "score", q=0.25, group_col="lang")
+    ids = sorted(r.doc_id for r in kept.collect())
+    # p25 of 1..8 (interpolated) = 2.75 -> keep 3..8
+    assert ids == [3, 4, 5, 6, 7, 8]
+
+
+def test_quantile_threshold_filter_epsilon_admits_exact_ties(spark):
+    # all-equal scores: threshold == the value; every row must survive
+    rows = [(i, "en", 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    kept = TX.quantile_threshold_filter(
+        df, "score", q=0.25, group_col="lang", epsilon=1e-9
+    )
+    assert kept.count() == 4
