@@ -198,11 +198,14 @@ def label_encode(
     local = dv.withColumn(
         "_lr", F.row_number().over(Window.partitionBy("_p").orderBy(col))
     )
-    # partitionBy(lit(0)): same single-partition execution over this
+    # partitionBy(_p % 1): same single-partition execution over this
     # n_parts-row aggregate, but with an explicit partition spec so the
-    # global-window WARN stays reserved for real unpartitioned windows
+    # global-window WARN stays reserved for real unpartitioned windows.
+    # (A bare lit(0) is constant-folded OUT of the partition spec before
+    # WindowExec checks it, so the WARN would still fire; _p % 1 is
+    # non-foldable yet constant-valued.)
     off_w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.col("_p") % 1)
         .orderBy("_p")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
