@@ -126,6 +126,73 @@ def minhash_signatures(
     return out.withColumn("sig", sig)
 
 
+def _banded(
+    sigs: DataFrame,
+    id_col: str,
+    band_rows: int,
+    max_bucket: int,
+    num_hashes: int | None,
+) -> DataFrame:
+    """Explode signatures to (id, band_key) rows, dropping band buckets
+    larger than ``max_bucket`` (the quadratic-bucket guard shared by the
+    self-join and incremental pair builders)."""
+    if num_hashes is None:
+        num_hashes = NUM_HASHES
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_rows={band_rows}"
+        )
+    bands = [
+        F.concat_ws(
+            "|", F.lit(str(b)), *[F.col("sig")[b * band_rows + r] for r in range(band_rows)]
+        ).alias("band_key")
+        for b in range(num_hashes // band_rows)
+    ]
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band_key")
+    )
+    bucket_w = Window.partitionBy("band_key")
+    return (
+        exploded.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def minhash_incremental_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    band_rows: int = BAND_ROWS,
+    max_bucket: int = 1000,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Two-sided LSH banding for INCREMENTAL dedup: candidate pairs
+    between a new batch and an already-deduped corpus — never
+    corpus x corpus (done in a previous cycle) and never new x new
+    (run :func:`minhash_candidate_pairs` on the batch for that).
+
+    This is the refresh-cycle shape at 100 TB: the corpus side re-pairs
+    O(|new| x bucket) work instead of O(|corpus|²); persisted corpus
+    signatures make the whole pass independent of corpus text size.
+    Each side's band buckets are capped at ``max_bucket`` independently
+    (a hot bucket is quadratic in the product of the two sides).
+
+    Emits distinct ``(id_a = new id, id_b = corpus id)``.
+    """
+    n = _banded(new_sigs, id_col, band_rows, max_bucket, num_hashes)
+    c = _banded(corpus_sigs, id_col, band_rows, max_bucket, num_hashes)
+    return (
+        n.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+        .join(
+            c.select(F.col("band_key"), F.col(id_col).alias("id_b")),
+            on="band_key",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -145,25 +212,7 @@ def minhash_candidate_pairs(
     the array (NULL band keys under non-ANSI mode would corrupt every
     bucket).
     """
-    if num_hashes is None:
-        num_hashes = NUM_HASHES
-    if num_hashes % band_rows != 0:
-        raise ValueError(
-            f"num_hashes={num_hashes} not divisible by band_rows={band_rows}"
-        )
-    bands = [
-        F.concat_ws(
-            "|", F.lit(str(b)), *[F.col("sig")[b * band_rows + r] for r in range(band_rows)]
-        ).alias("band_key")
-        for b in range(num_hashes // band_rows)
-    ]
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("band_key")
-    )
-    bucket_w = Window.partitionBy("band_key")
-    bounded = exploded.withColumn("_bsz", F.count(F.lit(1)).over(bucket_w)).filter(
-        F.col("_bsz") <= max_bucket
-    )
+    bounded = _banded(sigs, id_col, band_rows, max_bucket, num_hashes)
     a = bounded.select(F.col("band_key"), F.col(id_col).alias("id_a"))
     b = bounded.select(F.col("band_key"), F.col(id_col).alias("id_b"))
     return (

@@ -45,7 +45,7 @@ _BAND_KEYS = ", ".join(
 # MATERIALIZED: each CTE is referenced 2-3 times downstream; without the
 # hint DuckDB re-inlines (re-evaluating the md5 x shingles work per
 # reference), tripling oracle wall-clock in the driver's gate.
-MINHASH_CTES = f"""
+MINHASH_BASE_CTES = f"""
 sh AS MATERIALIZED (
   SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
 ),
@@ -56,13 +56,23 @@ sigs AS MATERIALIZED (
 ),
 bands AS (
   SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
-),
+)"""
+
+MINHASH_CTES = (
+    MINHASH_BASE_CTES
+    + """,
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band_key)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )"""
+)
+
+# Exact-Jaccard between two shingle arrays (mirrors jaccard_verify).
+_JACCARD_SQL = """CAST(len(list_intersect(list_distinct(sa.shingles),
+                              list_distinct(sb.shingles))) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))"""
 
 
 @query(
@@ -336,4 +346,70 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_contaminated",
         N.rnd("containment").alias("containment"),
+    )
+
+
+@query(
+    "incremental_dedup",
+    oracle="WITH"
+    + MINHASH_BASE_CTES
+    + f""",
+ipairs AS (
+  SELECT n.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands n JOIN bands c USING (band_key)
+  WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT p.id_a, count(*) AS n_matches, max({_JACCARD_SQL}) AS best_j
+  FROM ipairs p
+  JOIN sh sa ON p.id_a = sa.doc_id
+  JOIN sh sb ON p.id_b = sb.doc_id
+  WHERE {_JACCARD_SQL} >= 0.2
+  GROUP BY p.id_a
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(v.n_matches, 0) AS BIGINT) AS n_corpus_matches,
+       CAST(CASE WHEN v.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_novel,
+       round(coalesce(v.best_j, 0.0e0), 4) AS best_jaccard
+FROM documents d LEFT JOIN ver v ON d.doc_id = v.id_a
+WHERE d.doc_id % 3 = 0""",
+    doc="Incremental dedup — the corpus-refresh cycle: screen a NEW batch "
+    "(doc_id%3==0) against the EXISTING deduped corpus via two-sided LSH "
+    "banding (new x corpus only, never corpus x corpus), verify "
+    "candidates with exact Jaccard at 0.2, and flag each new doc novel "
+    "or duplicate-of-corpus. At 100 TB the corpus side is a persisted "
+    "signature table, so cost scales with the batch, not the corpus.",
+    survey_ids=("M7",),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # one signature pass over ALL docs (signatures depend only on text),
+    # persisted: banding reads it twice and verification twice more
+    sigs = DD.minhash_signatures(d, "doc_id", "text").persist()
+    new_s = sigs.filter(F.col("doc_id") % 3 == 0)
+    corp_s = sigs.filter(F.col("doc_id") % 3 != 0)
+    pairs = DD.minhash_incremental_pairs(new_s, corp_s, "doc_id")
+    ver = DD.jaccard_verify(pairs, sigs, "doc_id", threshold=0.2)
+    m = ver.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("best_j"),
+    )
+    return (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .join(m.withColumnRenamed("id_a", "doc_id"), on="doc_id", how="left")
+        .select(
+            N.big("doc_id").alias("doc_id"),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_corpus_matches"),
+            F.when(F.col("n_matches").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_novel"),
+            N.rnd(F.coalesce(F.col("best_j"), F.lit(0.0))).alias(
+                "best_jaccard"
+            ),
+        )
     )

@@ -114,3 +114,38 @@ def test_shingle_containment(spark):
     assert 0.0 < out[1].containment < 1.0       # partial overlap
     assert out[2].containment == 0.0            # disjoint
     assert out[2].n_contaminated == 0
+
+
+def test_incremental_pairs_only_cross_side(spark):
+    # near-identical texts land in shared LSH buckets; the incremental
+    # builder must emit only new x corpus pairs — never corpus x corpus
+    # (ids 1,2 are mutual dups) nor new x new (ids 10,11 are mutual dups)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base), (2, base),               # corpus dups of each other
+        (10, base), (11, base),             # new-batch dups of each other
+        (12, "completely unrelated text with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = DD.minhash_signatures(df, "doc_id", "text")
+    new_s = sigs.filter(F.col("doc_id") >= 10)
+    corp_s = sigs.filter(F.col("doc_id") < 10)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_incremental_pairs(new_s, corp_s, "doc_id").collect()
+    }
+    assert pairs == {(10, 1), (10, 2), (11, 1), (11, 2)}
+
+
+def test_incremental_pairs_bucket_cap_bounds_hot_bucket(spark):
+    # one degenerate corpus bucket (all-identical docs): the per-side cap
+    # must drop it rather than emit |new| x |corpus| pairs
+    rows = [(i, "same text everywhere all the time") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = DD.minhash_signatures(df, "doc_id", "text")
+    new_s = sigs.filter(F.col("doc_id") >= 30)
+    corp_s = sigs.filter(F.col("doc_id") < 30)
+    n = DD.minhash_incremental_pairs(
+        new_s, corp_s, "doc_id", max_bucket=10
+    ).count()
+    assert n == 0

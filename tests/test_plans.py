@@ -186,3 +186,10 @@ def test_snapshot_diff_joins_digests_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "snapshot_diff")
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_no_cartesian_no_corpus_self_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "incremental_dedup")
+    assert "CartesianProduct" not in plan
+    # pairing happens through the band_key equi-join, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
