@@ -219,3 +219,31 @@ def label_encode(
         col, (F.col("_lr") + F.col("_off") - 1).alias(out)
     )
     return df.join(codes, on=col, how="left")
+
+
+def hash_split_assign(
+    df: DataFrame,
+    id_col: str,
+    train_buckets: int = 204,
+    val_buckets: int = 26,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (the sibling of
+    :func:`time_split` for non-temporal corpora): bucket = the first two
+    hex nibbles of ``md5(id)`` (0..255), split by bucket thresholds
+    (defaults ≈ 80/10/10).
+
+    Hashing the id decorrelates the split from ingest order — an id
+    modulo leaks collection time into the split. A narrow map, no
+    shuffle, and stable across corpus refreshes: a document keeps its
+    split forever, so val/test never bleed into train between versions.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < train_buckets, F.lit("train"))
+        .when(bucket < train_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, split)

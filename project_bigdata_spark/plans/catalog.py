@@ -94,8 +94,8 @@ def query(
 # plus every query added after the round-2 window was frozen
 # (``pii_redact``, ``repetition_scores``, ``contamination_check``,
 # ``token_packing``, ``corpus_mix``, ``unigram_logprob``,
-# ``quality_quantile_filter``, ``snapshot_diff``) — then backfill with
-# round-1-attested names.
+# ``quality_quantile_filter``, ``snapshot_diff``, ``incremental_dedup``,
+# ``hash_split``) — then backfill with round-1-attested names.
 _ATTESTATION_PRIORITY = [
     # M7: dedup family
     "dedup_exact",

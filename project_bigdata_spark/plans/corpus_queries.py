@@ -156,3 +156,40 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digest"),
     )
     return SN.snapshot_diff_summary(old, new)
+
+
+_NIBBLE = "strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {pos}, 1)) - 1"
+
+
+@query(
+    "hash_split",
+    oracle=f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         ({_NIBBLE.format(pos=1)}) * 16 + ({_NIBBLE.format(pos=2)}) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2""",
+    doc="Deterministic hash-based train/val/test split (~80/10/10 by "
+    "md5(doc_id) bucket): decorrelated from ingest order and stable "
+    "across corpus refreshes — a doc keeps its split forever, so "
+    "val/test never bleed into train between versions. Narrow map + "
+    "one small aggregation; the per-language census is the leakage "
+    "sanity check.",
+    survey_ids=("M7", "W7"),
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import features as FE
+
+    d = load_table(spark, sf_dir, "documents")
+    out = FE.hash_split_assign(d, "doc_id")
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

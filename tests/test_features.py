@@ -155,3 +155,16 @@ def test_asof_join_matches_merge_asof(spark, frame):
         got["rv_asof"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_hash_split_deterministic_and_roughly_80_10_10(spark):
+    from project_bigdata_spark.operators.features import hash_split_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split_assign(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split_assign(df, "doc_id").collect()}
+    assert a == b  # stable across runs — a doc keeps its split forever
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in set(a.values())}
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.06 < frac["val"] < 0.15
+    assert 0.06 < frac["test"] < 0.15
