@@ -263,3 +263,59 @@ def stream_stream_conversion_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def incremental_dedup_stream(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous-ingestion dedup: screen each micro-batch of incoming
+    documents against a STATIC corpus signature table (built once by
+    :func:`~project_bigdata_spark.operators.dedup.minhash_signatures`
+    and persisted) and append a per-doc novelty verdict to ``out_path``.
+
+    Runs through ``foreachBatch`` so the BATCH incremental-dedup operator
+    executes verbatim per micro-batch — the two-sided LSH banding needs a
+    ``distinct`` and per-side bucket-cap windows, neither of which is
+    append-streamable, and foreachBatch is the canonical escape hatch
+    that keeps batch/stream semantics identical. State stays bounded:
+    the corpus side never grows within the query (refresh it by
+    restarting with a new signature snapshot), and each batch's
+    signatures are persisted only for the batch's own lifetime.
+    """
+    from pyspark.sql import functions as _F
+
+    from project_bigdata_spark.operators import dedup as DD
+
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        sigs_new = DD.minhash_signatures(batch_df, id_col, text_col).persist()
+        pairs = DD.minhash_incremental_pairs(sigs_new, corpus_sigs, id_col)
+        ver = DD.jaccard_verify(
+            pairs, sigs_new.unionByName(corpus_sigs), id_col, threshold
+        )
+        m = ver.groupBy("id_a").agg(_F.count(_F.lit(1)).alias("n_matches"))
+        out = (
+            batch_df.select(id_col)
+            .join(m.withColumnRenamed("id_a", id_col), on=id_col, how="left")
+            .select(
+                _F.col(id_col),
+                _F.coalesce("n_matches", _F.lit(0))
+                .cast("int")
+                .alias("n_corpus_matches"),
+                _F.col("n_matches").isNull().alias("is_novel"),
+                _F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        out.write.mode("append").parquet(out_path)
+        sigs_new.unpersist()
+
+    return (
+        new_docs.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -366,3 +366,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_streaming_incremental_dedup_against_static_corpus(spark, tmp_path):
+    """Continuous-ingestion screening: micro-batches of new docs are
+    LSH-matched against a static corpus signature table; dups of corpus
+    docs are flagged, novel docs pass."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from project_bigdata_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "an entirely different corpus document about spark")],
+        ["doc_id", "text"],
+    )
+    corpus_sigs = DD.minhash_signatures(corpus, "doc_id", "text").persist()
+    corpus_sigs.count()  # materialize the static side once
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    chk = str(tmp_path / "docs_chk")
+    spark.createDataFrame([(10, base)], schema).write.mode("append").parquet(src)
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = SP.incremental_dedup_stream(raw, corpus_sigs, out, chk)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(11, "totally novel words never seen before in any shape")], schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[10].is_novel is False and rows[10].n_corpus_matches >= 1
+    assert rows[11].is_novel is True and rows[11].n_corpus_matches == 0
+    corpus_sigs.unpersist()
