@@ -424,3 +424,26 @@ def min_label_clusters(
             .localCheckpoint()
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def apply_dedup(
+    df: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduped corpus from cluster labels: keep every doc
+    with no verified near-dup plus each cluster's canonical (min-id)
+    representative — the ACTION step after
+    :func:`min_label_clusters` turns pairs into components.
+
+    ``labels`` is (id, cluster_id) and covers only docs that appeared in
+    a verified pair — a small table next to the corpus, so the left join
+    is AQE-broadcastable; the corpus itself moves at most once.
+    """
+    lab = labels.select(F.col("id").alias(id_col), "cluster_id")
+    return (
+        df.join(lab, on=id_col, how="left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col(id_col))
+        )
+        .drop("cluster_id")
+    )

@@ -413,3 +413,65 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_apply",
+    oracle="WITH"
+    + MINHASH_CTES
+    + f""",
+vp AS MATERIALIZED (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON p.id_a = sa.doc_id
+  JOIN sh sb ON p.id_b = sb.doc_id
+  WHERE {_JACCARD_SQL} >= 0.2
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM vp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vp
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+{_cluster_rounds_sql(DD.CLUSTER_ROUNDS)}
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.label IS NULL OR l.label = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN l.label IS NOT NULL AND l.label <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN l{DD.CLUSTER_ROUNDS} l ON d.doc_id = l.id
+GROUP BY d.lang""",
+    doc="The dedup ACTION: near-dup pairs -> clusters -> materialized "
+    "canonical corpus (min-id survivor per component, all unmatched docs "
+    "kept), reported as a per-language census. The labels table covers "
+    "only docs in verified pairs, so the final join broadcasts under "
+    "AQE; the corpus moves at most once.",
+    survey_ids=("M7",),
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text").persist()
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    verified = DD.jaccard_verify(pairs, sigs, "doc_id", threshold=0.2)
+    labels = DD.min_label_clusters(verified.select("id_a", "id_b"))
+    kept = DD.apply_dedup(d, labels, "doc_id")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    surv = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors")
+    )
+    return (
+        per_lang.join(surv, on="lang", how="left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_survivors", F.lit(0))
+            .cast("bigint")
+            .alias("n_survivors"),
+            (F.col("n_docs") - F.coalesce("n_survivors", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

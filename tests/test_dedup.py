@@ -149,3 +149,17 @@ def test_incremental_pairs_bucket_cap_bounds_hot_bucket(spark):
         new_s, corp_s, "doc_id", max_bucket=10
     ).count()
     assert n == 0
+
+
+def test_apply_dedup_keeps_canonicals_and_unmatched(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9)], ["doc_id", "text"]
+    )
+    # clusters: {1,2,3} (canonical 1); 7 and 9 never matched anything
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["id", "cluster_id"]
+    )
+    kept = sorted(
+        r.doc_id for r in DD.apply_dedup(df, labels, "doc_id").collect()
+    )
+    assert kept == [1, 7, 9]

@@ -193,3 +193,8 @@ def test_incremental_dedup_no_cartesian_no_corpus_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # pairing happens through the band_key equi-join, never a nested loop
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_apply_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_apply")
+    assert "CartesianProduct" not in plan
