@@ -543,3 +543,28 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 1000 < F.col("rate_millis"))
         .select(N.big("doc_id").alias("doc_id"), "lang")
     )
+
+
+@query(
+    "frame_sample",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(unnest(range(0,
+              greatest(CAST(floor(octet_length(encode(text)) / 1000) AS INT), 1),
+              10)) AS BIGINT) AS frame_idx
+FROM documents""",
+    doc="Video frame-sampling plumbing: every-Nth-frame (media_id, "
+    "frame_idx) pairs generated executor-side with sequence+explode "
+    "(frame count proxied from byte_len until a real demuxer exists — "
+    "the sampled frames then feed decode_features). The blob itself is "
+    "projected away before the explode: payloads never shuffle.",
+    survey_ids=("M7",),
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_table(d, "doc_id", "text", "video")
+    plan = MM.frame_sample_plan(media, every_n=10)
+    return plan.select(
+        N.big("media_id").alias("media_id"),
+        N.big("frame_idx").alias("frame_idx"),
+    )

@@ -131,3 +131,18 @@ def test_fake_decode_deterministic(spark):
     b = MM.decode_features(media).collect()[0]
     assert (a.width, a.height, a.mean_luma) == (b.width, b.height, b.mean_luma)
     assert 64 <= a.width < 256 and 0.0 <= a.mean_luma <= 1.0
+
+
+def test_frame_sample_every_n_and_min_one_frame(spark):
+    from project_bigdata_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 25_000), (2, b"y" * 100)], ["doc_id", "payload"]
+    )
+    media = MM.to_media_table(df, "doc_id", "payload", "video")
+    got = {}
+    for r in MM.frame_sample_plan(media, every_n=10).collect():
+        got.setdefault(r.media_id, []).append(r.frame_idx)
+    # 25 frames -> sampled 0,10,20; tiny payload still yields frame 0
+    assert sorted(got[1]) == [0, 10, 20]
+    assert got[2] == [0]
