@@ -411,3 +411,26 @@ def quantile_threshold_filter(
     return df.join(F.broadcast(thr), on=group_col).filter(
         F.col(score_col) >= F.col("_thr") - F.lit(epsilon)
     )
+
+
+# Unicode cleanup patterns shared verbatim with the oracle SQL: \x{...}
+# escapes parse identically under Java regex (Spark) and RE2 (DuckDB).
+NORM_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[\x{200B}-\x{200D}\x{FEFF}]", ""),  # zero-width + BOM
+    (r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]", ""),  # C0/DEL
+    (r"\x{A0}", " "),  # NBSP -> space
+    (r"\s+", " "),  # collapse whitespace runs
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """Pre-training text normalization: strip zero-width characters and
+    C0 controls (keeping \\t/\\n/\\r only long enough to fold them into
+    the whitespace collapse), NBSP -> space, collapse whitespace runs,
+    trim. A pure ``regexp_replace`` chain — codegen'd, no UDF — applied
+    before any hashing/shingling so byte-level junk cannot defeat
+    dedup."""
+    out = text
+    for pat, rep in NORM_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

@@ -193,3 +193,36 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+def _norm_sql(col: str) -> str:
+    out = col
+    for pat, rep in TX.NORM_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"trim({out})"
+
+
+@query(
+    "text_normalize",
+    oracle=f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length({_norm_sql("text")}) AS BIGINT) AS n_chars_norm,
+       md5({_norm_sql("text")}) AS norm_digest
+FROM documents""",
+    doc="Unicode text normalization (zero-width/C0 strip, NBSP, "
+    "whitespace collapse, trim) as a shared-pattern regexp_replace "
+    "chain — the cleanup pass that runs before hashing/shingling so "
+    "byte-level junk cannot defeat dedup. Output is the digest of the "
+    "normalized text plus the length delta, never the payload.",
+    survey_ids=("M7",),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    return d.select(
+        N.big("doc_id").alias("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_digest"),
+    )

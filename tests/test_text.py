@@ -173,3 +173,10 @@ def test_quantile_threshold_filter_epsilon_admits_exact_ties(spark):
         df, "score", q=0.25, group_col="lang", epsilon=1e-9
     )
     assert kept.count() == 4
+
+
+def test_normalize_text_strips_junk_and_collapses_whitespace(spark):
+    raw = "a​b\x07c   d\t\te\n\nf  g"
+    df = spark.createDataFrame([(1, raw)], ["doc_id", "text"])
+    got = df.select(TX.normalize_text(F.col("text")).alias("t")).collect()[0].t
+    assert got == "ab" + "c d e f g"  # zero-width + BEL removed, ws collapsed
