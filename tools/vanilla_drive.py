@@ -21,7 +21,8 @@ qs = e.queries()
 # the conf-sensitive paths: events nanos read, map policy, tz formatting,
 # plus the mapInPandas python-worker path
 for name in ["gold_hourly", "layer_stats", "multimodal_decode", "feature_frame",
-             "sessionize_events", "knn_brute_force"]:
+             "sessionize_events", "knn_brute_force", "unigram_logprob",
+             "incremental_dedup", "dedup_apply", "text_normalize", "hash_split"]:
     n = len(qs[name](spark, "/root/testdata/sf0.001").collect())
     print(f"{name}: {n} rows OK")
 print("VANILLA OK")
