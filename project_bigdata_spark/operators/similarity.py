@@ -362,3 +362,58 @@ def cosine_topk_batch(
         F.col("_t")["id"].alias(id_col),
         F.col("_t")["cos"].alias("cosine"),
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``scale =
+    max|v|/127``, ``q_i = clamp(round(v_i/scale), -127, 127)`` — the
+    standard ~4x memory cut that lets a billion-vector ANN corpus fit in
+    executor RAM; the reconstruction-error stats quantify the recall
+    tradeoff before committing an index to it.
+
+    One narrow pass, no shuffle, no UDF. Rounding is the sign-aware
+    floor form (half away from zero on the binary value) so an oracle
+    replays the exact codes; zero vectors quantize to all-zero codes
+    with zero error rather than dividing by zero.
+
+    Returns ``(id, dim, scale, q int array, mean_abs_err)``.
+    """
+    v = as_double(F.col(vec_col))
+
+    def rnd0(x: Column) -> Column:
+        return (
+            F.when(x >= 0, F.floor(x + F.lit(0.5)))
+            .otherwise(-F.floor(-x + F.lit(0.5)))
+            .cast("double")
+        )
+
+    out = df.select(F.col(id_col), v.alias("_v"))
+    amax = F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+    out = out.withColumn("_scale", amax / F.lit(127.0))
+
+    def quant(x: Column) -> Column:
+        code = F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), rnd0(x / F.col("_scale")))
+        )
+        return (
+            F.when(F.col("_scale") == 0, F.lit(0.0)).otherwise(code).cast("int")
+        )
+
+    out = out.withColumn("_q", F.transform(F.col("_v"), quant))
+    abs_err = F.zip_with(
+        F.col("_v"),
+        F.col("_q"),
+        lambda x, q: F.abs(x - q.cast("double") * F.col("_scale")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("_v").cast("bigint").alias("dim"),
+        F.col("_scale").alias("scale"),
+        F.col("_q").alias("q"),
+        (
+            F.aggregate(abs_err, F.lit(0.0), lambda a, b: a + b)
+            / F.size("_v")
+        ).alias("mean_abs_err"),
+    )

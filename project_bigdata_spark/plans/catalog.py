@@ -95,7 +95,8 @@ def query(
 # (``pii_redact``, ``repetition_scores``, ``contamination_check``,
 # ``token_packing``, ``corpus_mix``, ``unigram_logprob``,
 # ``quality_quantile_filter``, ``snapshot_diff``, ``incremental_dedup``,
-# ``hash_split``) — then backfill with round-1-attested names.
+# ``hash_split``, ``dedup_apply``, ``frame_sample``, ``text_normalize``,
+# ``embedding_quantize``) — then backfill with round-1-attested names.
 _ATTESTATION_PRIORITY = [
     # M7: dedup family
     "dedup_exact",

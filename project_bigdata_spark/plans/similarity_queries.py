@@ -306,3 +306,50 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("vec_id").alias("vec_id"),
         "cosine",
     )
+
+
+_Q_CODE = """CAST(CASE WHEN scale = 0 THEN 0 ELSE
+  greatest(-1.27e2, least(1.27e2,
+    CASE WHEN x >= 0 THEN floor(x / scale + 5.0e-1)
+         ELSE -floor(-x / scale + 5.0e-1) END)) END AS INT)"""
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 1.27e2 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> {_Q_CODE}) AS qv
+  FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       round(scale, 6) AS scale,
+       array_to_string(qv, ',') AS q_codes,
+       round(list_sum(list_transform(list_zip(v, qv),
+               p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))) / len(v), 6)
+         AS mean_abs_err
+FROM q""",
+    doc="Symmetric per-vector int8 quantization (scale = max|v|/127, "
+    "clamped half-away rounding) with reconstruction-error stats — the "
+    "~4x memory cut for billion-vector ANN. Exact codes are in the "
+    "output, so the differential gate verifies the quantizer "
+    "bit-for-bit, not just summary stats. Narrow map, no shuffle.",
+    survey_ids=("M7",),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.quantize_int8(e, "vec_id", "embedding")
+    return out.select(
+        N.big("vec_id").alias("vec_id"),
+        "dim",
+        N.rnd("scale", 6).alias("scale"),
+        N.arr_str("q").alias("q_codes"),
+        N.rnd("mean_abs_err", 6).alias("mean_abs_err"),
+    )

@@ -1,0 +1,28 @@
+"""Unit edges for similarity operators (the catalog queries cover bulk
+parity; these pin hand-computed values and degenerate inputs)."""
+
+from __future__ import annotations
+
+from project_bigdata_spark.operators import similarity as SIM
+
+
+def test_quantize_int8_known_codes_and_error(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0])], ["vec_id", "embedding"]
+    )
+    r = SIM.quantize_int8(df).collect()[0]
+    # scale = 1/127; codes = round(v/scale) = [127, -64 (63.5 rounds away), 32, 0]
+    assert r.dim == 4
+    assert abs(r.scale - 1 / 127) < 1e-12
+    assert r.q == [127, -64, 32, 0]
+    # reconstruction error: only the .5-rounded and 31.75->32 components err
+    exp_err = (abs(-0.5 - (-64 / 127)) + abs(0.25 - 32 / 127)) / 4
+    assert abs(r.mean_abs_err - exp_err) < 1e-9
+
+
+def test_quantize_int8_zero_vector_no_nan(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    r = SIM.quantize_int8(df).collect()[0]
+    assert r.scale == 0.0
+    assert r.q == [0, 0]
+    assert r.mean_abs_err == 0.0
