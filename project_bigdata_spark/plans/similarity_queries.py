@@ -353,3 +353,73 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.arr_str("q").alias("q_codes"),
         N.rnd("mean_abs_err", 6).alias("mean_abs_err"),
     )
+
+
+@query(
+    "knn_quantized",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 1.27e2 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST({_Q_CODE} AS BIGINT)) AS qv
+  FROM s
+), qq AS (
+  SELECT v AS query_v, qv AS query_qv FROM q WHERE vec_id = 0
+), scored AS (
+  SELECT q.vec_id,
+         round(CAST(list_sum(list_transform(list_zip(q.qv, qq.query_qv),
+                 p -> p[1] * p[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(qq.query_qv,
+                            x -> x * x)) AS DOUBLE))), 6) AS qcosine,
+         round({_cos_sql('q.v', 'qq.query_v')}, 6) AS cosine
+  FROM q, qq
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, qcosine, cosine
+FROM scored ORDER BY qcosine DESC, vec_id LIMIT 10""",
+    doc="kNN over int8-quantized codes: cosine from PURE INTEGER dot "
+    "products (per-vector scales cancel in the cosine ratio, and the "
+    "int arithmetic is bit-exact on any engine) with the exact cosine "
+    "alongside, so the ranking cost of quantization is measured in the "
+    "result itself. Same scale shape as knn_brute_force: one broadcast "
+    "query row, narrow scoring, TakeOrdered.",
+    survey_ids=("M7",),
+)
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qt = SIM.quantize_int8(e, "vec_id", "embedding")
+    both = e.join(qt.select("vec_id", "q"), on="vec_id")
+    qrow = both.filter(F.col("vec_id") == 0).select(
+        SIM.as_double(F.col("embedding")).alias("_query_v"),
+        F.col("q").alias("_query_q"),
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    qa, qb = F.col("q"), F.col("_query_q")
+    qcos = idot(qa, qb).cast("double") / (
+        F.sqrt(idot(qa, qa).cast("double")) * F.sqrt(idot(qb, qb).cast("double"))
+    )
+    scored = both.crossJoin(F.broadcast(qrow)).select(
+        F.col("vec_id"),
+        N.rnd(qcos, 6).alias("qcosine"),
+        N.rnd(
+            SIM.cosine(SIM.as_double(F.col("embedding")), F.col("_query_v")), 6
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("qcosine"), "vec_id")
+        .limit(10)
+        .select(N.big("vec_id").alias("vec_id"), "qcosine", "cosine")
+    )

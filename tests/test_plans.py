@@ -198,3 +198,12 @@ def test_incremental_dedup_no_cartesian_no_corpus_self_join(spark, sf_dir):
 def test_dedup_apply_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_apply")
     assert "CartesianProduct" not in plan
+
+
+def test_knn_quantized_broadcast_and_takeordered(spark, sf_dir):
+    # same scale shape as knn_brute_force: query row broadcasts, top-k
+    # compiles to TakeOrderedAndProject, no window over the scored set
+    plan = plan_of(spark, sf_dir, "knn_quantized")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
