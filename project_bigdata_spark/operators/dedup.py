@@ -63,15 +63,33 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def shingles_col(text: Column, k: int = SHINGLE_WORDS) -> Column:
-    """k-word shingles; a doc shorter than k words is its own shingle."""
-    ws = words_col(text)
+def shingles_from_words(ws: Column, lowered: Column, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles from a pre-materialized word array; a doc shorter
+    than k words is its own single shingle (``lowered`` = lower(text)).
+
+    Callers should bind ``ws`` to a PROJECTED column, not the split
+    expression itself: higher-order functions run interpreted, so a
+    lambda referencing the split() tree re-tokenizes the document per
+    element — O(len²) work per doc. CollapseProject keeps a multiply-
+    referenced projection materialized, so the slice then reads the row
+    value.
+    """
     n = F.size(ws)
     k_shingles = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
     )
-    return F.when(n >= k, k_shingles).otherwise(F.array(F.lower(text)))
+    return F.when(n >= k, k_shingles).otherwise(F.array(lowered))
+
+
+def shingles_col(text: Column, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles; a doc shorter than k words is its own shingle.
+
+    Convenience form over :func:`shingles_from_words` — inside HOF-heavy
+    pipelines prefer projecting the word array first (see that
+    docstring).
+    """
+    return shingles_from_words(words_col(text), F.lower(text), k)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -105,8 +123,15 @@ def minhash_signatures(
     Returns id, the shingle array (for exact-Jaccard verification), and
     ``sig`` as ``array<string>(num_hashes)``.
     """
-    sh = shingles_col(F.col(text_col)).alias("shingles")
-    out = fan_out(df).select(F.col(id_col), sh)
+    pre = fan_out(df).select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("_lt"),
+        words_col(F.col(text_col)).alias("_ws"),
+    )
+    out = pre.select(
+        F.col(id_col),
+        shingles_from_words(F.col("_ws"), F.col("_lt")).alias("shingles"),
+    )
 
     def hasher(seed: int):
         # NOTE: must be a 1-arg lambda via closure — a `lambda s, i=i:`
@@ -299,8 +324,16 @@ def ngram_jaccard_pairs(
     ``minhash_candidate_pairs``'s ``max_bucket`` guard; route oversized
     blocks through MinHash LSH instead.
     """
-    grams = F.array_distinct(shingles_col(F.col(text_col), k=n)).alias("_grams")
-    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], grams)
+    pre = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.lower(F.col(text_col)).alias("_lt"),
+        words_col(F.col(text_col)).alias("_ws"),
+    )
+    grams = F.array_distinct(
+        shingles_from_words(F.col("_ws"), F.col("_lt"), k=n)
+    ).alias("_grams")
+    base = pre.select(F.col(id_col), *[F.col(c) for c in block_cols], grams)
     block_w = Window.partitionBy(*block_cols)
     base = base.withColumn("_bsz", F.count(F.lit(1)).over(block_w)).filter(
         F.col("_bsz") <= max_block

@@ -96,7 +96,8 @@ def query(
 # ``token_packing``, ``corpus_mix``, ``unigram_logprob``,
 # ``quality_quantile_filter``, ``snapshot_diff``, ``incremental_dedup``,
 # ``hash_split``, ``dedup_apply``, ``frame_sample``, ``text_normalize``,
-# ``embedding_quantize``) — then backfill with round-1-attested names.
+# ``embedding_quantize``, ``knn_quantized``, ``top_ngrams``) — then
+# backfill with round-1-attested names.
 _ATTESTATION_PRIORITY = [
     # M7: dedup family
     "dedup_exact",

@@ -226,3 +226,70 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("n_chars_norm"),
         F.md5(norm).alias("norm_digest"),
     )
+
+
+TOP_NGRAMS_K = 20
+
+
+@query(
+    "top_ngrams",
+    oracle=f"""
+WITH g AS (
+  SELECT lang,
+         unnest(CASE WHEN len({WORDS_SQL}) >= 2
+           THEN list_transform(range(1, len({WORDS_SQL})),
+                  i -> concat_ws(' ', {WORDS_SQL}[i], {WORDS_SQL}[i+1]))
+           ELSE [] END) AS gram
+  FROM documents
+), c AS (
+  SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram
+)
+SELECT lang, gram, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY n DESC, gram) AS BIGINT) AS rk
+FROM c QUALIFY rk <= {TOP_NGRAMS_K}""",
+    doc="Corpus n-gram census: top-20 word bigrams per language by "
+    "frequency (deterministic (count, gram) order) — the corpus-stats "
+    "pass before tokenizer/vocab training and a boilerplate detector "
+    "(one bigram dominating a language flags template text). The "
+    "ranking window runs over the aggregated (lang, gram) counts — "
+    "vocab-sized, orders of magnitude smaller than the corpus scan "
+    "that feeds it.",
+    survey_ids=("M7",),
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the word array BEFORE the transform: HOFs run
+    # interpreted, so a lambda referencing the split() expression
+    # re-tokenizes the document per element (O(len²) splits)
+    ws = F.col("_ws")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select("lang", words_col(F.col("text")).alias("_ws"))
+        .select("lang", F.explode(bigrams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_NGRAMS_K)
+        .select(
+            "lang",
+            "gram",
+            N.big("n").alias("n"),
+            N.big("rk").alias("rk"),
+        )
+    )
