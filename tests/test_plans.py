@@ -207,3 +207,15 @@ def test_knn_quantized_broadcast_and_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_top_ngrams_window_over_aggregate_not_corpus(spark, sf_dir):
+    # the ranking window consumes the (lang, gram) aggregate, and Spark's
+    # WindowGroupLimit pushes the rank<=K cut below the exchange (partial
+    # top-k on the map side) — the corpus explode never reaches a window
+    plan = plan_of(spark, sf_dir, "top_ngrams")
+    assert "Window" in plan
+    assert "WindowGroupLimit" in plan
+    # column pruning: the scan reads only text+lang
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "doc_id" not in read[0] and "source" not in read[0]
