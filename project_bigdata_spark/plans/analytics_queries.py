@@ -308,7 +308,10 @@ def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_stats",
-    oracle=None,  # sketch outputs are engine-specific: rows-only check
+    # DELIBERATELY the catalog's ONE rows-only entry (err:"no_oracle" in
+    # every CORRECTNESS_r*.json is expected, not a defect): sketch outputs
+    # are engine-defined, so no cross-engine oracle can hash-match them.
+    oracle=None,
     doc="Approximate aggregates for interactive scale: HyperLogLog++ "
     "distinct counts and quantile sketches (percentile_approx). No "
     "DuckDB oracle — sketch results are engine-defined; accuracy is "

@@ -81,81 +81,72 @@ def query(
 
 # The driver attests only the first 50 ``queries()`` entries per round, so
 # catalog order is the attestation schedule. Round 1 ran the registration
-# order (CORRECTNESS_r01.json == first 50); round 2 leads with everything the
-# driver has not yet attested — all LLM-pipeline operators (dedup / ANN /
-# text / multimodal), the TPC-H tail, and the feature/window queries — plus
-# the repaired ``approx_stats``. Four entries whose operator family already
-# has an attested sibling (``knn_batch``, ``lag_lead_features``,
-# ``time_range_rolling``, ``multi_granularity_rollup``) wait for round 3.
-#
-# ROUND 3 TODO: replace this list with the entries still lacking a green row
-# after CORRECTNESS_r02 — the four deferred above (``knn_batch``,
-# ``lag_lead_features``, ``time_range_rolling``, ``multi_granularity_rollup``)
-# plus every query added after the round-2 window was frozen
-# (``pii_redact``, ``repetition_scores``, ``contamination_check``,
-# ``token_packing``, ``corpus_mix``, ``unigram_logprob``,
-# ``quality_quantile_filter``, ``snapshot_diff``, ``incremental_dedup``,
-# ``hash_split``, ``dedup_apply``, ``frame_sample``, ``text_normalize``,
-# ``embedding_quantize``, ``knn_quantized``, ``top_ngrams``) — then
-# backfill with round-1-attested names.
+# order (CORRECTNESS_r01.json == first 50); round 2 led with the LLM-pipeline
+# operators + TPC-H tail + feature/window queries. Round 3 leads with the 20
+# entries that have never had a driver row (added after the round-2 window
+# froze, or deferred then), then the 2 rows that FAILED r2 on the
+# TIMESTAMP_NTZ testdata change (now fixed in sources/registry.py), then
+# backfills the window with the headline set and conf-sensitive queries so
+# the repaired timestamp path is double-attested.
 _ATTESTATION_PRIORITY = [
-    # M7: dedup family
-    "dedup_exact",
-    "dedup_bow_fingerprint",
-    "minhash_signatures",
+    # never driver-attested: window/rollup family
+    "multi_granularity_rollup",
+    "lag_lead_features",
+    "time_range_rolling",
+    # never driver-attested: dedup/corpus lifecycle
+    "contamination_check",
+    "incremental_dedup",
+    "dedup_apply",
+    # never driver-attested: similarity / quantization
+    "knn_batch",
+    "embedding_quantize",
+    "knn_quantized",
+    # never driver-attested: text / corpus ops
+    "pii_redact",
+    "repetition_scores",
+    "token_packing",
+    "corpus_mix",
+    "frame_sample",
+    "unigram_logprob",
+    "quality_quantile_filter",
+    "snapshot_diff",
+    "hash_split",
+    "text_normalize",
+    "top_ngrams",
+    # FAILED r2 on TIMESTAMP_NTZ; re-attest post-fix
+    "sessionize_events",
+    "range_join_events",
+    # backfill: headline queries (bench set) for double attestation
+    "gold_hourly",
+    "gold_cohort_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
     "minhash_near_dups",
-    "simhash_fingerprints",
-    "ngram_jaccard_block",
-    "dedup_clusters",
-    # M7: embedding similarity / ANN
-    "embedding_norms",
     "knn_brute_force",
-    "ann_lsh_buckets",
-    "ann_lsh_query",
-    "ivf_assign",
     "ivf_search",
-    "embedding_near_dups",
-    # M7: text analysis + multimodal + capstones
-    "token_stats",
-    "quality_scores",
-    "lang_id_confusion",
-    "doc_fingerprints",
-    "doc_chunks",
-    "multimodal_decode",
-    "text_to_embedding",
     "chunk_embed_search",
     "curation_pipeline",
-    # repaired in round 2 (scalar quantile columns)
-    "approx_stats",
-    # TPC-H tail
-    "q2_min_cost_supplier",
-    "q7_nation_pair_revenue",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_bulk_suppliers",
-    "q21_sole_returner",
-    "q22_idle_customers",
-    # feature/window queries
-    "time_features",
     "rolling_features",
-    "label_encode",
+    "asof_join_events",
+    "feature_frame",
+    # backfill: other timestamp-path queries (same NTZ blast radius)
+    "time_features",
     "time_split_counts",
     "gap_fill_hourly",
     "gap_fill_ffill",
-    "asof_join_events",
-    "feature_frame",
-    # grouping sets / sessionization / range join / set ops / ranking
-    "rollup_order_stats",
-    "cube_lineitem_flags",
-    "sessionize_events",
-    "range_join_events",
-    "ranking_suite",
-    "set_ops",
+    "iso_parsing",
+    "date_range_filter",
+    "time_bucketed_counts",
+    "latest_per_entity",
+    "orders_lag_lead",
+    # backfill: core dedup/text siblings
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_clusters",
+    "token_stats",
+    "quality_scores",
 ]
 
 

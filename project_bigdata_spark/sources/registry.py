@@ -45,6 +45,10 @@ TABLES = [
 RUNTIME_CONFS = {
     # TIMESTAMP(NANOS) parquet (events.ts) is unreadable otherwise
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # µs-no-tz parquet must load as TIMESTAMP, not TIMESTAMP_NTZ: the
+    # session tz is pinned UTC (below) so the instant is identical, and
+    # every unix_micros()/window call site requires TIMESTAMP
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # event-time determinism + oracle comparability
     "spark.sql.session.timeZone": "UTC",
     # sorted-pairs map build: last wins = max value per key
@@ -84,12 +88,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """ns-epoch long -> TimestampType (µs) when a TIMESTAMP(NANOS) parquet
-    column surfaced as bigint; passthrough otherwise."""
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    """Coerce ``ts_col`` to TimestampType regardless of parquet encoding:
+
+    - TIMESTAMP(NANOS) surfaced as bigint (``nanosAsLong``) -> integer
+      ``div 1000`` to µs (double division loses precision above 2^53 ns).
+    - ``timestamp_ntz`` (µs-no-tz parquet read before the inferTimestampNTZ
+      conf landed, e.g. a frame cached by a caller) -> plain cast; session
+      tz is pinned UTC so the cast is value-preserving.
+    - TimestampType -> passthrough.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
         df = df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

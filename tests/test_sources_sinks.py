@@ -207,3 +207,60 @@ def test_read_tolerant_parquet_skips_corrupt_file(spark, tmp_path):
     with _pytest.raises(Exception):
         spark.read.parquet(p).count()
     assert R.read_tolerant_parquet(spark, p).count() == 5
+
+
+def test_parquet_timestamp_encoding_matrix(spark, tmp_path):
+    """The engine must be invariant to how the testdata's ``events.ts``
+    happens to be parquet-encoded — the driver regenerated it as µs-no-tz
+    between rounds 1 and 2 and every ``unix_micros`` call site broke
+    (TIMESTAMP_NTZ). Write the same rows as TIMESTAMP(NANOS), µs-NTZ, and
+    µs-UTC; ``load_table`` must surface plain ``timestamp`` for all three
+    and ``sessionize_events`` must return identical output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_bigdata_spark.plans.catalog import load_all
+
+    src = pa.parquet.read_table(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select(["event_id", "ts", "user_id", "event_type", "value", "props"])
+    encodings = {
+        "nanos": src.set_column(
+            1, "ts", src.column("ts").cast(pa.timestamp("ns"))
+        ),
+        "us_ntz": src.set_column(
+            1, "ts", src.column("ts").cast(pa.timestamp("us"))
+        ),
+        "us_utc": src.set_column(
+            1, "ts", src.column("ts").cast(pa.timestamp("us", tz="UTC"))
+        ),
+    }
+    sessionize = load_all()["sessionize_events"].builder
+    results = {}
+    for label, table in encodings.items():
+        sf = tmp_path / label
+        sf.mkdir()
+        pq.write_table(table, sf / "events.parquet", version="2.6")
+        df = R.load_table(spark, str(sf), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (
+            f"{label}: ts surfaced as {dict(df.dtypes)['ts']}"
+        )
+        results[label] = sorted(
+            tuple(r) for r in sessionize(spark, str(sf)).collect()
+        )
+    assert results["nanos"] == results["us_ntz"] == results["us_utc"]
+    assert len(results["nanos"]) > 0
+
+
+def test_normalize_event_ts_ntz_branch(spark):
+    """Belt-and-braces: a caller-provided frame whose ``ts`` is already
+    TIMESTAMP_NTZ (read before our conf landed) is cast to ``timestamp``
+    value-preservingly (session tz pinned UTC)."""
+    ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-03-01 12:34:56.789' AS ts, 1 AS id"
+    )
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    fixed = R.normalize_event_ts(ntz)
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    out = fixed.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS")).collect()
+    assert out[0][0] == "2024-03-01 12:34:56.789"

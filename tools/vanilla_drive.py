@@ -1,8 +1,22 @@
 """Driver simulation with a VANILLA SparkSession (no engine factory) —
-exactly what the real driver does."""
+exactly what the real driver does: a config-free session handed to
+``__spark_entry__``'s callables against the CURRENT ``/root/testdata``.
+
+Sweeps the ENTIRE catalog (not a hand-picked subset — round 2 went red
+precisely because the testdata's parquet encoding changed under a subset
+check). Run as the final pre-snapshot gate every round:
+
+    python tools/vanilla_drive.py [sf_dir]
+
+Exit 0 = every entry ran and returned a well-formed result.
+"""
 import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -14,15 +28,24 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
+
 rows = e.entry(spark).collect()
-print("entry:", len(rows), "rows")
+print(f"entry: {len(rows)} rows")
 
 qs = e.queries()
-# the conf-sensitive paths: events nanos read, map policy, tz formatting,
-# plus the mapInPandas python-worker path
-for name in ["gold_hourly", "layer_stats", "multimodal_decode", "feature_frame",
-             "sessionize_events", "knn_brute_force", "unigram_logprob",
-             "incremental_dedup", "dedup_apply", "text_normalize", "hash_split"]:
-    n = len(qs[name](spark, "/root/testdata/sf0.001").collect())
-    print(f"{name}: {n} rows OK")
+failed = []
+t0 = time.time()
+for i, (name, fn) in enumerate(qs.items(), 1):
+    try:
+        n = len(fn(spark, SF_DIR).collect())
+        print(f"[{i}/{len(qs)}] {name}: {n} rows OK", flush=True)
+    except Exception as exc:  # keep sweeping; report all breakage at once
+        failed.append(name)
+        msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+        print(f"[{i}/{len(qs)}] {name}: FAIL {msg}", flush=True)
+
+print(f"swept {len(qs)} queries in {time.time() - t0:.1f}s at {SF_DIR}")
+if failed:
+    print(f"VANILLA FAIL ({len(failed)}): {failed}")
+    sys.exit(1)
 print("VANILLA OK")
