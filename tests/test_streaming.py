@@ -415,3 +415,55 @@ def test_streaming_incremental_dedup_against_static_corpus(spark, tmp_path):
     assert rows[10].is_novel is False and rows[10].n_corpus_matches >= 1
     assert rows[11].is_novel is True and rows[11].n_corpus_matches == 0
     corpus_sigs.unpersist()
+
+
+def test_incremental_dedup_stream_end_to_end(spark, tmp_path):
+    """Continuous-ingestion dedup executes end-to-end: micro-batches of
+    incoming docs are screened against a static corpus signature table via
+    foreachBatch, and the parquet verdict log marks corpus duplicates
+    non-novel and fresh text novel, per batch."""
+    from project_bigdata_spark.operators import dedup as DD
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "large scale data processing engines shuffle partitioned columnar batches"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    corpus_sigs = DD.minhash_signatures(corpus, "doc_id", "text").persist()
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    # batch 1: an exact copy of corpus doc 1 + a novel doc
+    spark.createDataFrame(
+        [(101, corpus_rows[0][1]), (102, "completely unrelated sentence about alpine meadow flora")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = SP.incremental_dedup_stream(stream, corpus_sigs, out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: a copy of corpus doc 2 arrives later
+        spark.createDataFrame(
+            [(201, corpus_rows[1][1])], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    corpus_sigs.unpersist()
+
+    verdicts = {
+        r.doc_id: r for r in spark.read.parquet(out).collect()
+    }
+    assert set(verdicts) == {101, 102, 201}
+    assert not verdicts[101].is_novel and verdicts[101].n_corpus_matches >= 1
+    assert verdicts[102].is_novel and verdicts[102].n_corpus_matches == 0
+    assert not verdicts[201].is_novel
+    # batches were processed separately through the checkpointed query
+    assert verdicts[101].batch_id != verdicts[201].batch_id
