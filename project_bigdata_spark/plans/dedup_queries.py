@@ -28,10 +28,20 @@ CASE WHEN len({WORDS_SQL}) >= {DD.SHINGLE_WORDS}
      ELSE [lower(text)] END"""
 
 
+# Sliced wide hashes, mirroring minhash_signatures: md5 once per
+# (shingle, group), four 8-hex (32-bit) signature components per digest.
+_H_COLS = ",\n         ".join(
+    f"list_transform(shingles, s -> md5(concat('{g}:', s))) AS h_{g}"
+    for g in range(DD.HASH_GROUPS)
+)
+
+
 def _sig_sql(i: int) -> str:
+    g, j = divmod(i, DD.SLICES_PER_MD5)
+    start = 1 + DD.SIG_PREFIX * j
     return (
-        "list_aggregate(list_transform(shingles, "
-        f"s -> substring(md5(concat('{i}:', s)), 1, {DD.SIG_PREFIX})), 'min')"
+        f"list_aggregate(list_transform(h_{g}, "
+        f"x -> substring(x, {start}, {DD.SIG_PREFIX})), 'min')"
     )
 
 
@@ -49,10 +59,15 @@ MINHASH_BASE_CTES = f"""
 sh AS MATERIALIZED (
   SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
 ),
+hs AS MATERIALIZED (
+  SELECT doc_id, shingles,
+         {_H_COLS}
+  FROM sh
+),
 sigs AS MATERIALIZED (
   SELECT doc_id, shingles,
          {_SIG_COLS}
-  FROM sh
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs
@@ -125,13 +140,19 @@ def dedup_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+),
+hs AS (
+  SELECT doc_id, shingles,
+         {_H_COLS}
+  FROM sh
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(shingles) AS BIGINT) AS n_shingles,
        concat_ws(',', {", ".join(_sig_sql(i) for i in range(DD.NUM_HASHES))}) AS sig
-FROM sh""",
-    doc="MinHash signatures: per-doc minimum of md5(i || shingle) prefixes "
-    "for 8 hash seeds over 3-word shingles — one narrow pass, no shuffle.",
+FROM hs""",
+    doc="MinHash signatures: 8 components per doc from SLICED md5s — two "
+    "md5 calls per 3-word shingle, each digest split into four 32-bit "
+    "slices — one narrow pass, no shuffle.",
     survey_ids=("M7",),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

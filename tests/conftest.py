@@ -13,6 +13,16 @@ sys.path.insert(0, str(REPO_ROOT))
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
+# Colon-separated scale-factor grid: every test taking ``sf_dir`` runs once
+# per entry, so one pytest invocation can attest multiple SFs, e.g.
+#   SPARK_GRAFT_TEST_SF_GRID=/root/testdata/sf0.001:/root/testdata/sf0.01
+# Defaults to the single smoke SF to keep the routine suite fast.
+SF_GRID = [
+    p
+    for p in os.environ.get("SPARK_GRAFT_TEST_SF_GRID", SF_SMOKE).split(":")
+    if p
+]
+
 
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
@@ -28,14 +38,15 @@ def spark(tmp_path_factory):
     yield s
 
 
-@pytest.fixture(scope="session")
-def sf_dir() -> str:
-    return SF_SMOKE
+@pytest.fixture(scope="session", params=SF_GRID, ids=lambda p: Path(p).name)
+def sf_dir(request) -> str:
+    return request.param
 
 
 @pytest.fixture(scope="session")
-def duck():
-    """DuckDB connection with the driver's table views pre-registered."""
+def duck(sf_dir):
+    """DuckDB connection with the driver's table views pre-registered over
+    the active ``sf_dir`` (one connection per grid entry)."""
     import duckdb
 
     con = duckdb.connect()
@@ -43,6 +54,6 @@ def duck():
 
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
