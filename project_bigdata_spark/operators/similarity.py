@@ -417,3 +417,64 @@ def quantize_int8(
             / F.size("_v")
         ).alias("mean_abs_err"),
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 10000,
+    round_to: int | None = None,
+    rnd=F.round,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup-shaped): cluster embeddings coarsely, then
+    exact pairwise cosine ONLY within clusters; pairs at or above
+    ``threshold`` are semantic duplicates (keep the min-id survivor
+    downstream).
+
+    Clustering first is what makes semantic dedup sub-quadratic at
+    corpus scale: candidate pairs are ``sum(|cluster|^2)`` instead of
+    ``n^2``, and the cluster assignment reuses :func:`ivf_assign`'s
+    zero-shuffle broadcast-centroid fold. ``max_cluster`` drops
+    degenerate clusters (a mega-cluster of templated boilerplate makes
+    one cluster quadratic) — the same guard as MinHash's ``max_bucket``;
+    route oversized clusters through a finer codebook instead.
+
+    Emits ``(centroid_id, id_a, id_b, cosine)`` with ``id_a < id_b``.
+    """
+    assign = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        round_to=round_to, rnd=rnd,
+    ).select(F.col(id_col), F.col("centroid_id"))
+    members = assign.join(
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")),
+        on=id_col,
+    )
+    cw = Window.partitionBy("centroid_id")
+    members = (
+        members.withColumn("_csz", F.count(F.lit(1)).over(cw))
+        .filter(F.col("_csz") <= max_cluster)
+        .drop("_csz")
+    )
+    a = members.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = members.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        cos = rnd(cos, round_to)
+    return (
+        a.join(b, on="centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("centroid_id", "id_a", "id_b", "cosine")
+    )

@@ -434,3 +434,146 @@ def normalize_text(text: Column) -> Column:
     for pat, rep in NORM_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
     return F.trim(out)
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+    max_grams: int = 65536,
+) -> DataFrame:
+    """Cross-document repeated-span profile: the distributed core of
+    exact-substring deduplication (find word ``k``-grams occurring in
+    >= ``min_docs`` DISTINCT documents, then merge each document's hits
+    into maximal repeated spans via gaps-and-islands).
+
+    Emits one row per document: ``total_words``, ``n_spans``,
+    ``covered_words``, ``coverage`` — the profile a curation pipeline
+    thresholds on before cutting the spans out (the cut itself is a
+    cheap per-document transform once spans are known).
+
+    Scale shape (100 TB):
+    - the corpus-wide frequency pass shuffles ONLY ``(digest)`` rows
+      pre-deduped per document with ``array_distinct`` (one md5 digest
+      per distinct gram, never text, and no count-distinct shuffle);
+    - the repeated-digest set is capped at ``max_grams`` (most-frequent
+      first, digest tiebreak) and hash-joined back to positioned hits —
+      Catalyst broadcasts it when small;
+    - span merging is a per-document window over integer positions
+      (classic gaps-and-islands: an island starts where ``pos`` exceeds
+      the running max span end + 1).
+    """
+    ws = words_col(F.col(text_col))
+    base = df.select(F.col(id_col), ws.alias("_ws")).withColumn(
+        "_n", F.size("_ws")
+    )
+    # guard: Spark's sequence(1, stop) runs DESCENDING when stop < 1, so a
+    # doc shorter than k words must yield an empty gram array, not [1, 0]
+    gram_structs = F.when(
+        F.col("_n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), i, k))).alias(
+                    "digest"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,digest:string>>"))
+    grams = base.select(
+        F.col(id_col), F.col("_n"), gram_structs.alias("_grams")
+    )
+
+    # corpus frequency: per-doc distinct digests -> count(*) per digest
+    freq = (
+        grams.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.col("_grams"), lambda g: g["digest"])
+                )
+            ).alias("digest")
+        )
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rep = (
+        freq.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "digest")
+        .limit(max_grams)
+        .select("digest")
+    )
+
+    hits = (
+        grams.select(
+            F.col(id_col),
+            F.col("_n"),
+            F.explode(F.col("_grams")).alias("_g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            F.col("_g")["pos"].alias("pos"),
+            F.col("_g")["digest"].alias("digest"),
+        )
+        .join(rep, on="digest")
+        .select(id_col, "_n", "pos")
+    )
+
+    w_order = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn("_end", F.col("pos") + (k - 1))
+        .withColumn("_prev_max_end", F.max("_end").over(w_order))
+        .withColumn(
+            "_new_island",
+            F.when(
+                F.col("pos")
+                > F.coalesce(F.col("_prev_max_end"), F.lit(-1)) + 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new_island").over(
+                Window.partitionBy(id_col)
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "_n", "_island").agg(
+        F.min("pos").alias("_start"), F.max("_end").alias("_stop")
+    )
+    profile = spans.groupBy(id_col, "_n").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_stop") - F.col("_start") + 1).alias("covered_words"),
+    )
+    return (
+        base.select(F.col(id_col), F.col("_n").alias("total_words"))
+        .join(
+            profile.select(
+                F.col(id_col), F.col("n_spans"), F.col("covered_words")
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("total_words").cast("bigint").alias("total_words"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("covered_words", F.lit(0))
+            .cast("bigint")
+            .alias("covered_words"),
+            F.round(
+                F.coalesce("covered_words", F.lit(0))
+                / F.greatest(F.col("total_words"), F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+    )

@@ -293,3 +293,80 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.big("rk").alias("rk"),
         )
     )
+
+
+_RNS_K = 5
+_RNS_MIN_DOCS = 2
+_RNS_MAX_GRAMS = 65536
+_RNS_GRAM_SQL = "md5(concat_ws(' ', ws[pos], ws[pos+1], ws[pos+2], ws[pos+3], ws[pos+4]))"
+
+
+@query(
+    "repeated_ngram_spans",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {WORDS_SQL} AS ws, len({WORDS_SQL}) AS n FROM documents
+),
+hits0 AS (
+  SELECT doc_id, n, ws,
+         unnest(range(1, n - {_RNS_K - 2})) AS pos
+  FROM base
+),
+hits1 AS (
+  SELECT doc_id, n, pos, {_RNS_GRAM_SQL} AS digest FROM hits0
+),
+freq AS (
+  SELECT digest, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, digest FROM hits1)
+  GROUP BY digest
+),
+rep AS (
+  SELECT digest FROM freq WHERE n_docs >= {_RNS_MIN_DOCS}
+  ORDER BY n_docs DESC, digest LIMIT {_RNS_MAX_GRAMS}
+),
+hits AS (
+  SELECT h.doc_id, h.n, h.pos FROM hits1 h JOIN rep USING (digest)
+),
+isl AS (
+  SELECT doc_id, n, pos, pos + {_RNS_K - 1} AS e,
+         CASE WHEN pos > coalesce(
+                max(pos + {_RNS_K - 1}) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, n, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, n, island, min(pos) AS s, max(e) AS st
+  FROM isl2 GROUP BY 1, 2, 3
+),
+prof AS (
+  SELECT doc_id, count(*) AS n_spans, sum(st - s + 1) AS cw
+  FROM spans GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n AS BIGINT) AS total_words,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.cw, 0) AS BIGINT) AS covered_words,
+       round(coalesce(p.cw, 0) / greatest(b.n, 1), 4) AS coverage
+FROM base b LEFT JOIN prof p USING (doc_id)""",
+    doc="Cross-document repeated-span profile (exact-substring-dedup "
+    f"core): word {_RNS_K}-grams occurring in >= {_RNS_MIN_DOCS} distinct "
+    "docs, merged per doc into maximal spans via gaps-and-islands; emits "
+    "span count / covered words / coverage per doc. Only 16-byte digests "
+    "shuffle; the repeated-gram set is capped most-frequent-first.",
+    survey_ids=("M7",),
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.repeated_ngram_spans(
+        d, "doc_id", "text",
+        k=_RNS_K, min_docs=_RNS_MIN_DOCS, max_grams=_RNS_MAX_GRAMS,
+    )

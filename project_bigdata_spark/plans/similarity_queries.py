@@ -423,3 +423,49 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(N.big("vec_id").alias("vec_id"), "qcosine", "cosine")
     )
+
+
+_SEMDEDUP_T = 0.4
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS cosine
+  FROM embeddings e, c
+), assign AS (
+  SELECT vec_id, embedding, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) = 1
+)
+SELECT CAST(a.cid AS BIGINT) AS centroid_id,
+       CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(b.vec_id AS BIGINT) AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_T}""",
+    doc="Semantic dedup (SemDeDup-shaped): coarse cluster assignment via "
+    "the broadcast-centroid fold, then exact pairwise cosine ONLY within "
+    "clusters (sum(|cluster|^2) candidates, not n^2; cluster size capped "
+    "like MinHash's max_bucket). Fixed centroids (vec_id < 8) stand in "
+    "for sampled k-means, as in ivf_assign.",
+    survey_ids=("M7",),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pairs = SIM.semantic_dedup_pairs(
+        e, cents, threshold=_SEMDEDUP_T, max_cluster=10000,
+        round_to=6, rnd=N.rnd,
+    )
+    return pairs.select(
+        N.big("centroid_id").alias("centroid_id"),
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        "cosine",
+    )

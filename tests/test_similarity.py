@@ -3,6 +3,8 @@ parity; these pin hand-computed values and degenerate inputs)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from project_bigdata_spark.operators import similarity as SIM
 
 
@@ -26,3 +28,32 @@ def test_quantize_int8_zero_vector_no_nan(spark):
     assert r.scale == 0.0
     assert r.q == [0, 0]
     assert r.mean_abs_err == 0.0
+
+
+def test_semantic_dedup_pairs_clusters_and_cap(spark):
+    """Pairs form only within a cluster; near-identical vectors cross the
+    threshold; max_cluster drops a degenerate mega-cluster."""
+    from project_bigdata_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0]),   # centroid B
+        (10, [0.9, 0.1, 0.0]),  # cluster A
+        (11, [0.95, 0.05, 0.0]),  # cluster A, ~dup of 10
+        (20, [0.1, 0.9, 0.0]),  # cluster B — no partner
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pairs = SIM.semantic_dedup_pairs(
+        df.filter(F.col("vec_id") >= 10), cents, threshold=0.95
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(10, 11)}
+    assert all(p.cosine >= 0.95 for p in pairs)
+
+    capped = SIM.semantic_dedup_pairs(
+        df.filter(F.col("vec_id") >= 10), cents,
+        threshold=0.0, max_cluster=1,
+    ).collect()
+    assert capped == []

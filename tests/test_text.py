@@ -180,3 +180,55 @@ def test_normalize_text_strips_junk_and_collapses_whitespace(spark):
     df = spark.createDataFrame([(1, raw)], ["doc_id", "text"])
     got = df.select(TX.normalize_text(F.col("text")).alias("t")).collect()[0].t
     assert got == "ab" + "c d e f g"  # zero-width + BEL removed, ws collapsed
+
+
+def test_repeated_ngram_spans_merging_and_short_docs(spark):
+    """Overlapping and adjacent repeated-gram hits merge into one span;
+    docs shorter than k yield zero coverage (and no bogus descending-
+    sequence grams); unique text is uncovered."""
+    from project_bigdata_spark.operators import text as TX
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    rows = [
+        (1, shared + " unique tail one"),
+        (2, shared + " other ending here"),
+        (3, "totally different words nothing shared with anyone else"),
+        (4, "tiny doc"),  # < k words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in TX.repeated_ngram_spans(
+            df, "doc_id", "text", k=5, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1+2 share words 1-7: grams at pos 1,2,3 (k=5) -> one merged
+    # span covering [1, 7]
+    assert out[1].n_spans == 1 and out[1].covered_words == 7
+    assert out[2].n_spans == 1 and out[2].covered_words == 7
+    assert out[1].total_words == 10
+    assert abs(out[1].coverage - 0.7) < 1e-9
+    assert out[3].n_spans == 0 and out[3].covered_words == 0
+    assert out[4].n_spans == 0 and out[4].total_words == 2
+
+
+def test_repeated_ngram_spans_disjoint_spans(spark):
+    """Two repeated regions separated by unique words stay two spans."""
+    from project_bigdata_spark.operators import text as TX
+
+    blk_a = "one two three four five"
+    blk_b = "six seven eight nine ten"
+    rows = [
+        (1, f"{blk_a} UNIQ1 UNIQ2 UNIQ3 {blk_b}"),
+        (2, f"{blk_a} OTHER filler words x {blk_b}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in TX.repeated_ngram_spans(
+            df, "doc_id", "text", k=5, min_docs=2
+        ).collect()
+    }
+    assert out[1].n_spans == 2
+    assert out[1].covered_words == 10
