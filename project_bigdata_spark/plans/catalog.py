@@ -116,6 +116,9 @@ _ATTESTATION_PRIORITY = [
     # FAILED r2 on TIMESTAMP_NTZ; re-attest post-fix
     "sessionize_events",
     "range_join_events",
+    # new this round, no driver row yet
+    "repeated_ngram_spans",
+    "semantic_dedup",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "gold_cohort_stats",
@@ -145,8 +148,6 @@ _ATTESTATION_PRIORITY = [
     "dedup_exact",
     "minhash_signatures",
     "dedup_clusters",
-    "token_stats",
-    "quality_scores",
 ]
 
 
