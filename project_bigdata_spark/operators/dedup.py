@@ -511,3 +511,112 @@ def apply_dedup(
         )
         .drop("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (M7-D13)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 18  # bits per shard: 4096 longs = 32 KiB bitmap
+BLOOM_HASHES = 5
+_SHARD_SEED = -1  # xxhash64 seed column reserved for shard routing
+
+
+def _bloom_shard(key: Column, num_shards: int) -> Column:
+    return F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED)), F.lit(num_shards)).cast(
+        "int"
+    )
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k bit positions for a key — xxhash64 with k distinct literal salt
+    columns acts as k independent hash functions. xxhash64 (not md5) is
+    fine here: bloom positions never reach query OUTPUT (membership is
+    always confirmed by an exact join), so oracle portability doesn't
+    apply and the cheaper JVM hash wins on the full-corpus pass."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(k)), F.lit(num_bits)) for k in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+    num_shards: int = 1,
+) -> DataFrame:
+    """Distributed Bloom-filter build: returns ``num_shards`` rows of
+    ``(shard int, bloom array<bigint>)`` — each shard a ``num_bits``-bit
+    bitmap packed into ``num_bits/64`` longs.
+
+    Build shape (scale-first): explode each key into k tiny (shard, pos)
+    ints -> ``distinct`` (partial-aggregates map-side, so the exchange
+    carries at most ``num_shards x num_bits`` distinct positions no matter
+    how many corpus keys exist) -> OR per 64-bit word -> assemble each
+    shard's word map into one dense array row. The corpus text itself
+    never moves.
+
+    Sharding is the 10^9+-key path: a SINGLE bitmap sized for n keys at
+    ~10 bits/key stops being broadcastable around a few hundred MB;
+    routing keys to ``num_shards`` independent bitmaps by a reserved hash
+    keeps every row small, and the probe side joins on the same shard
+    route (the bloom table stays tiny -> broadcast join). With the
+    defaults (1 shard, 2^18 bits, 5 hashes) the false-positive rate at
+    10k keys is ~2e-7.
+    """
+    words = num_bits // 64
+    key = F.col(key_col)
+    pos = df.select(
+        _bloom_shard(key, num_shards).alias("shard"),
+        F.explode(F.array(*_bloom_positions(key, num_bits, num_hashes))).alias(
+            "pos"
+        ),
+    ).distinct()
+    word_rows = pos.select(
+        "shard",
+        (F.col("pos") / F.lit(64)).cast("int").alias("w"),
+        # shiftleft by a COLUMN needs the SQL form (the python helper only
+        # takes a literal shift)
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            "b"
+        ),
+    ).groupBy("shard", "w").agg(F.bit_or("b").alias("bits"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(words - 1)),
+        lambda i: F.coalesce(F.element_at("_wm", i.cast("int")), F.lit(0).cast("bigint")),
+    )
+    return (
+        word_rows.groupBy("shard")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("bits")
+            ).alias("_wm")
+        )
+        .select("shard", dense.alias("bloom"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key: Column,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+    num_shards: int = 1,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe: adds boolean ``flag_col`` = "key might be in the
+    bloomed set" (no false negatives; false positives at the filter's
+    FPR). The bloom table is broadcast and joined on the shard route, so
+    the probe is a zero-shuffle map pass over ``df`` — bit tests are plain
+    shift/AND column expressions on the broadcast bitmap."""
+    probed = df.withColumn("_shard", _bloom_shard(key, num_shards)).join(
+        F.broadcast(bloom.withColumnRenamed("shard", "_shard")), on="_shard"
+    )
+    hit = F.lit(True)
+    for p in _bloom_positions(key, num_bits, num_hashes):
+        word = F.element_at("bloom", (p / F.lit(64)).cast("int") + F.lit(1))
+        bit = F.getbit(word, (p % F.lit(64)).cast("int"))
+        hit = hit & (bit == 1)
+    return probed.withColumn(flag_col, hit).drop("_shard", "bloom")

@@ -478,3 +478,37 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("centroid_id", "id_a", "id_b", "cosine")
     )
+
+
+def diversity_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    per_bucket: int = 8,
+) -> DataFrame:
+    """Cluster-balanced corpus sampling (training-data diversity): assign
+    each vector to an LSH cell (:func:`lsh_bucket` — deterministic
+    sign-hyperplane cells, no trained state) and keep up to ``per_bucket``
+    rows per cell, ordered by a stable md5 rank so the sample is
+    reproducible across runs and engines.
+
+    This is the embedding-space counterpart of stratified sampling: a
+    uniform row sample of a skewed corpus over-represents its dense
+    regions, while a per-cell quota keeps rare modes. One shuffle on the
+    cell key; the rank filter is a ``row_number() <= k`` predicate that
+    Spark rewrites to a WindowGroupLimit, so only k rows per cell flow
+    past the rank window (here it sits after the exchange because
+    ``bucket_size`` must count the FULL cell first; drop that column and
+    the limit also prunes map-side). Output stays ~cells x quota
+    regardless of corpus size.
+    """
+    cells = df.select(
+        F.col(id_col), lsh_bucket(F.col(vec_col)).alias("bucket")
+    )
+    part = Window.partitionBy("bucket")
+    ranked = part.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        cells.withColumn("bucket_size", F.count(F.lit(1)).over(part))
+        .withColumn("sample_rank", F.row_number().over(ranked))
+        .filter(F.col("sample_rank") <= per_bucket)
+    )

@@ -119,6 +119,8 @@ _ATTESTATION_PRIORITY = [
     # new this round, no driver row yet
     "repeated_ngram_spans",
     "semantic_dedup",
+    "bloom_dedup_prefilter",
+    "diversity_sample",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "gold_cohort_stats",
@@ -144,9 +146,9 @@ _ATTESTATION_PRIORITY = [
     "time_bucketed_counts",
     "latest_per_entity",
     "orders_lag_lead",
-    # backfill: core dedup/text siblings
-    "dedup_exact",
-    "minhash_signatures",
+    # backfill: core dedup sibling (dedup_exact/minhash_signatures were
+    # displaced by the two round-3 additions above — both already carry
+    # green rows in r1 AND r2)
     "dedup_clusters",
 ]
 

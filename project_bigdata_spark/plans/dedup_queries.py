@@ -496,3 +496,55 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+@query(
+    "bloom_dedup_prefilter",
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN c.digest IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_corpus_dup
+FROM documents d
+LEFT JOIN corpus c ON md5(d.text) = c.digest
+WHERE d.doc_id % 3 = 0""",
+    doc="Bloom-filter membership prefilter for incremental exact dedup: "
+    "the corpus side (doc_id%3<>0) builds a broadcast bitmap over its "
+    "text digests; the NEW batch (doc_id%3==0) probes it with "
+    "zero-shuffle bit tests, and only bloom candidates reach the exact "
+    "digest join. Output is EXACT (bloom false positives are resolved by "
+    "the join, false negatives are impossible), so the oracle is plain "
+    "SQL while the Spark plan shows the prefilter.",
+    survey_ids=("M7",),
+)
+def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text"))
+    corpus = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(digest.alias("digest"))
+        .distinct()
+    )
+    bloom = DD.bloom_build(corpus, "digest")
+    new = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", digest.alias("digest")
+    )
+    probed = DD.bloom_probe(new, bloom, F.col("digest"))
+    # exact confirm: only bloom candidates shuffle into the digest join
+    confirmed = (
+        probed.filter(F.col("bloom_hit"))
+        .join(corpus, on="digest", how="left_semi")
+        .select("doc_id", F.lit(1).alias("is_corpus_dup"))
+    )
+    return (
+        new.select("doc_id")
+        .join(confirmed, on="doc_id", how="left")
+        .select(
+            N.big("doc_id").alias("doc_id"),
+            F.coalesce("is_corpus_dup", F.lit(0))
+            .cast("bigint")
+            .alias("is_corpus_dup"),
+        )
+    )

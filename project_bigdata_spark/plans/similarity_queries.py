@@ -469,3 +469,37 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("id_b").alias("id_b"),
         "cosine",
     )
+
+
+@query(
+    "diversity_sample",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), r AS (
+  SELECT vec_id, bucket,
+         count(*) OVER (PARTITION BY bucket) AS bucket_size,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM b
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, bucket,
+       CAST(bucket_size AS BIGINT) AS bucket_size,
+       CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= 8""",
+    doc="Cluster-balanced diversity sample: LSH-cell quota sampling (up "
+    "to 8 per cell, stable md5 rank) — keeps rare embedding-space modes "
+    "a uniform sample would drown; WindowGroupLimit caps each cell "
+    "before the exchange.",
+    survey_ids=("M7",),
+)
+def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = SIM.diversity_sample(e, "vec_id", "embedding", per_bucket=8)
+    return s.select(
+        N.big("vec_id").alias("vec_id"),
+        "bucket",
+        N.big("bucket_size").alias("bucket_size"),
+        N.big("sample_rank").alias("sample_rank"),
+    )

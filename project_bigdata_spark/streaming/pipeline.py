@@ -319,3 +319,26 @@ def incremental_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def dedup_stream(
+    parsed: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key only
+    until the watermark passes the row's event time, then evicts it —
+    the native way to absorb at-least-once upstreams (a replaying Kafka
+    producer, a retried ingest job) without unbounded keys-seen state.
+
+    Contrast: plain ``dropDuplicates`` on a stream retains EVERY key
+    forever (OOM at corpus scale); the watermarked variant trades that
+    for a bounded guarantee — duplicates arriving within the watermark
+    horizon are suppressed, later replays are not (by then the upstream
+    retry window has passed). State size ~ keys per watermark window.
+    """
+    return parsed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

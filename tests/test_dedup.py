@@ -163,3 +163,51 @@ def test_apply_dedup_keeps_canonicals_and_unmatched(spark):
         r.doc_id for r in DD.apply_dedup(df, labels, "doc_id").collect()
     )
     assert kept == [1, 7, 9]
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every bloomed key probes true (bloom guarantee); keys outside the
+    set mostly probe false at this occupancy (2^18 bits, 200 keys)."""
+    from project_bigdata_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+
+    member = spark.range(0, 200).select(
+        F.md5(F.concat(F.lit("in:"), F.col("id").cast("string"))).alias("k")
+    )
+    other = spark.range(0, 500).select(
+        F.md5(F.concat(F.lit("out:"), F.col("id").cast("string"))).alias("k")
+    )
+    bloom = DD.bloom_build(member, "k")
+    hits_in = DD.bloom_probe(member, bloom, F.col("k")).filter("bloom_hit").count()
+    assert hits_in == 200  # no false negatives, ever
+    fp = DD.bloom_probe(other, bloom, F.col("k")).filter("bloom_hit").count()
+    assert fp <= 5  # expected FPR ~1e-13 at this occupancy; 1% = 5 is generous
+
+
+def test_bloom_sharded_routes_consistently(spark):
+    """Sharded build/probe agree on routing: membership still exact with
+    num_shards > 1 and each shard's bitmap is an independent row."""
+    from project_bigdata_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+
+    member = spark.range(0, 300).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    bloom = DD.bloom_build(member, "k", num_shards=4)
+    assert bloom.count() == 4
+    probed = DD.bloom_probe(member, bloom, F.col("k"), num_shards=4)
+    assert probed.filter("bloom_hit").count() == 300
+
+
+def test_bloom_prefilter_query_exact(spark):
+    """The catalog query's output is exact membership despite the
+    probabilistic prefilter: bloom candidates are confirmed by the digest
+    join, non-candidates are definitively novel."""
+    from project_bigdata_spark.plans.catalog import load_all
+
+    out = load_all()["bloom_dedup_prefilter"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = {r.doc_id: r.is_corpus_dup for r in out.collect()}
+    assert rows and all(r in (0, 1) for r in rows.values())
+    assert all(d % 3 == 0 for d in rows)

@@ -57,3 +57,32 @@ def test_semantic_dedup_pairs_clusters_and_cap(spark):
         threshold=0.0, max_cluster=1,
     ).collect()
     assert capped == []
+
+
+def test_diversity_sample_quota_and_stability(spark):
+    """Per-cell quota respected; rank deterministic across invocations;
+    bucket_size reports the FULL cell population, not the sample's."""
+    import pandas as pd
+    import numpy as np
+    from project_bigdata_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    # two dense modes + sparse tail: uniform sampling would drown the tail
+    vecs = [
+        (i, (rng.standard_normal(SIM.DIM) * 0.01 + (1.0 if i % 50 else -1.0)).tolist())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    )
+    s1 = SIM.diversity_sample(df, "vec_id", "embedding", per_bucket=5)
+    got = s1.groupBy("bucket").count().collect()
+    assert all(r["count"] <= 5 for r in got)
+    full = {r.bucket: r.bucket_size for r in s1.select("bucket", "bucket_size").distinct().collect()}
+    assert max(full.values()) > 5  # dense cells exceed the quota
+    a = sorted((r.vec_id, r.sample_rank) for r in s1.collect())
+    b = sorted(
+        (r.vec_id, r.sample_rank)
+        for r in SIM.diversity_sample(df, "vec_id", "embedding", per_bucket=5).collect()
+    )
+    assert a == b

@@ -467,3 +467,40 @@ def test_incremental_dedup_stream_end_to_end(spark, tmp_path):
     assert not verdicts[201].is_novel
     # batches were processed separately through the checkpointed query
     assert verdicts[101].batch_id != verdicts[201].batch_id
+
+
+def test_dedup_stream_watermarked(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses replays arriving within
+    the watermark horizon: three deliveries of event 1 (two in batch 1,
+    one replayed in batch 2) emit exactly one row."""
+    src = str(tmp_path / "dd_src")
+    out_tbl = "dedup_stream_sink"
+    _write_batch(
+        spark,
+        src,
+        _rows(10, 3, base_id=0) + _rows(10, 1, base_id=0),  # id 0 twice
+        1,
+    )
+    stream = (
+        spark.readStream.schema(SP.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        SP.dedup_stream(stream, key_cols=("event_id",), watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(out_tbl)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, _rows(10, 1, base_id=0), 2)  # replay id 0
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT event_id FROM {out_tbl}").collect()
+    ids = [r.event_id for r in got]
+    assert sorted(ids) == sorted(set(ids)), "duplicate escaped the dedup"
+    assert ids.count(0) == 1
