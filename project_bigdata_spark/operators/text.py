@@ -577,3 +577,95 @@ def repeated_ngram_spans(
             ).alias("coverage"),
         )
     )
+
+
+def bigram_vocab_row(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 8192
+) -> DataFrame:
+    """ONE-row frame ``(_bmap: map<'w1 w2', count>)`` — the corpus bigram
+    table, capped to the ``vocab_size`` most frequent bigrams (ties
+    lexicographic, same determinism rule as :func:`unigram_vocab_row`).
+    Same scale shape: one bigram-keyed shuffle, TakeOrdered cap, one
+    broadcastable map row.
+    """
+    ws = words_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(2), F.size("_ws")),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_ws", i - 1), F.element_at("_ws", i)
+        ),
+    )
+    counts = (
+        df.select(ws.alias("_ws"))
+        .filter(F.size("_ws") >= 2)
+        .select(F.explode(grams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(vocab_size)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bg", "cnt"))
+            ).alias("_bmap")
+        )
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    bigram_row: DataFrame,
+    unigram_row: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_count: float = 0.5,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Conditional bigram LM quality proxy with stupid-backoff: per
+    adjacent word pair, ``ln P(w2|w1)`` where an in-vocab bigram scores
+    ``c(w1 w2)/c(w1)`` and an out-of-vocab one backs off to
+    ``backoff * c(w2)/total`` (unigram mass; OOV unigrams count
+    ``oov_count``). Sharper than the unigram proxy at catching shuffled
+    or templated text whose word *set* looks fine but whose transitions
+    don't.
+
+    Same execution shape as :func:`unigram_logprob_scores`: both model
+    rows broadcast, scoring is a zero-shuffle fold over each document's
+    word array; only the two vocab builds shuffle, and both are capped.
+    """
+    toks = words_col(F.col(text_col))
+
+    def u(tok: Column) -> Column:
+        return F.coalesce(
+            F.element_at(F.col("_vmap"), tok).cast("double"), F.lit(oov_count)
+        )
+
+    def ln_p(i: Column) -> Column:
+        w1 = F.element_at("_toks", i - 1)
+        w2 = F.element_at("_toks", i)
+        c12 = F.element_at(
+            F.col("_bmap"), F.concat_ws(" ", w1, w2)
+        ).cast("double")
+        return F.log(
+            F.coalesce(
+                c12 / u(w1),
+                F.lit(backoff) * u(w2) / F.col("_total"),
+            )
+        )
+
+    ln_sum = F.aggregate(
+        F.sequence(F.lit(2), F.size("_toks")),
+        F.lit(0.0),
+        lambda acc, i: acc + ln_p(i),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .crossJoin(F.broadcast(bigram_row))
+        .crossJoin(F.broadcast(unigram_row))
+        .select(
+            F.col(id_col),
+            (ln_sum / (F.size("_toks") - 1)).alias("bigram_logprob"),
+        )
+    )

@@ -121,6 +121,7 @@ _ATTESTATION_PRIORITY = [
     "semantic_dedup",
     "bloom_dedup_prefilter",
     "diversity_sample",
+    "bigram_logprob",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "gold_cohort_stats",
@@ -146,10 +147,9 @@ _ATTESTATION_PRIORITY = [
     "time_bucketed_counts",
     "latest_per_entity",
     "orders_lag_lead",
-    # backfill: core dedup sibling (dedup_exact/minhash_signatures were
-    # displaced by the two round-3 additions above — both already carry
-    # green rows in r1 AND r2)
-    "dedup_clusters",
+    # (dedup_exact/minhash_signatures/dedup_clusters backfills were
+    # displaced by the three round-3 additions above — all already carry
+    # green rows in r1 and/or r2)
 ]
 
 

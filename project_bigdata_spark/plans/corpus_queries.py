@@ -370,3 +370,59 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         k=_RNS_K, min_docs=_RNS_MIN_DOCS, max_grams=_RNS_MAX_GRAMS,
     )
+
+
+BIGRAM_VOCAB = 8192
+
+
+@query(
+    "bigram_logprob",
+    oracle=f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+), toks AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i
+  FROM d WHERE len(ws) >= 1
+), uni AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), utotal AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+), uvocab AS (
+  SELECT w, c FROM uni ORDER BY c DESC, w LIMIT {VOCAB_SIZE}
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), bvocab AS (
+  SELECT concat(w1, ' ', w2) AS bg, count(*) AS c
+  FROM pairs GROUP BY 1 ORDER BY c DESC, bg LIMIT {BIGRAM_VOCAB}
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       round(avg(ln(
+         CASE WHEN bv.c IS NOT NULL
+              THEN CAST(bv.c AS DOUBLE)
+                   / coalesce(CAST(u1.c AS DOUBLE), 5.0e-1)
+              ELSE 4.0e-1 * coalesce(CAST(u2.c AS DOUBLE), 5.0e-1)
+                   / (SELECT t FROM utotal)
+         END)), 4) AS bigram_logprob
+FROM pairs p
+LEFT JOIN bvocab bv ON concat(p.w1, ' ', p.w2) = bv.bg
+LEFT JOIN uvocab u1 ON p.w1 = u1.w
+LEFT JOIN uvocab u2 ON p.w2 = u2.w
+GROUP BY p.doc_id""",
+    doc="Conditional bigram-LM quality proxy with stupid-backoff: mean "
+    "ln P(w2|w1) per document — in-vocab bigrams score c12/c1, the rest "
+    "back off to 0.4 x unigram mass. Catches shuffled/templated text the "
+    "unigram proxy scores as fine. Both model tables are capped TakeOrdered "
+    "builds packed into single broadcast map rows; scoring is a "
+    "zero-shuffle fold.",
+    survey_ids=("M7",),
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    brow = TX.bigram_vocab_row(d, vocab_size=BIGRAM_VOCAB)
+    urow = TX.unigram_vocab_row(d, vocab_size=VOCAB_SIZE)
+    scores = TX.bigram_logprob_scores(d, brow, urow)
+    return scores.select(
+        N.big("doc_id").alias("doc_id"),
+        N.rnd("bigram_logprob").alias("bigram_logprob"),
+    )

@@ -232,3 +232,27 @@ def test_repeated_ngram_spans_disjoint_spans(spark):
     }
     assert out[1].n_spans == 2
     assert out[1].covered_words == 10
+
+
+def test_bigram_logprob_penalizes_shuffled_text(spark):
+    """The conditional bigram score separates natural word ORDER from the
+    same word SET shuffled — the failure mode the unigram proxy misses."""
+    from project_bigdata_spark.operators import text as TX
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    shuffled = " ".join(reversed(base.split()))
+    corpus = [(i, base) for i in range(20)] + [(100, shuffled)]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    brow = TX.bigram_vocab_row(df)
+    urow = TX.unigram_vocab_row(df)
+    got = {
+        r.doc_id: r.bigram_logprob
+        for r in TX.bigram_logprob_scores(df, brow, urow).collect()
+    }
+    assert got[100] < got[0] - 1.0  # clearly separated
+    # unigram proxy is blind to the permutation (same token multiset)
+    ug = {
+        r.doc_id: r.lm_logprob
+        for r in TX.unigram_logprob_scores(df, urow).collect()
+    }
+    assert abs(ug[100] - ug[0]) < 1e-6
