@@ -529,13 +529,20 @@ def _bloom_shard(key: Column, num_shards: int) -> Column:
 
 
 def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """k bit positions for a key — xxhash64 with k distinct literal salt
-    columns acts as k independent hash functions. xxhash64 (not md5) is
-    fine here: bloom positions never reach query OUTPUT (membership is
-    always confirmed by an exact join), so oracle portability doesn't
-    apply and the cheaper JVM hash wins on the full-corpus pass."""
+    """k bit positions for a key via double hashing: ``(h1 + i*h2) mod m``
+    (Kirsch & Mitzenmacher, "Less Hashing, Same Performance" — the
+    standard construction) costs TWO hash evaluations total instead of k,
+    which matters because the probe runs per ingested row. Both terms are
+    reduced mod small ranges first so ``h1 + i*h2`` stays far below 2^63
+    (ANSI mode makes long overflow an ERROR, not a wrap). xxhash64 (not
+    md5) is fine here: bloom positions never reach query OUTPUT
+    (membership is always confirmed by an exact join), so oracle
+    portability doesn't apply and the cheaper JVM hash wins."""
+    h1 = F.pmod(F.xxhash64(key, F.lit(0)), F.lit(num_bits))
+    # odd-ish nonzero step << 2^31 keeps i*h2 + h1 < 2^35, overflow-free
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit((1 << 31) - 1)) + F.lit(1)
     return [
-        F.pmod(F.xxhash64(key, F.lit(k)), F.lit(num_bits)) for k in range(num_hashes)
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
     ]
 
 
@@ -551,9 +558,11 @@ def bloom_build(
     bitmap packed into ``num_bits/64`` longs.
 
     Build shape (scale-first): explode each key into k tiny (shard, pos)
-    ints -> ``distinct`` (partial-aggregates map-side, so the exchange
-    carries at most ``num_shards x num_bits`` distinct positions no matter
-    how many corpus keys exist) -> OR per 64-bit word -> assemble each
+    ints -> ``bit_or`` per 64-bit word. No ``distinct`` is needed —
+    OR-ing a bit twice is a no-op, and the groupBy's map-side partial
+    aggregation means each task emits at most ``num_shards x num_bits/64``
+    word rows no matter how many corpus keys it scanned, so the exchange
+    is bounded by bitmap size, not corpus size. Final step assembles each
     shard's word map into one dense array row. The corpus text itself
     never moves.
 
@@ -572,7 +581,7 @@ def bloom_build(
         F.explode(F.array(*_bloom_positions(key, num_bits, num_hashes))).alias(
             "pos"
         ),
-    ).distinct()
+    )
     word_rows = pos.select(
         "shard",
         (F.col("pos") / F.lit(64)).cast("int").alias("w"),
@@ -582,18 +591,30 @@ def bloom_build(
             "b"
         ),
     ).groupBy("shard", "w").agg(F.bit_or("b").alias("bits"))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(words - 1)),
-        lambda i: F.coalesce(F.element_at("_wm", i.cast("int")), F.lit(0).cast("bigint")),
-    )
-    return (
-        word_rows.groupBy("shard")
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("w"), F.collect_list("bits")
-            ).alias("_wm")
+    # Dense assembly via a skeleton outer join, NOT per-index map lookups:
+    # element_at on a Spark MAP is a linear scan, so a transform(sequence)
+    # over the word index against a words-sized map is O(words²) per shard
+    # — non-terminating at production bitmap sizes. The skeleton join is
+    # linear: shards x words rows, occupied words attach their bits, the
+    # sorted collect yields the array in word order.
+    spark = df.sparkSession
+    skeleton = (
+        spark.range(num_shards)
+        .select(F.col("id").cast("int").alias("shard"))
+        .crossJoin(
+            spark.range(words).select(F.col("id").cast("int").alias("w"))
         )
-        .select("shard", dense.alias("bloom"))
+    )
+    dense_rows = skeleton.join(word_rows, on=["shard", "w"], how="left").select(
+        "shard",
+        "w",
+        F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"),
+    )
+    return dense_rows.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda p: p["bits"],
+        ).alias("bloom")
     )
 
 

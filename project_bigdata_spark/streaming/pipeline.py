@@ -342,3 +342,63 @@ def dedup_stream(
     return parsed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def bloom_screen_stream(
+    new_docs: DataFrame,
+    corpus_digests: DataFrame,
+    bloom: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous EXACT incremental dedup: screen each micro-batch of
+    incoming documents against a static corpus digest table, with the
+    corpus's Bloom bitmap (built once by
+    :func:`~project_bigdata_spark.operators.dedup.bloom_build` and
+    persisted, like the MinHash signature table in
+    :func:`incremental_dedup_stream`) pruning the batch before the exact
+    confirm join. Appends a per-doc ``(id, is_corpus_dup, batch_id)``
+    verdict log to ``out_path``.
+
+    Per batch, the screen cost tracks the CANDIDATE fraction: the probe
+    is a zero-shuffle map pass, and only bitmap hits (true dups + FPR)
+    reach the join — the steady-state shape for at-least-once ingest in
+    front of a 10^9-document corpus.
+    """
+    from pyspark.sql import functions as _F
+
+    from project_bigdata_spark.operators import dedup as DD
+
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        digest = _F.md5(_F.col(text_col))
+        probed = DD.bloom_probe(
+            batch_df.select(_F.col(id_col), digest.alias("digest")),
+            bloom,
+            _F.col("digest"),
+        )
+        confirmed = (
+            probed.filter(_F.col("bloom_hit"))
+            .join(corpus_digests, on="digest", how="left_semi")
+            .select(id_col)
+            .withColumn("is_corpus_dup", _F.lit(True))
+        )
+        out = (
+            batch_df.select(id_col)
+            .join(confirmed, on=id_col, how="left")
+            .select(
+                _F.col(id_col),
+                _F.coalesce("is_corpus_dup", _F.lit(False)).alias(
+                    "is_corpus_dup"
+                ),
+                _F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        new_docs.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

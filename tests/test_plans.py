@@ -219,3 +219,33 @@ def test_top_ngrams_window_over_aggregate_not_corpus(spark, sf_dir):
     # column pruning: the scan reads only text+lang
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and "doc_id" not in read[0] and "source" not in read[0]
+
+
+def test_bloom_probe_broadcasts_bitmap_no_cartesian(spark, sf_dir):
+    # the bitmap and the confirm-join corpus side must both arrive by
+    # broadcast at this SF (the only nested-loop allowed is the bounded
+    # shards x words skeleton cross join inside the bitmap build — it
+    # never touches corpus rows); the probe itself is bit math
+    plan = plan_of(spark, sf_dir, "bloom_dedup_prefilter")
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_diversity_sample_single_exchange_group_limit(spark, sf_dir):
+    # one hash exchange on the LSH cell; the quota filter must appear as
+    # a WindowGroupLimit (rank rewrite), not a post-window Filter alone
+    plan = plan_of(spark, sf_dir, "diversity_sample")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2  # one hash + possible AQE read
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_scoring_zero_corpus_shuffle(spark, sf_dir):
+    # both model rows broadcast (crossJoin); the scoring pass is a
+    # narrow fold — no window, no SMJ, vocab caps via TakeOrdered
+    plan = plan_of(spark, sf_dir, "bigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -504,3 +504,49 @@ def test_dedup_stream_watermarked(spark, tmp_path):
     ids = [r.event_id for r in got]
     assert sorted(ids) == sorted(set(ids)), "duplicate escaped the dedup"
     assert ids.count(0) == 1
+
+
+def test_bloom_screen_stream_end_to_end(spark, tmp_path):
+    """Exact incremental dedup stream: the persisted corpus bloom prunes
+    each micro-batch; exact copies are flagged, novel text is not, and
+    the answer is exact despite the probabilistic prefilter."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_spark.operators import dedup as DD
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "columnar engines vectorize aggregation pipelines"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    digests = corpus.select(F.md5("text").alias("digest")).distinct().persist()
+    bloom = DD.bloom_build(digests, "digest").persist()
+    bloom.count()
+
+    src, out, ckpt = (
+        str(tmp_path / p) for p in ("bs_src", "bs_out", "bs_ckpt")
+    )
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(11, corpus_rows[0][1]), (12, "novel alpine meadow flora survey")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = SP.bloom_screen_stream(stream, digests, bloom, out, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(21, corpus_rows[1][1])], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {11, 12, 21}
+    assert got[11].is_corpus_dup and got[21].is_corpus_dup
+    assert not got[12].is_corpus_dup
+    assert got[11].batch_id != got[21].batch_id
