@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.similarity_queries",
     "project_bigdata_spark.plans.text_queries",
     "project_bigdata_spark.plans.corpus_queries",
+    "project_bigdata_spark.plans.layout_queries",
 ]
 
 
@@ -122,6 +123,7 @@ _ATTESTATION_PRIORITY = [
     "bloom_dedup_prefilter",
     "diversity_sample",
     "bigram_logprob",
+    "zorder_events",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "gold_cohort_stats",
