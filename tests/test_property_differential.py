@@ -69,3 +69,68 @@ def test_rolling_mean_matches_pandas(spark, rows):
         expected.to_numpy(), got["value_mean_5"].to_numpy(dtype=float),
         rtol=1e-9, atol=1e-9,
     )
+
+
+_round_vals = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    # half-way rounding boundaries: k/2 * 1e-4 lands exactly between
+    # 4-decimal grid points — where Spark's string-repr rounding and C's
+    # binary-value rounding historically disagree
+    st.integers(min_value=-2 * 10**6, max_value=2 * 10**6).map(
+        lambda k: k / 2 * 1e-4
+    ),
+    st.sampled_from([38.37875, -38.37875, 2.5e-5, -2.5e-5, 0.00015]),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_round_vals, min_size=1, max_size=50))
+def test_rnd_matches_duckdb_round(spark, vals):
+    """plans/_norm.rnd must equal DuckDB's round(x, 4) on the BINARY
+    double value for every input — the invariant every oracle compare
+    stands on."""
+    import duckdb
+
+    from project_bigdata_spark.plans import _norm as N
+
+    got = [
+        r.r
+        for r in spark.createDataFrame([(float(v),) for v in vals], "x double")
+        .select(N.rnd("x").alias("r"))
+        .collect()
+    ]
+    exp = [
+        row[0]
+        for row in duckdb.connect()
+        .execute(
+            "SELECT round(x, 4) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            [[float(v) for v in vals]],
+        )
+        .fetchall()
+    ]
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sets(
+        st.text(alphabet="abcdef0123456789", min_size=1, max_size=16),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1, 3]),
+)
+def test_bloom_never_false_negative(spark, keys, shards):
+    """For ANY key set and shard count, every built key must probe true
+    — the invariant the exact-dedup prefilter's correctness rests on."""
+    from project_bigdata_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(k,) for k in sorted(keys)], "k string")
+    bloom = DD.bloom_build(df, "k", num_shards=shards)
+    hits = (
+        DD.bloom_probe(df, bloom, F.col("k"), num_shards=shards)
+        .filter("bloom_hit")
+        .count()
+    )
+    assert hits == len(keys)
