@@ -341,6 +341,17 @@ def unigram_vocab_row(
     return vrow.crossJoin(trow)
 
 
+def _vocab_table(vocab_row: DataFrame, map_col: str, key_name: str) -> DataFrame:
+    """Unpack a one-row vocab map back into a (key, cnt) table for
+    broadcast-hash-join lookups."""
+    return vocab_row.select(
+        F.explode(F.map_entries(map_col)).alias("_e")
+    ).select(
+        F.col("_e.key").alias(key_name),
+        F.col("_e.value").cast("double").alias(f"_cnt_{key_name}"),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     vocab_row: DataFrame,
@@ -353,34 +364,32 @@ def unigram_logprob_scores(
     (low = gibberish / OOV-heavy; the standard pre-training quality
     filter alongside heuristic scores).
 
-    ``avg ln(c_i/total) == (sum ln c_i)/n - ln(total)`` — the fold only
-    evaluates ``ln(map[token])`` per element (HOFs run interpreted, so
-    per-element work is the cost driver); the normalization happens once
-    per row outside the lambda. Scoring is a narrow map over the corpus
-    against the single broadcast vocab row — zero shuffles.
+    Lookup shape matters at corpus scale: ``element_at`` on a Spark MAP
+    is a LINEAR scan, so folding over tokens against the vocab map costs
+    O(|vocab|) per token. Instead: explode tokens (narrow — a doc's
+    tokens stay in its partition), broadcast-HASH-join the vocab table
+    (O(1) per token), re-aggregate per doc. The doc-keyed exchange is
+    bounded by ONE partial-agg row per doc per partition — and since
+    explode preserves row locality, that is ~one row per doc total.
     """
-    toks = words_col(F.col(text_col))
-    ln_sum = F.aggregate(
-        F.col("_toks"),
-        F.lit(0.0),
-        lambda acc, t: acc
-        + F.log(
-            F.coalesce(
-                F.element_at(F.col("_vmap"), t).cast("double"),
-                F.lit(oov_count),
-            )
-        ),
+    toks = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("_tok")
     )
-    return (
-        df.select(F.col(id_col), toks.alias("_toks"))
-        .filter(F.size("_toks") > 0)
-        .crossJoin(F.broadcast(vocab_row))
-        .select(
-            F.col(id_col),
-            (ln_sum / F.size("_toks") - F.log(F.col("_total"))).alias(
-                "lm_logprob"
-            ),
+    vt = _vocab_table(vocab_row, "_vmap", "_tok")
+    per_doc = (
+        toks.join(F.broadcast(vt), on="_tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.avg(
+                F.log(F.coalesce(F.col("_cnt__tok"), F.lit(oov_count)))
+            ).alias("_avg_ln")
         )
+    )
+    return per_doc.crossJoin(
+        F.broadcast(vocab_row.select("_total"))
+    ).select(
+        F.col(id_col),
+        (F.col("_avg_ln") - F.log(F.col("_total"))).alias("lm_logprob"),
     )
 
 
@@ -630,42 +639,54 @@ def bigram_logprob_scores(
     or templated text whose word *set* looks fine but whose transitions
     don't.
 
-    Same execution shape as :func:`unigram_logprob_scores`: both model
-    rows broadcast, scoring is a zero-shuffle fold over each document's
-    word array; only the two vocab builds shuffle, and both are capped.
+    Same execution shape as :func:`unigram_logprob_scores` — and for the
+    same reason: per-pair model lookups must be O(1) broadcast-hash-join
+    probes, not O(|vocab|) map scans. Explode adjacent pairs (narrow),
+    one broadcast join per model table (bigram, unigram-of-w1,
+    unigram-of-w2), re-aggregate per doc; the exchange carries ~one
+    partial-agg row per doc.
     """
-    toks = words_col(F.col(text_col))
-
-    def u(tok: Column) -> Column:
-        return F.coalesce(
-            F.element_at(F.col("_vmap"), tok).cast("double"), F.lit(oov_count)
-        )
-
-    def ln_p(i: Column) -> Column:
-        w1 = F.element_at("_toks", i - 1)
-        w2 = F.element_at("_toks", i)
-        c12 = F.element_at(
-            F.col("_bmap"), F.concat_ws(" ", w1, w2)
-        ).cast("double")
-        return F.log(
-            F.coalesce(
-                c12 / u(w1),
-                F.lit(backoff) * u(w2) / F.col("_total"),
-            )
-        )
-
-    ln_sum = F.aggregate(
-        F.sequence(F.lit(2), F.size("_toks")),
-        F.lit(0.0),
-        lambda acc, i: acc + ln_p(i),
-    )
-    return (
-        df.select(F.col(id_col), toks.alias("_toks"))
+    ws = words_col(F.col(text_col))
+    pairs = (
+        df.select(F.col(id_col), ws.alias("_toks"))
         .filter(F.size("_toks") >= 2)
-        .crossJoin(F.broadcast(bigram_row))
-        .crossJoin(F.broadcast(unigram_row))
         .select(
             F.col(id_col),
-            (ln_sum / (F.size("_toks") - 1)).alias("bigram_logprob"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("_toks")),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i - 1).alias("w1"),
+                        F.element_at("_toks", i).alias("w2"),
+                    ),
+                )
+            ).alias("_p"),
         )
+        .select(
+            F.col(id_col),
+            F.col("_p.w1").alias("_w1"),
+            F.col("_p.w2").alias("_w2"),
+            F.concat_ws(" ", "_p.w1", "_p.w2").alias("_bg"),
+        )
+    )
+    bt = _vocab_table(bigram_row, "_bmap", "_bg")
+    u1 = _vocab_table(unigram_row, "_vmap", "_w1")
+    u2 = _vocab_table(unigram_row, "_vmap", "_w2")
+    joined = (
+        pairs.join(F.broadcast(bt), on="_bg", how="left")
+        .join(F.broadcast(u1), on="_w1", how="left")
+        .join(F.broadcast(u2), on="_w2", how="left")
+        .crossJoin(F.broadcast(unigram_row.select("_total")))
+    )
+    ln_p = F.log(
+        F.coalesce(
+            F.col("_cnt__bg")
+            / F.coalesce(F.col("_cnt__w1"), F.lit(oov_count)),
+            F.lit(backoff)
+            * F.coalesce(F.col("_cnt__w2"), F.lit(oov_count))
+            / F.col("_total"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.avg(ln_p).alias("bigram_logprob")
     )

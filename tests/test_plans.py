@@ -163,11 +163,12 @@ def test_chunk_embed_search_single_python_stage_topk(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_unigram_scoring_zero_corpus_shuffle(spark, sf_dir):
-    # vocab packs into ONE broadcast row (crossJoin-broadcast); the
-    # scoring pass over documents must be a narrow fold — no token
-    # explode+join on the corpus side, no window
+def test_unigram_scoring_broadcast_lookups(spark, sf_dir):
+    # token lookups must be broadcast HASH joins (O(1) per token — an
+    # element_at on a vocab MAP is a linear scan), the one-row total
+    # arrives by broadcast nested loop, and nothing sorts or SMJs
     plan = plan_of(spark, sf_dir, "unigram_logprob")
+    assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
@@ -242,9 +243,11 @@ def test_diversity_sample_single_exchange_group_limit(spark, sf_dir):
 
 
 def test_bigram_scoring_zero_corpus_shuffle(spark, sf_dir):
-    # both model rows broadcast (crossJoin); the scoring pass is a
-    # narrow fold — no window, no SMJ, vocab caps via TakeOrdered
+    # model lookups are broadcast HASH joins (bigram + both unigram
+    # sides), the one-row total is broadcast nested loop, vocab caps via
+    # TakeOrdered — no window, no SMJ
     plan = plan_of(spark, sf_dir, "bigram_logprob")
+    assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
