@@ -448,10 +448,15 @@ def semantic_dedup_pairs(
         df, centroids, id_col=id_col, vec_col=vec_col,
         round_to=round_to, rnd=rnd,
     ).select(F.col(id_col), F.col("centroid_id"))
+    # norms are computed ONCE per member row, not per pair: the pairwise
+    # cosine then needs a single interpreted dot fold instead of three
+    # (a.b, a.a, b.b) — 3x less HOF work on the quadratic-in-cluster part,
+    # and sqrt(a.a)*sqrt(b.b) is the same IEEE expression either way, so
+    # oracle parity is unchanged
     members = assign.join(
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")),
         on=id_col,
-    )
+    ).withColumn("_n", norm(F.col("_v")))
     cw = Window.partitionBy("centroid_id")
     members = (
         members.withColumn("_csz", F.count(F.lit(1)).over(cw))
@@ -462,13 +467,17 @@ def semantic_dedup_pairs(
         F.col("centroid_id"),
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = members.select(
         F.col("centroid_id"),
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    cos = F.when(
+        (F.col("_na") == 0) | (F.col("_nb") == 0), F.lit(None).cast("double")
+    ).otherwise(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
     if round_to is not None:
         cos = rnd(cos, round_to)
     return (
