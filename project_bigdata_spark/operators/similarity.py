@@ -521,3 +521,171 @@ def diversity_sample(
         .withColumn("sample_rank", F.row_number().over(ranked))
         .filter(F.col("sample_rank") <= per_bucket)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale path for ANN. A 64-dim float
+# vector (256 B) compresses to n_sub codebook indices (n_sub bytes at
+# K<=256), so a billion-vector index fits in executor memory and ADC
+# search scans codes, never raw vectors. Codebooks at scale come from
+# sampled per-subspace k-means (ml/kmeans.py); the operators take any
+# codeword table. Reference scope: extends the reference's similarity
+# surface (ml_training feature pipelines) with the standard IVF->PQ
+# ladder; public algorithm (Jegou et al., TPAMI 2011).
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Left-fold squared L2 distance — like :func:`dot`, element order is
+    fixed so the IEEE result replays on any left-folding engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_row(codebook: DataFrame, code_id: str, vec_col: str) -> DataFrame:
+    """Pack the codeword table into ONE broadcastable row: a cid-sorted
+    ``array<struct<cid, cvec>>`` (same shape trick as :func:`_centroid_row`)."""
+    return codebook.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(code_id).alias("cid"),
+                    as_double(F.col(vec_col)).alias("cvec"),
+                )
+            )
+        ).alias("_cb")
+    )
+
+
+def _sub(v: Column, m: int, sub_dim: int) -> Column:
+    return F.slice(v, m * sub_dim + 1, sub_dim)
+
+
+def _best_code(v: Column, cb: Column, m: int, sub_dim: int, rnd, round_to: int):
+    """Per-subspace argmin over the packed codebook: struct array sorted by
+    (dist, cid, pos) — ties break to the smallest codeword id, and ``pos``
+    rides along so ADC can index the distance table positionally."""
+    scored = F.transform(
+        cb,
+        lambda c, i: F.struct(
+            rnd(l2sq(_sub(v, m, sub_dim), _sub(c["cvec"], m, sub_dim)), round_to)
+            .alias("dist"),
+            c["cid"].alias("cid"),
+            i.alias("pos"),
+        ),
+    )
+    return F.array_sort(scored)[0]
+
+
+def pq_encode_flat(
+    df: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 4,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_id: str = "code_id",
+    round_to: int = 6,
+    rnd=F.round,
+) -> DataFrame:
+    """PQ encoding, one row per (vector, subspace): the nearest codeword
+    (min rounded squared-L2 over that subspace's slice) and its distance.
+
+    The codebook is ONE broadcast row; per input row the M argmins run as
+    column expressions and ``inline`` unrolls them — a narrow map, zero
+    shuffles, exactly the shape that turns a 100 TB raw-vector corpus into
+    a codes table a few hundred GB wide.
+    """
+    sub_dim = dim // n_sub
+    cb = F.broadcast(_codebook_row(codebook, code_id, vec_col))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                _best_code(F.col("_v"), F.col("_cb"), m, sub_dim, rnd, round_to)
+                .alias("best"),
+            )
+            for m in range(n_sub)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(cb)
+        .select(F.col(id_col), F.inline(rows))
+        .select(
+            F.col(id_col),
+            F.col("m"),
+            F.col("best")["cid"].alias("code"),
+            F.col("best")["dist"].alias("dist"),
+        )
+    )
+
+
+def pq_search_adc(
+    df: DataFrame,
+    codebook: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_sub: int = 4,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_id: str = "code_id",
+    round_to: int = 6,
+    rnd=F.round,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: build the per-subspace
+    query->codeword distance table ONCE (n_sub x K entries, computed
+    in-plan from the broadcast query row + codebook row), then score every
+    vector as the DECIMAL-exact sum of its codes' table entries.
+
+    Zero shuffles: codebook + query + distance table ride in one broadcast
+    row; the corpus pass is a narrow map ending in TakeOrderedAndProject.
+    Each table entry is rounded then carried as DECIMAL(18,6) so the
+    n_sub-term sum is order-free and bit-identical on any engine.
+    """
+    sub_dim = dim // n_sub
+    cb = F.broadcast(_codebook_row(codebook, code_id, vec_col))
+    q = F.broadcast(query_df.select(as_double(F.col(vec_col)).alias("_q")))
+    # distance table: dtab[m][pos] = round(l2sq(q_sub, cw_sub), 6) as DECIMAL.
+    # NB: the per-m lambda must stay single-argument — PySpark reads a
+    # 2-arg HOF lambda as (element, index) and would shadow m.
+    def _dtab_entry(m: int):
+        return lambda c: rnd(
+            l2sq(_sub(F.col("_q"), m, sub_dim), _sub(c["cvec"], m, sub_dim)),
+            round_to,
+        ).cast("decimal(18,6)")
+
+    dtab = F.array(
+        *[F.transform(F.col("_cb"), _dtab_entry(m)) for m in range(n_sub)]
+    )
+    best = F.array(
+        *[
+            _best_code(F.col("_v"), F.col("_cb"), m, sub_dim, rnd, round_to)
+            for m in range(n_sub)
+        ]
+    )
+    score = None
+    for m in range(n_sub):
+        # index the table by array POSITION; report the codeword ID —
+        # identical only when cids are dense from 0, so keep them apart
+        term = F.element_at(F.col("_dtab")[m], F.col("_best")[m]["pos"] + 1)
+        score = term if score is None else score + term
+    return (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .crossJoin(cb)
+        .crossJoin(q)
+        .withColumn("_dtab", dtab)
+        .withColumn("_best", best)
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                ",", F.transform(F.col("_best"), lambda b: b["cid"].cast("string"))
+            ).alias("codes"),
+            score.cast("double").alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -682,3 +682,138 @@ def bigram_logprob_scores(
     return joined.groupBy(id_col).agg(
         F.avg(ln_p).alias("bigram_logprob")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus retrieval surface: TF-IDF keyword extraction, an inverted index,
+# and BM25 ranking. These are the lexical-retrieval counterparts of the
+# embedding ANN path (operators/similarity.py) — a curation pipeline uses
+# them for keyword-based corpus slicing and query-driven subset export.
+# Scale shape: everything is explode -> partial-agg -> small-key shuffle on
+# (doc, term) or term; document payloads never shuffle, and corpus-level
+# scalars (N, avg doclen) travel as one broadcast row.
+
+
+def term_freqs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf) from whitespace tokens — map-side combine applies
+    because the groupBy keys are a superset of the explode's input row."""
+    w = df.select(F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term"))
+    return w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def inverted_index_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Posting-list statistics per term: document frequency, total term
+    frequency, and the doc-id span. The full posting list (sorted doc ids)
+    is a per-term ``collect_list`` away, but an unbounded list column is a
+    skew hazard at corpus scale — cap or bucket it; the stats here are
+    fixed-width per term regardless of corpus size."""
+    tf = term_freqs(df, id_col, text_col)
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.min(id_col).cast("bigint").alias("min_doc"),
+        F.max(id_col).cast("bigint").alias("max_doc"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rnd=F.round,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``), rank ties broken lexicographically.
+
+    The doc-frequency side aggregates to ~vocab rows, then re-joins the
+    (doc, term, tf) frame on ``term`` — at web-corpus vocab sizes that
+    join side is MBs, so Spark broadcasts it; the corpus count rides in
+    one literal-sized row. The rank filter becomes a WindowGroupLimit.
+    """
+    tf = term_freqs(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            rnd(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("score"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rnd=F.round,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len_d/avglen))``
+    with ``idf = ln(1 + (N−df+0.5)/(df+0.5))``. Per-term contributions are
+    rounded then summed as DECIMAL so the cross-engine result is exact
+    regardless of aggregation order. Only rows matching a query term
+    survive the first filter — the exploded frame collapses to
+    |query| × df rows before any shuffle; corpus stats (N, avg doclen)
+    are one broadcast row.
+    """
+    lens = df.select(
+        F.col(id_col), F.size(words_col(F.col(text_col))).alias("dl")
+    )
+    stats = F.broadcast(
+        lens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        )
+    )
+    tf = term_freqs(df, id_col, text_col).filter(F.col("term").isin(query_terms))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    tfnorm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    contrib = rnd(idf * tfnorm, round_to).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(stats)
+        .groupBy(id_col)
+        .agg(
+            F.sum(contrib).cast("double").alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

@@ -124,6 +124,11 @@ _ATTESTATION_PRIORITY = [
     "diversity_sample",
     "bigram_logprob",
     "zorder_events",
+    "pq_encode",
+    "pq_search",
+    "inverted_index",
+    "tfidf_top_terms",
+    "bm25_retrieval",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "gold_cohort_stats",

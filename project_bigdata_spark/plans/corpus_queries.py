@@ -426,3 +426,98 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("doc_id").alias("doc_id"),
         N.rnd("bigram_logprob").alias("bigram_logprob"),
     )
+
+
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_TERMS_SQL = "('spark', 'window', 'join')"
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM tf GROUP BY term""",
+    doc="Inverted-index posting stats per term: document frequency, "
+    "total tf, doc-id span. Two partial-aggregating shuffles on tiny "
+    "keys; payloads never move — the lexical-retrieval complement of "
+    "the ANN path.",
+    survey_ids=("M7",),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.inverted_index_stats(d)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       score, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+                    DESC, tf.term) AS rk
+  FROM tf JOIN dfreq USING (term), n)
+WHERE rk <= 3""",
+    doc="Top-3 characteristic terms per document by smoothed TF-IDF, "
+    "deterministic tie-break on the rounded score then term. The "
+    "doc-frequency side is vocab-sized -> broadcast join; rank filter "
+    "compiles to WindowGroupLimit.",
+    survey_ids=("M7",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(d, k=3, rnd=N.rnd)
+
+
+@query(
+    "bm25_retrieval",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, len({WORDS_SQL}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM lens
+), tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+  HAVING w IN {_BM25_TERMS_SQL}
+), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+       CAST(sum(CAST(round(
+         ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75
+             + 0.75 * lens.dl / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+       6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN dfreq USING (term) JOIN lens ON tf.doc_id = lens.doc_id, stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id LIMIT 10""",
+    doc="BM25 top-10 documents for a 3-term keyword query (k1=1.2, "
+    "b=0.75); per-term contributions rounded then DECIMAL-summed so the "
+    "score is aggregation-order-free. The exploded frame collapses to "
+    "|query|xdf rows before any wide shuffle; corpus stats are one "
+    "broadcast row.",
+    survey_ids=("M7",),
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bm25_topk(d, list(_BM25_TERMS), k=10, rnd=N.rnd)

@@ -503,3 +503,93 @@ def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("bucket_size").alias("bucket_size"),
         N.big("sample_rank").alias("sample_rank"),
     )
+
+
+_PQ_SUB = 4
+_PQ_SUBDIM = 16
+
+_L2SQ_SLICE_SQL = (
+    "list_sum(list_transform(list_zip("
+    "list_slice(CAST({a} AS DOUBLE[]), {m}*16+1, {m}*16+16), "
+    "list_slice(CAST({b} AS DOUBLE[]), {m}*16+1, {m}*16+16)), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+def _l2sq_slice_sql(a: str, b: str, m: str = "s.m") -> str:
+    return _L2SQ_SLICE_SQL.format(a=a, b=b, m=m)
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+WITH cw AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), sub AS (SELECT unnest(range({_PQ_SUB})) AS m)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(m AS BIGINT) AS m,
+       CAST(cid AS BIGINT) AS code, dist
+FROM (
+  SELECT e.vec_id, s.m, c.cid,
+         round({_l2sq_slice_sql('e.embedding', 'c.cvec')}, 6) AS dist
+  FROM embeddings e, cw c, sub s)
+QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1""",
+    doc="Product-quantization encode: 4 subspaces x 16 dims, codebook = "
+    "first 8 vectors; per (vector, subspace) the nearest codeword by "
+    "rounded squared-L2. Codebook is ONE broadcast row; the M argmins "
+    "run as per-row folds — zero shuffles (256 B/vector -> n_sub codes).",
+    survey_ids=("M7",),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cw = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    out = SIM.pq_encode_flat(e, cw, n_sub=_PQ_SUB, rnd=N.rnd)
+    return out.select(
+        N.big("vec_id").alias("vec_id"),
+        N.big("m").alias("m"),
+        N.big("code").alias("code"),
+        "dist",
+    )
+
+
+@query(
+    "pq_search",
+    oracle=f"""
+WITH cw AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+sub AS (SELECT unnest(range({_PQ_SUB})) AS m),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT e.vec_id, s.m, c.cid,
+           round({_l2sq_slice_sql('e.embedding', 'c.cvec')}, 6) AS dist
+    FROM embeddings e, cw c, sub s)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+), dt AS (
+  SELECT s.m, c.cid,
+         CAST(round({_l2sq_slice_sql('q.qvec', 'c.cvec')}, 6)
+              AS DECIMAL(18,6)) AS d
+  FROM cw c, sub s, q
+)
+SELECT CAST(codes.vec_id AS BIGINT) AS vec_id,
+       string_agg(CAST(dt.cid AS VARCHAR), ',' ORDER BY codes.m) AS codes,
+       CAST(sum(dt.d) AS DOUBLE) AS adc_dist
+FROM codes JOIN dt ON codes.m = dt.m AND codes.cid = dt.cid
+GROUP BY codes.vec_id
+ORDER BY adc_dist, codes.vec_id LIMIT 10""",
+    doc="PQ asymmetric-distance search: the 4x8 query->codeword distance "
+    "table is built in-plan from the broadcast query+codebook row, every "
+    "vector scores as a DECIMAL-exact sum of its codes' entries — zero "
+    "shuffles, TakeOrderedAndProject top-10. The scan reads codes, not "
+    "vectors: the PQ memory win that makes billion-vector ANN fit.",
+    survey_ids=("M7",),
+)
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cw = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("code_id"), "embedding"
+    )
+    qdf = e.filter(F.col("vec_id") == 0).select("embedding")
+    out = SIM.pq_search_adc(e, cw, qdf, k=10, n_sub=_PQ_SUB, rnd=N.rnd)
+    return out.select(N.big("vec_id").alias("vec_id"), "codes", "adc_dist")

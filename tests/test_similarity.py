@@ -86,3 +86,51 @@ def test_diversity_sample_quota_and_stability(spark):
         for r in SIM.diversity_sample(df, "vec_id", "embedding", per_bucket=5).collect()
     )
     assert a == b
+
+
+def test_pq_encode_hand_computed(spark):
+    # dim=4, 2 subspaces of 2; codebook: cw0=[0,0,0,0], cw1=[1,1,1,1].
+    # v=[0.9, 0.9, 0.1, 0.1] -> sub0 nearest cw1 (dist 0.02 vs 1.62),
+    # sub1 nearest cw0 (dist 0.02 vs 1.62).
+    corpus = spark.createDataFrame(
+        [(10, [0.9, 0.9, 0.1, 0.1])], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0] * 4)],
+        "code_id long, embedding array<double>",
+    )
+    rows = {
+        (r["m"], r["code"]): r["dist"]
+        for r in SIM.pq_encode_flat(corpus, cb, n_sub=2, dim=4).collect()
+    }
+    assert rows == {(0, 1): 0.02, (1, 0): 0.02}
+
+
+def test_pq_encode_tie_breaks_to_smallest_code_id(spark):
+    corpus = spark.createDataFrame(
+        [(7, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame(  # duplicate codewords -> tie on dist
+        [(3, [0.0, 0.0]), (1, [0.0, 0.0])],
+        "code_id long, embedding array<double>",
+    )
+    out = SIM.pq_encode_flat(corpus, cb, n_sub=1, dim=2).collect()
+    assert len(out) == 1 and out[0]["code"] == 1
+
+
+def test_pq_search_self_query_ranks_first_and_codes_are_cids(spark):
+    # codebook ids deliberately NOT dense-from-zero: codes column must
+    # report cids while the distance table is indexed positionally.
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [5.0, 5.0])],
+        "code_id long, embedding array<double>",
+    )
+    q = corpus.filter(F.col("vec_id") == 3).select("embedding")
+    got = SIM.pq_search_adc(corpus, cb, q, k=3, n_sub=1, dim=2).collect()
+    assert [r["vec_id"] for r in got] == [3, 1, 2]
+    assert got[0]["codes"] == "30" and got[0]["adc_dist"] == 0.0
+    assert got[1]["codes"] == "10"

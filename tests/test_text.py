@@ -256,3 +256,45 @@ def test_bigram_logprob_penalizes_shuffled_text(spark):
         for r in TX.unigram_logprob_scores(df, urow).collect()
     }
     assert abs(ug[100] - ug[0]) < 1e-6
+
+
+def test_tfidf_rarer_term_outranks_common(spark):
+    from project_bigdata_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "apple apple zebra"), (2, "apple pear"), (3, "apple fig")],
+        "doc_id long, text string",
+    )
+    top = TX.tfidf_top_terms(df, k=1).collect()
+    by_doc = {r["doc_id"]: r["term"] for r in top}
+    # 'apple' appears in every doc -> idf ln(4/4)=0; unique terms win
+    assert by_doc == {1: "zebra", 2: "pear", 3: "fig"}
+
+
+def test_inverted_index_stats_counts(spark):
+    from project_bigdata_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    idx = {r["term"]: r for r in TX.inverted_index_stats(df).collect()}
+    assert idx["a"]["n_docs"] == 1 and idx["a"]["total_tf"] == 2
+    assert idx["b"]["n_docs"] == 2 and idx["b"]["total_tf"] == 2
+    assert (idx["b"]["min_doc"], idx["b"]["max_doc"]) == (1, 2)
+
+
+def test_bm25_exact_match_beats_partial(spark):
+    from project_bigdata_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join window"),
+            (2, "spark spark filler filler filler filler"),
+            (3, "other words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = TX.bm25_topk(df, ["spark", "join", "window"], k=3).collect()
+    assert [r["doc_id"] for r in got][:1] == [1]
+    assert got[0]["n_terms_hit"] == 3
+    assert {r["doc_id"] for r in got} == {1, 2}  # doc 3 never enters
