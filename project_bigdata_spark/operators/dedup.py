@@ -641,3 +641,46 @@ def bloom_probe(
         bit = F.getbit(word, (p % F.lit(64)).cast("int"))
         hit = hit & (bit == 1)
     return probed.withColumn(flag_col, hit).drop("_shard", "bloom")
+
+
+def minhash_eval_pairs(
+    pairs: DataFrame, sigs: DataFrame, id_col: str
+) -> DataFrame:
+    """Estimator-quality audit: MinHash-estimated vs exact Jaccard per
+    candidate pair (est = matching-component fraction), with the absolute
+    error — the dial-tuning readout for NUM_HASHES / banding choices.
+
+    Same join shape as :func:`jaccard_verify` (candidates only, never n²);
+    the signature arrays add ``num_hashes`` small strings per row to the
+    join, nothing corpus-sized.
+    """
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct("shingles").alias("set_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct("shingles").alias("set_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("est_jaccard", matches / F.size(F.col("sig_a")))
+        .withColumn(
+            "exact_jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .withColumn(
+            "abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+        )
+        .select("id_a", "id_b", "est_jaccard", "exact_jaccard", "abs_err")
+    )

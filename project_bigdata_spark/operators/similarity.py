@@ -689,3 +689,44 @@ def pq_search_adc(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def rp_signs(component: int, dim: int = DIM) -> list[int]:
+    """Deterministic ±1 signs for one random-projection component —
+    same md5-parity scheme as :func:`plane_signs`, different salt."""
+    signs: list[int] = []
+    for d in range(dim):
+        h = hashlib.md5(f"rp{component}:{d}".encode()).hexdigest()
+        signs.append(1 if int(h[0], 16) % 2 == 0 else -1)
+    return signs
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rnd=F.round,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a Rademacher
+    (±1) matrix: ``y_j = <v, s_j> / sqrt(out_dim)``. The sign matrix is a
+    plan-build-time literal (md5 parity), so the projection replays
+    bit-identically anywhere — no stored model artifact to ship.
+
+    Zero shuffles, pure narrow map; the standard pre-pass that shrinks a
+    100 TB embedding corpus ~dim/out_dim× before ANN indexing or
+    clustering, with pairwise distances preserved to O(1/sqrt(out_dim)).
+    """
+    v = as_double(F.col(vec_col))
+    scale = float(out_dim) ** 0.5
+    comps = [
+        rnd(
+            dot(v, F.array(*[F.lit(float(s)) for s in rp_signs(j, dim)]))
+            / F.lit(scale),
+            round_to,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))

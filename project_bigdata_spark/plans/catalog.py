@@ -129,6 +129,8 @@ _ATTESTATION_PRIORITY = [
     "inverted_index",
     "tfidf_top_terms",
     "bm25_retrieval",
+    "minhash_error_eval",
+    "random_projection",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "gold_cohort_stats",

@@ -548,3 +548,45 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_corpus_dup"),
         )
     )
+
+
+_EST_MATCH_SQL = "(" + " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+    for i in range(DD.NUM_HASHES)
+) + f") / {DD.NUM_HASHES}.0"
+
+_PAIR_JACCARD_SQL = """CAST(len(list_intersect(list_distinct(a.shingles),
+                              list_distinct(b.shingles))) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles)))"""
+
+
+@query(
+    "minhash_error_eval",
+    oracle="WITH"
+    + MINHASH_CTES
+    + f"""
+SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+       round({_EST_MATCH_SQL}, 4) AS est_jaccard,
+       round({_PAIR_JACCARD_SQL}, 4) AS exact_jaccard,
+       round(abs({_EST_MATCH_SQL} - ({_PAIR_JACCARD_SQL})), 4) AS abs_err
+FROM pairs p
+JOIN sigs a ON p.id_a = a.doc_id
+JOIN sigs b ON p.id_b = b.doc_id""",
+    doc="MinHash estimator audit: per candidate pair, the signature-match "
+    "estimate vs the exact shingle Jaccard and their absolute error — "
+    "the measured readout for choosing NUM_HASHES and band geometry. "
+    "Candidates only (banded + capped), never all pairs.",
+    survey_ids=("M7",),
+)
+def minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text").persist()
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    out = DD.minhash_eval_pairs(pairs, sigs, "doc_id")
+    return out.select(
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        N.rnd("est_jaccard").alias("est_jaccard"),
+        N.rnd("exact_jaccard").alias("exact_jaccard"),
+        N.rnd("abs_err").alias("abs_err"),
+    )

@@ -593,3 +593,34 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = e.filter(F.col("vec_id") == 0).select("embedding")
     out = SIM.pq_search_adc(e, cw, qdf, k=10, n_sub=_PQ_SUB, rnd=N.rnd)
     return out.select(N.big("vec_id").alias("vec_id"), "codes", "adc_dist")
+
+
+_RP_DIM = 16
+
+
+def _rp_signs_sql(j: int) -> str:
+    return "[" + ", ".join(f"{s:.1f}" for s in SIM.rp_signs(j)) + "]"
+
+
+@query(
+    "random_projection",
+    oracle="SELECT CAST(vec_id AS BIGINT) AS vec_id,\n"
+    + ",\n".join(
+        f"       round({_dot_sql('embedding', _rp_signs_sql(j))} / 4.0, 6) AS p{j}"
+        for j in range(_RP_DIM)
+    )
+    + "\nFROM embeddings",
+    doc="Johnson-Lindenstrauss reduction 64 -> 16 dims with a plan-literal "
+    "Rademacher sign matrix (md5 parity, same determinism scheme as the "
+    "LSH planes): y_j = <v, s_j>/sqrt(16). Zero shuffles, narrow map — "
+    "the pre-pass that shrinks an embedding corpus 4x before ANN "
+    "indexing or clustering.",
+    survey_ids=("M7",),
+)
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.random_project(e, out_dim=_RP_DIM, rnd=N.rnd)
+    return out.select(
+        N.big("vec_id").alias("vec_id"),
+        *[F.col("projected")[j].alias(f"p{j}") for j in range(_RP_DIM)],
+    )

@@ -211,3 +211,29 @@ def test_bloom_prefilter_query_exact(spark):
     rows = {r.doc_id: r.is_corpus_dup for r in out.collect()}
     assert rows and all(r in (0, 1) for r in rows.values())
     assert all(d % 3 == 0 for d in rows)
+
+
+def test_minhash_eval_identical_docs_and_error_range(spark):
+    from project_bigdata_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "a completely different document with other words"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = DD.minhash_signatures(docs, "doc_id", "text")
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in DD.minhash_eval_pairs(pairs, sigs, "doc_id").collect()
+    }
+    dup = out[(1, 2)]
+    assert dup["est_jaccard"] == 1.0
+    assert dup["exact_jaccard"] == 1.0
+    assert dup["abs_err"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["abs_err"] <= 1.0

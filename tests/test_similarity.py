@@ -134,3 +134,36 @@ def test_pq_search_self_query_ranks_first_and_codes_are_cids(spark):
     assert [r["vec_id"] for r in got] == [3, 1, 2]
     assert got[0]["codes"] == "30" and got[0]["adc_dist"] == 0.0
     assert got[1]["codes"] == "10"
+
+
+def test_random_projection_preserves_pairwise_distance(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = {
+        r["vec_id"]: r["projected"]
+        for r in SIM.random_project(df, out_dim=16).collect()
+    }
+    orig = dict(rows)
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i in range(20):
+        for j in range(i + 1, 20):
+            ratios.append(d2(proj[i], proj[j]) / d2(orig[i], orig[j]))
+    mean = sum(ratios) / len(ratios)
+    # JL: E[ratio]=1; with 16 components spread is wide per pair but the
+    # mean over 190 pairs concentrates
+    assert 0.7 < mean < 1.3
+    assert all(r > 0.05 for r in ratios)
+    # determinism: same input -> identical doubles
+    again = {
+        r["vec_id"]: r["projected"]
+        for r in SIM.random_project(df, out_dim=16).collect()
+    }
+    assert again == proj
