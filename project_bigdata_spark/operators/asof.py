@@ -78,3 +78,44 @@ def asof_join(
         "_side", "_seq", *[f"_carry_{c}" for c in carry]
     )
     return out
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    tolerance_us: int = 3_600_000_000,
+    right_seq: str | None = None,
+    carry_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join with a max-staleness bound (pandas
+    ``merge_asof(tolerance=...)``): a prior right row older than
+    ``tolerance_us`` microseconds does NOT match — its carried columns
+    come back NULL, exactly like "no prior observation".
+
+    Same single-shuffle union+carry construction as :func:`asof_join`
+    (the right timestamp rides along as one extra carried column); the
+    tolerance check is a post-window column predicate, so the bound adds
+    zero exchanges. ``{ts_col}{suffix}`` exposes the matched timestamp
+    (NULL when out of tolerance) for gap auditing.
+    """
+    carry = carry_cols or [c for c in right.columns if c not in (key, ts_col)]
+    r2 = right.withColumn("_rts", F.col(ts_col))
+    out = asof_join(
+        left, r2, key=key, ts_col=ts_col, right_seq=right_seq,
+        carry_cols=carry + ["_rts"], suffix=suffix,
+    )
+    matched_ts = F.col(f"_rts{suffix}")
+    within = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(matched_ts)
+    ) <= F.lit(tolerance_us)
+    for c in carry:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(within, F.col(f"{c}{suffix}")),
+        )
+    return out.withColumn(
+        f"{ts_col}{suffix}", F.when(within, matched_ts)
+    ).drop(f"_rts{suffix}")

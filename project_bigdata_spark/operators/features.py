@@ -247,3 +247,42 @@ def hash_split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(out_col, split)
+
+
+def feature_scaling(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    stats_round: int = 4,
+) -> DataFrame:
+    """Per-group feature scaling: z-score and min-max normalize
+    ``value_col`` within each ``group_col`` — the standard numeric-feature
+    prep pass before model training (the reference scales features
+    driver-side in pandas, ``ml_training/train_lightgbm.py``).
+
+    The stats frame is #groups rows built with one partial-aggregated
+    shuffle, then BROADCAST back against the big side — the corpus itself
+    never reshuffles. Mean/stddev are computed with exact DECIMAL sums
+    (order-free) and rounded to ``stats_round`` decimals BEFORE the scale
+    arithmetic, so the scaled outputs are bit-identical on any engine and
+    any partitioning.
+    """
+    from project_bigdata_spark.plans import _norm as N
+
+    c = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        N.avg_exact(value_col, stats_round).alias("_mean"),
+        N.stddev_exact(value_col, stats_round).alias("_sd"),
+        F.min(c).alias("_mn"),
+        F.max(c).alias("_mx"),
+    )
+    out = df.join(F.broadcast(stats), on=group_col, how="inner")
+    return (
+        out.withColumn(
+            "_zscore", (c - F.col("_mean")) / F.nullif(F.col("_sd"), F.lit(0.0))
+        )
+        .withColumn(
+            "_minmax",
+            (c - F.col("_mn")) / F.nullif(F.col("_mx") - F.col("_mn"), F.lit(0.0)),
+        )
+    )

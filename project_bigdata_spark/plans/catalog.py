@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.similarity_queries",
     "project_bigdata_spark.plans.text_queries",
     "project_bigdata_spark.plans.corpus_queries",
+    "project_bigdata_spark.plans.corpus_queries2",
     "project_bigdata_spark.plans.layout_queries",
 ]
 
@@ -131,20 +132,22 @@ _ATTESTATION_PRIORITY = [
     "bm25_retrieval",
     "minhash_error_eval",
     "random_projection",
+    # new this session (corpus_queries2), no driver row yet
+    "segment_dedup",
+    "boilerplate_ngrams",
+    "corpus_composition",
+    "vocab_coverage",
+    "length_bucket_stats",
+    "stratified_fixed_n",
+    "feature_scaling",
+    "asof_tolerance_join",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
-    "gold_cohort_stats",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
     "minhash_near_dups",
-    "knn_brute_force",
     "ivf_search",
-    "chunk_embed_search",
     "curation_pipeline",
     "rolling_features",
-    "asof_join_events",
     "feature_frame",
     # backfill: other timestamp-path queries (same NTZ blast radius)
     "time_features",

@@ -1,0 +1,333 @@
+"""Corpus-structure catalog entries: sub-document segment dedup,
+cross-document boilerplate detection, composition/vocabulary profiling,
+sequence-length bucketing, fixed-n stratified sampling, per-group feature
+scaling, and the tolerance-bounded as-of join.
+
+These are the corpus-wide passes between raw ingest and tokenization that
+the reference (a whole-record pipeline, ``spark/batch_processor.py``) has
+no counterpart for; each is registered with a DuckDB oracle so the driver
+attests exact parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import asof as ASOF
+from project_bigdata_spark.operators import corpus as CP
+from project_bigdata_spark.operators import features as FT
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.dedup_queries import SHINGLES_SQL, WORDS_SQL
+from project_bigdata_spark.sources import load_table
+
+SEG = CP.SEGMENT_WORDS
+
+# Non-overlapping SEG-word segments with positions, zipped unnests
+# (mirrors operators/corpus.py::segments_col).
+_SEGS_SQL = f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+), segs AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / {SEG}.0) AS BIGINT))) AS seg_idx,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(ws) / {SEG}.0) AS BIGINT)),
+           i -> array_to_string(ws[i * {SEG} + 1 : i * {SEG} + {SEG}], ' ')
+         )) AS seg
+  FROM w
+)"""
+
+
+@query(
+    "segment_dedup",
+    oracle=f"""{_SEGS_SQL},
+h AS (SELECT doc_id, seg_idx, md5(seg) AS hh FROM segs),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY hh ORDER BY doc_id, seg_idx) AS rn
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(1.0e0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_ratio
+FROM r GROUP BY doc_id""",
+    doc="Sub-document exact dedup (C4 dedups spans, not pages): split every "
+    "doc into non-overlapping 16-word segments, keep the first corpus-wide "
+    "occurrence of each, report per-doc kept/total/dup-ratio. Only 32-hex "
+    "MD5 digests shuffle — two exchanges, payload text never moves.",
+    survey_ids=("M7",),
+)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = CP.segment_dedup_stats(d)
+    return stats.select(
+        N.big("doc_id").alias("doc_id"),
+        "n_segments",
+        "n_kept",
+        N.rnd(F.lit(1.0) - F.col("n_kept") / F.col("n_segments")).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({SHINGLES_SQL})) AS shingle
+  FROM documents
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+c AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq FROM sh GROUP BY shingle
+)
+SELECT shingle, doc_freq,
+       round(CAST(doc_freq AS DOUBLE) / n_docs, 4) AS doc_share
+FROM c CROSS JOIN t
+ORDER BY doc_freq DESC, shingle LIMIT 20""",
+    doc="Cross-document boilerplate detector: top-20 3-word shingles by "
+    "DISTINCT-doc frequency (nav bars / license headers appear once in "
+    "many docs — the opposite signature of within-doc repetition). "
+    "array_distinct before the explode makes plain count(*) the doc "
+    "frequency; the doc total is one broadcast row.",
+    survey_ids=("M7",),
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    top = CP.boilerplate_shingles(d, top_n=20)
+    return top.select(
+        "shingle",
+        "doc_freq",
+        N.rnd(F.col("doc_freq") / F.col("_n_docs")).alias("doc_share"),
+    )
+
+
+@query(
+    "corpus_composition",
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({WORDS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 4) AS token_share,
+  round(CAST(sum(n_tokens) OVER (
+          ORDER BY n_tokens DESC, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / sum(n_tokens) OVER (), 4) AS cum_share
+FROM per""",
+    doc="Per-source corpus mixing table: docs, tokens, token share, and "
+    "cumulative share in descending-tokens order — what a sampling-weights "
+    "decision reads. One partial-aggregated shuffle to a #sources-row "
+    "frame; the share window runs on that tiny frame only.",
+    survey_ids=("M7", "A10"),
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = CP.corpus_composition(d)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        N.rnd("_share").alias("token_share"),
+        N.rnd("_cum_share").alias("cum_share"),
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT lang, unnest({WORDS_SQL}) AS w FROM documents
+), c AS MATERIALIZED (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY lang, w
+), r AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+  FROM c
+)
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       round(CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+             / sum(cnt), 4) AS top10_share
+FROM r GROUP BY lang""",
+    doc="Per-language vocabulary profile: tokens, vocab size, hapax count, "
+    "and Zipf-head coverage (token share of the top-10 types) — the stats "
+    "a tokenizer-budget decision needs. Two aggregations; the rank window "
+    "runs over (lang x vocab) counts, never raw tokens.",
+    survey_ids=("M7",),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prof = CP.vocab_coverage(d)
+    return prof.select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        "hapax_count",
+        N.rnd("_topk_share").alias("top10_share"),
+    )
+
+
+_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN n <= {b} THEN {b}" for b in CP.LENGTH_BUCKETS[:-1]
+) + f" ELSE {CP.LENGTH_BUCKETS[-1]} END"
+
+
+@query(
+    "length_bucket_stats",
+    oracle=f"""
+WITH per AS (
+  SELECT CAST({_BUCKET_CASE} AS BIGINT) AS bucket, n
+  FROM (SELECT len({WORDS_SQL}) AS n FROM documents)
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(bucket - n) AS BIGINT) AS n_padding,
+       round(CAST(sum(bucket - n) AS DOUBLE)
+             / (sum(bucket - n) + sum(n)), 4) AS waste_share
+FROM per GROUP BY bucket""",
+    doc="Sequence-length bucketing audit: smallest power-of-two bucket per "
+    "doc (CASE ladder — integer-exact, no float log2 edge cases), with "
+    "per-bucket padding waste — what bucketed batching costs at each size.",
+    survey_ids=("M7",),
+)
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = CP.length_bucket_stats(d)
+    return per.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "n_padding",
+        N.rnd(
+            F.col("n_padding") / (F.col("n_padding") + F.col("n_tokens"))
+        ).alias("waste_share"),
+    )
+
+
+@query(
+    "stratified_fixed_n",
+    oracle="""
+WITH h AS (
+  SELECT lang, doc_id,
+         ((doc_id % 1000003) * 2654435761) % 1000003 AS hk
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, hk,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+  FROM h
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20""",
+    doc="Exactly-n-per-stratum deterministic sample (fraction sampling "
+    "can't promise exact eval-set counts): order each language by a Knuth "
+    "multiplicative hash of the id (pure int64, engine-identical, id "
+    "reduced mod p first so it never overflows) and take the first 20. "
+    "WindowGroupLimit pushes the rank limit into the per-group sort.",
+    survey_ids=("P12", "M7"),
+)
+def stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = CP.stratified_fixed_n(d, n_per_group=20)
+    return s.select(
+        "lang", N.big("doc_id").alias("doc_id"), N.big("_rn").alias("rn")
+    )
+
+
+@query(
+    "feature_scaling",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         {N.sql_avg_exact('value')} AS m,
+         {N.sql_stddev_exact('value')} AS sd,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT CAST(event_id AS BIGINT) AS event_id, e.event_type,
+       round(value, 4) AS value,
+       round((value - m) / nullif(sd, 0.0e0), 4) AS zscore,
+       round((value - mn) / nullif(mx - mn, 0.0e0), 4) AS minmax
+FROM events e JOIN s USING (event_type)""",
+    doc="Per-group feature scaling: z-score + min-max normalize value "
+    "within each event_type. The #groups-row stats frame (exact DECIMAL "
+    "mean/stddev, rounded before the scale arithmetic so outputs are "
+    "partitioning-independent) broadcasts back; the event stream itself "
+    "never reshuffles.",
+    survey_ids=("M5", "M7"),
+)
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scaled = FT.feature_scaling(e)
+    return scaled.select(
+        N.big("event_id").alias("event_id"),
+        "event_type",
+        N.rnd("value").alias("value"),
+        N.rnd("_zscore").alias("zscore"),
+        N.rnd("_minmax").alias("minmax"),
+    )
+
+
+TOL_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "asof_tolerance_join",
+    oracle=f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       round(p.value, 4) AS value,
+       round(CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOL_US}
+             THEN c.click_value END, 4) AS click_value_asof,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {TOL_US}
+            THEN strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+       END AS click_ts_asof
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    doc="Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)): "
+    "latest click within 30 minutes before each purchase; staler matches "
+    "come back NULL. Same single-shuffle union+carry construction — the "
+    "matched timestamp rides as one extra carried column and the bound is "
+    "a post-window predicate, zero extra exchanges.",
+    survey_ids=("M4", "W1"),
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_seq"),
+        F.col("value").alias("click_value"),
+    )
+    joined = ASOF.asof_join_tolerance(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        tolerance_us=TOL_US,
+        right_seq="click_seq",
+        carry_cols=["click_value"],
+    )
+    return joined.select(
+        N.big("event_id").alias("event_id"),
+        N.big("user_id").alias("user_id"),
+        N.rnd("value").alias("value"),
+        N.rnd("click_value_asof").alias("click_value_asof"),
+        N.ts_str("ts_asof", micros=True).alias("click_ts_asof"),
+    )
