@@ -141,13 +141,13 @@ _ATTESTATION_PRIORITY = [
     "stratified_fixed_n",
     "feature_scaling",
     "asof_tolerance_join",
+    "session_window_native",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "q1_pricing_summary",
     "minhash_near_dups",
     "ivf_search",
     "curation_pipeline",
-    "rolling_features",
     "feature_frame",
     # backfill: other timestamp-path queries (same NTZ blast radius)
     "time_features",

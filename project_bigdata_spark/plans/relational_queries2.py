@@ -621,3 +621,53 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("customer_only").alias("which"), N.big("k").alias("nationkey")
     )
     return both.unionByName(only)
+
+
+@query(
+    "session_window_native",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM gaps
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(CAST(min(ts) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S.%f') AS window_end
+FROM sess GROUP BY user_id, session_idx""",
+    doc="Native session_window in BATCH mode: Spark's built-in dynamic-gap "
+    "session operator (the same function session_stream uses with a "
+    "watermark) attested against the gaps-and-islands SQL formulation. "
+    "Boundary semantics differ from sessionize_events on purpose: "
+    "session_window opens a NEW session at gap >= 30min (window end is "
+    "exclusive), the lag idiom at gap > 30min — both are correct "
+    "sessionizations, and the differential oracle pins which one the "
+    "native operator implements. One exchange on the session key.",
+    survey_ids=("T2", "W1"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sess = e.groupBy(
+        F.col("user_id"), F.session_window(F.col("ts"), "30 minutes").alias("_s")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # _s.start/_s.end are the NATIVE operator's session bounds (min ts,
+    # max ts + gap) — surfacing them, rather than recomputing from
+    # min/max(ts), is what makes this a differential test of the
+    # operator's window math itself.
+    return sess.select(
+        N.big("user_id").alias("user_id"),
+        F.col("n_events"),
+        N.ts_str(F.col("_s.start"), micros=True).alias("session_start"),
+        N.ts_str(F.col("_s.end"), micros=True).alias("window_end"),
+    )

@@ -252,3 +252,43 @@ def test_bigram_scoring_zero_corpus_shuffle(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_segment_dedup_shuffles_digests_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "segment_dedup")
+    # segment text must be projected away before any exchange: the md5
+    # digest and (doc_id, seg_idx) are the only keyed bytes that move
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "seg#" not in line and "seg," not in line
+
+
+def test_feature_scaling_broadcasts_stats_not_facts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "feature_scaling")
+    # stats side broadcast back; the event stream itself never reshuffles
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_fixed_n_group_limit_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "stratified_fixed_n")
+    # rn <= n must push into the per-group sort, not filter post-window
+    assert "WindowGroupLimit" in plan
+
+
+def test_asof_tolerance_no_join_operator(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_tolerance_join")
+    # same union+carry shape as asof_join_events: the tolerance bound must
+    # not introduce a range join or any join operator at all
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_counts_without_distinct_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "boilerplate_ngrams")
+    # array_distinct-before-explode: plain count(*), so there must be no
+    # count-distinct expand and the top-20 must be a TakeOrdered merge
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
