@@ -684,3 +684,53 @@ def minhash_eval_pairs(
         )
         .select("id_a", "id_b", "est_jaccard", "exact_jaccard", "abs_err")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    prefix_chars: int = 32,
+    max_dist: int = 8,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: within each block (cheap equality
+    keys + the first word), pair documents whose lowercased
+    ``prefix_chars``-char prefixes are within ``max_dist`` Levenshtein
+    edits — the classic blocking+edit-distance linkage pass.
+
+    Levenshtein is O(m·n) per pair and all-pairs is quadratic, so BOTH
+    dimensions are bounded: the compared string is a fixed-width prefix
+    (cost per pair is a constant ~prefix² DP) and blocks larger than
+    ``max_block`` are dropped whole (the same degenerate-bucket guard as
+    LSH banding; a hot block belongs to MinHash, not edit distance).
+    Only (id, block key, prefix) tuples shuffle — never documents.
+    """
+    first_word = F.element_at(words_col(F.col(text_col)), 1)
+    keyed = df.select(
+        F.col(id_col),
+        F.concat_ws(
+            "|", *[F.col(c) for c in block_cols], first_word
+        ).alias("_blk"),
+        F.substring(F.lower(F.col(text_col)), 1, prefix_chars).alias("_pfx"),
+    )
+    bw = Window.partitionBy("_blk")
+    bounded = (
+        keyed.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+        .filter(F.col("_bsz") <= max_block)
+        .drop("_bsz")
+    )
+    a = bounded.select(
+        F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pa")
+    )
+    b = bounded.select(
+        F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pb")
+    )
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -142,12 +142,12 @@ _ATTESTATION_PRIORITY = [
     "feature_scaling",
     "asof_tolerance_join",
     "session_window_native",
+    "edit_distance_linkage",
+    "approx_distinct_audit",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "q1_pricing_summary",
     "minhash_near_dups",
-    "ivf_search",
-    "curation_pipeline",
     "feature_frame",
     # backfill: other timestamp-path queries (same NTZ blast radius)
     "time_features",

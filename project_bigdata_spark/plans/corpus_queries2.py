@@ -331,3 +331,100 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("click_value_asof").alias("click_value_asof"),
         N.ts_str("ts_asof", micros=True).alias("click_ts_asof"),
     )
+
+
+@query(
+    "edit_distance_linkage",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         concat_ws('|', lang,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> w <> '')[1]) AS blk,
+         substring(lower(text), 1, 32) AS pfx
+  FROM documents
+), bounded AS (
+  SELECT * FROM (
+    SELECT keyed.*, count(*) OVER (PARTITION BY blk) AS bsz FROM keyed
+  ) WHERE bsz <= 1000
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+FROM bounded a JOIN bounded b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 8""",
+    doc="Blocked fuzzy record linkage: equality blocking on "
+    "(lang, first word), Levenshtein <= 8 on fixed 32-char prefixes. "
+    "Both quadratic dimensions bounded: constant-size DP per pair, "
+    "max_block=1000 drops degenerate blocks whole (the LSH hot-bucket "
+    "guard). Only (id, block, prefix) tuples shuffle.",
+    survey_ids=("M7",),
+)
+def edit_distance_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.edit_distance_pairs(d)
+    return pairs.select(
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        N.big("edit_dist").alias("edit_dist"),
+    )
+
+
+@query(
+    "approx_distinct_audit",
+    oracle="""
+SELECT event_type AS scope,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS within_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS scope,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS within_5pct
+FROM events""",
+    doc="Mergeable-sketch accuracy audit, attested differentially: "
+    "per-event-type HLL++ approx_count_distinct and a DataSketches HLL "
+    "built per group then hll_union_agg-merged into the global estimate "
+    "(the partial-sketch shape a 1000-executor rollup uses — sketches "
+    "merge across partitions/days without rescanning). Spark emits the "
+    "exact count plus a <=5%-relative-error flag; the oracle emits the "
+    "exact count with the flag pinned true — the value hash matches only "
+    "if every estimate lands within tolerance.",
+    survey_ids=("A3", "M7"),
+)
+def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("_est"),
+    )
+    per_out = per.select(
+        "scope",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).cast("bigint").alias("within_5pct"),
+    )
+    sketches = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.count_distinct("user_id").cast("bigint").alias("_exact"),
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+    )
+    global_exact = e.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    g = global_exact.crossJoin(F.broadcast(merged)).select(
+        F.lit("__all__").alias("scope"),
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).cast("bigint").alias("within_5pct"),
+    )
+    return per_out.unionByName(g)
