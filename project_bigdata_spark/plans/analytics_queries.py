@@ -689,3 +689,58 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z")) > 3.0)
     )
+
+
+@query(
+    "value_hour_correlation",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                       AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)
+                  * CAST(extract(hour FROM ts) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CAST(value AS DECIMAL(12,2))
+                       * CAST(extract(hour FROM ts) AS DECIMAL(4,0))
+                       AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN NULL
+            ELSE round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+       END AS corr_value_hour
+FROM b""",
+    doc="Engine-exact Pearson correlation (value vs hour-of-day per event "
+    "type): native corr() over doubles is summation-order-dependent, so "
+    "the five moments are accumulated as exact DECIMAL/BIGINT sums "
+    "(order-free, partitioning-independent) and the one-pass formula is "
+    "evaluated in double from identical inputs on every engine — the "
+    "same discipline as stddev_exact. One partial-aggregated shuffle.",
+    survey_ids=("A3", "A10"),
+)
+def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(12,2)")
+    y = F.hour("ts").cast("bigint")
+    b = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum((x * F.hour("ts").cast("decimal(4,0)")).cast("decimal(28,2)"))
+        .cast("double").alias("sxy"),
+    )
+    denom = (b.n * b.sxx - b.sx * b.sx) * (b.n * b.syy - b.sy * b.sy)
+    return b.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.when(denom <= 0, F.lit(None).cast("double")).otherwise(
+            N.rnd((b.n * b.sxy - b.sx * b.sy) / F.sqrt(denom))
+        ).alias("corr_value_hour"),
+    )

@@ -144,11 +144,11 @@ _ATTESTATION_PRIORITY = [
     "session_window_native",
     "edit_distance_linkage",
     "approx_distinct_audit",
+    "weighted_sample",
+    "value_hour_correlation",
     # backfill: headline queries (bench set) for double attestation
     "gold_hourly",
     "q1_pricing_summary",
-    "minhash_near_dups",
-    "feature_frame",
     # backfill: other timestamp-path queries (same NTZ blast radius)
     "time_features",
     "time_split_counts",

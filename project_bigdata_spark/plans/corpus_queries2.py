@@ -19,6 +19,7 @@ from project_bigdata_spark.operators import corpus as CP
 from project_bigdata_spark.operators import features as FT
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.corpus_queries import QUALITY_SQL as _QUALITY_SQL
 from project_bigdata_spark.plans.dedup_queries import SHINGLES_SQL, WORDS_SQL
 from project_bigdata_spark.sources import load_table
 
@@ -428,3 +429,48 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("within_5pct"),
     )
     return per_out.unionByName(g)
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, {_QUALITY_SQL} AS quality,
+         ((doc_id % 10007) * 2654435761) % 10007 AS hk
+  FROM documents
+), kept AS (
+  SELECT * FROM q WHERE CAST(hk AS DOUBLE) < quality * 10007.0e0
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(quality AS DECIMAL(14,4))) AS DOUBLE)
+             / count(*), 4) AS avg_quality
+FROM kept GROUP BY lang""",
+    doc="Quality-weighted deterministic sampling: each doc survives with "
+    "probability equal to its quality score, decided by comparing a Knuth "
+    "hash of the id against quality x modulus — no RNG state, identical "
+    "across engines, runs, and partitionings (rejection sampling a real "
+    "curation pipeline can re-execute idempotently). Zero shuffles before "
+    "the per-language rollup.",
+    survey_ids=("P12", "M7"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    mod = 10_007
+    scored = d.select(
+        "lang",
+        N.rnd(TX.quality_score(F.col("text"))).alias("quality"),
+        (((F.col("doc_id") % mod) * 2_654_435_761) % mod).alias("_hk"),
+    )
+    kept = scored.filter(
+        F.col("_hk").cast("double") < F.col("quality") * float(mod)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        N.rnd(
+            F.sum(F.col("quality").cast("decimal(14,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
