@@ -130,3 +130,32 @@ def test_boilerplate_counts_docs_not_occurrences(spark):
     rows = {r.shingle: r.doc_freq for r in
             CP.boilerplate_shingles(df, top_n=50).collect()}
     assert rows["x y z"] == 2
+
+
+def test_edit_distance_pairs_within_block_only(spark):
+    from project_bigdata_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "alpha beta gamme", "en"),   # 1 edit from doc 1
+            (3, "alpha completely different text", "en"),
+            (4, "alpha beta gamma", "fr"),   # same text, other block
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {(r.id_a, r.id_b): r.edit_dist
+            for r in DD.edit_distance_pairs(df, max_dist=2).collect()}
+    assert rows == {(1, 2): 1}  # cross-lang twin and far text excluded
+
+
+def test_edit_distance_pairs_drops_hot_blocks(spark):
+    from project_bigdata_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(i, "same words here", "en") for i in range(12)],
+        ["doc_id", "text", "lang"],
+    )
+    # block of 12 > max_block=10 -> dropped whole, no quadratic pair burst
+    assert DD.edit_distance_pairs(df, max_block=10).count() == 0
+    assert DD.edit_distance_pairs(df, max_block=12).count() == 66
