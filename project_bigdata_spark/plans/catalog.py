@@ -146,9 +146,9 @@ _ATTESTATION_PRIORITY = [
     "approx_distinct_audit",
     "weighted_sample",
     "value_hour_correlation",
-    # backfill: headline queries (bench set) for double attestation
+    "feature_hashing",
+    # backfill: flagship for double attestation
     "gold_hourly",
-    "q1_pricing_summary",
     # backfill: other timestamp-path queries (same NTZ blast radius)
     "time_features",
     "time_split_counts",

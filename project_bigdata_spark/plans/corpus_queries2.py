@@ -474,3 +474,44 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_quality"),
     )
+
+
+N_FEATURE_BUCKETS = 1024
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({{WORDS}}) AS w FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(('0x' || substring(md5(w), 1, 8))::BIGINT
+            % {N_FEATURE_BUCKETS} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY doc_id, bucket""".replace("{WORDS}", WORDS_SQL),
+    doc="Hashing-trick featurization: every token maps to one of 1024 "
+    "fixed buckets via the first 32 bits of its MD5 — a bounded-width "
+    "sparse feature vector independent of vocabulary size (no dictionary "
+    "to build, broadcast, or keep consistent across refreshes). Only "
+    "(doc_id, int bucket) pairs shuffle, with map-side partial counts; "
+    "at 100 TB the feature space stays 1024 wide no matter how the vocab "
+    "grows.",
+    survey_ids=("M5", "M7"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(words_col(F.col("text"))).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+        % N_FEATURE_BUCKETS
+    )
+    return (
+        toks.withColumn("bucket", bucket)
+        .groupBy(N.big("doc_id").alias("doc_id"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
