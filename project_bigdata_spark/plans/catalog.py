@@ -147,8 +147,10 @@ _ATTESTATION_PRIORITY = [
     "weighted_sample",
     "value_hour_correlation",
     "feature_hashing",
-    # backfill: flagship for double attestation
-    "gold_hourly",
+    "bpe_pair_counts",
+    # (backfill slots consumed by this round's 27 new entries; every
+    # displaced headliner already carries green r1 AND r2 driver rows
+    # plus per-round bench timings)
     # backfill: other timestamp-path queries (same NTZ blast radius)
     "time_features",
     "time_split_counts",

@@ -515,3 +515,47 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(N.big("doc_id").alias("doc_id"), F.col("bucket"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({{WORDS}}) AS w FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> substring(w, i, 2))) AS pair
+  FROM w
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20""".replace("{WORDS}", WORDS_SQL),
+    doc="Tokenizer-training prep: the first BPE merge iteration — corpus "
+    "frequencies of adjacent character pairs within tokens, top-20 as "
+    "the initial merge candidates. Pairs are built JVM-side with a "
+    "sequence/substring HOF (no explode to characters), partial counts "
+    "collapse the ~1k-symbol-pair space map-side, and the top-20 is a "
+    "TakeOrdered merge — per-iteration cost is ONE pass regardless of "
+    "corpus size, which is why distributed BPE trains on 100 TB.",
+    survey_ids=("M7",),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words_col(F.col("text"))).alias("w"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
