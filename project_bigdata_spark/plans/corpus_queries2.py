@@ -379,21 +379,23 @@ def edit_distance_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type AS scope,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       CAST(1 AS BIGINT) AS within_5pct
+       CAST(1 AS BIGINT) AS within_10pct
 FROM events GROUP BY event_type
 UNION ALL
 SELECT '__all__' AS scope,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       CAST(1 AS BIGINT) AS within_5pct
+       CAST(1 AS BIGINT) AS within_10pct
 FROM events""",
     doc="Mergeable-sketch accuracy audit, attested differentially: "
     "per-event-type HLL++ approx_count_distinct and a DataSketches HLL "
     "built per group then hll_union_agg-merged into the global estimate "
     "(the partial-sketch shape a 1000-executor rollup uses — sketches "
     "merge across partitions/days without rescanning). Spark emits the "
-    "exact count plus a <=5%-relative-error flag; the oracle emits the "
-    "exact count with the flag pinned true — the value hash matches only "
-    "if every estimate lands within tolerance.",
+    "exact count plus a <=10%-relative-error flag (2x the estimator's "
+    "configured rsd, so a pass is robust to per-dataset estimator "
+    "variance); the oracle emits the exact count with the flag pinned "
+    "true — the value hash matches only if every estimate lands within "
+    "tolerance.",
     survey_ids=("A3", "M7"),
 )
 def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,8 +409,8 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("_est") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
-        ).cast("bigint").alias("within_5pct"),
+            <= 0.10 * F.col("exact_users")
+        ).cast("bigint").alias("within_10pct"),
     )
     sketches = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("_sk"),
@@ -425,8 +427,8 @@ def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("_est") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
-        ).cast("bigint").alias("within_5pct"),
+            <= 0.10 * F.col("exact_users")
+        ).cast("bigint").alias("within_10pct"),
     )
     return per_out.unionByName(g)
 
