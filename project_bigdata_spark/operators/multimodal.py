@@ -263,3 +263,81 @@ def text_to_embedding(df: DataFrame, id_col: str = "doc_id",
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
 
     return d.mapInPandas(encode, schema=EMBED_SCHEMA)
+
+
+def audio_segment_plan(
+    media: DataFrame,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    window_samples: int = 80_000,
+) -> DataFrame:
+    """Audio segmentation plumbing: split each PCM payload into fixed
+    ``window_samples`` windows and emit per-segment metadata —
+    (media_id, seg_idx, start_sample, n_samples, byte_off, n_bytes) —
+    entirely from ``byte_len`` arithmetic (sequence + posexplode).
+
+    The blob is projected away BEFORE the explode, so segmentation of a
+    100 TB audio corpus shuffles only fixed-width metadata rows; the
+    byte ranges let a downstream ``mapInPandas`` decoder (or a ranged
+    object-store GET) read exactly one window. The last window is
+    truncated to the real sample count — every sample lands in exactly
+    one segment.
+    """
+    total = (F.col("byte_len") / bytes_per_sample).cast("bigint")
+    n_seg = F.greatest(F.ceil(total / F.lit(window_samples)), F.lit(1)).cast(
+        "int"
+    )
+    base = media.select(
+        "media_id", total.alias("_n_samples"), n_seg.alias("_n_seg")
+    )
+    seg = base.select(
+        "media_id",
+        "_n_samples",
+        F.posexplode(F.sequence(F.lit(0), F.col("_n_seg") - 1)).alias(
+            "seg_idx", "_"
+        ),
+    )
+    start = F.col("seg_idx").cast("bigint") * window_samples
+    n = F.least(F.lit(window_samples).cast("bigint"), F.col("_n_samples") - start)
+    return seg.select(
+        "media_id",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        start.alias("start_sample"),
+        n.alias("n_samples"),
+        (start * bytes_per_sample).alias("byte_off"),
+        (n * bytes_per_sample).alias("n_bytes"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = "media_id bigint, n_samples bigint, rms double"
+
+
+def audio_rms_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over the media table: interpret each
+    payload as little-endian int16 PCM and emit root-mean-square
+    amplitude — REAL signal math (numpy over the Arrow batch), no
+    external audio libs needed; a codec'd corpus would swap the
+    ``frombuffer`` for a decoder in the same seam.
+
+    Same shape discipline as :func:`decode_features`: Arrow-batched
+    ``mapInPandas``, features derived in one pass, blob never shuffles.
+    """
+    import numpy as np
+
+    src = media.select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload or b"")
+                buf = buf[: len(buf) - (len(buf) % 2)]
+                x = np.frombuffer(buf, dtype="<i2").astype("float64")
+                n = int(x.size)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                out.append((mid, n, rms))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "rms"]
+            )
+
+    return src.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)

@@ -561,3 +561,46 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "audio_segments",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) // 2 AS ns FROM documents
+), s AS (
+  SELECT doc_id, ns,
+         unnest(range(0, greatest(CAST(ceil(ns / 256.0) AS BIGINT), 1)))
+           AS seg_idx
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(seg_idx AS BIGINT) AS seg_idx,
+       CAST(seg_idx * 256 AS BIGINT) AS start_sample,
+       CAST(least(256, ns - seg_idx * 256) AS BIGINT) AS n_samples,
+       CAST(seg_idx * 512 AS BIGINT) AS byte_off,
+       CAST(least(256, ns - seg_idx * 256) * 2 AS BIGINT) AS n_bytes
+FROM s""",
+    doc="Audio segmentation plumbing: fixed 256-sample windows over int16 "
+    "PCM payloads, emitted as pure byte-range metadata (sequence + "
+    "posexplode over byte_len arithmetic — the blob is projected away "
+    "before the explode, so a 100 TB audio corpus shuffles only "
+    "fixed-width rows and each window can be fetched with a ranged GET). "
+    "Companion mapInPandas RMS extraction is real signal math, tested in "
+    "test_multimodal.py.",
+    survey_ids=("M7",),
+)
+def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_table(d, "doc_id", "text", "audio")
+    plan = MM.audio_segment_plan(media, window_samples=256)
+    return plan.select(
+        N.big("media_id").alias("media_id"),
+        "seg_idx",
+        "start_sample",
+        "n_samples",
+        "byte_off",
+        "n_bytes",
+    )

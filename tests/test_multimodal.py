@@ -146,3 +146,50 @@ def test_frame_sample_every_n_and_min_one_frame(spark):
     # 25 frames -> sampled 0,10,20; tiny payload still yields frame 0
     assert sorted(got[1]) == [0, 10, 20]
     assert got[2] == [0]
+
+
+def test_audio_segments_cover_all_samples_once(spark):
+    from project_bigdata_spark.operators import multimodal as MM
+
+    # 600 bytes -> 300 samples -> segments of 256: [0,256) + [256,300)
+    df = spark.createDataFrame([(1, b"\x00" * 600)], ["doc_id", "payload"])
+    media = MM.to_media_table(df, "doc_id", "payload", "audio")
+    rows = sorted(
+        MM.audio_segment_plan(media, window_samples=256).collect(),
+        key=lambda r: r.seg_idx,
+    )
+    assert [(r.seg_idx, r.start_sample, r.n_samples, r.byte_off, r.n_bytes)
+            for r in rows] == [(0, 0, 256, 0, 512), (1, 256, 44, 512, 88)]
+    assert sum(r.n_samples for r in rows) == 300
+
+
+def test_audio_segments_empty_payload_single_empty_segment(spark):
+    from project_bigdata_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(1, b"")], ["doc_id", "payload"])
+    media = MM.to_media_table(df, "doc_id", "payload", "audio")
+    rows = MM.audio_segment_plan(media).collect()
+    assert len(rows) == 1 and rows[0].n_samples == 0
+
+
+def test_audio_rms_constant_signal(spark):
+    import struct
+
+    from project_bigdata_spark.operators import multimodal as MM
+
+    # 100 samples of constant amplitude 1000 -> RMS exactly 1000.0
+    pcm = struct.pack("<100h", *([1000] * 100))
+    df = spark.createDataFrame([(7, pcm)], ["doc_id", "payload"])
+    media = MM.to_media_table(df, "doc_id", "payload", "audio")
+    row = MM.audio_rms_features(media).collect()[0]
+    assert (row.media_id, row.n_samples) == (7, 100)
+    assert abs(row.rms - 1000.0) < 1e-9
+
+
+def test_audio_rms_truncates_odd_trailing_byte(spark):
+    from project_bigdata_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(1, b"\x00\x00\xff")], ["doc_id", "payload"])
+    media = MM.to_media_table(df, "doc_id", "payload", "audio")
+    row = MM.audio_rms_features(media).collect()[0]
+    assert row.n_samples == 1 and row.rms == 0.0
