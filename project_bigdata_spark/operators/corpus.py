@@ -245,3 +245,53 @@ def stratified_fixed_n(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_group)
     )
+
+
+def segment_dedup_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = SEGMENT_WORDS,
+) -> DataFrame:
+    """The rewrite form of :func:`segment_dedup_stats`: materialize each
+    document with its corpus-duplicated segments REMOVED (first
+    occurrence wins, ordered by ``(doc_id, seg_idx)``), reassembling the
+    survivors in original order.
+
+    Unlike the accounting pass, the rewrite necessarily moves surviving
+    segment text once — it IS the output. That is still one payload pass:
+    rank on (digest), reassemble on (doc) — the same two exchanges, with
+    text riding only the second. Docs whose every segment was seen
+    earlier come back with empty text rather than vanishing, so the
+    output stays 1:1 with input docs that had any segment at all.
+    """
+    ws = words_col(F.col(text_col))
+    segs = (
+        df.select(F.col(id_col), ws.alias("_ws"))
+        .select(id_col, F.posexplode(segments_col(F.col("_ws"), seg_words))
+                .alias("seg_idx", "seg"))
+    )
+    first = Window.partitionBy(F.md5(F.col("seg"))).orderBy(id_col, "seg_idx")
+    kept = segs.withColumn("_rn", F.row_number().over(first)).filter(
+        F.col("_rn") == 1
+    )
+    assembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "seg"))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    base = df.select(F.col(id_col)).join(
+        segs.select(id_col).distinct(), on=id_col
+    )
+    return base.join(assembled, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+    )

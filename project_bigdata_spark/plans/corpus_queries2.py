@@ -604,3 +604,34 @@ def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_off",
         "n_bytes",
     )
+
+
+@query(
+    "segment_dedup_apply",
+    oracle=f"""{_SEGS_SQL},
+r AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx)
+           AS rn
+  FROM segs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                FILTER (WHERE rn = 1), '') AS dedup_text,
+       CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT)
+         AS n_kept
+FROM r GROUP BY doc_id""",
+    doc="The rewrite form of segment_dedup: materialize every document "
+    "with its corpus-duplicated 16-word segments removed (first "
+    "occurrence wins), survivors reassembled in original order. Rank on "
+    "segment digest, reassemble on doc — the same two exchanges as the "
+    "accounting pass, with surviving text riding only the second (the "
+    "one unavoidable payload move: it IS the output).",
+    survey_ids=("M7",),
+)
+def segment_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = CP.segment_dedup_apply(d)
+    return out.select(
+        N.big("doc_id").alias("doc_id"), "dedup_text", "n_kept"
+    )

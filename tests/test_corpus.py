@@ -159,3 +159,18 @@ def test_edit_distance_pairs_drops_hot_blocks(spark):
     # block of 12 > max_block=10 -> dropped whole, no quadratic pair burst
     assert DD.edit_distance_pairs(df, max_block=10).count() == 0
     assert DD.edit_distance_pairs(df, max_block=12).count() == 66
+
+
+def test_segment_dedup_apply_removes_later_copies(spark):
+    seg = " ".join(f"w{i}" for i in range(CP.SEGMENT_WORDS))
+    other = " ".join(f"x{i}" for i in range(CP.SEGMENT_WORDS))
+    df = spark.createDataFrame(
+        [(1, seg), (2, f"{other} {seg}"), (3, seg)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in CP.segment_dedup_apply(df).collect()}
+    assert rows[1].dedup_text == seg
+    # doc 2 keeps its novel first segment, loses the copied second
+    assert rows[2].dedup_text == other and rows[2].n_kept == 1
+    # doc 3 is entirely recycled -> present but empty
+    assert rows[3].dedup_text == "" and rows[3].n_kept == 0
