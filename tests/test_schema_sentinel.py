@@ -1,0 +1,106 @@
+"""Schema-drift sentinel: pin the post-``load_table`` dtype of every
+column of every registered table.
+
+The driver regenerates ``/root/testdata`` between rounds, and round 2
+went red when ``events.ts`` silently changed parquet encoding
+(TIMESTAMP(NANOS) -> µs-no-tz) under a subset check. The encoding-matrix
+test (test_sources_sinks.py) defends the ts path specifically; this test
+is the broad tripwire — any dtype drift in ANY table fails here first,
+naming the exact column, instead of surfacing as a cryptic
+DATATYPE_MISMATCH deep inside a query.
+
+A failure means: decide whether the new encoding needs a normalization
+branch in ``sources/registry.py`` (like ``normalize_event_ts``), then
+update the pin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project_bigdata_spark.sources import TABLES, load_table
+
+EXPECTED = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        # MUST load as plain timestamp whatever the parquet encoding —
+        # normalize_event_ts + RUNTIME_CONFS own this contract
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+@pytest.mark.parametrize("table", TABLES)
+def test_post_load_schema_pinned(spark, sf_dir, table):
+    actual = dict(load_table(spark, sf_dir, table).dtypes)
+    expected = EXPECTED[table]
+    drift = {
+        c: (expected.get(c), actual.get(c))
+        for c in set(expected) | set(actual)
+        if expected.get(c) != actual.get(c)
+    }
+    assert not drift, (
+        f"{table}: testdata schema drifted (expected, actual): {drift} — "
+        "if the driver re-encoded the table, add a normalization branch "
+        "in sources/registry.py, then update this pin"
+    )
