@@ -635,3 +635,81 @@ def segment_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         N.big("doc_id").alias("doc_id"), "dedup_text", "n_kept"
     )
+
+
+@query(
+    "dup_cluster_histogram",
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS group_size
+  FROM documents GROUP BY md5(text)
+)
+SELECT group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(group_size * count(*) AS BIGINT) AS n_docs
+FROM g GROUP BY group_size""",
+    doc="Duplicate-cluster size histogram over exact-dedup groups: how "
+    "much of the corpus sits in singletons vs 2-copies vs mirror bursts "
+    "— the first diagnostic a dedup run reports. Two tiny aggregations "
+    "(digest -> group size -> histogram); only 16-byte digests and "
+    "counts ever move.",
+    survey_ids=("M7", "A8"),
+)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("_h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return g.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        (F.col("group_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+@query(
+    "unigram_entropy",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT lang, unnest({{WORDS}}) AS w FROM documents
+), c AS MATERIALIZED (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY lang, w
+), t AS (
+  SELECT lang, CAST(sum(cnt) AS DOUBLE) AS total FROM c GROUP BY lang
+)
+SELECT c.lang,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       round(-CAST(sum(CAST(round((cnt / total) * ln(cnt / total), 12)
+                           AS DECIMAL(20,12))) AS DOUBLE), 4) AS entropy_nats
+FROM c JOIN t ON c.lang = t.lang
+GROUP BY c.lang""".replace("{WORDS}", WORDS_SQL),
+    doc="Per-language Shannon entropy of the unigram distribution — the "
+    "corpus-diversity number next to vocab_coverage's Zipf head. Each "
+    "p·ln p term is rounded to 12 decimals and summed as exact DECIMAL, "
+    "so the aggregate is summation-order-free: identical on any engine "
+    "and any partitioning (ULP noise in ln() sits at 1e-16 relative, "
+    "absorbed by the 1e-12 grid). Same two-aggregation shape as "
+    "vocab_coverage; the entropy sum runs over vocab-sized counts.",
+    survey_ids=("M7", "A3"),
+)
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.col("lang"), F.explode(words_col(F.col("text"))).alias("w"))
+    c = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    t = c.groupBy("lang").agg(F.sum("cnt").cast("double").alias("total"))
+    p = F.col("cnt") / F.col("total")
+    # N.rnd (C-round on the binary value), NOT F.round (HALF_UP on the
+    # decimal string) — the 12-dec grid must round identically to the
+    # oracle's round(x, 12) or a boundary term breaks the exact sum
+    term = N.rnd(p * F.log(p), 12).cast("decimal(20,12)")
+    return (
+        c.join(F.broadcast(t), on="lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            N.rnd(-F.sum(term).cast("double")).alias("entropy_nats"),
+        )
+    )
