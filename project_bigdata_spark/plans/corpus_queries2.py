@@ -713,3 +713,50 @@ def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.rnd(-F.sum(term).cast("double")).alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "python_source_stats",
+    oracle=f"""
+WITH g AS (
+  SELECT i,
+         ('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM range(0, 2000) t(i)
+), rows_ AS (
+  SELECT list_extract(['click','view','purchase','signup','error'],
+                      CAST(h % 5 AS INT) + 1) AS event_type,
+         CAST(((h // 5) % 100000) AS DOUBLE) / 100.0 AS value,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS ts
+  FROM g
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {N.sql_avg_exact('value')} AS avg_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM rows_ GROUP BY event_type""",
+    doc="Custom Python DataSource attested end-to-end: the "
+    "synthetic_events connector (PySpark 4 DataSource API — name/schema/"
+    "partition-planning/executor-side read, the seam a REST or "
+    "object-store connector plugs into) is read with 8 parallel splits "
+    "and aggregated; the oracle REGENERATES the same rows in SQL from "
+    "the shared md5 row math. A connector goes through the same "
+    "differential gate as a query.",
+    survey_ids=("S5", "M7"),
+)
+def python_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 2000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        N.avg_exact("value").alias("avg_value"),
+        N.ts_str(F.min("ts")).alias("first_ts"),
+        N.ts_str(F.max("ts")).alias("last_ts"),
+    )

@@ -1,0 +1,97 @@
+"""Custom connector seam: a PySpark-4 Python DataSource (S-family).
+
+The reference's only extensibility point is "another Kafka topic"; a real
+engine needs a way to mount NEW sources without JVM code. Spark 4's
+Python DataSource API is that seam: ``DataSource`` declares name/schema,
+``DataSourceReader.partitions()`` plans the parallel split, ``read()``
+produces each split executor-side. This module ships a deterministic
+synthetic-events source as the reference implementation — the same shape
+a REST-paginator or object-store-listing connector would take, with the
+pagination plan in ``partitions()``.
+
+Row math is hash-based and engine-neutral on purpose (md5 of the row id,
+same formulas expressible in SQL), so the source is differentially
+attestable against a DuckDB oracle like every other catalog entry —
+a custom CONNECTOR goes through the same correctness gate as a query.
+
+Scale notes: splits are planned once on the driver (cheap integer
+ranges); each split generates independently, so parallelism = number of
+partitions, no shuffle, no driver data path. A production connector
+swaps ``_row`` for an HTTP page fetch / file decode with the identical
+contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _h32(event_id: int) -> int:
+    """First 32 bits of md5(str(id)) — the one hash every derived field
+    keys off, chosen because both Spark SQL and DuckDB can reproduce it
+    (``conv(substring(md5(x),1,8),16,10)`` / ``('0x'||...)::BIGINT``)."""
+    return int(hashlib.md5(str(event_id).encode()).hexdigest()[:8], 16)
+
+
+def _row(event_id: int) -> tuple:
+    h = _h32(event_id)
+    return (
+        event_id,
+        (BASE_TS + timedelta(minutes=event_id)).replace(tzinfo=None),
+        h % 1000,
+        EVENT_TYPES[h % 5],
+        ((h // 5) % 100_000) / 100.0,
+        '{"k":%d}' % (event_id % 10),
+    )
+
+
+class _Split(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        n, p = self.n_rows, max(1, self.n_partitions)
+        step = -(-n // p)
+        return [_Split(i, min(i + step, n)) for i in range(0, n, step)]
+
+    def read(self, partition: _Split):
+        for event_id in range(partition.start, partition.end):
+            yield _row(event_id)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("n_rows", N)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of every Python data source this engine
+    ships (call once per session; re-registering is harmless)."""
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -264,3 +264,42 @@ def test_normalize_event_ts_ntz_branch(spark):
     assert dict(fixed.dtypes)["ts"] == "timestamp"
     out = fixed.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS")).collect()
     assert out[0][0] == "2024-03-01 12:34:56.789"
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    from project_bigdata_spark.sources import pysource
+
+    pysource.register(spark)
+    read = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 257)
+        .option("n_partitions", 4)
+        .load()
+    )
+    # partition planning honored (257 rows over 4 splits of 65)
+    assert read.rdd.getNumPartitions() == 4
+    assert read.count() == 257
+    # deterministic: two independent reads produce identical rows
+    a = sorted(map(tuple, read.collect()))
+    b = sorted(map(tuple, (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 257).option("n_partitions", 4).load().collect()
+    )))
+    assert a == b
+    # generated ids are the contiguous range, exactly once each
+    assert [r[0] for r in a] == list(range(257))
+
+
+def test_python_datasource_composes_with_engine_operators(spark):
+    from project_bigdata_spark.operators import medallion as M
+    from project_bigdata_spark.sources import pysource
+
+    pysource.register(spark)
+    events = (
+        spark.read.format("synthetic_events").option("n_rows", 500).load()
+    )
+    gold = M.gold_hourly(M.silver(M.bronze(events)))
+    # 500 minutes -> 9 distinct hours; every (user, hour) group non-empty
+    hours = {r.hour_ts for r in gold.select("hour_ts").distinct().collect()}
+    assert len(hours) == 9
+    assert gold.filter("n_events < 1").count() == 0
