@@ -26,7 +26,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -90,8 +95,39 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of every Python data source this engine
     ships (call once per session; re-registering is harmless)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector: offset = rows emitted so
+    far; each micro-batch advances it by ``rows_per_batch`` until
+    ``n_rows`` (a capped replay — an unbounded feed just never hits the
+    cap). Exactly-once comes from the offset contract: the engine
+    checkpoints {"offset": N}, replays ``readBetweenOffsets`` on
+    recovery, and the deterministic row math makes every replay
+    byte-identical — the property a real queue connector has to earn
+    with broker offsets, here by construction.
+    """
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch, self.n_rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["offset"]),
+                                            int(end["offset"]))])

@@ -550,3 +550,44 @@ def test_bloom_screen_stream_end_to_end(spark, tmp_path):
     assert got[11].is_corpus_dup and got[21].is_corpus_dup
     assert not got[12].is_corpus_dup
     assert got[11].batch_id != got[21].batch_id
+
+
+def test_python_datasource_stream(spark, tmp_path):
+    """Custom Python DataSource streaming face: the synthetic_events
+    connector's SimpleDataSourceStreamReader feeds micro-batches through
+    an aggregation into a memory sink; the capped offset walk drains to
+    exactly n_rows with no duplicates (the offset contract is the
+    exactly-once mechanism a queue connector earns from broker offsets)."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_spark.sources import pysource
+
+    pysource.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 350)
+        .option("rows_per_batch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysource_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sunk = spark.sql("select * from pysource_stream")
+        # offset walk drains to exactly n_rows, each id exactly once
+        assert sunk.count() == 350
+        assert sunk.select("event_id").distinct().count() == 350
+        # micro-batched rows equal the batch source bit-for-bit
+        batch = (
+            spark.read.format("synthetic_events").option("n_rows", 350).load()
+        )
+        assert sorted(map(tuple, sunk.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        q.stop()
