@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.corpus_queries",
     "project_bigdata_spark.plans.corpus_queries2",
     "project_bigdata_spark.plans.layout_queries",
+    "project_bigdata_spark.plans.warehouse_queries",
 ]
 
 

@@ -1,0 +1,211 @@
+"""Warehouse-lifecycle catalog entries: EWMA decay features, SCD Type-2
+dimension versioning, CDC latest-wins compaction, and MAD robust outlier
+profiling.
+
+The reference overwrites serving tables wholesale and keeps no dimension
+history (``spark/batch_processor.py:125-129``); these queries cover the
+mutation mechanics — versioned dims, change streams, decayed features,
+robust telemetry screens — that the same pipeline needs in production.
+Every entry carries a DuckDB oracle for exact driver attestation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import warehouse as WH
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+_TSF = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "ewma_features",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       round(value, 4) AS value,
+       round(
+         list_reduce(list_transform(vals, (x, i) -> x * pow(0.9, len(vals) - i)),
+                     (a, b) -> a + b)
+         / list_reduce(list_transform(vals, (x, i) -> pow(0.9, len(vals) - i)),
+                       (a, b) -> a + b), 4) AS value_ewma_24
+FROM e""",
+    doc="Exponentially-weighted moving average (alpha=0.9, last 24 rows) "
+    "per entity — the decayed-recency feature pandas ewm() computes "
+    "driver-side in the reference's feature loader family "
+    "(ml_training/data_loader.py:121-194). One window pass on the entity "
+    "partitioning; the weighted sum is a JVM higher-order LEFT fold, "
+    "bit-identical to the oracle's list_reduce.",
+    survey_ids=("W3", "W4"),
+)
+def ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    e = WH.ewma_col(
+        e, "value", entity_col="user_id", order_by=["ts", "event_id"],
+        rows=24, alpha=0.9,
+    )
+    return e.select(
+        N.big("event_id").alias("event_id"),
+        N.big("user_id").alias("user_id"),
+        N.rnd("value").alias("value"),
+        N.rnd("value_ewma_24").alias("value_ewma_24"),
+    )
+
+
+@query(
+    "scd2_customer",
+    oracle=f"""
+WITH upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / 100.0
+           AS delta,
+         max(o_orderdate) AS eff_ts
+  FROM orders GROUP BY o_custkey
+), chg AS (
+  SELECT c.c_custkey, c.c_acctbal AS old_bal,
+         c.c_acctbal + u.delta AS new_bal, u.eff_ts
+  FROM customer c JOIN upd u USING (c_custkey)
+  WHERE (c.c_acctbal + u.delta) IS DISTINCT FROM c.c_acctbal
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       round(old_bal, 4) AS c_acctbal,
+       CAST(1 AS BIGINT) AS version,
+       CAST(NULL AS VARCHAR) AS valid_from,
+       strftime(eff_ts, '{_TSF}') AS valid_to,
+       CAST(0 AS BIGINT) AS is_current
+FROM chg
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), round(new_bal, 4),
+       CAST(2 AS BIGINT), strftime(eff_ts, '{_TSF}'),
+       CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)
+FROM chg
+UNION ALL
+SELECT CAST(c.c_custkey AS BIGINT), round(c.c_acctbal, 4),
+       CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(1 AS BIGINT)
+FROM customer c ANTI JOIN chg ch ON c.c_custkey = ch.c_custkey""",
+    doc="SCD Type-2 dimension merge: an update batch (per-customer balance "
+    "delta from their order history, effective at their latest order) "
+    "versions the customer dim — closed prior version + open new version "
+    "per changed key, single open version for untouched keys. Update "
+    "batch broadcasts; the dim scans once and never shuffles. Replaces "
+    "the reference's overwrite-the-world dim refresh "
+    "(spark/batch_processor.py:125-129) with history-preserving merge.",
+    survey_ids=("M7",),
+)
+def scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(100.0)
+            ).alias("_delta"),
+            F.max("o_orderdate").alias("eff_ts"),
+        )
+        .join(dim, "c_custkey")
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.col("_delta")).alias("c_acctbal"),
+            "eff_ts",
+        )
+    )
+    out = WH.scd2_apply(dim, upd, key="c_custkey", attrs=["c_acctbal"])
+    return out.select(
+        N.big("c_custkey").alias("c_custkey"),
+        N.rnd("c_acctbal").alias("c_acctbal"),
+        N.big("version").alias("version"),
+        N.ts_str("valid_from").alias("valid_from"),
+        N.ts_str("valid_to").alias("valid_to"),
+        N.big(F.col("is_current").cast("int")).alias("is_current"),
+    )
+
+
+@query(
+    "cdc_state",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(ts, '{_TSF}') AS last_ts,
+       round(value, 4) AS value
+FROM r WHERE rn = 1 AND event_type <> 'error'""",
+    doc="CDC latest-wins compaction: treat the event stream as a "
+    "changelog ('error' = tombstone, anything else = upsert) and reduce "
+    "it to final per-key state — one shuffle on the key, window "
+    "head-pick (WindowGroupLimit), tombstone filter AFTER the pick so a "
+    "trailing delete erases earlier upserts. The mechanism a Debezium/"
+    "Delta MERGE applies at the lakehouse boundary.",
+    survey_ids=("M7",),
+)
+def cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+    )
+    out = WH.cdc_latest(e, key="user_id", order_by=["ts", "event_id"])
+    return out.select(
+        N.big("user_id").alias("user_id"),
+        N.ts_str("ts").alias("last_ts"),
+        N.rnd("value").alias("value"),
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+WITH m AS (
+  SELECT event_type, median(value) AS med, count(*) AS n
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS absdev
+  FROM events e JOIN m USING (event_type)
+), s AS (
+  SELECT event_type, median(absdev) AS mad FROM d GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(m.n AS BIGINT) AS n,
+       round(m.med, 4) AS med,
+       round(s.mad, 4) AS mad,
+       CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM m JOIN s USING (event_type)
+LEFT JOIN (
+  SELECT d.event_type, count(*) AS n_outliers
+  FROM d JOIN s USING (event_type)
+  WHERE d.absdev > 3.0 * 1.4826 * s.mad
+  GROUP BY d.event_type
+) o USING (event_type)""",
+    doc="Robust outlier profile per event type: exact median, MAD (median "
+    "absolute deviation), and the count beyond 3 sigma-equivalents "
+    "(1.4826 * MAD). Complements the stddev z-score screen "
+    "(value_outliers) with a breakdown-point-0.5 estimator extreme "
+    "points cannot drag. Two group passes + broadcast stats join; the "
+    "fact table is never re-shuffled wide.",
+    survey_ids=("M7", "A3"),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = WH.mad_outlier_stats(e, "event_type", "value", k=3.0)
+    return out.select(
+        "event_type",
+        N.big("n").alias("n"),
+        N.rnd("med").alias("med"),
+        N.rnd("mad").alias("mad"),
+        N.big("n_outliers").alias("n_outliers"),
+    )
