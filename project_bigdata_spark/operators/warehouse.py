@@ -101,49 +101,50 @@ def scd2_apply(
     The no-op suppression filter compares every tracked attr null-safely
     (``eqNullSafe``) so re-delivered identical updates do not spawn
     phantom versions — idempotent under at-least-once upstreams.
+
+    Implementation is a SINGLE left join + array-explode, not a 3-way
+    union of (closed, opened, untouched) branches: union branches each
+    re-evaluate the update batch's lineage (a naive version of this plan
+    computed the update aggregation three times), whereas the explode
+    form scans the dimension once, evaluates ``updates`` once, and emits
+    1 or 2 version rows per key from the same joined row.
     """
+    u = F.broadcast(
+        updates.select(
+            F.col(key),
+            F.struct(*[F.col(a).alias(a) for a in attrs]).alias("_new"),
+            F.col(eff_col).alias("_eff"),
+        )
+    )
+    j = dim.alias("d").join(u, on=key, how="left")
+
     # null-safe "any tracked attr differs" predicate
     diff = F.lit(False)
     for a in attrs:
-        diff = diff | ~F.col(f"u.{a}").eqNullSafe(F.col(f"d.{a}"))
-    changed = (
-        dim.alias("d")
-        .join(
-            F.broadcast(updates.alias("u")),
-            F.col(f"u.{key}") == F.col(f"d.{key}"),
-        )
-        .where(diff)
-    )
+        diff = diff | ~F.col(f"_new.{a}").eqNullSafe(F.col(f"d.{a}"))
+    changed = F.col("_eff").isNotNull() & diff
 
-    closed = changed.select(
-        F.col(f"d.{key}").alias(key),
+    prior = F.struct(
         *[F.col(f"d.{a}").alias(a) for a in attrs],
         F.lit(1).alias("version"),
         F.lit(None).cast("timestamp").alias("valid_from"),
-        F.col(f"u.{eff_col}").alias("valid_to"),
-        F.lit(False).alias("is_current"),
+        # closed at eff for changed keys; open-ended otherwise
+        F.when(changed, F.col("_eff")).alias("valid_to"),
+        (~changed).alias("is_current"),
     )
-    opened = changed.select(
-        F.col(f"u.{key}").alias(key),
-        *[F.col(f"u.{a}").alias(a) for a in attrs],
+    opened = F.struct(
+        *[F.col(f"_new.{a}").alias(a) for a in attrs],
         F.lit(2).alias("version"),
-        F.col(f"u.{eff_col}").alias("valid_from"),
+        F.col("_eff").alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    untouched = dim.join(
-        changed.select(F.col(f"u.{key}").alias(key)),
-        on=key,
-        how="left_anti",
-    ).select(
-        F.col(key),
-        *[F.col(a) for a in attrs],
-        F.lit(1).alias("version"),
-        F.lit(None).cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    versions = F.when(changed, F.array(prior, opened)).otherwise(
+        F.array(prior)
     )
-    return closed.unionByName(opened).unionByName(untouched)
+    return j.select(F.col(key), F.explode(versions).alias("_v")).select(
+        key, "_v.*"
+    )
 
 
 def cdc_latest(
@@ -189,12 +190,16 @@ def mad_outlier_stats(
     points cannot drag the threshold — the standard profile for
     heavy-tailed telemetry.
 
-    Two aggregation passes over the same group partitioning plus a
-    broadcast join of the per-group stats row back onto the facts.
+    Three fact passes minimum (the median must exist before deviations,
+    the MAD before the threshold); the tiny per-group stats frames are
+    ``localCheckpoint``-ed between passes so each pass scans the facts
+    exactly once instead of re-running the upstream aggregations through
+    Catalyst's per-branch lineage recompute (a naive DAG here costs 5
+    fact scans).
     """
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("_med")
-    )
+    ).localCheckpoint()
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "_absdev", F.abs(F.col(value_col) - F.col("_med"))
     )
@@ -202,7 +207,7 @@ def mad_outlier_stats(
         F.first("_med").alias("med"),
         F.expr("percentile(_absdev, 0.5)").alias("mad"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint()
     flagged = (
         dev.join(
             F.broadcast(mad.select(group_col, "mad")), group_col

@@ -292,3 +292,39 @@ def test_boilerplate_counts_without_distinct_shuffle(spark, sf_dir):
     # count-distinct expand and the top-20 must be a TakeOrdered merge
     assert "Expand" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ewma_single_window_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ewma_features")
+    # one entity exchange feeding one Window: the EWMA fold must not add
+    # a shuffle beyond the shared per-entity window partitioning
+    assert plan.count("(2) Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_cdc_head_pick_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "cdc_state")
+    # rank-1 head pick must push into the exchange sort (partial + final)
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_scd2_single_dim_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scd2_customer")
+    # explode form, not a 3-way union: the update batch's aggregation must
+    # appear ONCE (union branches would replay it per branch)
+    assert "Union" not in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    # update batch broadcasts onto the dim
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mad_checkpointed_stats_no_lineage_replay(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mad_outliers")
+    # the tiny stats frames are lineage-truncated; the fact median
+    # aggregation must not be recomputed per branch — at most the two
+    # genuine fact passes (deviation agg + outlier count) remain
+    assert plan.count("percentile(value") <= 1
+    assert "CartesianProduct" not in plan
