@@ -209,3 +209,67 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("mad").alias("mad"),
         N.big("n_outliers").alias("n_outliers"),
     )
+
+
+@query(
+    "approx_quantile_audit",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       CAST(1 AS BIGINT) AS rank_ok
+FROM events GROUP BY event_type""",
+    doc="Quantile-sketch accuracy audit, attested differentially (the "
+    "quantile companion to approx_distinct_audit): per event type, exact "
+    "interpolated p50/p90/p99 next to percentile_approx estimates "
+    "(accuracy=10000 — a mergeable Greenwald-Khanna summary, so partial "
+    "sketches ship between executors instead of raw values). The audit "
+    "flag checks the estimator's ACTUAL contract — rank error <= "
+    "eps*n + 2 (eps = 1/accuracy, +2 for rank discretization + "
+    "interpolation slack), measured by counting values <= each estimate "
+    "in a second pass — not value-relative error, which a sparse p99 "
+    "tail inflates even when the sketch is within guarantee (an "
+    "off-by-one order stat can be a 25% value jump). The oracle pins "
+    "the flag true, so the value hash matches only if every estimate "
+    "really lands within its rank bound.",
+    survey_ids=("A3", "M7"),
+)
+def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    probs = [0.5, 0.9, 0.99]
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("_ex"),
+        F.percentile_approx(
+            "value",
+            F.array(*[F.lit(p) for p in probs]),
+            F.lit(10000),
+        ).alias("_ap"),
+    ).localCheckpoint()
+    ranks = (
+        e.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    (F.col("value") <= F.col("_ap")[i]).cast("bigint")
+                ).alias(f"_r{i}")
+                for i in range(len(probs))
+            ],
+        )
+    )
+    eps = 1.0 / 10000
+    ok = F.lit(True)
+    for i, p in enumerate(probs):
+        ok = ok & (
+            F.abs(F.col(f"_r{i}") - F.lit(p) * F.col("_n"))
+            <= F.lit(eps) * F.col("_n") + F.lit(2.0)
+        )
+    return agg.join(ranks, "event_type").select(
+        "event_type",
+        N.rnd(F.col("_ex")[0]).alias("p50"),
+        N.rnd(F.col("_ex")[1]).alias("p90"),
+        N.rnd(F.col("_ex")[2]).alias("p99"),
+        ok.cast("bigint").alias("rank_ok"),
+    )
