@@ -1,6 +1,7 @@
 """Warehouse-lifecycle catalog entries: EWMA decay features, SCD Type-2
-dimension versioning, CDC latest-wins compaction, and MAD robust outlier
-profiling.
+dimension versioning, CDC latest-wins compaction, MAD robust outlier
+profiling, quantile-sketch accuracy audit, differential attestation of
+the salted skew-guard aggregation, and per-entity OLS trend fitting.
 
 The reference overwrites serving tables wholesale and keeps no dimension
 history (``spark/batch_processor.py:125-129``); these queries cover the
@@ -272,4 +273,106 @@ def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.col("_ex")[1]).alias("p90"),
         N.rnd(F.col("_ex")[2]).alias("p99"),
         ok.cast("bigint").alias("rank_ok"),
+    )
+
+
+@query(
+    "salted_hourly_agg",
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       round(max(value), 4) AS max_value,
+       CAST(count(*) AS BIGINT) AS n_events,
+       array_to_string(list(event_type ORDER BY event_type, value), ',')
+         AS event_types,
+       array_to_string(list_transform(
+         list(value ORDER BY event_type, value),
+         v -> CAST(round(v, 2) AS VARCHAR)), ',') AS values
+FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+    doc="Differential attestation of the skew guard: the two-stage salted "
+    "aggregation (operators/skew.py — hot (entity, hour) keys fan out "
+    "over 16 salt buckets, partials merge per key) must be value-"
+    "identical to the plain one-shuffle groupBy the oracle runs, "
+    "including the deterministic sorted parallel arrays. The soak in "
+    "BENCH_SCALING.md shows the unsalted variant dying on a hot key; "
+    "this entry proves the surviving variant computes the same answer.",
+    survey_ids=("A1", "M7"),
+)
+def salted_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import skew as SK
+
+    e = load_table(spark, sf_dir, "events")
+    g = SK.salted_hourly_gold(e, buckets=16)
+    return g.select(
+        N.big("user_id").alias("user_id"),
+        N.ts_str("hour_ts").alias("hour_ts"),
+        N.rnd("max_value").alias("max_value"),
+        N.big("n_events").alias("n_events"),
+        F.concat_ws(",", "event_types").alias("event_types"),
+        F.concat_ws(
+            ",",
+            F.transform(F.col("values"), lambda v: F.round(v, 2).cast("string")),
+        ).alias("values"),
+    )
+
+
+@query(
+    "trend_fit",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
+                       AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
+                       AS DECIMAL(18,0))
+                  * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
+                       AS DECIMAL(18,0))
+                  * CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
+                         AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n, 4)
+       END AS intercept
+FROM s""",
+    doc="Per-entity OLS trend (value vs hours-since-epoch-start): slope "
+    "and intercept from the five classic moments, summed exactly in "
+    "DECIMAL (order-free across partials — a 1000-executor partial agg "
+    "gives the same bits) and only then combined in DOUBLE through an "
+    "identical expression tree on both engines, so the closed form is "
+    "bit-reproducible without trusting native regr_slope "
+    "implementations. One aggregation exchange; degenerate single-hour "
+    "entities yield NULL, not a division error.",
+    survey_ids=("A4", "M7"),
+)
+def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        F.floor(F.unix_timestamp("ts") / 3600) - F.lit(473352)
+    ).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(12,2)")
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        N.big("user_id").alias("user_id"),
+        N.big("n").alias("n"),
+        F.when(den != 0, N.rnd(slope, 6)).alias("slope"),
+        F.when(den != 0, N.rnd(intercept, 4)).alias("intercept"),
     )
