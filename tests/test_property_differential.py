@@ -134,3 +134,101 @@ def test_bloom_never_false_negative(spark, keys, shards):
         .count()
     )
     assert hits == len(keys)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=50),     # ts offset
+            st.booleans(),                              # is delete
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cdc_latest_matches_python_replay(spark, log):
+    """cdc_latest == a sequential dict replay of the changelog."""
+    from project_bigdata_spark.operators import warehouse as WH
+
+    rows = [
+        (i, k, (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=off)).to_pydatetime(),
+         "D" if d else "U")
+        for i, (k, off, d) in enumerate(log)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, op string"
+    )
+    got = {
+        r.user_id: r.event_id
+        for r in WH.cdc_latest(sdf, order_by=["ts", "event_id"]).collect()
+    }
+    state: dict[int, int] = {}
+    for i, k, ts, op in sorted(rows, key=lambda r: (r[2], r[0])):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = i
+    assert got == state
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_scd2_invariants_and_idempotency(spark, dim_map, upd_map):
+    """SCD2 output invariants: exactly one current version per dim key,
+    versions contiguous from 1, closed versions carry valid_to; and
+    re-applying the SAME update batch to the merged current state is a
+    no-op (at-least-once delivery safety)."""
+    from project_bigdata_spark.operators import warehouse as WH
+
+    dim_rows = [(k, round(v, 2)) for k, v in dim_map.items()]
+    upd_rows = [
+        (k, round(v, 2), pd.Timestamp("2024-06-01").to_pydatetime())
+        for k, v in upd_map.items()
+        if k in dim_map
+    ]
+    dim = spark.createDataFrame(dim_rows, "k long, bal double")
+    if not upd_rows:
+        return
+    upd = spark.createDataFrame(upd_rows, "k long, bal double, eff_ts timestamp")
+    out = WH.scd2_apply(dim, upd, "k", ["bal"], "eff_ts").collect()
+
+    per_key: dict[int, list] = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r)
+    assert set(per_key) == set(dim_map)
+    changed_expect = {
+        k for k, v, _ in upd_rows if round(v, 2) != round(dim_map[k], 2)
+    }
+    for k, versions in per_key.items():
+        current = [r for r in versions if r["is_current"]]
+        assert len(current) == 1
+        assert sorted(r["version"] for r in versions) == list(
+            range(1, len(versions) + 1)
+        )
+        for r in versions:
+            assert r["is_current"] == (r["valid_to"] is None)
+        assert (len(versions) == 2) == (k in changed_expect)
+
+    # idempotency: current state + same batch -> zero new versions
+    current_dim = spark.createDataFrame(
+        [(r["k"], r["bal"]) for r in out if r["is_current"]],
+        "k long, bal double",
+    )
+    again = WH.scd2_apply(current_dim, upd, "k", ["bal"], "eff_ts").collect()
+    assert all(r["version"] == 1 and r["is_current"] for r in again)
+    assert len(again) == len(dim_map)
