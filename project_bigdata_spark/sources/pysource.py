@@ -101,7 +101,24 @@ class SyntheticEventsDataSource(DataSource):
 
 def register(spark) -> None:
     """Idempotent registration of every Python data source this engine
-    ships (call once per session; re-registering is harmless)."""
+    ships (call once per session; re-registering is harmless).
+
+    The module is registered with cloudpickle for BY-VALUE serialization
+    first: the JVM spawns fresh Python workers both to instantiate the
+    DataSource at plan time (``create_data_source`` worker) and to run
+    ``read()`` on executors, and those processes inherit only
+    PYTHONPATH — not the driver's ``sys.path`` — so a by-REFERENCE
+    pickle (the cloudpickle default for importable classes) dies with
+    ModuleNotFoundError whenever the driver wasn't launched from the
+    repo root. By-value shipping makes the connector self-contained the
+    same way the engine's mapInPandas closures are; this module is
+    deliberately stdlib+pyspark-only so the by-value closure is small.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SyntheticEventsDataSource)
 
 
