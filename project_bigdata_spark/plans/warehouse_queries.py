@@ -376,3 +376,46 @@ def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den != 0, N.rnd(slope, 6)).alias("slope"),
         F.when(den != 0, N.rnd(intercept, 4)).alias("intercept"),
     )
+
+
+_SHARD_NIBBLE = (
+    "strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1"
+)
+
+
+@query(
+    "shard_manifest",
+    oracle=f"""
+WITH s AS (
+  SELECT (({_SHARD_NIBBLE.format(p=1)}) * 16 + ({_SHARD_NIBBLE.format(p=2)})) % 16
+           AS shard_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY shard_id""",
+    doc="Dataset-publishing manifest: the per-shard doc/char/token counts "
+    "a training loader validates before a run burns accelerator time. "
+    "Shard = md5 bucket of the doc id (hash_split's idiom), so documents "
+    "keep their shard across corpus refreshes and the oracle replays "
+    "identical buckets; the aggregation is one exchange of n_shards "
+    "rows. publish_shards (operators/publish.py) writes the Hive-"
+    "partitioned shards plus this manifest as _manifest.json.",
+    survey_ids=("M7",),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import publish as PB
+
+    d = load_table(spark, sf_dir, "documents")
+    m = PB.shard_manifest_frame(d, id_col="doc_id", text_col="text", n_shards=16)
+    return m.select(
+        N.big("shard_id").alias("shard_id"),
+        N.big("n_docs").alias("n_docs"),
+        N.big("n_chars").alias("n_chars"),
+        N.big("n_tokens").alias("n_tokens"),
+    )
