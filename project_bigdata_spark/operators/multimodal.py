@@ -63,9 +63,18 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real PNG decode (stdlib only) -> (width, height, mean luma)."""
+    w, h, luma, _rows = _png_decode_full(payload)
+    return w, h, luma
+
+
+def _png_decode_full(
+    payload: bytes,
+) -> tuple[int, int, float, list[list[float]]]:
     """Real PNG decode with the stdlib only (struct + zlib): parse IHDR,
     inflate IDAT, undo per-scanline filters (None/Sub/Up/Average/Paeth,
-    PNG spec §9), return (width, height, mean Rec.601 luma in [0,1]).
+    PNG spec §9), return (width, height, mean Rec.601 luma in [0,1],
+    per-scanline luma rows for downstream resampling).
 
     Supports the common web shapes — 8-bit non-interlaced grayscale,
     gray+alpha, RGB, RGBA. Palette/16-bit/interlaced variants raise
@@ -104,6 +113,7 @@ def _png_decode(payload: bytes) -> tuple[int, int, float]:
     stride = width * ch
     prev = bytearray(stride)
     luma_total = 0.0
+    luma_rows: list[list[float]] = []
     rpos = 0
     for _y in range(height):
         filt = raw[rpos]
@@ -131,14 +141,18 @@ def _png_decode(payload: bytes) -> tuple[int, int, float]:
         elif filt != 0:
             raise ValueError(f"bad PNG filter byte {filt}")
         if ch <= 2:  # grayscale (+alpha): luma is the gray sample
+            row = [float(v) for v in line[0::ch]]
             luma_total += sum(line[0::ch])
         else:  # Rec.601 weights, the same matrix PIL's convert("L") uses
+            row = []
             for j in range(0, stride, ch):
-                luma_total += (
+                row.append(
                     0.299 * line[j] + 0.587 * line[j + 1] + 0.114 * line[j + 2]
                 )
+                luma_total += row[-1]
+        luma_rows.append(row)
         prev = line
-    return width, height, luma_total / (width * height) / 255.0
+    return width, height, luma_total / (width * height) / 255.0, luma_rows
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, float]:
@@ -341,3 +355,97 @@ def audio_rms_features(media: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize: fixed-grid box-average downsample (the thumbnail/patch-grid step
+# between decode and a vision encoder). Same dual-path pattern as decode:
+# real pixels via the stdlib PNG path (or Pillow when present), and a
+# deterministic md5 fake so the Arrow plumbing is differentially attestable
+# without image libraries.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "media_id bigint, width bigint, height bigint, grid array<double>"
+)
+
+
+def box_average_grid(
+    rows: list[list[float]], grid_h: int, grid_w: int
+) -> list[float]:
+    """Box-average resample of a pixel matrix to (grid_h, grid_w),
+    row-major, values in [0, 1]. Cell boundaries are proportional; when
+    the image is smaller than the grid a cell clamps to >= 1 source
+    pixel (nearest), so any input size yields a full grid."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    out: list[float] = []
+    for gi in range(grid_h):
+        y0 = min(h - 1, (gi * h) // grid_h)
+        y1 = max(y0 + 1, ((gi + 1) * h) // grid_h)
+        for gj in range(grid_w):
+            x0 = min(w - 1, (gj * w) // grid_w)
+            x1 = max(x0 + 1, ((gj + 1) * w) // grid_w)
+            total = 0.0
+            for y in range(y0, y1):
+                row = rows[y]
+                for x in range(x0, x1):
+                    total += row[x]
+            out.append(total / ((y1 - y0) * (x1 - x0)) / 255.0)
+    return out
+
+
+def resize_features(
+    media: DataFrame,
+    grid_h: int = 4,
+    grid_w: int = 4,
+    use_real: bool = False,
+) -> DataFrame:
+    """Arrow-batched resize over the payload column: one mapInPandas
+    pass emits (media_id, original dims, row-major grid). The blob never
+    leaves the worker — only ``grid_h * grid_w`` doubles per image cross
+    the Arrow boundary, so a billion-image resize shuffles nothing and
+    transfers grids, not pixels."""
+    if use_real:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+        def one(payload: bytes) -> tuple[int, int, list[float]]:
+            w, h, _luma, rows = _png_decode_full(payload)
+            return w, h, box_average_grid(rows, grid_h, grid_w)
+
+    else:
+
+        def one(payload: bytes) -> tuple[int, int, list[float]]:
+            # self-contained md5 fake: same dims as the fake decoder, one
+            # hash per grid cell (the SQL-replayable contract)
+            import hashlib as _hashlib
+
+            h = _hashlib.md5(payload).hexdigest()
+            width = 64 + int(h[0:2], 16) % 192
+            height = 64 + int(h[2:4], 16) % 192
+            grid = []
+            for gi in range(grid_h):
+                for gj in range(grid_w):
+                    cell = _hashlib.md5(
+                        payload + f"-{gi}-{gj}".encode()
+                    ).hexdigest()
+                    grid.append(int(cell[:4], 16) / 65535.0)
+            return width, height, grid
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "grid": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)

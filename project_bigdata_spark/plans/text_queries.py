@@ -568,3 +568,44 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("media_id").alias("media_id"),
         N.big("frame_idx").alias("frame_idx"),
     )
+
+
+@query(
+    "image_resize_grid",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(64 + CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 192 AS BIGINT)
+         AS width,
+       CAST(64 + CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 192 AS BIGINT)
+         AS height,
+       array_to_string(list_transform(range(0, 16), k ->
+         printf('%.6f', round(CAST(('0x' || substring(
+           md5(text || '-' || CAST(k // 4 AS VARCHAR)
+                     || '-' || CAST(k % 4 AS VARCHAR)), 1, 4)) AS INT)
+           / 6.5535e4, 6))), ',') AS grid
+FROM documents""",
+    doc="Multimodal resize plumbing: Arrow-batched mapInPandas emits a "
+    "fixed 4x4 box-average grid per image — the thumbnail/patch step "
+    "before a vision encoder. Decode is the documented md5 fake here "
+    "(real path = stdlib PNG box-average, tested in test_multimodal); "
+    "what this entry attests differentially is the full worker path and "
+    "that only 16 doubles per image cross the Arrow boundary — the blob "
+    "never leaves the scan.",
+    survey_ids=("M7",),
+)
+def image_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_table(d, "doc_id", "text", "image")
+    out = MM.resize_features(media, grid_h=4, grid_w=4, use_real=False)
+    return out.select(
+        N.big("media_id").alias("media_id"),
+        N.big("width").alias("width"),
+        N.big("height").alias("height"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("grid"),
+                lambda v: F.format_string("%.6f", N.rnd(v, 6)),
+            ),
+        ).alias("grid"),
+    )

@@ -193,3 +193,46 @@ def test_audio_rms_truncates_odd_trailing_byte(spark):
     media = MM.to_media_table(df, "doc_id", "payload", "audio")
     row = MM.audio_rms_features(media).collect()[0]
     assert row.n_samples == 1 and row.rms == 0.0
+
+
+def test_box_average_grid_exact():
+    rows = [
+        [0.0, 0.0, 255.0, 255.0],
+        [0.0, 0.0, 255.0, 255.0],
+        [255.0, 255.0, 0.0, 0.0],
+        [255.0, 255.0, 0.0, 0.0],
+    ]
+    grid = MM.box_average_grid(rows, 2, 2)
+    assert grid == [0.0, 1.0, 1.0, 0.0]
+    # grid larger than image: cells clamp to >=1 pixel, full grid emitted
+    tiny = MM.box_average_grid([[255.0]], 2, 2)
+    assert tiny == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_resize_features_real_png(spark):
+    # 2x2 gray checkerboard PNG -> 2x2 grid reproduces the pixels
+    png = encode_png([[0, 255], [255, 0]], color_type=0)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, payload binary"
+    )
+    (row,) = MM.resize_features(
+        df, grid_h=2, grid_w=2, use_real=True
+    ).collect()
+    assert (row["width"], row["height"]) == (2, 2)
+    assert [round(v, 6) for v in row["grid"]] == [0.0, 1.0, 1.0, 0.0]
+
+
+def test_resize_features_fake_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(f"doc {i}".encode())) for i in range(5)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in MM.resize_features(df).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        assert len(r["grid"]) == 16
+        assert all(0.0 <= v <= 1.0 for v in r["grid"])
+    again = {r["media_id"]: r for r in MM.resize_features(df).collect()}
+    assert {k: v["grid"] for k, v in out.items()} == {
+        k: v["grid"] for k, v in again.items()
+    }
