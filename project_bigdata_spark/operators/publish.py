@@ -121,3 +121,29 @@ def read_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
     partition column prunes every other shard directory at planning
     time."""
     return spark.read.parquet(path).where(F.col("shard_id") == shard_id)
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 16,
+    out_col: str = "epoch_pos",
+) -> DataFrame:
+    """Deterministic per-epoch shuffle order WITHIN each shard: position
+    = rank of ``md5(id || '-e' || epoch)``, so every epoch visits a shard
+    in a different but reproducible order (resume mid-epoch = seek to a
+    position), and changing the epoch reshuffles without touching data.
+
+    Ranks are per-shard on purpose — a global row_number would serialize
+    the corpus through one partition; loaders consume shards
+    independently, so shard-local order is the contract that scales.
+    """
+    from pyspark.sql import Window
+
+    s = assign_shards(df, id_col, n_shards)
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"-e{epoch}"))
+    )
+    w = Window.partitionBy("shard_id").orderBy(key, F.col(id_col))
+    return s.withColumn(out_col, F.row_number().over(w))

@@ -97,7 +97,7 @@ def query(
 # audio_segments, segment_dedup_apply, dup_cluster_histogram,
 # unigram_entropy, python_source_stats, ewma_features, scd2_customer,
 # cdc_state, mad_outliers, approx_quantile_audit, salted_hourly_agg,
-# trend_fit, shard_manifest, image_resize_grid. Lead the next round's
+# trend_fit, shard_manifest, image_resize_grid, epoch_shuffle. Lead the next round's
 # priority list with exactly these.
 _ATTESTATION_PRIORITY = [
     # never driver-attested: window/rollup family

@@ -419,3 +419,47 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("n_chars").alias("n_chars"),
         N.big("n_tokens").alias("n_tokens"),
     )
+
+
+@query(
+    "epoch_shuffle",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         (({_SHARD_NIBBLE.format(p=1)}) * 16 + ({_SHARD_NIBBLE.format(p=2)})) % 16
+           AS shard_id
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (
+         PARTITION BY shard_id
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '-e0'), doc_id
+       ) AS BIGINT) AS pos_e0,
+       CAST(row_number() OVER (
+         PARTITION BY shard_id
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '-e1'), doc_id
+       ) AS BIGINT) AS pos_e1
+FROM s""",
+    doc="Per-epoch training shuffle order: within each shard, position = "
+    "rank of md5(id || epoch) — reproducible (resume = seek), "
+    "decorrelated across epochs (same data, new order, zero data "
+    "movement), and shard-local by design: a global row_number would "
+    "serialize the corpus through one partition, while loaders consume "
+    "shards independently. Both epochs' ranks ride ONE shard exchange "
+    "(same window partitioning, different sort keys).",
+    survey_ids=("M7",),
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import publish as PB
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e0 = PB.epoch_order(d, epoch=0, n_shards=16, out_col="pos_e0")
+    out = PB.epoch_order(e0.drop("shard_id"), epoch=1, n_shards=16,
+                         out_col="pos_e1")
+    return out.select(
+        N.big("doc_id").alias("doc_id"),
+        N.big("shard_id").alias("shard_id"),
+        N.big("pos_e0").alias("pos_e0"),
+        N.big("pos_e1").alias("pos_e1"),
+    )

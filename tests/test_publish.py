@@ -71,3 +71,21 @@ def test_read_shard_prunes_partitions(spark, tmp_path):
     plan = one._jdf.queryExecution().explainString(jmode)
     assert "PartitionFilters" in plan
     assert "shard_id" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_epoch_order_reproducible_and_decorrelated(spark):
+    d = load_table(spark, SF, "documents").select("doc_id")
+    a = PB.epoch_order(d, epoch=0, out_col="p").collect()
+    b = PB.epoch_order(d, epoch=0, out_col="p").collect()
+    assert {(r.doc_id, r.p) for r in a} == {(r.doc_id, r.p) for r in b}
+    # positions are a permutation of 1..n within each shard
+    per_shard: dict[int, list[int]] = {}
+    for r in a:
+        per_shard.setdefault(r.shard_id, []).append(r.p)
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different epoch visits shards in a different order
+    e1 = {r.doc_id: r.p for r in PB.epoch_order(d, epoch=1, out_col="p").collect()}
+    e0 = {r.doc_id: r.p for r in a}
+    moved = sum(1 for k in e0 if e0[k] != e1[k])
+    assert moved > len(e0) * 0.8
