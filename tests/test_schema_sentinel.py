@@ -104,3 +104,38 @@ def test_post_load_schema_pinned(spark, sf_dir, table):
         "if the driver re-encoded the table, add a normalization branch "
         "in sources/registry.py, then update this pin"
     )
+
+
+# Money-ish columns the oracle SQL casts to DECIMAL(12,2) for exact,
+# order-free summation. That idiom is only EXACT while the stored doubles
+# are 2-decimal values; if a testdata regeneration ever widens the
+# precision, Spark's and DuckDB's decimal-cast roundings can diverge
+# (HALF_UP vs HALF_EVEN) and surface as cryptic value-hash mismatches.
+# This sentinel fails first, naming the column.
+TWO_DECIMAL_COLS = {
+    "events": ["value"],
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+}
+
+
+@pytest.mark.parametrize(
+    "table,col",
+    [(t, c) for t, cols in TWO_DECIMAL_COLS.items() for c in cols],
+    ids=lambda v: str(v),
+)
+def test_money_columns_are_two_decimal(spark, sf_dir, table, col):
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, table)
+    off = df.where(
+        F.col(col).isNotNull() & (F.round(F.col(col), 2) != F.col(col))
+    ).count()
+    assert off == 0, (
+        f"{table}.{col}: {off} values are not exact 2-decimal — the "
+        "DECIMAL(12,2) oracle idiom is no longer exact; re-pin the "
+        "decimal scale in the affected oracles"
+    )
