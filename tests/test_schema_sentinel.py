@@ -139,3 +139,16 @@ def test_money_columns_are_two_decimal(spark, sf_dir, table, col):
         "DECIMAL(12,2) oracle idiom is no longer exact; re-pin the "
         "decimal scale in the affected oracles"
     )
+
+
+def test_embedding_dim_pinned(spark, sf_dir):
+    """similarity.DIM (LSH planes, IVF folds, PQ sub-spaces) is compiled
+    into plans against this dimensionality; a regeneration that changes
+    it must fail HERE, not as a wrong-length zip deep inside a fold."""
+    from pyspark.sql import functions as F
+
+    from project_bigdata_spark.operators.similarity import DIM
+
+    df = load_table(spark, sf_dir, "embeddings")
+    dims = [r[0] for r in df.select(F.size("embedding")).distinct().collect()]
+    assert dims == [DIM], f"embedding dim drifted: {dims} != [{DIM}]"
