@@ -223,15 +223,9 @@ def mad_outlier_stats(
     )
 
 
-def ewma_weights_check(rows: int, alpha: float) -> list[float]:
-    """Reference weights (current-row-last) for tests."""
-    return [alpha ** (rows - 1 - i) for i in range(rows)]
-
-
 __all__ = [
     "ewma_col",
     "scd2_apply",
     "cdc_latest",
     "mad_outlier_stats",
-    "ewma_weights_check",
 ]
