@@ -730,3 +730,118 @@ def random_project(
         for j in range(out_dim)
     ]
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def ivfpq_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 20,
+    n_sub: int = 4,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    code_id: str = "code_id",
+    round_to: int = 6,
+    rnd=F.round,
+) -> DataFrame:
+    """IVF-PQ search — the production billion-vector ANN architecture,
+    composed from the engine's IVF and PQ pieces in ONE corpus pass:
+
+    1. coarse probe: the ``nprobe`` centroids nearest the query
+       (broadcast centroid array, per-row fold — as :func:`ivf_search`);
+    2. ADC scoring: inside the probed cells only, score each vector as
+       the DECIMAL-exact sum of its PQ codes' entries in the in-plan
+       query->codeword distance table (as :func:`pq_search_adc`);
+    3. exact re-rank: true cosine for just the ``rerank`` best ADC
+       candidates, then top-``k``.
+
+    Everything index-side (centroids + codebook + query + probe set +
+    distance table) is a single broadcast row; the corpus pass is a
+    narrow map -> probe filter -> TakeOrdered(rerank) -> exact top-k.
+    Candidates cost ~``nprobe/|centroids|`` of the corpus for the cheap
+    ADC scan and exactly ``rerank`` rows for the float re-rank — the
+    recall/cost dial FAISS exposes as (nprobe, rerank).
+    """
+    sub_dim = dim // n_sub
+    qrow = query_df.select(as_double(F.col(vec_col)).alias("_qvec"))
+    combo = (
+        _centroid_row(centroids, centroid_id, vec_col)
+        .crossJoin(_codebook_row(codebook, code_id, vec_col))
+        .crossJoin(qrow)
+        .withColumn(
+            "_probes",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_cents"),
+                            lambda c: F.struct(
+                                (
+                                    -F.coalesce(
+                                        rnd(
+                                            cosine(F.col("_qvec"), c["cvec"]),
+                                            round_to,
+                                        ),
+                                        F.lit(-2.0),
+                                    )
+                                ).alias("nk"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            ),
+        )
+    )
+
+    def _dtab_entry(m: int):
+        return lambda c: rnd(
+            l2sq(_sub(F.col("_qvec"), m, sub_dim), _sub(c["cvec"], m, sub_dim)),
+            round_to,
+        ).cast("decimal(18,6)")
+
+    dtab = F.array(
+        *[F.transform(F.col("_cb"), _dtab_entry(m)) for m in range(n_sub)]
+    )
+    best_cent = _nearest_centroid(
+        F.col("_v"), F.col("_cents"), round_to, rnd, vnorm=F.col("_vnorm")
+    )
+    best_codes = F.array(
+        *[
+            _best_code(F.col("_v"), F.col("_cb"), m, sub_dim, rnd, round_to)
+            for m in range(n_sub)
+        ]
+    )
+    score = None
+    for m in range(n_sub):
+        term = F.element_at(F.col("_dtab")[m], F.col("_best")[m]["pos"] + 1)
+        score = term if score is None else score + term
+    candidates = (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_vnorm", norm(F.col("_v")))
+        .crossJoin(F.broadcast(combo.withColumn("_dtab", dtab)))
+        .withColumn("_bc", best_cent)
+        .filter(F.array_contains(F.col("_probes"), F.col("_bc")["cid"]))
+        .withColumn("_best", best_codes)
+        .withColumn("_adc", score.cast("double"))
+        .orderBy("_adc", id_col)
+        .limit(rerank)
+    )
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.col("_bc")["cid"].alias(centroid_id),
+            F.col("_adc").alias("adc_dist"),
+            rnd(cosine(F.col("_v"), F.col("_qvec")), round_to).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

@@ -624,3 +624,81 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("vec_id").alias("vec_id"),
         *[F.col("projected")[j].alias(f"p{j}") for j in range(_RP_DIM)],
     )
+
+
+@query(
+    "ivfpq_search",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), cw AS (
+  SELECT vec_id - 8 AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id >= 8 AND vec_id < 16
+), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id, round({_cos_sql('c.cvec', 'q.qvec')}, 6) AS qcos
+    FROM c, q)
+  QUALIFY row_number() OVER (ORDER BY qcos DESC, centroid_id) <= 2
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS acos
+    FROM embeddings e, c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY acos DESC, centroid_id) = 1
+), cand AS (
+  SELECT a.vec_id, a.embedding, a.centroid_id
+  FROM assign a JOIN probe USING (centroid_id)
+), sub AS (SELECT unnest(range({_PQ_SUB})) AS m),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT ca.vec_id, s.m, w.cid,
+           round({_l2sq_slice_sql('ca.embedding', 'w.cvec')}, 6) AS dist
+    FROM cand ca, cw w, sub s)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+), dt AS (
+  SELECT s.m, w.cid,
+         CAST(round({_l2sq_slice_sql('q.qvec', 'w.cvec')}, 6)
+              AS DECIMAL(18,6)) AS d
+  FROM cw w, sub s, q
+), adc AS (
+  SELECT codes.vec_id, CAST(sum(dt.d) AS DOUBLE) AS adc_dist
+  FROM codes JOIN dt ON codes.m = dt.m AND codes.cid = dt.cid
+  GROUP BY codes.vec_id
+), top AS (
+  SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20
+)
+SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+       CAST(ca.centroid_id AS BIGINT) AS centroid_id,
+       round(t.adc_dist, 6) AS adc_dist,
+       round({_cos_sql('ca.embedding', 'q.qvec')}, 6) AS cosine
+FROM top t JOIN cand ca ON t.vec_id = ca.vec_id, q
+ORDER BY cosine DESC, t.vec_id LIMIT 5""",
+    doc="IVF-PQ capstone — the production billion-vector ANN shape, one "
+    "corpus pass: probe the 2 nearest of 8 coarse cells, ADC-score only "
+    "those cells' vectors against a disjoint 8-codeword product "
+    "codebook (DECIMAL-exact table sums), exact-cosine re-rank the 20 "
+    "best ADC candidates, emit top-5. Centroids + codebook + query + "
+    "probe set + distance table ride ONE broadcast row; recall/cost is "
+    "the (nprobe, rerank) dial FAISS exposes.",
+    survey_ids=("M7",),
+)
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        (F.col("vec_id") - 8).alias("code_id"), "embedding"
+    )
+    qdf = e.filter(F.col("vec_id") == 0).select("embedding")
+    out = SIM.ivfpq_search(
+        e, cents, cb, qdf, k=5, nprobe=2, rerank=20, n_sub=_PQ_SUB, rnd=N.rnd
+    )
+    return out.select(
+        N.big("vec_id").alias("vec_id"),
+        N.big("centroid_id").alias("centroid_id"),
+        N.rnd("adc_dist", 6).alias("adc_dist"),
+        N.rnd("cosine", 6).alias("cosine"),
+    )

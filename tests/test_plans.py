@@ -328,3 +328,12 @@ def test_mad_checkpointed_stats_no_lineage_replay(spark, sf_dir):
     # genuine fact passes (deviation agg + outlier count) remain
     assert plan.count("percentile(value") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_corpus_never_wide_shuffles(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ivfpq_search")
+    # index side rides broadcast rows; candidate cut is a TakeOrdered;
+    # the only exchanges may carry the <= rerank candidate rows
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
