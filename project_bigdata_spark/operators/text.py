@@ -817,3 +817,38 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    rank_col: str = "rank",
+    out_col: str = "rrf",
+    rnd=F.round,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion: merge N ranked lists into one score,
+    ``sum over lists of 1 / (k0 + rank)`` (Cormack et al.'s k0=60) — the
+    standard hybrid-retrieval combiner (BM25 + dense) because it needs
+    no score calibration, only ranks. Documents absent from a list
+    contribute nothing. Each term is rounded then summed as DECIMAL so
+    the fusion is engine- and order-neutral.
+
+    Inputs are small top-k frames (already cut), so the full-outer
+    fusion join is a few-row broadcast, never a corpus shuffle.
+    """
+    fused = None
+    for i, r in enumerate(ranked):
+        c = r.select(F.col(id_col), F.col(rank_col).alias(f"_r{i}"))
+        fused = c if fused is None else fused.join(c, id_col, "full_outer")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            rnd(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col(f"_r{i}")), round_to
+            ).cast("decimal(18,6)"),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        score = term if score is None else score + term
+    return fused.withColumn(out_col, score.cast("double"))

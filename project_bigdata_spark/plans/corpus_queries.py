@@ -521,3 +521,126 @@ ORDER BY bm25 DESC, tf.doc_id LIMIT 10""",
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return TX.bm25_topk(d, list(_BM25_TERMS), k=10, rnd=N.rnd)
+
+
+def _stub_e_sql(src: str, k: int) -> str:
+    """One component of the stub encoder (multimodal.text_to_embedding)
+    replayed in SQL: 4 md5 hex chars -> [-1, 1]."""
+    return (
+        f"(CAST(('0x' || substring(md5({src}), {1 + 4 * k}, 4)) AS INT)"
+        f" / 3.27675e4 - 1.0)"
+    )
+
+
+_RRF_QTEXT = "'spark window join'"
+_RRF_DOT = " + ".join(
+    f"({_stub_e_sql('text', k)} * {_stub_e_sql(_RRF_QTEXT, k)})"
+    for k in range(8)
+)
+_RRF_NA = "sqrt(" + " + ".join(
+    f"({_stub_e_sql('text', k)} * {_stub_e_sql('text', k)})" for k in range(8)
+) + ")"
+_RRF_NB = "sqrt(" + " + ".join(
+    f"({_stub_e_sql(_RRF_QTEXT, k)} * {_stub_e_sql(_RRF_QTEXT, k)})"
+    for k in range(8)
+) + ")"
+_RRF_COS = f"(({_RRF_DOT}) / ({_RRF_NA} * {_RRF_NB}))"
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, len({WORDS_SQL}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM lens
+), tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+  HAVING w IN {_BM25_TERMS_SQL}
+), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+lex AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75
+               + 0.75 * lens.dl / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+         6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN lens ON tf.doc_id = lens.doc_id, stats
+  GROUP BY tf.doc_id
+  ORDER BY bm25 DESC, tf.doc_id LIMIT 20
+), lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM lex
+), dense AS (
+  SELECT doc_id, round({_RRF_COS}, 6) AS c FROM documents
+  ORDER BY c DESC, doc_id LIMIT 20
+), denser AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r FROM dense
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(l.r AS BIGINT) AS lex_rank,
+       CAST(d.r AS BIGINT) AS dense_rank,
+       CAST(COALESCE(CAST(round(1.0 / (60 + l.r), 6) AS DECIMAL(18,6)),
+                     CAST(0 AS DECIMAL(18,6)))
+            + COALESCE(CAST(round(1.0 / (60 + d.r), 6) AS DECIMAL(18,6)),
+                       CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf
+FROM lexr l FULL OUTER JOIN denser d USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 10""",
+    doc="Hybrid retrieval with Reciprocal Rank Fusion: BM25 top-20 and "
+    "dense-cosine top-20 (stub encoder embeddings of the SAME 3-term "
+    "query) fused as sum(1/(60+rank)) — the calibration-free lexical+"
+    "semantic combiner RAG stacks standardize on. Both lists are tiny "
+    "top-k frames, so the fusion join is a few-row full-outer, never a "
+    "corpus shuffle; per-list terms are rounded then DECIMAL-summed so "
+    "fusion replays bit-identically on both engines.",
+    survey_ids=("M7",),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from project_bigdata_spark.operators import multimodal as MM
+    from project_bigdata_spark.operators import similarity as SIM
+
+    d = load_table(spark, sf_dir, "documents")
+    lex = TX.bm25_topk(d, list(_BM25_TERMS), k=20, rnd=N.rnd)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        # constant partition key: the frame is the top-20 cut, so the
+        # single-partition rank is intentional (and the key quiets the
+        # "no partition defined" warning)
+        .over(Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), "doc_id"))
+        .alias("rank"),
+    )
+    emb = MM.text_to_embedding(d)
+    qrow = MM.text_to_embedding(
+        spark.createDataFrame([(-1, "spark window join")],
+                              "doc_id long, text string")
+    ).select(F.col("embedding").alias("_q"))
+    dense = (
+        emb.crossJoin(F.broadcast(qrow))
+        .select(
+            "doc_id",
+            N.rnd(SIM.cosine(F.col("embedding"), F.col("_q")), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), "doc_id")
+        .limit(20)
+    )
+    denser = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy(F.desc("c"), "doc_id"))
+        .alias("rank"),
+    )
+    fused = TX.rrf_fuse([lexr, denser], rnd=N.rnd)
+    return (
+        fused.select(
+            N.big("doc_id").alias("doc_id"),
+            N.big("_r0").alias("lex_rank"),
+            N.big("_r1").alias("dense_rank"),
+            F.col("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
