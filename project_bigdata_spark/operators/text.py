@@ -767,7 +767,7 @@ def tfidf_top_terms(
 
 def bm25_topk(
     df: DataFrame,
-    query_terms: list[str],
+    query_terms: "list[str] | DataFrame",
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
@@ -795,7 +795,15 @@ def bm25_topk(
             F.sum("dl").alias("total_len"),
         )
     )
-    tf = term_freqs(df, id_col, text_col).filter(F.col("term").isin(query_terms))
+    tf = term_freqs(df, id_col, text_col)
+    if isinstance(query_terms, DataFrame):
+        # data-dependent term set (e.g. pseudo-relevance expansion):
+        # broadcast semi-join instead of an IN literal
+        tf = tf.join(
+            F.broadcast(query_terms.select("term")), "term", "left_semi"
+        )
+    else:
+        tf = tf.filter(F.col("term").isin(query_terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         1.0
@@ -852,3 +860,65 @@ def rrf_fuse(
         )
         score = term if score is None else score + term
     return fused.withColumn(out_col, score.cast("double"))
+
+
+def prf_expand_terms(
+    df: DataFrame,
+    seed_terms: list[str],
+    n_feedback: int = 5,
+    n_expansion: int = 2,
+    min_len: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rnd=F.round,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-lite): expand a keyword query with
+    the ``n_expansion`` highest-TF-IDF terms of the seed query's BM25
+    top-``n_feedback`` documents (assumed relevant without judgments).
+    Returns a one-column ``term`` frame of seed + expansion terms, ready
+    for the :func:`bm25_topk` DataFrame-terms branch.
+
+    Terms shorter than ``min_len`` and the seeds themselves are excluded;
+    weights are rounded-then-DECIMAL-summed smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``, as :func:`tfidf_top_terms`) so the
+    expansion replays identically cross-engine. The feedback set is
+    ``n_feedback`` ids (broadcast); the only wide work is the same
+    vocab aggregation tfidf_top_terms already does.
+    """
+    feedback = bm25_topk(
+        df, seed_terms, k=n_feedback, id_col=id_col, text_col=text_col,
+        rnd=rnd, round_to=round_to,
+    ).select(id_col)
+    tf = term_freqs(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = (
+        tf.join(F.broadcast(feedback), id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .filter(
+            (F.length("term") >= min_len) & (~F.col("term").isin(seed_terms))
+        )
+        .groupBy("term")
+        .agg(
+            F.sum(
+                rnd(
+                    F.col("tf")
+                    * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                    round_to,
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("w")
+        )
+    )
+    expansion = (
+        weights.orderBy(F.desc("w"), F.asc("term"))
+        .limit(n_expansion)
+        .select("term")
+    )
+    seed_df = df.sparkSession.createDataFrame(
+        [(t,) for t in seed_terms], "term string"
+    )
+    return seed_df.unionByName(expansion)

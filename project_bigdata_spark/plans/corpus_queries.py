@@ -644,3 +644,88 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "prf_expanded_search",
+    oracle=f"""
+WITH lens AS (
+  SELECT doc_id, len({WORDS_SQL}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM lens
+), tfall AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+), dfall AS (SELECT term, count(*) AS df FROM tfall GROUP BY term),
+feedback AS (
+  SELECT tfall.doc_id,
+         CAST(sum(CAST(round(
+           ln(1.0 + (stats.n_docs - dfall.df + 0.5) / (dfall.df + 0.5))
+           * (tfall.tf * 2.2) / (tfall.tf + 1.2 * (1.0 - 0.75
+               + 0.75 * lens.dl / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+         6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+  FROM tfall JOIN dfall USING (term) JOIN lens ON tfall.doc_id = lens.doc_id, stats
+  WHERE term IN {_BM25_TERMS_SQL}
+  GROUP BY tfall.doc_id
+  ORDER BY bm25 DESC, tfall.doc_id LIMIT 5
+), expw AS (
+  SELECT tfall.term,
+         CAST(sum(CAST(round(
+           tfall.tf * ln((stats.n_docs + 1.0) / (dfall.df + 1.0)),
+         6) AS DECIMAL(18,6))) AS DOUBLE) AS w
+  FROM tfall JOIN feedback USING (doc_id) JOIN dfall USING (term), stats
+  WHERE len(term) >= 4 AND term NOT IN {_BM25_TERMS_SQL}
+  GROUP BY tfall.term
+), exp AS (
+  SELECT term FROM expw
+  QUALIFY row_number() OVER (ORDER BY w DESC, term) <= 2
+), terms AS (
+  SELECT unnest(['spark', 'window', 'join']) AS term
+  UNION SELECT term FROM exp
+), qterms AS (
+  SELECT string_agg(term, ',' ORDER BY term) AS query_terms FROM terms
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(sum(CAST(round(
+         ln(1.0 + (stats.n_docs - dfall.df + 0.5) / (dfall.df + 0.5))
+         * (t.tf * 2.2) / (t.tf + 1.2 * (1.0 - 0.75
+             + 0.75 * lens.dl / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+       6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       any_value(qterms.query_terms) AS query_terms
+FROM tfall t
+JOIN terms USING (term)
+JOIN dfall USING (term)
+JOIN lens ON t.doc_id = lens.doc_id, stats, qterms
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id LIMIT 10""",
+    doc="Pseudo-relevance-feedback retrieval (RM3-lite): the seed query's "
+    "BM25 top-5 docs nominate the 2 highest-TF-IDF new terms (len >= 4), "
+    "and the expanded term set re-ranks the corpus — the classic "
+    "judgment-free recall booster. The expansion is a data-dependent "
+    "term DataFrame flowing into BM25's broadcast-semi-join branch; "
+    "every score is rounded-then-DECIMAL-summed so both passes replay "
+    "bit-identically on the oracle.",
+    survey_ids=("M7",),
+)
+def prf_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    terms = TX.prf_expand_terms(
+        d, list(_BM25_TERMS), n_feedback=5, n_expansion=2, min_len=4,
+        rnd=N.rnd,
+    )
+    qterms = F.broadcast(
+        terms.agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("term"))).alias(
+                "query_terms"
+            )
+        )
+    )
+    out = TX.bm25_topk(d, terms, k=10, rnd=N.rnd)
+    return out.crossJoin(qterms).select(
+        N.big("doc_id").alias("doc_id"),
+        F.col("bm25"),
+        N.big("n_terms_hit").alias("n_terms_hit"),
+        "query_terms",
+    )
