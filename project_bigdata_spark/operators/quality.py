@@ -91,3 +91,53 @@ def referential_integrity(
         parent.select(pk).distinct(), on=pk, how="left_anti"
     )
     return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
+
+
+def psi_drift(
+    df,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    split_pred=None,
+    bin_width: float = 25.0,
+    round_to: int = 6,
+    rnd=None,
+):
+    """Population Stability Index between two halves of a dataset —
+    the standard distribution-drift monitor between corpus snapshots or
+    time periods: ``PSI = sum over bins (p_b - q_b) * ln(p_b / q_b)``
+    with Laplace-smoothed shares so empty bins stay finite
+    (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    ``split_pred`` is the boolean column marking the baseline side.
+    One aggregation over (group, bin) with conditional partial counts —
+    the two sides are counted in the SAME pass (no self-join, no second
+    scan); the per-group bin frames are tiny and the PSI fold is a
+    rounded-then-DECIMAL sum, engine-exact.
+    """
+    from pyspark.sql import functions as F
+
+    rnd = rnd or F.round
+    bins = df.withColumn(
+        "_bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint")
+    ).withColumn("_a", split_pred.cast("bigint"))
+    counts = bins.groupBy(group_col, "_bin").agg(
+        F.sum("_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("_a")).alias("n_b"),
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("n_a").alias("t_a"),
+        F.sum("n_b").alias("t_b"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = counts.join(F.broadcast(totals), group_col)
+    p = (F.col("n_a") + 0.5) / (F.col("t_a") + 0.5 * F.col("n_bins"))
+    q = (F.col("n_b") + 0.5) / (F.col("t_b") + 0.5 * F.col("n_bins"))
+    term = rnd((p - q) * F.log(p / q), round_to).cast("decimal(18,6)")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.first("t_a").alias("n_baseline"),
+            F.first("t_b").alias("n_current"),
+            F.sum(term).cast("double").alias("psi"),
+        )
+    )

@@ -463,3 +463,59 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("pos_e0").alias("pos_e0"),
         N.big("pos_e1").alias("pos_e1"),
     )
+
+
+@query(
+    "drift_psi",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
+  FROM events
+), counts AS (
+  SELECT event_type, bin, sum(a) AS n_a, sum(1 - a) AS n_b
+  FROM b GROUP BY event_type, bin
+), totals AS (
+  SELECT event_type, sum(n_a) AS t_a, sum(n_b) AS t_b,
+         count(*) AS n_bins
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(t.t_a AS BIGINT) AS n_baseline,
+       CAST(t.t_b AS BIGINT) AS n_current,
+       CAST(sum(CAST(round(
+         ((c.n_a + 0.5) / (t.t_a + 0.5 * t.n_bins)
+          - (c.n_b + 0.5) / (t.t_b + 0.5 * t.n_bins))
+         * ln(((c.n_a + 0.5) / (t.t_a + 0.5 * t.n_bins))
+              / ((c.n_b + 0.5) / (t.t_b + 0.5 * t.n_bins))),
+       6) AS DECIMAL(18,6))) AS DOUBLE) AS psi
+FROM counts c JOIN totals t USING (event_type)
+GROUP BY c.event_type, t.t_a, t.t_b""",
+    doc="Distribution-drift monitor: Population Stability Index of the "
+    "value distribution per event type between the first and second half "
+    "of the month (25-wide bins, Laplace-smoothed shares; < 0.1 stable, "
+    "> 0.25 shifted) — the screen a training pipeline runs between "
+    "corpus snapshots before retraining. Both sides are counted in ONE "
+    "pass via conditional partial aggregation (no self-join, no second "
+    "scan); per-bin terms are rounded then DECIMAL-summed.",
+    survey_ids=("M7", "A3"),
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import quality as Q
+
+    e = load_table(spark, sf_dir, "events")
+    out = Q.psi_drift(
+        e,
+        value_col="value",
+        group_col="event_type",
+        split_pred=F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        bin_width=25.0,
+        rnd=N.rnd,
+    )
+    return out.select(
+        "event_type",
+        N.big("n_baseline").alias("n_baseline"),
+        N.big("n_current").alias("n_current"),
+        F.col("psi"),
+    )

@@ -63,3 +63,32 @@ def test_uniqueness_and_referential(spark):
     parent = spark.createDataFrame([(1,), (2,)], ["pk"])
     r = Q.referential_integrity(child, parent, "fk", "pk").first()
     assert r.orphan_rows == 1
+
+
+class TestPsiDrift:
+    def test_identical_halves_near_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from project_bigdata_spark.operators import quality as Q
+
+        rows = [("a", float(v % 100), i % 2 == 0) for i, v in enumerate(range(400))]
+        df = spark.createDataFrame(rows, "g string, value double, first boolean")
+        out = Q.psi_drift(
+            df, value_col="value", group_col="g",
+            split_pred=F.col("first"),
+        ).collect()[0]
+        assert abs(out["psi"]) < 0.01
+
+    def test_shifted_distribution_flags(self, spark):
+        from pyspark.sql import functions as F
+
+        from project_bigdata_spark.operators import quality as Q
+
+        rows = [("a", 10.0, True)] * 200 + [("a", 210.0, False)] * 200
+        df = spark.createDataFrame(rows, "g string, value double, first boolean")
+        out = Q.psi_drift(
+            df, value_col="value", group_col="g",
+            split_pred=F.col("first"),
+        ).collect()[0]
+        assert out["psi"] > 0.25
+        assert out["n_baseline"] == 200 and out["n_current"] == 200
