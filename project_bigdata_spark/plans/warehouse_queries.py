@@ -519,3 +519,78 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("n_current").alias("n_current"),
         F.col("psi"),
     )
+
+
+_VD = "CAST(value AS DECIMAL(12,2))"
+_V2 = f"CAST({_VD} * {_VD} AS DECIMAL(16,4))"
+
+
+@query(
+    "higher_moments",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum({_VD}) AS DOUBLE) AS s1,
+         CAST(sum({_V2}) AS DOUBLE) AS s2,
+         CAST(sum(CAST({_V2} * {_VD} AS DECIMAL(29,6))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(CAST({_V2} AS DECIMAL(19,4)) * {_V2}
+                       AS DECIMAL(33,8))) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round(mu, 6) AS mean,
+       round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+FROM m""",
+    doc="Engine-exact skewness and excess kurtosis per event type from "
+    "the four raw moments, summed in explicitly-widened DECIMAL (v^2 "
+    "re-scaled to DECIMAL(16,4) before squaring so no product exceeds "
+    "precision 38) — order-free across 1000 executors' partials — then "
+    "combined in DOUBLE through an identical expression tree on both "
+    "engines. Native skewness()/kurtosis() differ across engines in the "
+    "last bits; the five-sum formulation replays bit-identically, the "
+    "same discipline as value_hour_correlation.",
+    survey_ids=("A3", "M7"),
+)
+def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(12,2)")
+    v2 = (vd * vd).cast("decimal(16,4)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(v2).cast("double").alias("s2"),
+        F.sum((v2 * vd).cast("decimal(29,6)")).cast("double").alias("s3"),
+        F.sum((v2 * v2).cast("decimal(33,8)")).cast("double").alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3.0) * mu * (F.col("s2") / F.col("n"))
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4.0) * mu * (F.col("s3") / F.col("n"))
+        + F.lit(6.0) * mu * mu * (F.col("s2") / F.col("n"))
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        N.big("n").alias("n"),
+        N.rnd(mu, 6).alias("mean"),
+        N.rnd(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        N.rnd(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis"),
+    )
