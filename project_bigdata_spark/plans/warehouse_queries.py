@@ -594,3 +594,110 @@ def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
         N.rnd(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis"),
     )
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+WITH o AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS obs
+  FROM events GROUP BY event_type, hour(ts)
+), rowm AS (SELECT event_type, sum(obs) AS r FROM o GROUP BY event_type),
+colm AS (SELECT hr, sum(obs) AS c FROM o GROUP BY hr),
+tot AS (SELECT sum(obs) AS t FROM o)
+SELECT CAST(count(DISTINCT o.event_type) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o.hr) AS BIGINT) AS n_cols,
+       CAST((count(DISTINCT o.event_type) - 1)
+            * (count(DISTINCT o.hr) - 1) AS BIGINT) AS dof,
+       CAST(sum(CAST(round(
+         (o.obs - CAST(rowm.r AS DOUBLE) * colm.c / tot.t)
+         * (o.obs - CAST(rowm.r AS DOUBLE) * colm.c / tot.t)
+         / (CAST(rowm.r AS DOUBLE) * colm.c / tot.t),
+       6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+FROM o JOIN rowm USING (event_type) JOIN colm USING (hr), tot""",
+    doc="Chi-square independence test between event type and hour of "
+    "day — the categorical-feature relevance screen before training "
+    "(large chi2 vs dof = the feature carries signal). Observed cell "
+    "counts in one pass; row/column margins are tiny broadcast frames; "
+    "cell terms (O-E)^2/E from exact integer counts are rounded then "
+    "DECIMAL-summed. Only the margins shuffle, never raw rows twice.",
+    survey_ids=("M7", "A3"),
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rowm = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    colm = o.groupBy("hr").agg(F.sum("obs").alias("c"))
+    tot = o.agg(F.sum("obs").alias("t"))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("t")
+    term = N.rnd(
+        (F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6
+    ).cast("decimal(18,6)")
+    return (
+        o.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count_distinct("event_type").cast("bigint").alias("n_rows"),
+            F.count_distinct("hr").cast("bigint").alias("n_cols"),
+            (
+                (F.count_distinct("event_type") - 1)
+                * (F.count_distinct("hr") - 1)
+            ).cast("bigint").alias("dof"),
+            F.sum(term).cast("double").alias("chi2"),
+        )
+    )
+
+
+@query(
+    "woe_iv_encoding",
+    oracle="""
+WITH lab AS (
+  SELECT event_type, CASE WHEN value > 68.0 THEN 1 ELSE 0 END AS pos
+  FROM events
+), cat AS (
+  SELECT event_type, sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+  FROM lab GROUP BY event_type
+), tot AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM cat)
+SELECT cat.event_type,
+       CAST(cat.n_pos AS BIGINT) AS n_pos,
+       CAST(cat.n_neg AS BIGINT) AS n_neg,
+       round(ln(((cat.n_pos + 0.5) / (tot.t_pos + 0.5))
+                / ((cat.n_neg + 0.5) / (tot.t_neg + 0.5))), 6) AS woe,
+       round(((cat.n_pos + 0.5) / (tot.t_pos + 0.5)
+              - (cat.n_neg + 0.5) / (tot.t_neg + 0.5))
+             * ln(((cat.n_pos + 0.5) / (tot.t_pos + 0.5))
+                  / ((cat.n_neg + 0.5) / (tot.t_neg + 0.5))), 6) AS iv_term
+FROM cat, tot""",
+    doc="Weight-of-Evidence encoding + Information-Value terms per "
+    "category against a binary target (value above its global median-ish "
+    "threshold 68) — the standard supervised categorical encoding where "
+    "a learned embedding is overkill; sum(iv_term) ranks the feature. "
+    "Laplace-smoothed so zero cells stay finite; one pass for the "
+    "per-category counts, one broadcast total row.",
+    survey_ids=("M7", "F7"),
+)
+def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        "event_type",
+        (F.col("value") > 68.0).cast("bigint").alias("pos"),
+    )
+    cat = lab.groupBy("event_type").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+    )
+    tot = cat.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    p = (F.col("n_pos") + 0.5) / (F.col("t_pos") + 0.5)
+    q = (F.col("n_neg") + 0.5) / (F.col("t_neg") + 0.5)
+    return cat.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        N.big("n_pos").alias("n_pos"),
+        N.big("n_neg").alias("n_neg"),
+        N.rnd(F.log(p / q), 6).alias("woe"),
+        N.rnd((p - q) * F.log(p / q), 6).alias("iv_term"),
+    )
