@@ -701,3 +701,106 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.log(p / q), 6).alias("woe"),
         N.rnd((p - q) * F.log(p / q), 6).alias("iv_term"),
     )
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+WITH agg AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id
+), anchor AS (SELECT max(ts) AS now FROM events),
+rfm AS (
+  SELECT user_id,
+         (epoch_us(anchor.now) - epoch_us(last_ts)) / 8.64e10
+           AS recency_days,
+         frequency, monetary
+  FROM agg, anchor
+), th AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r1,
+         quantile_cont(recency_days, 0.5) AS r2,
+         quantile_cont(recency_days, 0.75) AS r3,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f2,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+         quantile_cont(monetary, 0.25) AS m1,
+         quantile_cont(monetary, 0.5) AS m2,
+         quantile_cont(monetary, 0.75) AS m3
+  FROM rfm
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       round(recency_days, 4) AS recency_days,
+       frequency,
+       round(monetary, 4) AS monetary,
+       CAST(4 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+                 + (recency_days > r3)::INT) AS BIGINT) AS r_score,
+       CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+              + (frequency > f3)::INT AS BIGINT) AS f_score,
+       CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT
+              + (monetary > m3)::INT AS BIGINT) AS m_score
+FROM rfm, th""",
+    doc="RFM customer segmentation, scale-safe: per-entity recency/"
+    "frequency/monetary in one pass (DECIMAL-exact monetary; recency in "
+    "days vs the corpus max timestamp), quartile scores 1-4 from THREE "
+    "broadcast exact-percentile thresholds per metric — not a global "
+    "ntile, whose single-partition window would serialize millions of "
+    "customers through one task. Strict-greater threshold comparisons "
+    "make boundary ties engine-deterministic.",
+    survey_ids=("M7", "A4"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = e.agg(F.max("ts").alias("now"))
+    rfm = agg.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            (F.unix_micros("now") - F.unix_micros("last_ts"))
+            / F.lit(8.64e10)
+        ).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    th = F.broadcast(
+        rfm.agg(
+            *[
+                F.expr(f"percentile(recency_days, {p})").alias(f"r{i}")
+                for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ],
+            *[
+                F.expr(f"percentile(CAST(frequency AS DOUBLE), {p})").alias(
+                    f"f{i}"
+                )
+                for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ],
+            *[
+                F.expr(f"percentile(monetary, {p})").alias(f"m{i}")
+                for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ],
+        )
+    )
+
+    def score(col: str, pfx: str, invert: bool = False):
+        s = sum(
+            (F.col(col) > F.col(f"{pfx}{i}")).cast("int") for i in (1, 2, 3)
+        )
+        return (4 - s if invert else 1 + s).cast("bigint")
+
+    return rfm.crossJoin(th).select(
+        N.big("user_id").alias("user_id"),
+        N.rnd("recency_days").alias("recency_days"),
+        "frequency",
+        N.rnd("monetary").alias("monetary"),
+        score("recency_days", "r", invert=True).alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+    )
