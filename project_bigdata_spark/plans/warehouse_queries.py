@@ -1,7 +1,10 @@
-"""Warehouse-lifecycle catalog entries: EWMA decay features, SCD Type-2
-dimension versioning, CDC latest-wins compaction, MAD robust outlier
-profiling, quantile-sketch accuracy audit, differential attestation of
-the salted skew-guard aggregation, and per-entity OLS trend fitting.
+"""Warehouse-lifecycle and analytics-depth catalog entries: EWMA decay
+features, SCD Type-2 dimension versioning, CDC latest-wins compaction,
+MAD robust outlier profiling, quantile-sketch accuracy audit,
+differential attestation of the salted skew-guard aggregation, per-entity
+OLS trend fitting, dataset shard manifest + per-epoch shuffle order, PSI
+distribution drift, engine-exact higher moments, chi-square/WOE-IV
+feature screening, and RFM segmentation.
 
 The reference overwrites serving tables wholesale and keeps no dimension
 history (``spark/batch_processor.py:125-129``); these queries cover the
