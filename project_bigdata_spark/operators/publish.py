@@ -147,3 +147,33 @@ def epoch_order(
     )
     w = Window.partitionBy("shard_id").orderBy(key, F.col(id_col))
     return s.withColumn(out_col, F.row_number().over(w))
+
+
+def assign_global_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    out_col: str = "global_id",
+    shard_bits: int = 40,
+) -> DataFrame:
+    """Deterministic dense-ish global int64 ids without global
+    coordination: ``shard_id << shard_bits | rank within shard`` (rank
+    ordered by the natural key). The standard scale pattern replacing
+    ``monotonically_increasing_id()``, whose values depend on partition
+    COUNT and task scheduling — they change when the cluster size does,
+    which silently breaks any join keyed on them across runs. These ids
+    are a pure function of the data: stable across runs, clusters, and
+    AQE decisions; per-shard ranks are a shard-local window (no single
+    global sort), capacity 2^shard_bits rows per shard.
+    """
+    from pyspark.sql import Window
+
+    s = assign_shards(df, id_col, n_shards)
+    w = Window.partitionBy("shard_id").orderBy(F.col(id_col))
+    return s.withColumn(
+        out_col,
+        (
+            F.col("shard_id").cast("bigint") * F.lit(1 << shard_bits)
+            + F.row_number().over(w)
+        ).cast("bigint"),
+    )

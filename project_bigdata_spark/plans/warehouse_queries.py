@@ -807,3 +807,38 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "f").alias("f_score"),
         score("monetary", "m").alias("m_score"),
     )
+
+
+@query(
+    "global_ids",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         (({_SHARD_NIBBLE.format(p=1)}) * 16 + ({_SHARD_NIBBLE.format(p=2)})) % 16
+           AS shard_id
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(shard_id * {1 << 40}
+            + row_number() OVER (PARTITION BY shard_id ORDER BY doc_id)
+            AS BIGINT) AS global_id
+FROM s""",
+    doc="Deterministic global int64 ids without global coordination: "
+    "shard_id << 40 | shard-local rank — the scale-safe replacement for "
+    "monotonically_increasing_id(), whose values depend on partition "
+    "count and scheduling and therefore change across runs and cluster "
+    "sizes. These are a pure function of the data; the only window is "
+    "shard-local.",
+    survey_ids=("M7",),
+)
+def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import publish as PB
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = PB.assign_global_ids(d, n_shards=16)
+    return out.select(
+        N.big("doc_id").alias("doc_id"),
+        N.big("shard_id").alias("shard_id"),
+        N.big("global_id").alias("global_id"),
+    )

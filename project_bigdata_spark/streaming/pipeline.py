@@ -402,3 +402,69 @@ def bloom_screen_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def drift_monitor_stream(
+    parsed: DataFrame,
+    baseline_counts: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    bin_width: float = 25.0,
+):
+    """Streaming drift monitor: every micro-batch's value distribution is
+    PSI-scored against a static baseline histogram (the training
+    snapshot), and one (batch_id, n_rows, psi) row is appended to a
+    metrics table — the alarm wire for "serving data stopped looking
+    like training data", evaluated continuously instead of at the next
+    retrain.
+
+    The baseline is a broadcast (bin, n_base) frame; per batch the only
+    work is one tiny bin aggregation + the PSI fold (Laplace-smoothed,
+    as operators/quality.psi_drift). foreachBatch because the metric is
+    a cross-batch side OUTPUT, not stream state: each batch's PSI is
+    independent, so no state store is needed at all.
+    """
+    base = baseline_counts.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n_base"),
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.select(
+                F.floor(F.col(value_col) / F.lit(bin_width))
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+        )
+        j = (
+            counts.join(F.broadcast(base), "bin", "full_outer")
+            .na.fill({"n_cur": 0, "n_base": 0})
+        )
+        tot = j.agg(
+            F.sum("n_cur").alias("t_cur"),
+            F.sum("n_base").alias("t_base"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        p = (F.col("n_base") + 0.5) / (F.col("t_base") + 0.5 * F.col("n_bins"))
+        q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("n_bins"))
+        term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+        (
+            j.crossJoin(F.broadcast(tot))
+            .agg(
+                F.first("t_cur").cast("bigint").alias("n_rows"),
+                F.sum(term).cast("double").alias("psi"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        parsed.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -702,3 +702,47 @@ def test_cdc_stream_end_to_end_when_runtime_available(spark, tmp_path):
         assert spark.sql("SELECT * FROM cdc_tws_mem").count() >= 1
     finally:
         q.stop()
+
+
+def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path):
+    """Per-batch PSI vs a static baseline: a batch drawn from the
+    baseline distribution scores low, a shifted batch scores high."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "drift_src")
+    out = str(tmp_path / "drift_metrics")
+    base_vals = [float(v % 100) for v in range(400)]
+    baseline = (
+        spark.createDataFrame([(v,) for v in base_vals], "value double")
+        .select(F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # batch 0: same distribution; batch 1: shifted by +200
+    _write_batch(spark, src, [
+        (i, dt.datetime(2024, 3, 1, 1, 0, i % 60), 1, "click",
+         float(i % 100), None)
+        for i in range(200)
+    ], 0)
+    raw = (
+        spark.readStream.schema(SP.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = SP.drift_monitor_stream(
+        raw, baseline, out, f"{out}/_chk"
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [
+            (1000 + i, dt.datetime(2024, 3, 1, 2, 0, i % 60), 1, "click",
+             200.0 + float(i % 100), None)
+            for i in range(200)
+        ], 1)
+        q.processAllAvailable()
+        rows = {r["batch_id"]: r for r in spark.read.parquet(out).collect()}
+        assert rows[0]["psi"] < 0.1, rows
+        assert rows[1]["psi"] > 0.25, rows
+        assert rows[0]["n_rows"] == 200 and rows[1]["n_rows"] == 200
+    finally:
+        q.stop()
