@@ -69,6 +69,8 @@ def query(
     """Decorator registering a catalog query."""
 
     def wrap(fn: Builder) -> Builder:
+        if name in QUERIES:  # a silent overwrite would hide an operator
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         QUERIES[name] = QuerySpec(
             name=name,
             builder=fn,

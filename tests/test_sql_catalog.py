@@ -63,3 +63,21 @@ def test_country_stats_shape_sql(spark, views):
         FROM gold GROUP BY user_id % 10 ORDER BY avg_v DESC
     """).collect()
     assert len(rows) == 10
+
+
+def test_attestation_window_leads_with_priority_list():
+    """Catalog order IS the driver's attestation schedule: the window
+    must start with exactly the registered names of the priority list,
+    in order — an accidental reorder silently burns attestation slots."""
+    from project_bigdata_spark.plans.catalog import (
+        _ATTESTATION_PRIORITY,
+        QUERIES,
+        load_all,
+    )
+
+    names = list(load_all())
+    expected = [n for n in _ATTESTATION_PRIORITY if n in QUERIES]
+    assert names[: len(expected)] == expected
+    # and every priority name actually exists (no dead entries)
+    missing = [n for n in _ATTESTATION_PRIORITY if n not in QUERIES]
+    assert not missing, f"priority list references unknown queries: {missing}"
