@@ -842,3 +842,214 @@ def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("shard_id").alias("shard_id"),
         N.big("global_id").alias("global_id"),
     )
+
+
+@query(
+    "session_paths",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM gaps
+), paths AS (
+  SELECT user_id, session_idx,
+         array_to_string(
+           list(event_type ORDER BY ts, event_id)[1:8], '>') AS path
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 10""",
+    doc="Top user journeys: per 30-minute-gap session, the ordered "
+    "event-type path (first 8 steps — the cap bounds the key width a "
+    "pathological session could otherwise explode), counted corpus-wide, "
+    "top-10. Composes the sessionize idiom with a sorted-collect per "
+    "session; the path aggregation shuffles short strings, never events "
+    "twice.",
+    survey_ids=("M7", "A7"),
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "_new",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "_sid")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts").alias("t"),
+                                F.col("event_id").alias("e"),
+                                F.col("event_type").alias("y"),
+                            )
+                        )
+                    ),
+                    lambda s: s["y"],
+                ),
+                1,
+                8,
+            ).alias("_steps")
+        )
+        .select(F.concat_ws(">", "_steps").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+_MK_STATES = ["click", "error", "purchase", "signup", "view"]
+_MK_ITERS = 8
+
+
+def _mk_matrix_sql() -> str:
+    cols = []
+    for i, si in enumerate(_MK_STATES):
+        for j, sj in enumerate(_MK_STATES):
+            cols.append(
+                f"(sum(CASE WHEN prev = '{si}' AND next = '{sj}' "
+                f"THEN 1 ELSE 0 END) + 0.5) / "
+                f"(sum(CASE WHEN prev = '{si}' THEN 1 ELSE 0 END) + 2.5) "
+                f"AS p_{i}_{j}"
+            )
+    return ",\n         ".join(cols)
+
+
+def _mk_iter_sql() -> str:
+    ctes = ["it0 AS (SELECT " + ", ".join(
+        f"0.2 AS v{j}" for j in range(5)) + ")"]
+    for t in range(1, _MK_ITERS + 1):
+        cols = []
+        for j in range(5):
+            expr = "0.0"
+            for i in range(5):
+                expr = f"({expr} + it{t-1}.v{i} * m.p_{i}_{j})"
+            cols.append(f"{expr} AS v{j}")
+        ctes.append(
+            f"it{t} AS (SELECT " + ", ".join(cols) + f" FROM it{t-1}, m)"
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "markov_steady_state",
+    oracle=f"""
+WITH pairs AS (
+  SELECT prev, next FROM (
+    SELECT event_type AS next,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NOT NULL
+), m AS (
+  SELECT {_mk_matrix_sql()}
+  FROM pairs
+),
+{_mk_iter_sql()},
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_transitions FROM pairs)
+SELECT state, pi, n_transitions FROM (
+  {" UNION ALL ".join(
+    f"SELECT '{s}' AS state, round(it{_MK_ITERS}.v{j}, 6) AS pi "
+    f"FROM it{_MK_ITERS}"
+    for j, s in enumerate(_MK_STATES))}
+), n""",
+    doc="Markov steady-state of the event-type transition chain: the "
+    "Laplace-smoothed 5x5 row-stochastic matrix aggregates in one pass "
+    "and collapses to ONE broadcast row; 8 power-iteration steps of "
+    "pi <- pi P then run as a single nested higher-order-function fold "
+    "inside codegen — a bounded iterative numeric algorithm with ZERO "
+    "extra jobs, shuffles, or driver round-trips (contrast "
+    "dedup_clusters, whose unbounded-size state genuinely needs one job "
+    "per round). The oracle unrolls the identical left-associated "
+    "arithmetic, so all 8 iterations replay bit-exactly.",
+    survey_ids=("M7", "A8"),
+)
+def markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .where(F.col("prev").isNotNull())
+    )
+    aggs = []
+    for i, si in enumerate(_MK_STATES):
+        for j, sj in enumerate(_MK_STATES):
+            aggs.append(
+                F.sum(
+                    ((F.col("prev") == si) & (F.col("next") == sj)).cast("int")
+                ).alias(f"c_{i}_{j}")
+            )
+        aggs.append(
+            F.sum((F.col("prev") == si).cast("int")).alias(f"r_{i}")
+        )
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    mrow = pairs.agg(*aggs)
+    p_entries = [
+        (F.col(f"c_{i}_{j}") + 0.5) / (F.col(f"r_{i}") + 2.5)
+        for i in range(5)
+        for j in range(5)
+    ]
+    mrow = mrow.select(
+        F.array(*p_entries).alias("P"), "n_transitions"
+    )
+    pi0 = F.array(*[F.lit(0.2) for _ in range(5)])
+    pi = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MK_ITERS)),
+        pi0,
+        lambda acc, _t: F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0), F.lit(4)),
+                F.lit(0.0),
+                lambda s, i: s
+                + F.element_at(acc, i + 1)
+                * F.element_at(F.col("P"), i * 5 + j + 1),
+            ),
+        ),
+    )
+    states = F.array(*[F.lit(s) for s in _MK_STATES])
+    return (
+        mrow.select(
+            F.posexplode(F.arrays_zip(states.alias("s"), pi.alias("p")))
+            .alias("_i", "_z"),
+            "n_transitions",
+        )
+        .select(
+            F.col("_z")["s"].alias("state"),
+            N.rnd(F.col("_z")["p"], 6).alias("pi"),
+            "n_transitions",
+        )
+    )
