@@ -94,12 +94,12 @@ def query(
 # backfills the window with the headline set and conf-sensitive queries so
 # the repaired timestamp path is double-attested.
 #
-# Round-4 window TODO: 25 entries added late in round 3 sit past the
+# Round-4 window TODO: 26 entries added late in round 3 sit past the
 # 50-slot window and are local-parity + sf0.01-contract green only —
 # audio_segments, segment_dedup_apply, dup_cluster_histogram,
 # unigram_entropy, python_source_stats, ewma_features, scd2_customer,
 # cdc_state, mad_outliers, approx_quantile_audit, salted_hourly_agg,
-# trend_fit, shard_manifest, image_resize_grid, epoch_shuffle, ivfpq_search, hybrid_rrf_search, prf_expanded_search, drift_psi, higher_moments, chi_square_independence, woe_iv_encoding, rfm_segments, global_ids, session_paths, markov_steady_state. Lead the next round's
+# trend_fit, shard_manifest, image_resize_grid, epoch_shuffle, ivfpq_search, hybrid_rrf_search, prf_expanded_search, drift_psi, higher_moments, chi_square_independence, woe_iv_encoding, rfm_segments, global_ids, session_paths, markov_steady_state, gini_concentration. Lead the next round's
 # priority list with exactly these.
 _ATTESTATION_PRIORITY = [
     # never driver-attested: window/rollup family

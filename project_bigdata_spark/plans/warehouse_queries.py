@@ -1053,3 +1053,56 @@ def markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_transitions",
         )
     )
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY user_id
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+         count(*) OVER () AS n, sum(x) OVER () AS t
+  FROM per
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_entities,
+       CAST(any_value(t) AS BIGINT) AS n_events,
+       round(2.0 * sum(i * x) / (any_value(n) * any_value(t))
+             - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+FROM ranked""",
+    doc="Gini coefficient of per-entity event concentration — the "
+    "is-my-corpus-dominated-by-few-sources diagnostic next to "
+    "corpus_composition (0 = uniform, 1 = one entity owns everything). "
+    "Facts collapse to one row per entity FIRST; only that small "
+    "aggregate is globally ranked (the same cardinality label encoding "
+    "already sorts), and the closed form needs one pass over the ranked "
+    "rows. Deterministic rank ties via entity id.",
+    survey_ids=("M7", "A10"),
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("t"),
+    )
+    return ranked.agg(
+        F.first("n").cast("bigint").alias("n_entities"),
+        F.first("t").cast("bigint").alias("n_events"),
+        N.rnd(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.first("n") * F.first("t"))
+            - (F.first("n") + F.lit(1.0)) / F.first("n"),
+            6,
+        ).alias("gini"),
+    )
