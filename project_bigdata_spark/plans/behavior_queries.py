@@ -456,3 +456,256 @@ def state_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("min_value").alias("min_value"),
         N.rnd("max_value").alias("max_value"),
     )
+
+
+_SESS_ITEMS_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM gaps
+), items AS (
+  SELECT DISTINCT user_id, session_idx, event_type FROM sess
+)"""
+
+
+@query(
+    "assoc_rules",
+    oracle=_SESS_ITEMS_SQL
+    + """,
+tot AS (
+  SELECT CAST(count(DISTINCT (user_id, session_idx)) AS DOUBLE) AS n
+  FROM items
+), singles AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n_one FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS ante, b.event_type AS cons,
+         CAST(count(*) AS DOUBLE) AS n_both
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+              AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ante, p.cons,
+       CAST(p.n_both AS BIGINT) AS n_sessions_both,
+       round(p.n_both / t.n, 4) AS support,
+       round(p.n_both / sa.n_one, 4) AS confidence,
+       round(p.n_both * t.n / (sa.n_one * sc.n_one), 4) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.ante
+JOIN singles sc ON sc.event_type = p.cons
+CROSS JOIN tot t""",
+    doc="Association rules over session itemsets (market-basket on the "
+    "event stream): 30-min-gap sessions -> distinct event types per "
+    "session -> pair support/confidence/lift from exact counts. The "
+    "pair self-join keys on the session, so its width is bounded by "
+    "the type vocabulary (itemset <= |event types|), never by session "
+    "length; singles and the total collapse to broadcast rows.",
+    survey_ids=("A5", "A11", "M7"),
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    items = (
+        e.withColumn(
+            "session_idx",
+            F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_idx", "event_type")
+        .distinct()
+    )
+    tot = items.select("user_id", "session_idx").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    singles = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_one")
+    )
+    b = items.select(
+        "user_id", "session_idx", F.col("event_type").alias("cons")
+    )
+    pairs = (
+        items.withColumnRenamed("event_type", "ante")
+        .join(b, ["user_id", "session_idx"])
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_both"))
+    )
+    sa = F.broadcast(singles.select(F.col("event_type").alias("ante"),
+                                    F.col("n_one").alias("n_ante")))
+    sc = F.broadcast(singles.select(F.col("event_type").alias("cons"),
+                                    F.col("n_one").alias("n_cons")))
+    out = pairs.join(sa, "ante").join(sc, "cons").crossJoin(F.broadcast(tot))
+    return out.select(
+        "ante",
+        "cons",
+        F.col("n_both").cast("bigint").alias("n_sessions_both"),
+        N.rnd(F.col("n_both") / F.col("n")).alias("support"),
+        N.rnd(F.col("n_both") / F.col("n_ante")).alias("confidence"),
+        N.rnd(
+            F.col("n_both") * F.col("n") / (F.col("n_ante") * F.col("n_cons"))
+        ).alias("lift"),
+    )
+
+
+@query(
+    "funnel_depth",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1
+), s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1
+), depth AS (
+  SELECT u.user_id,
+         CASE WHEN t4 IS NOT NULL AND t4 <= t1 + INTERVAL 7 DAY THEN 4
+              WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 7 DAY THEN 3
+              WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 7 DAY THEN 2
+              WHEN t1 IS NOT NULL THEN 1
+              ELSE 0 END AS depth
+  FROM u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+  LEFT JOIN s4 ON u.user_id = s4.user_id
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM depth GROUP BY 1""",
+    doc="Window-funnel depth (the ClickHouse windowFunnel shape the "
+    "reference's serving store exposes natively): earliest "
+    "signup->view->click->purchase chain per user, each stage strictly "
+    "after the previous, depth counted only while within 7 days of the "
+    "chain start. Spark side runs the greedy chain as ONE in-plan "
+    "aggregate fold over each user's time-sorted stage events — one "
+    "exchange, no per-stage re-scans; the oracle unrolls the identical "
+    "greedy semantics as cascaded min-after-previous joins. Per-user "
+    "state is 4 timestamps; the folded array holds only funnel-stage "
+    "events for that user (the same per-entity bound windowFunnel "
+    "itself carries).",
+    survey_ids=("A11", "W6", "M7"),
+)
+def funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    stages = e.filter(
+        F.col("event_type").isin("signup", "view", "click", "purchase")
+    )
+    per_user = stages.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("tpe"),
+                )
+            )
+        ).alias("evs")
+    )
+    zero = F.struct(
+        F.lit(None).cast("bigint").alias("t1"),
+        F.lit(None).cast("bigint").alias("t2"),
+        F.lit(None).cast("bigint").alias("t3"),
+        F.lit(None).cast("bigint").alias("t4"),
+    )
+
+    def step(acc, x):
+        t1 = F.when(
+            acc.t1.isNull() & (x.tpe == "signup"), x.ts_us
+        ).otherwise(acc.t1)
+        t2 = F.when(
+            acc.t2.isNull()
+            & acc.t1.isNotNull()
+            & (x.tpe == "view")
+            & (x.ts_us > acc.t1),
+            x.ts_us,
+        ).otherwise(acc.t2)
+        t3 = F.when(
+            acc.t3.isNull()
+            & acc.t2.isNotNull()
+            & (x.tpe == "click")
+            & (x.ts_us > acc.t2),
+            x.ts_us,
+        ).otherwise(acc.t3)
+        t4 = F.when(
+            acc.t4.isNull()
+            & acc.t3.isNotNull()
+            & (x.tpe == "purchase")
+            & (x.ts_us > acc.t3),
+            x.ts_us,
+        ).otherwise(acc.t4)
+        return F.struct(
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
+        )
+
+    chain = per_user.select(
+        "user_id", F.aggregate("evs", zero, step).alias("c")
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    within = lambda t: t.isNotNull() & (t <= F.col("c.t1") + week_us)  # noqa: E731
+    depth = (
+        F.when(within(F.col("c.t4")), 4)
+        .when(within(F.col("c.t3")), 3)
+        .when(within(F.col("c.t2")), 2)
+        .when(F.col("c.t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    users = e.select("user_id").distinct()
+    per_user_depth = users.join(chain, "user_id", "left").select(
+        F.coalesce(depth, F.lit(0)).alias("depth")
+    )
+    return per_user_depth.groupBy(
+        F.col("depth").cast("bigint").alias("depth")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@query(
+    "distinct_rollup_two_level",
+    oracle="""
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""",
+    doc="Two-level exact distinct rollup: facts first collapse to "
+    "(week, user) partial rows, the second level counts rows per week "
+    "— attested equal to the oracle's direct count(DISTINCT). The "
+    "pattern that makes exact distinct re-aggregable at 100 TB: the "
+    "wide exchange carries one row per (week, user), and partial "
+    "map-side aggregation dedups within every input partition before "
+    "anything shuffles (a direct countDistinct shuffles raw fact rows).",
+    survey_ids=("A6", "A7", "M7"),
+)
+def distinct_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    level1 = e.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return level1.groupBy(
+        F.date_format("week", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )

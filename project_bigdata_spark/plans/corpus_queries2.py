@@ -760,3 +760,128 @@ def python_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.ts_str(F.min("ts")).alias("first_ts"),
         N.ts_str(F.max("ts")).alias("last_ts"),
     )
+
+
+@query(
+    "temperature_mix",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+), weighted AS (
+  SELECT source, n_docs, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / (SELECT CAST(sum(n_chars) AS DOUBLE) FROM per_src) AS p_raw,
+         CAST(round(sqrt(CAST(n_chars AS DOUBLE)
+           / (SELECT CAST(sum(n_chars) AS DOUBLE) FROM per_src)), 12)
+           AS DECIMAL(20,12)) AS w
+  FROM per_src
+)
+SELECT source, n_docs, n_chars,
+       round(p_raw, 4) AS p_raw,
+       round(CAST(w AS DOUBLE)
+             / CAST((SELECT sum(w) FROM weighted) AS DOUBLE), 4) AS p_mix,
+       round(CAST(w AS DOUBLE)
+             / CAST((SELECT sum(w) FROM weighted) AS DOUBLE) * 100000, 1)
+         AS expected_docs_100k
+FROM weighted""",
+    doc="Temperature-scaled source mixing (the alpha=0.5 sampling "
+    "schedule multilingual/multi-source LLM corpora use to up-weight "
+    "small sources): raw char shares -> sqrt-damped weights -> "
+    "renormalized mix probabilities and expected document counts at a "
+    "100k budget. The per-source aggregate is tiny; the damped weights "
+    "round to a fixed 12-decimal grid and sum as DECIMAL so the "
+    "normalizer is order-free and bit-identical across engines.",
+    survey_ids=("P12", "M7"),
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_chars").cast("double").alias("tot_chars")
+    )
+    weighted = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "p_raw", F.col("n_chars").cast("double") / F.col("tot_chars")
+    )
+    # sqrt weight pinned to a 12-decimal grid -> DECIMAL sum is exact and
+    # order-free (a raw double sum would depend on row order per engine)
+    weighted = weighted.withColumn(
+        "w", N.rnd(F.sqrt(F.col("p_raw")), 12).cast("decimal(20,12)")
+    )
+    norm = weighted.agg(F.sum("w").alias("w_tot"))
+    out = weighted.crossJoin(F.broadcast(norm)).withColumn(
+        "p_mix", F.col("w").cast("double") / F.col("w_tot").cast("double")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        N.rnd("p_raw").alias("p_raw"),
+        N.rnd("p_mix").alias("p_mix"),
+        N.rnd(F.col("p_mix") * 100000, 1).alias("expected_docs_100k"),
+    )
+
+
+@query(
+    "source_reputation",
+    oracle=f"""
+WITH q AS (
+  SELECT source, CAST({_QUALITY_SQL} AS DECIMAL(18,4)) AS quality
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(quality) AS q_sum
+  FROM q GROUP BY 1
+), global_mean AS (
+  SELECT CAST(sum(q_sum) AS DOUBLE) / sum(n_docs) AS g FROM per_src
+)
+SELECT source, n_docs,
+       round(CAST(q_sum AS DOUBLE) / n_docs, 4) AS mean_quality,
+       round((CAST(q_sum AS DOUBLE) + 20.0 * g) / (n_docs + 20.0), 4)
+         AS shrunk_quality
+FROM per_src CROSS JOIN global_mean""",
+    doc="Source reputation with m-estimate shrinkage (m=20): per-source "
+    "mean quality pulled toward the global mean in proportion to how "
+    "few documents back it — the curation signal for source-level "
+    "filtering where a 3-document source must not outrank a 3-million-"
+    "document one on a lucky mean. Per-document quality lands on the "
+    "shared 4-decimal grid and sums as DECIMAL, so both the source "
+    "means and the global mean are order-free-exact; the global row "
+    "broadcasts back onto the tiny per-source aggregate.",
+    survey_ids=("A10", "M7"),
+)
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import text as TX2
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "source",
+        N.rnd(TX2.quality_score(F.col("text"))).cast("decimal(18,4)").alias(
+            "quality"
+        ),
+    )
+    per_src = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("quality").alias("q_sum"),
+    )
+    glob = per_src.agg(
+        (
+            F.sum("q_sum").cast("double") / F.sum("n_docs")
+        ).alias("g")
+    )
+    out = per_src.crossJoin(F.broadcast(glob))
+    return out.select(
+        "source",
+        "n_docs",
+        N.rnd(F.col("q_sum").cast("double") / F.col("n_docs")).alias(
+            "mean_quality"
+        ),
+        N.rnd(
+            (F.col("q_sum").cast("double") + 20.0 * F.col("g"))
+            / (F.col("n_docs") + 20.0)
+        ).alias("shrunk_quality"),
+    )
