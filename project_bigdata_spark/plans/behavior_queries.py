@@ -709,3 +709,58 @@ def distinct_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "exact_percentile_bands",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       round(max(CASE WHEN rn = ceil(0.5 * n) THEN value END), 4) AS p50,
+       round(max(CASE WHEN rn = ceil(0.9 * n) THEN value END), 4) AS p90,
+       round(max(CASE WHEN rn = ceil(0.99 * n) THEN value END), 4) AS p99
+FROM ranked GROUP BY 1""",
+    doc="Exact percentile bands by order statistics: row_number over the "
+    "(value, event_id) ordering within each event_type picks the "
+    "ceil(q*n)-th element — discrete selection, no interpolation, so "
+    "the answer is an actual data value and both engines agree "
+    "bit-for-bit (percentile_approx's GK sketch is the scale "
+    "alternative, audited separately in approx_quantile_audit). One "
+    "exchange on the group key; at 100 TB the per-group sort is the "
+    "cost, which is exactly what the sketch path trades away.",
+    survey_ids=("A3", "A10", "M7"),
+)
+def exact_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def band(q: float) -> F.Column:
+        return N.rnd(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                    F.col("value"),
+                )
+            )
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        band(0.5).alias("p50"),
+        band(0.9).alias("p90"),
+        band(0.99).alias("p99"),
+    )

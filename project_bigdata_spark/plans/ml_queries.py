@@ -1,0 +1,227 @@
+"""Closed-form ML evaluation catalog entries: nearest-centroid and kNN
+classifier evaluations over the labeled embeddings table.
+
+The reference delegates model *fitting* to an out-of-engine trainer
+(``ml_training/train_lightgbm.py``; SURVEY §3.3 keeps that boundary), but
+classifier EVALUATION — score a labeled holdout, produce the confusion
+matrix — is a data-pipeline job, and both evaluators here are closed-form
+(no iterative fit), so the entire train+classify+evaluate pass runs
+in-plan and carries an exact DuckDB oracle like any other query.
+
+Scale notes (100 TB): the train/test split is the md5-bucket idiom
+(ingest-order-free, refresh-stable). Nearest-centroid packs the 10-row
+centroid table into ONE broadcast row and classifies with a per-row fold
+— corpus scan, zero shuffles. kNN evaluation broadcasts the (always
+small) eval set against the train corpus, the same corpus-never-shuffles
+shape as ``knn_batch``; distances fold left in fixed element order and
+pin to a 1e-6 grid before any argmin, so rank decisions replay
+bit-identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import similarity as SIM
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+_NIBBLE = (
+    "strpos('0123456789abcdef',"
+    " substring(md5(CAST(vec_id AS VARCHAR)), {pos}, 1)) - 1"
+)
+_BUCKET = f"({_NIBBLE.format(pos=1)}) * 16 + ({_NIBBLE.format(pos=2)})"
+
+# Full-vector left-ish fold squared L2 — mirrors operators/similarity.l2sq
+# on the Spark side; distances are pinned to a 1e-6 grid before ranking.
+_L2SQ_SQL = (
+    "list_sum(list_transform(list_zip("
+    "CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+def _split(df: DataFrame) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return df.withColumn("bucket", bucket)
+
+
+@query(
+    "centroid_classifier_eval",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_BUCKET} AS bucket FROM embeddings
+), comp AS (
+  SELECT label, u.pos, u.val
+  FROM b, unnest(list_transform(embedding, (v, i) -> struct_pack(
+         pos := i,
+         val := CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(12,6))))) t(u)
+  WHERE bucket < 204
+), cent AS (
+  SELECT label AS c_label,
+         list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cvec
+  FROM (
+    SELECT label, pos, sum(val) AS s, count(*) AS n
+    FROM comp GROUP BY 1, 2
+  ) GROUP BY 1
+), scored AS (
+  SELECT t.vec_id, t.label, c.c_label,
+         round({_L2SQ_SQL.format(a='t.embedding', b='c.cvec')}, 6) AS dist
+  FROM b t CROSS JOIN cent c WHERE t.bucket >= 204
+), best AS (
+  SELECT vec_id, label, c_label AS predicted
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(predicted AS BIGINT) AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM best GROUP BY 1, 2""",
+    doc="Nearest-centroid classifier train+eval in one plan: md5-bucket "
+    "80/20 split, per-label centroids from exact DECIMAL component sums "
+    "(components pinned to 1e-6 before summing, so the mean is "
+    "order-free), then the 10-row centroid table packs into ONE "
+    "broadcast row and the holdout classifies with a per-row argmin "
+    "fold — corpus scan, zero shuffles, distances on the 1e-6 grid "
+    "with label-order tie-break. Output is the confusion matrix.",
+    survey_ids=("M7", "A4"),
+)
+def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _split(load_table(spark, sf_dir, "embeddings"))
+    train = e.filter(F.col("bucket") < 204)
+    test = e.filter(F.col("bucket") >= 204)
+
+    comp = train.select(
+        "label",
+        F.posexplode(SIM.as_double(F.col("embedding"))).alias("pos", "v"),
+    ).select(
+        "label", "pos", N.rnd("v", 6).cast("decimal(12,6)").alias("val")
+    )
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            (F.col("s").cast("double") / F.col("n")).alias(
+                                "c"
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+    )
+    crow = F.broadcast(
+        cent.agg(
+            F.sort_array(
+                F.collect_list(F.struct("c_label", "cvec"))
+            ).alias("_cents")
+        )
+    )
+    x = SIM.as_double(F.col("embedding"))
+    zero = F.struct(
+        F.lit(float("inf")).alias("dist"),
+        F.lit(-1).cast("int").alias("lab"),
+    )
+    best = F.aggregate(
+        F.col("_cents"),
+        zero,
+        lambda acc, c: F.when(
+            N.rnd(SIM.l2sq(x, c["cvec"]), 6) < acc["dist"],
+            F.struct(
+                N.rnd(SIM.l2sq(x, c["cvec"]), 6).alias("dist"),
+                c["c_label"].cast("int").alias("lab"),
+            ),
+        ).otherwise(acc),
+    )
+    scored = test.crossJoin(crow).select(
+        "label", best["lab"].alias("predicted")
+    )
+    return scored.groupBy(
+        N.big("label").alias("label"),
+        N.big("predicted").alias("predicted"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query(
+    "knn_classifier_eval",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_BUCKET} AS bucket FROM embeddings
+), pairs AS (
+  SELECT t.vec_id, t.label, tr.label AS n_label,
+         round({_L2SQ_SQL.format(a='t.embedding', b='tr.embedding')}, 6)
+           AS dist,
+         tr.vec_id AS n_id
+  FROM b t JOIN b tr ON t.bucket >= 204 AND tr.bucket < 204
+), top5 AS (
+  SELECT vec_id, label, n_label
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, n_id) <= 5
+), votes AS (
+  SELECT vec_id, label, n_label, count(*) AS c
+  FROM top5 GROUP BY 1, 2, 3
+), winner AS (
+  SELECT vec_id, label, n_label AS predicted
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY c DESC, n_label) = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(predicted AS BIGINT) AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM winner GROUP BY 1, 2""",
+    doc="5-NN majority-vote classifier evaluation: md5-bucket holdout "
+    "scored against the train corpus — the eval set (always small) "
+    "broadcasts, the corpus scans once and never shuffles (the "
+    "knn_batch shape). Neighbor ranks decide on (1e-6-grid distance, "
+    "train id), votes break ties on (count desc, label), so every rank "
+    "decision replays bit-identically in the oracle. Output is the "
+    "confusion matrix.",
+    survey_ids=("M7", "A4"),
+)
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _split(load_table(spark, sf_dir, "embeddings"))
+    train = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        SIM.as_double(F.col("embedding")).alias("n_vec"),
+        "bucket",
+    ).filter(F.col("bucket") < 204)
+    test = e.filter(F.col("bucket") >= 204).select(
+        "vec_id", "label", SIM.as_double(F.col("embedding")).alias("vec")
+    )
+    pairs = train.join(F.broadcast(test)).select(
+        "vec_id",
+        "label",
+        "n_label",
+        "n_id",
+        N.rnd(SIM.l2sq(F.col("vec"), F.col("n_vec")), 6).alias("dist"),
+    )
+    w5 = Window.partitionBy("vec_id").orderBy("dist", "n_id")
+    top5 = pairs.withColumn("rn", F.row_number().over(w5)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("vec_id", "label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ww = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("n_label")
+    )
+    winner = votes.withColumn("rn", F.row_number().over(ww)).filter(
+        F.col("rn") == 1
+    )
+    return winner.groupBy(
+        N.big("label").alias("label"),
+        N.big("n_label").alias("predicted"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
