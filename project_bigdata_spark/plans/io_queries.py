@@ -1,0 +1,161 @@
+"""I/O-roundtrip catalog entries: CSV, JSON-lines, and partitioned-
+parquet sink+scan paths attested through the differential gate.
+
+SURVEY §2.1's S7 (partitioned parquet sink) and S10 (CSV export) were
+previously *local-only* evidence (sink tests in ``tests/``); these
+entries run the full write→read→aggregate loop inside a catalog query,
+so the driver's DuckDB compare attests that a frame SURVIVES each
+format: the oracle aggregates the original parquet, so any value the
+sink mangles (timestamp formatting, quoting, JSON escaping, partition
+column peeling) breaks the hash match. Text fidelity is pinned by an
+md5-sum over the payload column, not just row counts.
+
+Each call writes to a fresh ``tempfile.mkdtemp`` dir (a few MB at test
+scale) — catalog builders must be re-runnable and collision-free when
+the driver sweeps them in one session.
+
+Scale notes: these are sink-path attestations, not perf paths — but the
+shapes are the production ones: ``write_partitioned_parquet`` uses
+dynamic partition overwrite (only touched partitions replaced), the
+read-back filter prunes partitions (asserted in ``tests/test_plans``),
+and CSV/JSONL writes shard per task with no coalesce-to-1.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+from project_bigdata_spark.sources.registry import write_partitioned_parquet
+
+_EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+_DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+# 32-bit md5 prefix per text, summed exactly — pins payload fidelity
+# through a sink format without shipping the payloads to the compare.
+_MD5_SUM_SQL = (
+    "CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))"
+    " AS BIGINT)"
+)
+
+
+def _md5_sum(col: str) -> F.Column:
+    return (
+        F.sum(F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+    )
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       CAST(sum(CAST(('0x' || substring(md5(props), 1, 8)) AS BIGINT))
+            AS BIGINT) AS props_md5_sum
+FROM events GROUP BY 1""",
+    doc="CSV export + scan attested end-to-end (S10, the reference's "
+    "spark/batch_processor.py CSV handoff): events write to CSV with "
+    "µs timestamp format and full quoting, read back under an explicit "
+    "DDL schema, and aggregate — the oracle aggregates the ORIGINAL "
+    "parquet, so quoting bugs (props holds JSON with quotes/commas), "
+    "timestamp truncation, or float re-parse drift all break the hash. "
+    "The md5-sum over props pins string fidelity exactly.",
+    survey_ids=("S10",),
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    (
+        e.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(_EVENTS_DDL)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+        N.ts_str(F.min("ts"), micros=True).alias("first_ts"),
+        _md5_sum("props").alias("props_md5_sum"),
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle=f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       {_MD5_SUM_SQL} AS text_md5_sum
+FROM documents GROUP BY 1""",
+    doc="JSON-lines export + scan attested end-to-end (the S6 envelope "
+    "format family without a broker: one JSON object per line, the "
+    "interchange format every corpus pipeline ships): documents write "
+    "to JSONL, read back under an explicit schema, and aggregate. The "
+    "md5-sum over text attests byte-exact payload survival through "
+    "JSON escaping — multi-line, quoted, non-ASCII text included.",
+    survey_ids=("S6", "F13"),
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(_DOCS_DDL).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        _md5_sum("text").alias("text_md5_sum"),
+    )
+
+
+@query(
+    "partitioned_parquet_roundtrip",
+    oracle="""
+SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+FROM events
+WHERE date_part('day', ts) BETWEEN 8 AND 14
+GROUP BY 1""",
+    doc="Partitioned parquet sink + pruned scan attested end-to-end (S7; "
+    "fixes the overwrite-the-world write at the reference's "
+    "batch_processor.py:125-129 with dynamic partition overwrite): "
+    "events write partitioned by day-of-month via "
+    "write_partitioned_parquet, the read-back filters one week, and "
+    "the filter prunes to 7 of 30 hive partitions (asserted in "
+    "tests/test_plans.py). Values re-aggregate exactly against the "
+    "unpartitioned original.",
+    survey_ids=("S7", "P6"),
+)
+def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    path = tempfile.mkdtemp(prefix="part_roundtrip_")
+    write_partitioned_parquet(e, path, ["day"])
+    back = spark.read.parquet(path).filter(F.col("day").between(8, 14))
+    return back.groupBy(N.big("day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )

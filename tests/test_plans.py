@@ -337,3 +337,117 @@ def test_ivfpq_corpus_never_wide_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_seasonal_anomaly_baseline_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "seasonal_anomaly")
+    # the ~35-row baseline joins back onto facts via broadcast, never SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_concurrency_curve_bounded_explode_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "concurrency_curve")
+    # hour-grid explode (Generate) replaces the sweep-line prefix sum; a
+    # global-order window would show a single-partition Exchange
+    assert "Generate" in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_welch_ttest_single_pass_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "welch_ttest")
+    # variant moments come from ONE fact scan (each node prints twice in
+    # formatted explain: tree + detail); the 2-row pivot is an agg
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+
+
+def test_touch_attribution_rides_entity_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "touch_attribution")
+    # both IGNORE-NULLS last_value specs share ONE user_id exchange; the
+    # only other exchange feeds the 5-row rollup (2 nodes x 2 mentions)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Join" not in plan
+
+
+def test_time_to_conversion_signup_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "time_to_conversion")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_state_merge_audit_two_level_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "state_merge_audit")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "assoc_rules")
+    # pair join keys on the session; only the 1-row total may ride a
+    # broadcast nested loop
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_depth_single_fold_no_per_stage_scans(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "funnel_depth")
+    # greedy chain folds in ONE aggregate: the cascaded min-after-previous
+    # oracle shape would need a fact scan per stage (each scan node prints
+    # twice: tree + detail -> 2 scans = 4 mentions)
+    assert plan.count("Scan parquet") == 4  # stage events + distinct users
+    assert "CartesianProduct" not in plan
+
+
+def test_distinct_rollup_two_level_no_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "distinct_rollup_two_level")
+    # exact distinct via pre-grouping, not a count-distinct Expand
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+
+def test_temperature_mix_normalizers_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "temperature_mix")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_source_reputation_global_mean_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "source_reputation")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_centroid_classifier_corpus_side_fold(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "centroid_classifier_eval")
+    # the centroid table reaches the holdout as ONE broadcast row; the
+    # holdout itself must not shuffle for classification
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "aggregate(" in plan  # the in-plan argmin fold
+
+
+def test_knn_classifier_eval_set_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_classifier_eval")
+    # eval set broadcasts against the train corpus (knn_batch shape)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_percentile_bands_single_group_pipeline(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "exact_percentile_bands")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2  # one scan node (tree + detail)
+
+
+def test_partitioned_roundtrip_read_prunes_partitions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "partitioned_parquet_roundtrip")
+    # the day filter must prune hive partitions at the read-back scan,
+    # not filter rows post-scan
+    assert "PartitionFilters" in plan
+    assert "day#" in plan[plan.index("PartitionFilters") :][:300]
