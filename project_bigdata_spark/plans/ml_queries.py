@@ -158,12 +158,16 @@ def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH b AS (
   SELECT vec_id, label, embedding, {_BUCKET} AS bucket FROM embeddings
+), ev AS (
+  SELECT vec_id, label, embedding
+  FROM b WHERE bucket >= 204
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 256
 ), pairs AS (
   SELECT t.vec_id, t.label, tr.label AS n_label,
          round({_L2SQ_SQL.format(a='t.embedding', b='tr.embedding')}, 6)
            AS dist,
          tr.vec_id AS n_id
-  FROM b t JOIN b tr ON t.bucket >= 204 AND tr.bucket < 204
+  FROM ev t JOIN b tr ON tr.bucket < 204
 ), top5 AS (
   SELECT vec_id, label, n_label
   FROM pairs
@@ -181,13 +185,15 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(predicted AS BIGINT) AS predicted,
        CAST(count(*) AS BIGINT) AS n
 FROM winner GROUP BY 1, 2""",
-    doc="5-NN majority-vote classifier evaluation: md5-bucket holdout "
-    "scored against the train corpus — the eval set (always small) "
-    "broadcasts, the corpus scans once and never shuffles (the "
-    "knn_batch shape). Neighbor ranks decide on (1e-6-grid distance, "
-    "train id), votes break ties on (count desc, label), so every rank "
-    "decision replays bit-identically in the oracle. Output is the "
-    "confusion matrix.",
+    doc="5-NN majority-vote classifier evaluation: the md5-bucket "
+    "holdout is cut to a FIXED 256-vector eval set (deterministic md5 "
+    "ordering, a TakeOrdered — a fraction-of-corpus holdout would make "
+    "the distance pairs quadratic in corpus size; a fixed eval set "
+    "keeps them linear), broadcast against the train corpus which "
+    "scans once and never shuffles (the knn_batch shape). Neighbor "
+    "ranks decide on (1e-6-grid distance, train id), votes break ties "
+    "on (count desc, label), so every rank decision replays "
+    "bit-identically in the oracle. Output is the confusion matrix.",
     survey_ids=("M7", "A4"),
 )
 def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,8 +204,17 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM.as_double(F.col("embedding")).alias("n_vec"),
         "bucket",
     ).filter(F.col("bucket") < 204)
-    test = e.filter(F.col("bucket") >= 204).select(
-        "vec_id", "label", SIM.as_double(F.col("embedding")).alias("vec")
+    test = (
+        e.filter(F.col("bucket") >= 204)
+        .select(
+            "vec_id",
+            "label",
+            SIM.as_double(F.col("embedding")).alias("vec"),
+            F.md5(F.col("vec_id").cast("string")).alias("_ord"),
+        )
+        .orderBy("_ord")
+        .limit(256)
+        .drop("_ord")
     )
     pairs = train.join(F.broadcast(test)).select(
         "vec_id",
