@@ -764,3 +764,47 @@ def exact_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(0.9).alias("p90"),
         band(0.99).alias("p99"),
     )
+
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+WITH hopped AS (
+  SELECT user_id, value,
+         unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+  FROM events
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM hopped GROUP BY 1""",
+    doc="Hopping-window aggregation in batch (2 h window, 1 h hop — the "
+    "batch counterpart of the sliding-window stream in "
+    "streaming/pipeline.py, T2 family): F.window(ts, '2 hours', "
+    "'1 hour') explodes each event into exactly the windows containing "
+    "it (window/hop = 2 copies, a bounded Generate), then one hash "
+    "aggregation on the window start. The oracle derives the same two "
+    "epoch-aligned starts per event. Overlap factor is fixed at plan "
+    "time, so the pre-aggregation blowup is a constant, not data-"
+    "dependent.",
+    survey_ids=("T2", "A7", "M7"),
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hopped = e.select(
+        "user_id",
+        "value",
+        F.window("ts", "2 hours", "1 hour").alias("win"),
+    )
+    return hopped.groupBy(
+        N.ts_str(F.col("win.start")).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )

@@ -609,3 +609,75 @@ def image_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("grid"),
     )
+
+
+# Static subword vocabulary for the tokenizer-apply entry: frequent
+# English character n-grams + the single-letter fallback. Greedy
+# longest-match tokenization falls out of regex alternation order
+# (longest pieces first), which Java regex and RE2 both honor
+# leftmost-first — verified identical across engines.
+_WP_PIECES = sorted(
+    [
+        "the", "and", "ing", "ion", "tion", "ent", "ati", "for", "her",
+        "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
+        "all", "ons", "nce", "men", "ith", "ted", "ers", "pro", "thi",
+        "wit", "are", "ess", "not", "ive", "was", "ect", "rea", "com",
+        "eve", "per", "int", "est", "sta", "sch", "que", "de", "le",
+        "re", "un", "in", "er", "on", "at", "es", "en",
+    ]
+    + [chr(c) for c in range(ord("a"), ord("z") + 1)],
+    key=lambda p: (-len(p), p),
+)
+_WP_PATTERN = "(" + "|".join(_WP_PIECES) + ")"
+
+
+@query(
+    "wordpiece_apply",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang,
+         regexp_extract_all(lower(text), '{_WP_PATTERN}') AS pieces
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(pieces)) AS BIGINT) AS total_pieces,
+       CAST(sum(length(array_to_string(pieces, ''))) AS BIGINT)
+         AS covered_chars,
+       round(CAST(sum(length(array_to_string(pieces, ''))) AS DOUBLE)
+             / sum(len(pieces)), 4) AS chars_per_piece
+FROM toks GROUP BY 1""",
+    doc="Subword tokenizer APPLICATION (the inference-side sibling of "
+    "bpe_pair_counts' trainer side): greedy longest-match against a "
+    "fixed subword vocabulary, expressed as ONE regex alternation "
+    "ordered longest-first — the greedy semantics fall out of "
+    "leftmost-first alternation, which Java regex and RE2 execute "
+    "identically (verified). Zero UDFs, zero shuffles before the "
+    "per-language rollup; per-language piece counts and chars-per-"
+    "piece measure vocabulary compression efficiency — the metric a "
+    "tokenizer-training loop optimizes.",
+    survey_ids=("M7",),
+)
+def wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.expr(
+            f"regexp_extract_all(lower(text), '{_WP_PATTERN}', 1)"
+        ).alias("pieces"),
+    )
+    covered = F.length(F.concat_ws("", F.col("pieces")))
+    agg = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("pieces")).cast("bigint").alias("total_pieces"),
+        F.sum(covered).cast("bigint").alias("covered_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_pieces",
+        "covered_chars",
+        N.rnd(
+            F.col("covered_chars").cast("double") / F.col("total_pieces")
+        ).alias("chars_per_piece"),
+    )
