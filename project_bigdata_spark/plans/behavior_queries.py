@@ -808,3 +808,186 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("total_value"),
     )
+
+
+@query(
+    "period_over_period",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, total,
+       lag(n, 7) OVER w AS n_prev_week,
+       CASE WHEN lag(n, 7) OVER w IS NULL OR lag(n, 7) OVER w = 0 THEN NULL
+            ELSE round((CAST(n AS DOUBLE) - lag(n, 7) OVER w)
+                       / lag(n, 7) OVER w * 100, 4) END AS wow_pct
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)""",
+    doc="Period-over-period comparison (the warehouse WoW readout): "
+    "daily counts and DECIMAL revenue per event_type, then a 7-row lag "
+    "on the per-type daily aggregate gives week-over-week deltas. The "
+    "window runs over the POST-aggregate frame (days x types, tiny at "
+    "any corpus size), so the only fact-scale work is one group pass — "
+    "the lag never touches raw events. NOTE: a 7-ROW lag equals a "
+    "7-DAY lag only on gap-free daily series; the events table is "
+    "dense at every SF, and gap_fill_hourly covers the sparse case.",
+    survey_ids=("W1", "A7", "F9", "M7"),
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n", 7).over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "total",
+        prev.alias("n_prev_week"),
+        F.when(
+            prev.isNull() | (prev == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            N.rnd((F.col("n").cast("double") - prev) / prev * 100)
+        )
+        .alias("wow_pct"),
+    )
+
+
+@query(
+    "rolling_distinct_24h",
+    oracle="""
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+), contrib AS (
+  SELECT user_id,
+         unnest(generate_series(h, h + INTERVAL 23 HOUR, INTERVAL 1 HOUR))
+           AS win_hour
+  FROM uh
+), windows AS (
+  SELECT win_hour, user_id FROM contrib GROUP BY 1, 2
+), active AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+)
+SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(count(*) AS BIGINT) AS users_24h
+FROM active a JOIN windows w ON w.win_hour = a.h
+GROUP BY 1""",
+    doc="Rolling 24-hour distinct users per hour (the DAU-style trailing "
+    "uniques curve): distinct (user, hour) pairs each contribute to the "
+    "24 window-hours they cover (bounded sequence explode), dedup per "
+    "(window-hour, user), count — reported only for hours that exist in "
+    "the data. Exact distinct with NO global ordering and NO 24-hour "
+    "window state: the explode factor is a constant 24, the dedup is "
+    "map-side-combinable, and everything shuffles pre-deduped (user, "
+    "hour) pairs, never raw facts. The sketch alternative (HLL merge "
+    "over hourly registers) is the approx_distinct_audit family.",
+    survey_ids=("A6", "W3", "M7"),
+)
+def rolling_distinct_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uh = e.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    contrib = uh.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 23 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_hour"),
+    ).distinct()
+    active = e.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+    return (
+        contrib.join(active, contrib.win_hour == active.h)
+        .groupBy(N.ts_str("h").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_24h"))
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), freq AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS keys_at FROM per_key GROUP BY 1
+), cum AS (
+  SELECT n, keys_at,
+         sum(keys_at) OVER (ORDER BY n
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_keys,
+         sum(keys_at) OVER () AS k,
+         sum(n * keys_at) OVER () AS total_rows
+  FROM freq
+)
+SELECT CAST(max(k) AS BIGINT) AS n_keys,
+       CAST(max(total_rows) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(min(CASE WHEN cum_keys >= ceil(0.99 * k) THEN n END) AS BIGINT)
+         AS p99_rows,
+       round(CAST(max(total_rows) AS DOUBLE) / max(k), 4) AS mean_rows,
+       round(CAST(max(n) AS DOUBLE)
+             / (CAST(max(total_rows) AS DOUBLE) / max(k)), 4) AS skew_ratio
+FROM cum""",
+    doc="Shuffle-key skew profiler — the diagnostic that DECIDES when the "
+    "salted-aggregation guard (salted_hourly_agg, operators/skew.py) is "
+    "worth its extra exchange: per-key row counts (one group pass over "
+    "facts) collapse further to a count-of-counts frequency table, and "
+    "the exact p99 comes from a cumulative sum over DISTINCT count "
+    "values — a global window, but over value cardinality (thousands "
+    "even at 10^9 keys), never over the keys themselves (ranking every "
+    "key would single-partition-sort the key universe). A skew_ratio "
+    "near 1 means hash partitions balance; >> 1 flags the hot keys "
+    "AQE's skew-join thresholds and manual salting are sized against.",
+    survey_ids=("A3", "A10", "M7"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    freq = per_key.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("keys_at")
+    )
+    wcum = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = freq.select(
+        "n",
+        "keys_at",
+        F.sum("keys_at").over(wcum).alias("cum_keys"),
+        F.sum("keys_at").over(wall).alias("k"),
+        F.sum(F.col("n") * F.col("keys_at")).over(wall).alias("total_rows"),
+    )
+    return cum.agg(
+        F.max("k").cast("bigint").alias("n_keys"),
+        F.max("total_rows").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.min(
+            F.when(
+                F.col("cum_keys") >= F.ceil(F.lit(0.99) * F.col("k")),
+                F.col("n"),
+            )
+        )
+        .cast("bigint")
+        .alias("p99_rows"),
+        N.rnd(
+            F.max("total_rows").cast("double") / F.max("k")
+        ).alias("mean_rows"),
+        N.rnd(
+            F.max("n").cast("double")
+            / (F.max("total_rows").cast("double") / F.max("k"))
+        ).alias("skew_ratio"),
+    )
