@@ -560,9 +560,7 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "funnel_depth",
-    oracle="""
+_FUNNEL_ORACLE = """
 WITH u AS (
   SELECT DISTINCT user_id FROM events
 ), s1 AS (
@@ -595,22 +593,13 @@ WITH u AS (
 )
 SELECT CAST(depth AS BIGINT) AS depth,
        CAST(count(*) AS BIGINT) AS n_users
-FROM depth GROUP BY 1""",
-    doc="Window-funnel depth (the ClickHouse windowFunnel shape the "
-    "reference's serving store exposes natively): earliest "
-    "signup->view->click->purchase chain per user, each stage strictly "
-    "after the previous, depth counted only while within 7 days of the "
-    "chain start. Spark side runs the greedy chain as ONE in-plan "
-    "aggregate fold over each user's time-sorted stage events — one "
-    "exchange, no per-stage re-scans; the oracle unrolls the identical "
-    "greedy semantics as cascaded min-after-previous joins. Per-user "
-    "state is 4 timestamps; the folded array holds only funnel-stage "
-    "events for that user (the same per-entity bound windowFunnel "
-    "itself carries).",
-    survey_ids=("A11", "W6", "M7"),
-)
-def funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+FROM depth GROUP BY 1"""
+
+
+def funnel_user_depths(e: DataFrame) -> DataFrame:
+    """Per-user greedy funnel depth over an events-shaped frame (the
+    reusable core of ``funnel_depth``; property-tested against a pure-
+    Python greedy reference in ``test_property_differential``)."""
     stages = e.filter(
         F.col("event_type").isin("signup", "view", "click", "purchase")
     )
@@ -674,10 +663,30 @@ def funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     users = e.select("user_id").distinct()
-    per_user_depth = users.join(chain, "user_id", "left").select(
-        F.coalesce(depth, F.lit(0)).alias("depth")
+    return users.join(chain, "user_id", "left").select(
+        "user_id", F.coalesce(depth, F.lit(0)).alias("depth")
     )
-    return per_user_depth.groupBy(
+
+
+@query(
+    "funnel_depth",
+    oracle=_FUNNEL_ORACLE,
+    doc="Window-funnel depth (the ClickHouse windowFunnel shape the "
+    "reference's serving store exposes natively): earliest "
+    "signup->view->click->purchase chain per user, each stage strictly "
+    "after the previous, depth counted only while within 7 days of the "
+    "chain start. Spark side runs the greedy chain as ONE in-plan "
+    "aggregate fold over each user's time-sorted stage events — one "
+    "exchange, no per-stage re-scans; the oracle unrolls the identical "
+    "greedy semantics as cascaded min-after-previous joins. Per-user "
+    "state is 4 timestamps; the folded array holds only funnel-stage "
+    "events for that user (the same per-entity bound windowFunnel "
+    "itself carries).",
+    survey_ids=("A11", "W6", "M7"),
+)
+def funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return funnel_user_depths(e).groupBy(
         F.col("depth").cast("bigint").alias("depth")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
 

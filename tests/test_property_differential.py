@@ -232,3 +232,110 @@ def test_scd2_invariants_and_idempotency(spark, dim_map, upd_map):
     again = WH.scd2_apply(current_dim, upd, "k", ["bal"], "eff_ts").collect()
     assert all(r["version"] == 1 and r["is_current"] for r in again)
     assert len(again) == len(dim_map)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=12 * 24 * 3600),  # ts offset s
+            st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_fold_matches_python_greedy(spark, rows):
+    """The in-plan funnel fold must equal a pure-Python greedy chain:
+    first signup, then the first strictly-later view/click/purchase in
+    order, depth gated to 7 days from the chain start."""
+    from project_bigdata_spark.plans.behavior_queries import funnel_user_depths
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "off", "event_type"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["off"], unit="s")
+    sdf = spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type"]]
+    )
+    got = {
+        r.user_id: r.depth for r in funnel_user_depths(sdf).collect()
+    }
+
+    week = pd.Timedelta(days=7)
+    for uid, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = {1: None, 2: None, 3: None, 4: None}
+        stage_of = {"signup": 1, "view": 2, "click": 3, "purchase": 4}
+        for _, row in grp.iterrows():
+            s = stage_of.get(row.event_type)
+            if s is None or t[s] is not None:
+                continue
+            if s == 1:
+                t[1] = row.ts
+            elif t[s - 1] is not None and row.ts > t[s - 1]:
+                t[s] = row.ts
+        if t[1] is None:
+            want = 0
+        else:
+            want = 1
+            for s in (2, 3, 4):
+                if t[s] is not None and t[s] <= t[1] + week:
+                    want = s
+                else:
+                    break
+        assert got[uid] == want, (uid, t, got[uid], want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),            # user
+            st.integers(min_value=0, max_value=6 * 24 * 3600),  # ts offset s
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_concurrency_curve_matches_interval_count(spark, rows):
+    """The hour-grid explode must count, for every hour, exactly the
+    30-min-gap sessions whose [start, end] span intersects that hour."""
+    import project_bigdata_spark.plans.behavior_queries as BQ
+    from project_bigdata_spark.sources import load_table as _lt
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "off"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["off"], unit="s")
+    sdf = spark.createDataFrame(pdf[["event_id", "ts", "user_id"]])
+
+    # drive the catalog builder against the synthetic frame
+    orig = BQ.load_table
+    BQ.load_table = lambda _s, _d, _n: sdf
+    try:
+        got = {
+            r.hour: r.n_active_sessions
+            for r in BQ.concurrency_curve(spark, "unused").collect()
+        }
+    finally:
+        BQ.load_table = orig
+
+    # reference: sessions via pandas gap split, then interval overlap
+    want: dict[str, int] = {}
+    gap = pd.Timedelta(minutes=30)
+    for _, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        start = end = None
+        spans = []
+        for _, row in grp.iterrows():
+            if start is None or row.ts - end > gap:
+                if start is not None:
+                    spans.append((start, end))
+                start = row.ts
+            end = row.ts
+        spans.append((start, end))
+        for s, e in spans:
+            h = s.floor("h")
+            while h <= e:
+                key = h.strftime("%Y-%m-%d %H:%M:%S")
+                want[key] = want.get(key, 0) + 1
+                h += pd.Timedelta(hours=1)
+    assert got == want
