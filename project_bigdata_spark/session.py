@@ -79,6 +79,13 @@ def get_spark(
         # --- quiet, non-interactive ---
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- local single-JVM heap: the 1g default starves broadcast
+        #     builds past ~1M rows; only read at JVM launch (a no-op on
+        #     an already-running session, e.g. one the driver owns) ---
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
