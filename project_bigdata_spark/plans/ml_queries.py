@@ -240,3 +240,100 @@ def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("label").alias("label"),
         N.big("n_label").alias("predicted"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query(
+    "embedding_drift",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         CASE WHEN {_BUCKET} < 128 THEN 'a' ELSE 'b' END AS half
+  FROM embeddings
+), comp AS (
+  SELECT half, u.pos,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(u.val) AS s
+  FROM b, unnest(list_transform(embedding, (v, i) -> struct_pack(
+         pos := i,
+         val := CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(12,6))))) t(u)
+  GROUP BY 1, 2
+), means AS (
+  SELECT pos,
+         max(CASE WHEN half = 'a' THEN CAST(s AS DOUBLE) / n END) AS ma,
+         max(CASE WHEN half = 'b' THEN CAST(s AS DOUBLE) / n END) AS mb,
+         max(CASE WHEN half = 'a' THEN n END) AS na,
+         max(CASE WHEN half = 'b' THEN n END) AS nb
+  FROM comp GROUP BY 1
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       round(list_sum(list(ma * mb ORDER BY pos))
+             / (sqrt(list_sum(list(ma * ma ORDER BY pos)))
+                * sqrt(list_sum(list(mb * mb ORDER BY pos)))), 6)
+         AS mean_cosine,
+       round(sqrt(list_sum(list((ma - mb) * (ma - mb) ORDER BY pos))), 6)
+         AS l2_shift,
+       round(max(abs(ma - mb)), 6) AS max_dim_shift
+FROM means""",
+    doc="Embedding distribution drift between two corpus halves (the "
+    "refresh-over-refresh check an embedding-based curation pipeline "
+    "runs before trusting cached ANN indexes / cluster assignments): "
+    "md5-bucket halves stand in for old/new snapshots; per-dimension "
+    "means from exact DECIMAL component sums, then cosine of the mean "
+    "vectors, L2 shift norm, and worst single-dimension shift. One "
+    "component aggregation (rows x dims), a 64-row means frame, "
+    "closed-form doubles — drift on 10^9 vectors costs one scan.",
+    survey_ids=("M7", "A10"),
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _split(load_table(spark, sf_dir, "embeddings"))
+    half = F.when(F.col("bucket") < 128, F.lit("a")).otherwise(F.lit("b"))
+    comp = e.select(
+        half.alias("half"),
+        F.posexplode(SIM.as_double(F.col("embedding"))).alias("pos", "v"),
+    ).select(
+        "half", "pos", N.rnd("v", 6).cast("decimal(12,6)").alias("val")
+    )
+    per_dim = comp.groupBy("half", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+    )
+
+    def pick(col, h):
+        return F.max(F.when(F.col("half") == h, col))
+
+    means = per_dim.groupBy("pos").agg(
+        pick(F.col("s").cast("double") / F.col("n"), "a").alias("ma"),
+        pick(F.col("s").cast("double") / F.col("n"), "b").alias("mb"),
+        pick(F.col("n"), "a").alias("na"),
+        pick(F.col("n"), "b").alias("nb"),
+    )
+    # pack the 64-row means frame into ordered arrays so the dot/norm
+    # folds run in fixed dimension order (order-free would not be
+    # bit-reproducible across engines)
+    packed = means.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.sort_array(
+            F.collect_list(F.struct("pos", "ma", "mb"))
+        ).alias("dims"),
+    )
+    va = F.transform(F.col("dims"), lambda d: d["ma"])
+    vb = F.transform(F.col("dims"), lambda d: d["mb"])
+    diff2 = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    maxshift = F.array_max(
+        F.zip_with(va, vb, lambda a, b: F.abs(a - b))
+    )
+    return packed.select(
+        "n_a",
+        "n_b",
+        N.rnd(
+            SIM.dot(va, vb) / (F.sqrt(SIM.dot(va, va)) * F.sqrt(SIM.dot(vb, vb))),
+            6,
+        ).alias("mean_cosine"),
+        N.rnd(F.sqrt(diff2), 6).alias("l2_shift"),
+        N.rnd(maxshift, 6).alias("max_dim_shift"),
+    )
