@@ -140,3 +140,48 @@ def streaming_sliding_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "stream_static_join_attested",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS user_total
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value,
+       CAST(sum(d.user_total) AS BIGINT) AS sum_user_totals
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1""",
+    doc="Stream-static join attested differentially (T5 family — the "
+    "dimension-enrichment topology: every micro-batch joins against a "
+    "static frame without streaming state): the events STREAM joins a "
+    "batch-derived per-user dimension, then a complete-mode aggregation "
+    "proves every streamed row picked up exactly its dimension row. At "
+    "scale the static side is a broadcast dim refreshed per batch "
+    "(streaming/pipeline.py's production topologies); here the gate "
+    "checks the join semantics value-for-value against batch SQL.",
+    survey_ids=("T5", "M7"),
+)
+def stream_static_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    static_dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("user_total"))
+    )
+    stream = _events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(static_dim), "user_id")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+        F.sum("user_total").cast("bigint").alias("sum_user_totals"),
+    )
+    name = _run_to_memory(agg, "stream_static")
+    return spark.table(name).select(
+        "event_type", "n_events", "total_value", "sum_user_totals"
+    )
