@@ -1000,3 +1000,45 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("total_rows").cast("double") / F.max("k"))
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "salted_join_attested",
+    oracle="""
+WITH dim AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS user_value
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(d.user_value) AS DECIMAL(38,2)) AS joined_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1""",
+    doc="Differential attestation of the salted JOIN (the sibling of "
+    "salted_hourly_agg's aggregation guard, operators/joins.py): the "
+    "skew-resistant join — fact side salted by a deterministic row "
+    "hash, dim side replicated over the 16-bucket salt space via a "
+    "broadcast range — must be value-for-value equal to the oracle's "
+    "plain join. Proves the manual skew fallback changes the shuffle "
+    "layout and nothing else; the rollup keys on event_type so any "
+    "lost or duplicated row flips a count or a DECIMAL sum.",
+    survey_ids=("M4", "M7"),
+)
+def salted_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("user_value")
+    )
+    joined = salted_join(
+        e.select("user_id", "event_type"), dim, key="user_id"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("user_value").cast("decimal(38,2)").alias("joined_value"),
+    )
