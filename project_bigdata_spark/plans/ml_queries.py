@@ -337,3 +337,143 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.sqrt(diff2), 6).alias("l2_shift"),
         N.rnd(maxshift, 6).alias("max_dim_shift"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_BUCKET} AS bucket FROM embeddings
+), anchors AS (
+  SELECT vec_id, label, embedding
+  FROM b
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 128
+), pairs AS (
+  SELECT a.vec_id, a.label, c.vec_id AS neg_id,
+         round({_L2SQ_SQL.format(a='a.embedding', b='c.embedding')}, 6)
+           AS dist
+  FROM anchors a JOIN b c ON c.label <> a.label
+), top3 AS (
+  SELECT vec_id, label, neg_id, dist
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, neg_id) <= 3
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS BIGINT) AS label,
+       array_to_string(list(neg_id ORDER BY dist, neg_id), ',')
+         AS hard_negatives,
+       round(min(dist), 6) AS nearest_neg_dist
+FROM top3 GROUP BY 1, 2""",
+    doc="Hard-negative mining for contrastive training (the data-prep "
+    "pass an embedding-training pipeline runs per epoch): for each of "
+    "128 md5-chosen anchors, the 3 nearest DIFFERENT-label vectors — "
+    "the negatives that actually move the loss. Same corpus-never-"
+    "shuffles shape as the kNN eval: anchors broadcast, distances on "
+    "the 1e-6 grid, ranks tie-broken on candidate id so the mined set "
+    "replays bit-identically in the oracle.",
+    survey_ids=("M7", "S2"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _split(load_table(spark, sf_dir, "embeddings"))
+    anchors = (
+        e.select(
+            F.col("vec_id"),
+            F.col("label").alias("a_label"),
+            SIM.as_double(F.col("embedding")).alias("avec"),
+            F.md5(F.col("vec_id").cast("string")).alias("_ord"),
+        )
+        .orderBy("_ord")
+        .limit(128)
+        .drop("_ord")
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("n_label"),
+        SIM.as_double(F.col("embedding")).alias("nvec"),
+    )
+    pairs = cand.join(F.broadcast(anchors)).filter(
+        F.col("n_label") != F.col("a_label")
+    ).select(
+        "vec_id",
+        F.col("a_label").alias("label"),
+        "neg_id",
+        N.rnd(SIM.l2sq(F.col("avec"), F.col("nvec")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "neg_id")
+    top3 = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    return top3.groupBy(
+        N.big("vec_id").alias("vec_id"), N.big("label").alias("label")
+    ).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("dist", "neg_id"))
+                ),
+                lambda s: s["neg_id"].cast("string"),
+            ),
+        ).alias("hard_negatives"),
+        N.rnd(F.min("dist"), 6).alias("nearest_neg_dist"),
+    )
+
+
+@query(
+    "training_prep_audit",
+    oracle=f"""
+WITH b AS (
+  SELECT label, ({_BUCKET}) % 5 AS fold FROM embeddings
+), cells AS (
+  SELECT fold, label, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2
+), totals AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total,
+         CAST(count(DISTINCT label) AS DOUBLE) AS k
+  FROM cells
+), per_label AS (
+  SELECT label, CAST(sum(n) AS DOUBLE) AS n_label FROM cells GROUP BY 1
+)
+SELECT CAST(c.fold AS BIGINT) AS fold,
+       CAST(c.label AS BIGINT) AS label,
+       c.n,
+       round(t.total / (t.k * p.n_label), 6) AS class_weight
+FROM cells c
+JOIN per_label p ON p.label = c.label
+CROSS JOIN totals t""",
+    doc="Training-prep audit: deterministic 5-fold cross-validation "
+    "assignment (md5 bucket mod 5 — stable across refreshes, "
+    "decorrelated from ingest order) crossed with labels, plus inverse-"
+    "frequency class weights (total / (k * n_label), the sklearn "
+    "'balanced' formula). The fold x label census IS the stratification "
+    "check: a skewed cell means a fold that over/under-represents a "
+    "class. One group pass; weights derive from broadcast totals.",
+    survey_ids=("M7", "P12"),
+)
+def training_prep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _split(load_table(spark, sf_dir, "embeddings"))
+    cells = e.groupBy(
+        (F.col("bucket") % 5).cast("bigint").alias("fold"),
+        F.col("label").cast("bigint").alias("label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = cells.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count_distinct("label").cast("double").alias("k"),
+    )
+    per_label = cells.groupBy(F.col("label").alias("p_label")).agg(
+        F.sum("n").cast("double").alias("n_label")
+    )
+    out = (
+        cells.join(
+            F.broadcast(per_label),
+            cells.label == per_label.p_label,
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        "fold",
+        "label",
+        "n",
+        N.rnd(
+            F.col("total") / (F.col("k") * F.col("n_label")), 6
+        ).alias("class_weight"),
+    )
