@@ -451,3 +451,16 @@ def test_partitioned_roundtrip_read_prunes_partitions(spark, sf_dir):
     # not filter rows post-scan
     assert "PartitionFilters" in plan
     assert "day#" in plan[plan.index("PartitionFilters") :][:300]
+
+
+def test_plan_doctor_catalog_sweep():
+    """Catalog-wide antipattern sweep: no CartesianProduct, no
+    row-at-a-time Python UDF, and every SinglePartition exchange
+    whitelisted with a justification (tools/plan_doctor.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import plan_doctor
+
+    assert plan_doctor.audit() == 0

@@ -1,0 +1,193 @@
+"""Catalog-wide physical-plan audit: every query's pre-execution plan is
+checked for the antipatterns that break at 100 TB, and the result is
+published as PLAN_AUDIT.md. tests/test_plans.py pins deep properties for
+~30 showcase queries; this tool sweeps ALL of them for the three checks
+that need no per-query knowledge:
+
+- **cartesian**: a `CartesianProduct` operator (an unconditioned
+  fact×fact join — always a bug; intentional tiny-side cross joins
+  compile to BroadcastNestedLoopJoin instead).
+- **single_partition**: a `SinglePartition` exchange, i.e. the plan
+  funnels through ONE task. Legitimate only when the funneled frame is
+  a post-aggregate/top-k reduced to scalars or value-cardinality rows —
+  every such case is whitelisted BY NAME with the justification below.
+- **py_row_udf**: `BatchEvalPython` (row-at-a-time pickled Python) —
+  the engine's zero-row-UDF policy allows only Arrow-batched
+  `ArrowEvalPython` / `MapInPandas` nodes, and only on the media path.
+
+Side-effectful builders (streaming runs, sink roundtrips) are skipped:
+their builder CALL executes jobs, and their plans are the batch shapes
+already audited elsewhere.
+
+Usage: python tools/plan_doctor.py   (writes PLAN_AUDIT.md, exits 1 on
+any non-whitelisted finding)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from project_bigdata_spark.plans.catalog import load_all  # noqa: E402
+from project_bigdata_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Builders whose CALL runs jobs (streams, sink writes) — their batch
+# plan shapes are audited by tests/test_plans.py where meaningful.
+SIDE_EFFECTFUL = {
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "partitioned_parquet_roundtrip",
+    "streaming_hourly_attested",
+    "streaming_sliding_attested",
+    "stream_static_join_attested",
+}
+
+# SinglePartition exchanges that are CORRECT: the funneled frame is a
+# scalar / few-row reduction, never fact-scale rows.
+SINGLE_PARTITION_OK = {
+    # global scalar aggregates (one output row)
+    "welch_ttest": "2-row variant pivot -> one scalar row",
+    "key_skew_profile": "cumsum over DISTINCT count values (cardinality-bounded)",
+    "embedding_drift": "64-row per-dim means packed into one row",
+    "dataset_profile_5v": "five scalar census numbers",
+    "approx_stats": "sketch summary row",
+    "value_hour_correlation": "five scalar moments",
+    "higher_moments": "four scalar moments",
+    "chi_square_independence": "scalar test statistic",
+    "drift_psi": "scalar PSI",
+    "gini_concentration": "per-entity aggregate ranked once (keys, not facts)",
+    "markov_steady_state": "8x8 transition matrix in one row",
+    "minhash_error_eval": "estimator-error summary scalars",
+    "approx_distinct_audit": "sketch-vs-exact scalar compare",
+    "approx_quantile_audit": "sketch-vs-exact scalar compare",
+    "scalar_misc": "scalar expressions demo row",
+    "q6_forecast_revenue": "single-row revenue reduce",
+    "pq_encode": "codebook distance-table build (one broadcast row)",
+    "pq_search": "top-k TakeOrdered merge",
+    "ivfpq_search": "top-k TakeOrdered merge",
+    "trend_fit": "per-entity OLS on entity-aggregate (keys, not facts)",
+    "exact_percentile_bands": "per-type order stats; final merge of 5 groups",
+    "period_over_period": "lag over days x types post-aggregate",
+    "rfm_segments": "quartile thresholds from per-customer aggregate",
+    "global_ids": "shard-rank offsets (shards, not rows)",
+    "epoch_shuffle": "per-shard rank offsets",
+    "snapshot_diff": "added/removed/changed scalar census",
+    "dq_check_suite": "constraint scalar report",
+    "dq_referential_integrity": "orphan-count scalars",
+    "dedup_exact": "duplicate-count scalar tail",
+    "temperature_mix": "per-source weights (|sources| rows)",
+    "source_reputation": "per-source shrunk means (|sources| rows)",
+    "training_prep_audit": "fold x label census (50 rows)",
+    "corpus_composition": "per-source cumulative share (|sources| rows)",
+    "funnel_conversion": "4 funnel scalars",
+    "layer_stats": "3-layer census",
+    "q1_pricing_summary": "4-group final sort",
+    # one-broadcast-row builds: a tiny aggregate (vocab / centroids /
+    # corpus stats / global thresholds) collapses to ONE row that then
+    # broadcasts — the engine's core zero-shuffle idiom; the funneled
+    # frame is the aggregate, never facts
+    "corpus_mix": "per-language quota row (one broadcast row build)",
+    "unigram_logprob": "top-4096 vocab packed into one broadcast row",
+    "bigram_logprob": "capped LM rows packed into one broadcast row",
+    "semantic_dedup": "coarse centroid table packed into one broadcast row",
+    "zorder_events": "global min/max stats row for rank normalization",
+    "tfidf_top_terms": "corpus doc-count scalar",
+    "bm25_retrieval": "corpus stats row (N, avgdl)",
+    "boilerplate_ngrams": "distinct-doc count scalar",
+    "dq_conditional_counts": "scalar condition census",
+    "q14_promo_share": "single-row promo-share reduce",
+    "q19_bracketed_revenue": "single-row revenue reduce",
+    "q22_idle_customers": "global avg-balance scalar subquery",
+    "q15_top_supplier": "global max-revenue scalar",
+    "q17_small_quantity_revenue": "single-row revenue reduce",
+    "q11_important_parts": "global value-threshold scalar",
+    "ivf_assign": "centroid table packed into one broadcast row",
+    "ivf_search": "centroid + query packed into one broadcast row",
+    "hybrid_rrf_search": "corpus stats + few-row top-k fusion",
+    "prf_expanded_search": "feedback term set packed into one broadcast row",
+    "woe_iv_encoding": "global event/non-event totals row",
+    "assoc_rules": "session-count scalar (the support denominator)",
+    "centroid_classifier_eval": "10-row centroid table packed into one broadcast row",
+}
+
+
+def audit() -> int:
+    spark = get_spark(app_name="plan-doctor", cpus=8)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    specs = load_all()
+    rows: list[tuple[str, str, str]] = []
+    bad = 0
+    for name, spec in specs.items():
+        if name in SIDE_EFFECTFUL:
+            rows.append((name, "skipped", "side-effectful builder"))
+            continue
+        try:
+            df = spec.builder(spark, SF_DIR)
+            plan = df._jdf.queryExecution().explainString(jmode)
+        except Exception as exc:  # noqa: BLE001
+            rows.append((name, "ERROR", str(exc).splitlines()[0][:80]))
+            bad += 1
+            continue
+        findings = []
+        if "CartesianProduct" in plan:
+            findings.append("cartesian")
+        if "BatchEvalPython" in plan:
+            findings.append("py_row_udf")
+        if re.search(r"Arguments: SinglePartition", plan):
+            if name in SINGLE_PARTITION_OK:
+                rows.append(
+                    (name, "ok*", f"1-partition OK: {SINGLE_PARTITION_OK[name]}")
+                )
+                if findings:
+                    rows[-1] = (name, "FLAG", ",".join(findings))
+                    bad += 1
+                continue
+            findings.append("single_partition")
+        if findings:
+            rows.append((name, "FLAG", ",".join(findings)))
+            bad += 1
+        else:
+            rows.append((name, "ok", ""))
+    lines = [
+        "# PLAN_AUDIT — catalog-wide physical-plan checks",
+        "",
+        "Generated by `python tools/plan_doctor.py` at sf0.001. Checks: no",
+        "`CartesianProduct`, no row-at-a-time `BatchEvalPython`, and every",
+        "`SinglePartition` exchange whitelisted with its justification",
+        "(legitimate only on scalar/cardinality-bounded frames).",
+        "",
+        f"**{len(rows)} queries: "
+        f"{sum(1 for r in rows if r[1] == 'ok')} clean, "
+        f"{sum(1 for r in rows if r[1] == 'ok*')} whitelisted single-partition, "
+        f"{sum(1 for r in rows if r[1] == 'skipped')} skipped (side-effectful), "
+        f"{bad} flagged.**",
+        "",
+        "| query | status | note |",
+        "|---|---|---|",
+    ]
+    for name, status, note in rows:
+        if status in ("ok",):
+            continue  # keep the table to the interesting rows
+        lines.append(f"| `{name}` | {status} | {note} |")
+    lines += [
+        "",
+        "All rows not listed are `ok` (no findings). A FLAG or ERROR row "
+        "fails the tool (exit 1) and the paired pytest.",
+        "",
+    ]
+    Path(__file__).resolve().parent.parent.joinpath("PLAN_AUDIT.md").write_text(
+        "\n".join(lines)
+    )
+    print(f"PLAN_AUDIT.md: {len(rows)} queries, {bad} flagged")
+    return bad
+
+
+if __name__ == "__main__":
+    sys.exit(1 if audit() else 0)
