@@ -1,0 +1,186 @@
+"""Data-profiling catalog entries: Count-Min-Sketch accuracy audit and
+equal-depth histograms.
+
+Completes the mergeable-sketch family (HLL distinct counts and GK
+quantiles already carry audits — ``approx_distinct_audit``,
+``approx_quantile_audit``): Count-Min is the sketch for per-key
+frequency under memory bounds, and like the others it is audited
+DIFFERENTIALLY — the oracle rebuilds the identical sketch from the same
+md5-derived hash rows AND the exact answer, so the driver attests both
+the sketch construction and its one-sided error (CMS never
+underestimates).
+
+Scale notes: the CMS collapses facts to d×w counter cells (4×256 here —
+a few KB regardless of corpus size) in ONE group pass; probes join the
+counter table via broadcast. The equal-depth histogram rides the
+count-of-counts idiom (cumulative sums over DISTINCT values, bounded by
+value cardinality, never a global sort of facts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+_D = 4      # hash rows
+_W = 256    # counters per row
+
+# Row-r hash of a key: two hex nibbles of md5(r || ':' || key) -> 0..255.
+# Same derivation in both engines; md5 of identical strings is identical.
+_NIB = (
+    "strpos('0123456789abcdef', substring("
+    "md5(CAST({r} AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),"
+    " {pos}, 1)) - 1"
+)
+_H_SQL = f"({_NIB.format(r='{r}', pos=1)}) * 16 + ({_NIB.format(r='{r}', pos=2)})"
+
+
+def _h_spark(r: int) -> F.Column:
+    h = F.md5(
+        F.concat(
+            F.lit(str(r)), F.lit(":"), F.col("user_id").cast("string")
+        )
+    )
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+@query(
+    "countmin_audit",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT r FROM (VALUES (0), (1), (2), (3)) v(r)
+), cells AS (
+  SELECT v.r, {_H_SQL.format(r='v.r')} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events CROSS JOIN rows_ v
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), probes AS (
+  SELECT e.user_id, e.n, v.r,
+         {_H_SQL.format(r='v.r')} AS bucket
+  FROM exact e CROSS JOIN rows_ v
+), est AS (
+  SELECT p.user_id, p.n, min(c.c) AS cms
+  FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, n,
+       CAST(cms AS BIGINT) AS cms_estimate,
+       CAST(cms - n AS BIGINT) AS overestimate,
+       CAST((cms >= n) AS BIGINT) AS never_underestimates
+FROM est""",
+    doc="Count-Min-Sketch frequency audit — the third mergeable-sketch "
+    "family next to HLL (approx_distinct_audit) and GK quantiles "
+    "(approx_quantile_audit): a 4x256 counter table built in ONE group "
+    "pass over md5-derived row hashes (a few KB regardless of corpus "
+    "size, and counters merge by plain addition across partitions / "
+    "days), then every key's estimate = min over rows of its counter. "
+    "The oracle rebuilds the identical sketch AND the exact counts, so "
+    "the driver attests construction and the one-sided error contract "
+    "(never_underestimates must be 1 for every key).",
+    survey_ids=("A3", "M7"),
+)
+def countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # one pass, d hashes per row via a small explode
+    hashed = e.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _h_spark(r).alias("bucket")
+                    )
+                    for r in range(_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", F.col("h.r").alias("r"), F.col("h.bucket").alias("bucket"))
+    cells = hashed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    probes = exact.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _h_spark(r).alias("bucket")
+                    )
+                    for r in range(_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "n", F.col("h.r").alias("r"), F.col("h.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("cms"))
+    )
+    return est.select(
+        N.big("user_id").alias("user_id"),
+        "n",
+        F.col("cms").cast("bigint").alias("cms_estimate"),
+        (F.col("cms") - F.col("n")).cast("bigint").alias("overestimate"),
+        (F.col("cms") >= F.col("n")).cast("bigint").alias(
+            "never_underestimates"
+        ),
+    )
+
+
+@query(
+    "equi_depth_histogram",
+    oracle="""
+WITH freq AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS f FROM events GROUP BY 1
+), cum AS (
+  SELECT value, f,
+         sum(f) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         sum(f) OVER () AS n
+  FROM freq
+)
+SELECT CAST(ceil(10.0 * c / n) AS BIGINT) AS bucket,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi,
+       CAST(sum(f) AS BIGINT) AS n_rows
+FROM cum GROUP BY 1""",
+    doc="Equal-depth (decile) histogram of the value column — the "
+    "profiling shape optimizers build range statistics from, and the "
+    "equal-width sibling of length_bucket_stats: every distinct value "
+    "lands in bucket ceil(10*cum/n) from a cumulative sum over "
+    "DISTINCT values (the count-of-counts idiom: the global window "
+    "ranks value cardinality, never fact rows — same scale argument as "
+    "key_skew_profile). Indivisible heavy values make depths unequal; "
+    "that imbalance is exactly what the profile is for.",
+    survey_ids=("A3", "A10", "M7"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    freq = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = freq.select(
+        "value",
+        "f",
+        F.sum("f").over(wcum).alias("c"),
+        F.sum("f").over(wall).alias("n"),
+    )
+    bucket = F.ceil(F.lit(10.0) * F.col("c") / F.col("n")).cast("bigint")
+    return cum.groupBy(bucket.alias("bucket")).agg(
+        N.rnd(F.min("value")).alias("lo"),
+        N.rnd(F.max("value")).alias("hi"),
+        F.sum("f").cast("bigint").alias("n_rows"),
+    )

@@ -113,6 +113,8 @@ SINGLE_PARTITION_OK = {
     "woe_iv_encoding": "global event/non-event totals row",
     "assoc_rules": "session-count scalar (the support denominator)",
     "centroid_classifier_eval": "10-row centroid table packed into one broadcast row",
+    "equi_depth_histogram": "cumsum over DISTINCT values (cardinality-bounded)",
+    "countmin_audit": "d x w counter cells (a few KB by construction)",
 }
 
 
