@@ -477,3 +477,92 @@ def training_prep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total") / (F.col("k") * F.col("n_label")), 6
         ).alias("class_weight"),
     )
+
+
+@query(
+    "mahalanobis_outliers",
+    oracle=f"""
+WITH comp AS (
+  SELECT u.pos,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(u.val) AS DOUBLE) AS s,
+         CAST(sum(CAST(u.val * u.val AS DECIMAL(28,12))) AS DOUBLE) AS sq
+  FROM embeddings, unnest(list_transform(embedding, (v, i) -> struct_pack(
+         pos := i,
+         val := CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(12,6))))) t(u)
+  GROUP BY 1
+), stats AS (
+  SELECT pos, s / n AS mu,
+         greatest((sq - s * s / n) / (n - 1.0), 1e-12) AS var
+  FROM comp
+), packed AS (
+  SELECT list(mu ORDER BY pos) AS mus, list(var ORDER BY pos) AS vars
+  FROM stats
+), scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_sum(list_transform(range(1, 65), i ->
+           pow(round(CAST(e.embedding[i] AS DOUBLE), 6) - p.mus[i], 2)
+             / p.vars[i])), 4) AS m2
+  FROM embeddings e CROSS JOIN packed p
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS BIGINT) AS label, m2
+FROM scored
+QUALIFY row_number() OVER (ORDER BY m2 DESC, vec_id) <= 20""",
+    doc="Diagonal-Mahalanobis multivariate outlier screen over the "
+    "embedding corpus (the vector-space sibling of mad_outliers): "
+    "per-dimension mean/variance from exact DECIMAL component sums "
+    "collapse to ONE broadcast row of 64 (mu, var) pairs; each "
+    "vector's squared Mahalanobis distance is a fixed-order in-plan "
+    "fold, and the top-20 is a TakeOrdered — corpus scanned once, "
+    "zero shuffles on the scoring side. The curation use: vectors far "
+    "from the distribution in ANY subset of dimensions are encoder "
+    "failures or contamination, invisible to plain L2-norm screens.",
+    survey_ids=("M7", "A5b"),
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode(SIM.as_double(F.col("embedding"))).alias("pos", "v")
+    ).select("pos", N.rnd("v", 6).cast("decimal(12,6)").alias("val"))
+    stats = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("val").cast("double").alias("s"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sq"),
+    ).select(
+        "pos",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.greatest(
+            (F.col("sq") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1.0),
+            F.lit(1e-12),
+        ).alias("var"),
+    )
+    packed = F.broadcast(
+        stats.agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "mu", "var"))
+            ).alias("dims")
+        )
+    )
+    x = SIM.as_double(F.col("embedding"))
+    m2 = F.aggregate(
+        F.zip_with(
+            F.col("dims"),
+            x,
+            lambda d, xv: (
+                (N.rnd(xv, 6) - d["mu"]) * (N.rnd(xv, 6) - d["mu"])
+            )
+            / d["var"],
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = e.crossJoin(packed).select(
+        N.big("vec_id").alias("vec_id"),
+        N.big("label").alias("label"),
+        N.rnd(m2).alias("m2"),
+    )
+    return scored.orderBy(F.col("m2").desc(), "vec_id").limit(20)
