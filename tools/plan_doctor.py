@@ -115,6 +115,7 @@ SINGLE_PARTITION_OK = {
     "centroid_classifier_eval": "10-row centroid table packed into one broadcast row",
     "equi_depth_histogram": "cumsum over DISTINCT values (cardinality-bounded)",
     "countmin_audit": "d x w counter cells (a few KB by construction)",
+    "mahalanobis_outliers": "64 (mu, var) pairs packed into one broadcast row",
 }
 
 
