@@ -185,3 +185,50 @@ def stream_static_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_type", "n_events", "total_value", "sum_user_totals"
     )
+
+
+@query(
+    "streaming_session_attested",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM gaps
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(CAST(min(ts) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S.%f') AS window_end
+FROM sess GROUP BY user_id, session_idx""",
+    doc="STREAMING session_window attested against the gaps-and-islands "
+    "SQL (the streaming face of session_window_native, same oracle "
+    "to the microsecond): the state store must open, EXTEND, and MERGE "
+    "dynamic-gap sessions across micro-batches and finish with exactly "
+    "the batch answer — the hardest streaming-state shape (session "
+    "merge), checked value-for-value including the native operator's "
+    "own window bounds.",
+    survey_ids=("T2", "T6", "M7"),
+)
+def streaming_session_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    sess = stream.groupBy(
+        F.col("user_id"),
+        F.session_window(F.col("ts"), "30 minutes").alias("_s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    name = _run_to_memory(sess, "stream_session")
+    return spark.table(name).select(
+        N.big("user_id").alias("user_id"),
+        "n_events",
+        N.ts_str(F.col("_s.start"), micros=True).alias("session_start"),
+        N.ts_str(F.col("_s.end"), micros=True).alias("window_end"),
+    )

@@ -45,6 +45,7 @@ SIDE_EFFECTFUL = {
     "streaming_hourly_attested",
     "streaming_sliding_attested",
     "stream_static_join_attested",
+    "streaming_session_attested",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
