@@ -1042,3 +1042,79 @@ def salted_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("user_value").cast("decimal(38,2)").alias("joined_value"),
     )
+
+
+@query(
+    "conversion_ci",
+    oracle=f"""
+WITH assign AS (
+  SELECT user_id,
+         CASE WHEN ({_NIBBLE.format(pos=1)}) * 16
+                   + ({_NIBBLE.format(pos=2)}) < 128
+              THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT variant,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(converted) AS DOUBLE) AS k
+  FROM assign GROUP BY 1
+)
+SELECT variant,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(k AS BIGINT) AS n_converted,
+       round(k / n, 6) AS rate,
+       round((k / n + pow(1.96, 2) / (2 * n)
+              - 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                            + pow(1.96, 2) / (4 * n * n)))
+             / (1.0 + pow(1.96, 2) / n), 6) AS wilson_lo,
+       round((k / n + pow(1.96, 2) / (2 * n)
+              + 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                            + pow(1.96, 2) / (4 * n * n)))
+             / (1.0 + pow(1.96, 2) / n), 6) AS wilson_hi
+FROM agg""",
+    doc="Per-variant conversion rate with the Wilson 95% score interval "
+    "— the binomial experiment readout next to welch_ttest's continuous "
+    "one: users hash-assigned by the shared md5 idiom, converted = any "
+    "purchase, then the closed-form Wilson bounds (robust at small n "
+    "and extreme rates where the normal approximation lies) evaluate "
+    "identically in double on both engines (the center term z^2/(2n) "
+    "and radius are spelled with the same operation order on both "
+    "sides, so the IEEE arithmetic matches exactly). One entity group "
+    "pass, a 2-row aggregate.",
+    survey_ids=("A4", "A11", "M7"),
+)
+def conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    assign = e.groupBy(
+        "user_id",
+        F.when(bucket < 128, F.lit("A")).otherwise(F.lit("B")).alias(
+            "variant"
+        ),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    agg = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("k"),
+    )
+    z = F.lit(1.96)
+    n, k = F.col("n"), F.col("k")
+    p = k / n
+    center_adj = F.pow(z, 2) / (2 * n)
+    rad = z * F.sqrt(p * (F.lit(1.0) - p) / n + F.pow(z, 2) / (4 * n * n))
+    denom = F.lit(1.0) + F.pow(z, 2) / n
+    return agg.select(
+        "variant",
+        n.cast("bigint").alias("n_users"),
+        k.cast("bigint").alias("n_converted"),
+        N.rnd(p, 6).alias("rate"),
+        N.rnd((p + center_adj - rad) / denom, 6).alias("wilson_lo"),
+        N.rnd((p + center_adj + rad) / denom, 6).alias("wilson_hi"),
+    )
