@@ -104,7 +104,7 @@ def query(
 # audio_segments, segment_dedup_apply, dup_cluster_histogram,
 # unigram_entropy, python_source_stats, ewma_features, scd2_customer,
 # cdc_state, mad_outliers, approx_quantile_audit, salted_hourly_agg,
-# trend_fit, shard_manifest, image_resize_grid, epoch_shuffle, ivfpq_search, hybrid_rrf_search, prf_expanded_search, drift_psi, higher_moments, chi_square_independence, woe_iv_encoding, rfm_segments, global_ids, session_paths, markov_steady_state, gini_concentration, seasonal_anomaly, concurrency_curve, welch_ttest, touch_attribution, time_to_conversion, state_merge_audit, assoc_rules, funnel_depth, distinct_rollup_two_level, temperature_mix, source_reputation, centroid_classifier_eval, knn_classifier_eval, exact_percentile_bands, csv_roundtrip, jsonl_roundtrip, partitioned_parquet_roundtrip, wordpiece_apply, hopping_window_counts, period_over_period, rolling_distinct_24h, key_skew_profile, embedding_drift, streaming_hourly_attested, streaming_sliding_attested, stream_static_join_attested, salted_join_attested, hard_negative_mining, training_prep_audit, countmin_audit, equi_depth_histogram, mahalanobis_outliers, streaming_session_attested, conversion_ci. Lead the next round's
+# trend_fit, shard_manifest, image_resize_grid, epoch_shuffle, ivfpq_search, hybrid_rrf_search, prf_expanded_search, drift_psi, higher_moments, chi_square_independence, woe_iv_encoding, rfm_segments, global_ids, session_paths, markov_steady_state, gini_concentration, seasonal_anomaly, concurrency_curve, welch_ttest, touch_attribution, time_to_conversion, state_merge_audit, assoc_rules, funnel_depth, distinct_rollup_two_level, temperature_mix, source_reputation, centroid_classifier_eval, knn_classifier_eval, exact_percentile_bands, csv_roundtrip, jsonl_roundtrip, partitioned_parquet_roundtrip, wordpiece_apply, hopping_window_counts, period_over_period, rolling_distinct_24h, key_skew_profile, embedding_drift, streaming_hourly_attested, streaming_sliding_attested, stream_static_join_attested, salted_join_attested, hard_negative_mining, training_prep_audit, countmin_audit, equi_depth_histogram, mahalanobis_outliers, streaming_session_attested, conversion_ci, copurchase_affinity, ship_delay_sla. Lead the next round's
 # priority list with exactly these.
 _ATTESTATION_PRIORITY = [
     # never driver-attested: window/rollup family

@@ -6,7 +6,7 @@ driver's star schema — it has no partsupp table, so supply-cost terms use
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_bigdata_spark.operators import joins as J
@@ -330,4 +330,163 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_cust.groupBy(N.big("c_count").alias("c_count")).agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "copurchase_affinity",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM items
+), singles AS (
+  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n_one
+  FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS DOUBLE) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.part_a, p.part_b, p.n_both,
+         p.n_both * t.n / (sa.n_one * sb.n_one) AS lift
+  FROM pairs p
+  JOIN singles sa ON sa.l_partkey = p.part_a
+  JOIN singles sb ON sb.l_partkey = p.part_b
+  CROSS JOIN tot t
+  WHERE p.n_both >= 2
+)
+SELECT CAST(part_a AS BIGINT) AS part_a,
+       CAST(part_b AS BIGINT) AS part_b,
+       CAST(n_both AS BIGINT) AS n_orders_both,
+       round(lift, 4) AS lift
+FROM scored
+QUALIFY row_number() OVER (ORDER BY lift DESC, part_a, part_b) <= 20""",
+    doc="Part co-purchase affinity over the order baskets (the "
+    "relational-side market basket, sibling of assoc_rules' session "
+    "itemsets): distinct (order, part) pairs self-join ON THE ORDER "
+    "KEY, so pair width is bounded by basket size (TPC-H orders carry "
+    "<= 7 lines), never by catalog size; support >= 2 prunes noise "
+    "pairs BEFORE the lift join and the top-20 is a TakeOrdered. The "
+    "lift denominator joins per-part counts back via broadcast.",
+    survey_ids=("M4", "A5", "M7"),
+)
+def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    tot = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    singles = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_one")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        items.withColumnRenamed("l_partkey", "part_a")
+        .join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    sa = F.broadcast(singles.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("n_one").alias("n_a")))
+    sb = F.broadcast(singles.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("n_one").alias("n_b")))
+    scored = (
+        pairs.join(sa, "part_a").join(sb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            N.big("part_a").alias("part_a"),
+            N.big("part_b").alias("part_b"),
+            F.col("n_both").cast("bigint").alias("n_orders_both"),
+            N.rnd(
+                F.col("n_both") * F.col("n") / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "part_a", "part_b"
+    ).limit(20)
+
+
+@query(
+    "ship_delay_sla",
+    oracle="""
+WITH delays AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), freq AS (
+  SELECT o_orderpriority, delay_days,
+         CAST(count(*) AS BIGINT) AS f
+  FROM delays GROUP BY 1, 2
+), cum AS (
+  SELECT o_orderpriority, delay_days, f,
+         sum(f) OVER (PARTITION BY o_orderpriority ORDER BY delay_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         sum(f) OVER (PARTITION BY o_orderpriority) AS n
+  FROM freq
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(min(CASE WHEN c >= ceil(0.50 * n) THEN delay_days END)
+            AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN c >= ceil(0.95 * n) THEN delay_days END)
+            AS BIGINT) AS p95_days,
+       CAST(max(delay_days) AS BIGINT) AS max_days
+FROM cum GROUP BY 1""",
+    doc="Ship-delay SLA percentiles per order priority (order date -> "
+    "line ship date): the operational latency readout a fulfilment "
+    "pipeline watches. Exact p50/p95 via the count-of-counts idiom — "
+    "delays collapse to whole-day frequencies per priority (bounded "
+    "cardinality: ~hundreds of distinct day values), the cumulative "
+    "pick runs over those values, and the fact-scale work is ONE "
+    "join + group pass. The orders side joins broadcast-eligible "
+    "after AQE sizes it.",
+    survey_ids=("M4", "A3", "F9", "M7"),
+)
+def ship_delay_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    freq = delays.groupBy("o_orderpriority", "delay_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("delay_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = freq.select(
+        "o_orderpriority",
+        "delay_days",
+        F.sum("f").over(wcum).alias("c"),
+        F.sum("f").over(wall).alias("n"),
+    )
+
+    def pick(q: float) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("c") >= F.ceil(F.lit(q) * F.col("n")),
+                F.col("delay_days"),
+            )
+        ).cast("bigint")
+
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        pick(0.50).alias("p50_days"),
+        pick(0.95).alias("p95_days"),
+        F.max("delay_days").cast("bigint").alias("max_days"),
     )

@@ -117,6 +117,7 @@ SINGLE_PARTITION_OK = {
     "equi_depth_histogram": "cumsum over DISTINCT values (cardinality-bounded)",
     "countmin_audit": "d x w counter cells (a few KB by construction)",
     "mahalanobis_outliers": "64 (mu, var) pairs packed into one broadcast row",
+    "copurchase_affinity": "order-count scalar (the lift denominator)",
 }
 
 
