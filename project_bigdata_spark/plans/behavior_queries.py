@@ -125,14 +125,14 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concurrency_curve",
     oracle="""
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_idx,
          ts
@@ -173,7 +173,9 @@ def concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_idx",
         F.sum(new_session).over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")  # event_id tiebreak: keeps the
+            # running-sum assignment deterministic under (user_id, ts)
+            # ties, matching the gap window and the oracle's sess CTE
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

@@ -90,96 +90,105 @@ def query(
 
 
 # The driver attests only the first 50 ``queries()`` entries per round, so
-# catalog order is the attestation schedule. Round 1 ran the registration
-# order (CORRECTNESS_r01.json == first 50); round 2 led with the LLM-pipeline
-# operators + TPC-H tail + feature/window queries. Round 3 leads with the 20
-# entries that have never had a driver row (added after the round-2 window
-# froze, or deferred then), then the 2 rows that FAILED r2 on the
-# TIMESTAMP_NTZ testdata change (now fixed in sources/registry.py), then
-# backfills the window with the headline set and conf-sensitive queries so
-# the repaired timestamp path is double-attested.
+# catalog order is the attestation schedule. Rounds 1-3 attested 147 of the
+# 210 entries (CORRECTNESS_r01 ∪ r02 ∪ r03 — disjoint windows). Round 4's
+# window below holds exactly the 50 highest-priority entries of the 63 that
+# have NEVER had a driver row (all added in round 3, all local-parity green):
+# SURVEY-§2-relevant IO roundtrips and streaming attestations first, then
+# warehouse/SCD2/CDC, skew handling, the retrieval stack, and the remaining
+# feature/behavioral analytics.
 #
-# Round-4 window TODO: 26 entries added late in round 3 sit past the
-# 50-slot window and are local-parity + sf0.01-contract green only —
-# audio_segments, segment_dedup_apply, dup_cluster_histogram,
-# unigram_entropy, python_source_stats, ewma_features, scd2_customer,
-# cdc_state, mad_outliers, approx_quantile_audit, salted_hourly_agg,
-# trend_fit, shard_manifest, image_resize_grid, epoch_shuffle, ivfpq_search, hybrid_rrf_search, prf_expanded_search, drift_psi, higher_moments, chi_square_independence, woe_iv_encoding, rfm_segments, global_ids, session_paths, markov_steady_state, gini_concentration, seasonal_anomaly, concurrency_curve, welch_ttest, touch_attribution, time_to_conversion, state_merge_audit, assoc_rules, funnel_depth, distinct_rollup_two_level, temperature_mix, source_reputation, centroid_classifier_eval, knn_classifier_eval, exact_percentile_bands, csv_roundtrip, jsonl_roundtrip, partitioned_parquet_roundtrip, wordpiece_apply, hopping_window_counts, period_over_period, rolling_distinct_24h, key_skew_profile, embedding_drift, streaming_hourly_attested, streaming_sliding_attested, stream_static_join_attested, salted_join_attested, hard_negative_mining, training_prep_audit, countmin_audit, equi_depth_histogram, mahalanobis_outliers, streaming_session_attested, conversion_ci, copurchase_affinity, ship_delay_sla. Lead the next round's
-# priority list with exactly these.
+# ROUND-5 WINDOW: the 13-entry overflow (63 > 50) sits at positions 51-63 —
+# deliberately the least-risky scalar readouts (small fixed-row results,
+# pure-aggregate shapes): conversion_ci, gini_concentration, higher_moments,
+# chi_square_independence, welch_ttest, trend_fit, mad_outliers,
+# approx_quantile_audit, unigram_entropy, dup_cluster_histogram,
+# exact_percentile_bands, period_over_period, temperature_mix. Any entry
+# added in round 4 registers BEHIND them, which is the correct round-5
+# order already — extend this list with new names as they are added so the
+# window stays explicit. tests/test_sql_catalog.py enforces freshness:
+# while never-attested entries exist, the first 50 of load_all() must be
+# (almost) all never-attested.
 _ATTESTATION_PRIORITY = [
-    # never driver-attested: window/rollup family
-    "multi_granularity_rollup",
-    "lag_lead_features",
-    "time_range_rolling",
-    # never driver-attested: dedup/corpus lifecycle
-    "contamination_check",
-    "incremental_dedup",
-    "dedup_apply",
-    # never driver-attested: similarity / quantization
-    "knn_batch",
-    "embedding_quantize",
-    "knn_quantized",
-    # never driver-attested: text / corpus ops
-    "pii_redact",
-    "repetition_scores",
-    "token_packing",
-    "corpus_mix",
-    "frame_sample",
-    "unigram_logprob",
-    "quality_quantile_filter",
-    "snapshot_diff",
-    "hash_split",
-    "text_normalize",
-    "top_ngrams",
-    # FAILED r2 on TIMESTAMP_NTZ; re-attest post-fix
-    "sessionize_events",
-    "range_join_events",
-    # new this round, no driver row yet
-    "repeated_ngram_spans",
-    "semantic_dedup",
-    "bloom_dedup_prefilter",
-    "diversity_sample",
-    "bigram_logprob",
-    "zorder_events",
-    "pq_encode",
-    "pq_search",
-    "inverted_index",
-    "tfidf_top_terms",
-    "bm25_retrieval",
-    "minhash_error_eval",
-    "random_projection",
-    # new this session (corpus_queries2), no driver row yet
-    "segment_dedup",
-    "boilerplate_ngrams",
-    "corpus_composition",
-    "vocab_coverage",
-    "length_bucket_stats",
-    "stratified_fixed_n",
-    "feature_scaling",
-    "asof_tolerance_join",
-    "session_window_native",
-    "edit_distance_linkage",
-    "approx_distinct_audit",
-    "weighted_sample",
-    "value_hour_correlation",
-    "feature_hashing",
-    "bpe_pair_counts",
-    # (backfill slots consumed by this round's 27 new entries; every
-    # displaced headliner already carries green r1 AND r2 driver rows
-    # plus per-round bench timings)
-    # backfill: other timestamp-path queries (same NTZ blast radius)
-    "time_features",
-    "time_split_counts",
-    "gap_fill_hourly",
-    "gap_fill_ffill",
-    "iso_parsing",
-    "date_range_filter",
-    "time_bucketed_counts",
-    "latest_per_entity",
-    "orders_lag_lead",
-    # (dedup_exact/minhash_signatures/dedup_clusters backfills were
-    # displaced by the three round-3 additions above — all already carry
-    # green rows in r1 and/or r2)
+    # -- round-4 window, positions 1-50: never driver-attested ---------
+    # IO sink/scan roundtrips (SURVEY S6/S7/S10)
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "partitioned_parquet_roundtrip",
+    # streaming attestations (T1/T2/T4 — real readStream vs batch SQL)
+    "streaming_hourly_attested",
+    "streaming_sliding_attested",
+    "stream_static_join_attested",
+    "streaming_session_attested",
+    # warehouse: SCD2 / CDC / state-merge
+    "scd2_customer",
+    "cdc_state",
+    "state_merge_audit",
+    # skew handling
+    "salted_hourly_agg",
+    "salted_join_attested",
+    "key_skew_profile",
+    # retrieval stack
+    "ivfpq_search",
+    "hybrid_rrf_search",
+    "prf_expanded_search",
+    # relational analytics
+    "copurchase_affinity",
+    "ship_delay_sla",
+    # multimodal
+    "image_resize_grid",
+    "audio_segments",
+    # text / corpus
+    "wordpiece_apply",
+    "segment_dedup_apply",
+    "python_source_stats",
+    "source_reputation",
+    # features / ML evaluation
+    "ewma_features",
+    "embedding_drift",
+    "hard_negative_mining",
+    "training_prep_audit",
+    "mahalanobis_outliers",
+    "centroid_classifier_eval",
+    "knn_classifier_eval",
+    "woe_iv_encoding",
+    # publishing / layout
+    "shard_manifest",
+    "epoch_shuffle",
+    "global_ids",
+    # behavioral analytics
+    "drift_psi",
+    "rfm_segments",
+    "session_paths",
+    "markov_steady_state",
+    "seasonal_anomaly",
+    "concurrency_curve",
+    "touch_attribution",
+    "time_to_conversion",
+    "assoc_rules",
+    "funnel_depth",
+    # remaining analytics
+    "distinct_rollup_two_level",
+    "hopping_window_counts",
+    "rolling_distinct_24h",
+    "countmin_audit",
+    "equi_depth_histogram",
+    # -- round-5 window, positions 51-63: the staged overflow ----------
+    "conversion_ci",
+    "gini_concentration",
+    "higher_moments",
+    "chi_square_independence",
+    "welch_ttest",
+    "trend_fit",
+    "mad_outliers",
+    "approx_quantile_audit",
+    "unigram_entropy",
+    "dup_cluster_histogram",
+    "exact_percentile_bands",
+    "period_over_period",
+    "temperature_mix",
+    # -- round-4 additions register behind via load_all()'s append; add
+    #    their names here explicitly as they land ----------------------
 ]
 
 

@@ -10,9 +10,12 @@ sink mangles (timestamp formatting, quoting, JSON escaping, partition
 column peeling) breaks the hash match. Text fidelity is pinned by an
 md5-sum over the payload column, not just row counts.
 
-Each call writes to a fresh ``tempfile.mkdtemp`` dir (a few MB at test
-scale) — catalog builders must be re-runnable and collision-free when
-the driver sweeps them in one session.
+Each entry writes to a deterministic per-query dir under the system
+temp root with ``mode("overwrite")`` — repeated catalog sweeps and
+bench runs reuse ONE directory per query instead of leaking a fresh
+``mkdtemp`` copy of the table per invocation, and the path is keyed by
+(query, sf_dir) so concurrent sweeps over different scale factors
+never collide.
 
 Scale notes: these are sink-path attestations, not perf paths — but the
 shapes are the production ones: ``write_partitioned_parquet`` uses
@@ -23,6 +26,8 @@ and CSV/JSONL writes shard per task with no coalesce-to-1.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +60,18 @@ def _md5_sum(col: str) -> F.Column:
     )
 
 
+def _sink_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) sink path: reused with
+    mode("overwrite") across sweeps instead of leaking one mkdtemp
+    copy of the table per invocation."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_io", f"{name}_{key}"
+    )
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 @query(
     "csv_roundtrip",
     oracle="""
@@ -76,16 +93,19 @@ FROM events GROUP BY 1""",
 )
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    path = _sink_dir("csv_roundtrip", sf_dir)
     (
         e.write.mode("overwrite")
         .option("header", "true")
+        .option("escape", '"')
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
     )
     back = (
         spark.read.schema(_EVENTS_DDL)
         .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .csv(path)
     )
@@ -117,7 +137,7 @@ FROM documents GROUP BY 1""",
 )
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    path = _sink_dir("jsonl_roundtrip", sf_dir)
     d.write.mode("overwrite").json(path)
     back = spark.read.schema(_DOCS_DDL).json(path)
     return back.groupBy("lang").agg(
@@ -150,7 +170,7 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     e = load_table(spark, sf_dir, "events").withColumn(
         "day", F.dayofmonth("ts")
     )
-    path = tempfile.mkdtemp(prefix="part_roundtrip_")
+    path = _sink_dir("part_roundtrip", sf_dir)
     write_partitioned_parquet(e, path, ["day"])
     back = spark.read.parquet(path).filter(F.col("day").between(8, 14))
     return back.groupBy(N.big("day").alias("day")).agg(

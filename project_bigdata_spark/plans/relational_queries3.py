@@ -350,8 +350,12 @@ WITH items AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
 ), scored AS (
+  -- lift is rounded HERE, before the QUALIFY, so the top-20 ranks on
+  -- the same 4-decimal grid the Spark side orders by (an unrounded
+  -- ORDER BY would pick a different row set whenever two pairs differ
+  -- only past 4 decimals and straddle rank 20)
   SELECT p.part_a, p.part_b, p.n_both,
-         p.n_both * t.n / (sa.n_one * sb.n_one) AS lift
+         round(p.n_both * t.n / (sa.n_one * sb.n_one), 4) AS lift
   FROM pairs p
   JOIN singles sa ON sa.l_partkey = p.part_a
   JOIN singles sb ON sb.l_partkey = p.part_b
@@ -361,7 +365,7 @@ WITH items AS (
 SELECT CAST(part_a AS BIGINT) AS part_a,
        CAST(part_b AS BIGINT) AS part_b,
        CAST(n_both AS BIGINT) AS n_orders_both,
-       round(lift, 4) AS lift
+       lift
 FROM scored
 QUALIFY row_number() OVER (ORDER BY lift DESC, part_a, part_b) <= 20""",
     doc="Part co-purchase affinity over the order baskets (the "

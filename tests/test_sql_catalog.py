@@ -81,3 +81,37 @@ def test_attestation_window_leads_with_priority_list():
     # and every priority name actually exists (no dead entries)
     missing = [n for n in _ATTESTATION_PRIORITY if n not in QUERIES]
     assert not missing, f"priority list references unknown queries: {missing}"
+
+
+def test_attestation_window_is_fresh():
+    """Window-freshness invariant (round-3 verdict ask #3): while any
+    catalog entry has never received a driver CORRECTNESS row, the
+    driver's 50-slot window (the first 50 of load_all()) must be spent
+    on never-attested names — re-attesting green entries proves nothing.
+    Parses the committed CORRECTNESS_r0*.json files, so the invariant
+    tightens automatically every round."""
+    import glob
+    import json
+    import os
+
+    from project_bigdata_spark.plans.catalog import load_all
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    attested: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            attested |= set(json.load(f))
+    names = list(load_all())
+    never = [n for n in names if n not in attested]
+    if not never:
+        return  # every entry attested — any order is fine
+    window = names[:50]
+    fresh = [n for n in window if n not in attested]
+    want = min(len(never), 50)
+    # >=45 (not ==50) tolerates a handful of deliberate re-attestations
+    # (e.g. a repaired query re-proved after a fix), never a stale list.
+    assert len(fresh) >= min(want, 45), (
+        f"attestation window wastes {len(window) - len(fresh)} of 50 slots "
+        f"on already-green entries while {len(never)} entries have no "
+        f"driver row; reorder _ATTESTATION_PRIORITY in plans/catalog.py"
+    )
