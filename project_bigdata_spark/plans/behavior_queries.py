@@ -1120,3 +1120,159 @@ def conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd((p + center_adj - rad) / denom, 6).alias("wilson_lo"),
         N.rnd((p + center_adj + rad) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "ks_drift_by_type",
+    oracle="""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS early
+  FROM events
+), per_value AS (
+  SELECT event_type, value,
+         CAST(sum(early) AS BIGINT) AS n1,
+         CAST(sum(1 - early) AS BIGINT) AS n2
+  FROM tagged GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, value,
+         sum(n1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(n2) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+         sum(n1) OVER (PARTITION BY event_type) AS t1,
+         sum(n2) OVER (PARTITION BY event_type) AS t2
+  FROM per_value
+)
+SELECT event_type,
+       CAST(max(t1) AS BIGINT) AS n_early,
+       CAST(max(t2) AS BIGINT) AS n_late,
+       round(max(abs(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6)
+         AS ks_stat,
+       round(1.358 * sqrt((CAST(max(t1) AS DOUBLE) + max(t2))
+                          / (CAST(max(t1) AS DOUBLE) * max(t2))), 6)
+         AS crit_05
+FROM cum GROUP BY 1""",
+    doc="Exact two-sample Kolmogorov-Smirnov drift test per event type: "
+    "first half of the month vs second half. Counts collapse to one "
+    "row per (type, DISTINCT value) first, so the ECDF windows run "
+    "over the distinct-value frame, partitioned BY TYPE — a per-key "
+    "sort, never the global ordering the textbook single-sample "
+    "formulation needs. The statistic is max |F1 - F2| over exact "
+    "BIGINT cumulative counts; the only float ops are two divisions "
+    "and a subtraction of identical integers — bit-identical on every "
+    "IEEE engine. drift_psi's binned sibling; this one is exact and "
+    "binning-free. crit_05 is the α=0.05 two-sample critical value.",
+    survey_ids=("A3", "W3", "M7"),
+)
+def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("early"),
+    )
+    per_value = tagged.groupBy("event_type", "value").agg(
+        F.sum("early").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("early")).cast("bigint").alias("n2"),
+    )
+    wp = Window.partitionBy("event_type")
+    run = wp.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    full = wp.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_value.select(
+        "event_type",
+        F.sum("n1").over(run).alias("c1"),
+        F.sum("n2").over(run).alias("c2"),
+        F.sum("n1").over(full).alias("t1"),
+        F.sum("n2").over(full).alias("t2"),
+    )
+    t1d = F.max("t1").cast("double")
+    t2d = F.max("t2").cast("double")
+    return cum.groupBy("event_type").agg(
+        F.max("t1").cast("bigint").alias("n_early"),
+        F.max("t2").cast("bigint").alias("n_late"),
+        N.rnd(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("t1")
+                    - F.col("c2").cast("double") / F.col("t2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        N.rnd(F.lit(1.358) * F.sqrt((t1d + t2d) / (t1d * t2d)), 6).alias(
+            "crit_05"
+        ),
+    )
+
+
+@query(
+    "audience_overlap",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       sa.n AS n_a, sb.n AS n_b, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) / (sa.n + sb.n - p.n_both), 6)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b""",
+    doc="Audience-overlap matrix: for every event-type pair, the count "
+    "of users doing BOTH and the Jaccard of the two audiences. The "
+    "self-join is keyed on user_id, so pair fanout is bounded by each "
+    "user's distinct types (≤ the type vocabulary), never by audience "
+    "size — the same basket-bounded shape as copurchase_affinity. "
+    "Audience sizes come back via broadcast joins (|types| rows). At "
+    "10⁹ users this is one user-key exchange over the deduped "
+    "(user, type) pairs; the alternative bitmap intersection needs "
+    "the same shuffle to build its bitmaps.",
+    survey_ids=("A6", "M4", "M7"),
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        ut.withColumnRenamed("event_type", "type_a")
+        .join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    )
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            N.rnd(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

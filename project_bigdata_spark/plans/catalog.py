@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.relational_queries",
     "project_bigdata_spark.plans.relational_queries2",
     "project_bigdata_spark.plans.relational_queries3",
+    "project_bigdata_spark.plans.relational_queries4",
     "project_bigdata_spark.plans.feature_queries",
     "project_bigdata_spark.plans.dedup_queries",
     "project_bigdata_spark.plans.similarity_queries",
@@ -187,8 +188,15 @@ _ATTESTATION_PRIORITY = [
     "exact_percentile_bands",
     "period_over_period",
     "temperature_mix",
-    # -- round-4 additions register behind via load_all()'s append; add
-    #    their names here explicitly as they land ----------------------
+    # -- round-4 additions: queue behind the round-5 overflow ----------
+    "weighted_median_delay",
+    "ohlc_bars",
+    "interval_overlap_join",
+    "ks_drift_by_type",
+    "audience_overlap",
+    "streaming_dedup_attested",
+    "bucketed_join_roundtrip",
+    "partition_upsert_roundtrip",
 ]
 
 

@@ -179,3 +179,112 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("decimal(38,2)")
         .alias("total_value"),
     )
+
+
+@query(
+    "bucketed_join_roundtrip",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2))))
+            AS DECIMAL(38,4)) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1""",
+    doc="Bucketed-table join attested end-to-end (S9, the OLAP-serving "
+    "layout): lineitem and orders are written as 8-bucket managed "
+    "tables bucketed+sorted on the order key, then joined bucket-to-"
+    "bucket and aggregated; the oracle joins the ORIGINAL parquet, so "
+    "any row the bucketing layout drops, duplicates, or mis-routes "
+    "breaks the hash. The plan-level guarantee (no shuffle exchange "
+    "on the bucketed join) is asserted separately in "
+    "tests/test_olap_bucketing.py — this entry attests the LAYOUT "
+    "preserves the data. At 100 TB bucketing is the storage-side "
+    "answer to repeated big-big joins: pay the shuffle once at write.",
+    survey_ids=("S9", "M4"),
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.sources.registry import write_bucketed_table
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    li_tbl, o_tbl = f"lineitem_bkt_{key}", f"orders_bkt_{key}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed_table(li, li_tbl, "l_orderkey", n_buckets=8)
+    write_bucketed_table(o, o_tbl, "o_orderkey", n_buckets=8)
+    lb, ob = spark.table(li_tbl), spark.table(o_tbl)
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+    )
+
+
+@query(
+    "partition_upsert_roundtrip",
+    oracle="""
+WITH mod AS (
+  SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+         CASE WHEN date_part('day', ts) BETWEEN 10 AND 12
+                AND event_type = 'click'
+              THEN value + 1.0 ELSE value END AS v
+  FROM events
+), syn AS (
+  SELECT CAST(10 AS BIGINT) AS day, value AS v
+  FROM events
+  WHERE date_part('day', ts) = 10 AND event_type = 'view'
+), unioned AS (
+  SELECT * FROM mod UNION ALL SELECT * FROM syn
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(v AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+FROM unioned GROUP BY 1""",
+    doc="MERGE-INTO emulation attested end-to-end (operators/upsert.py's "
+    "anti-join + union + dynamic-partition-overwrite construction, the "
+    "fix for the reference's overwrite-the-world write at "
+    "batch_processor.py:125-129): events land partitioned by day, an "
+    "update batch REPLACES days 10-12's click rows (value + 1.0, same "
+    "event_id keys) and INSERTS day-10 view copies under fresh keys "
+    "(event_id + 10M), and the read-back per-day aggregate must equal "
+    "the oracle's CASE-modified union over the ORIGINAL table. "
+    "Partitions outside days 10-12 are neither read nor written by "
+    "the upsert — O(touched partitions), attested by the untouched "
+    "days hashing clean through the same result.",
+    survey_ids=("S7", "P6", "M4"),
+)
+def partition_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.upsert import upsert_partitioned
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    path = _sink_dir("part_upsert", sf_dir)
+    e.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    replaced = e.filter(
+        F.col("day").between(10, 12) & (F.col("event_type") == "click")
+    ).withColumn("value", F.col("value") + F.lit(1.0))
+    inserted = (
+        e.filter((F.col("day") == 10) & (F.col("event_type") == "view"))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    updates = replaced.unionByName(inserted)
+    upsert_partitioned(
+        spark, path, updates, key_cols=["event_id"], partition_cols=["day"]
+    )
+
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("day").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )

@@ -1,0 +1,273 @@
+"""Fourth relational batch: weighted quantiles, OHLC time-series bars,
+and an interval-overlap join.
+
+These are operator families the first three batches did not cover:
+
+- ``weighted_median_delay`` — weighted percentiles via cumulative-weight
+  windows (the exact, order-free construction; ``percentile_approx`` has
+  no weighted form and a sketch would not oracle-match anyway);
+- ``ohlc_bars`` — first/last-in-window conditional aggregation (the
+  open/high/low/close rollup every time-series store ships);
+- ``interval_overlap_join`` — interval × interval overlap, implemented
+  as a bounded grid-explode + broadcast join instead of the textbook
+  inequality join (which Spark would execute as BroadcastNestedLoopJoin
+  over every session × every window — quadratic at scale). The DuckDB
+  oracle USES the naive inequality join, so the differential gate
+  attests the two formulations are equivalent.
+
+Scale notes (100 TB): each query scans its fact table once and rides
+one hash exchange (join key or group key). The window steps run over
+post-aggregate frames (distinct delay values, hour grid) that are
+orders of magnitude smaller than the input; the hot-hour set is
+bounded by calendar hours and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+
+@query(
+    "weighted_median_delay",
+    oracle="""
+WITH delays AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days,
+         CAST(l.l_quantity AS DECIMAL(12,2)) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), grouped AS (
+  SELECT o_orderpriority, delay_days,
+         CAST(sum(w) AS DECIMAL(38,2)) AS wsum
+  FROM delays GROUP BY 1, 2
+), cum AS (
+  SELECT o_orderpriority, delay_days, wsum,
+         sum(wsum) OVER (PARTITION BY o_orderpriority ORDER BY delay_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         sum(wsum) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM grouped
+)
+SELECT o_orderpriority,
+       CAST(CAST(max(tot) AS DECIMAL(38,2)) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN c * 4  >= tot     THEN delay_days END) AS BIGINT)
+         AS wp25_days,
+       CAST(min(CASE WHEN c * 2  >= tot     THEN delay_days END) AS BIGINT)
+         AS wp50_days,
+       CAST(min(CASE WHEN c * 4  >= tot * 3 THEN delay_days END) AS BIGINT)
+         AS wp75_days,
+       CAST(min(CASE WHEN c * 10 >= tot * 9 THEN delay_days END) AS BIGINT)
+         AS wp90_days
+FROM cum GROUP BY 1""",
+    doc="Quantity-weighted ship-delay percentiles per order priority — "
+    "the weighted-quantile operator (ship_delay_sla's unweighted "
+    "sibling): weights sum exactly in DECIMAL per (priority, delay), a "
+    "per-priority cumulative-weight window finds the smallest delay "
+    "whose cumulative weight crosses q·total, and every threshold is "
+    "an integer-scaled DECIMAL comparison (c·4 ≥ tot, not c ≥ 0.25·tot)"
+    " so no float rounding can flip a bucket on either engine. The "
+    "window runs over the DISTINCT-delay frame (a few hundred rows per "
+    "priority), not the lineitems.",
+    survey_ids=("W3", "A3", "M4"),
+)
+def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("w"),
+    )
+    grouped = delays.groupBy("o_orderpriority", "delay_days").agg(
+        F.sum("w").cast("decimal(38,2)").alias("wsum")
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    cum = grouped.select(
+        "o_orderpriority",
+        "delay_days",
+        F.sum("wsum")
+        .over(wp.orderBy("delay_days").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+        F.sum("wsum")
+        .over(
+            wp.orderBy("delay_days").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+
+    def q_at(num: int, den: int, name: str) -> F.Column:
+        return (
+            F.min(
+                F.when(F.col("c") * den >= F.col("tot") * num, F.col("delay_days"))
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("tot").cast("decimal(38,2)").cast("bigint").alias("total_weight"),
+        q_at(1, 4, "wp25_days"),
+        q_at(1, 2, "wp50_days"),
+        q_at(3, 4, "wp75_days"),
+        q_at(9, 10, "wp90_days"),
+    )
+
+
+@query(
+    "ohlc_bars",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM ranked GROUP BY 1, 2""",
+    doc="Hourly OHLC bars per event type — the open/high/low/close "
+    "rollup of a time-series store, expressed as first/last-in-window "
+    "conditional aggregation: a (ts, event_id)-deterministic "
+    "row_number pair marks each bar's opening and closing event, and "
+    "one hash aggregation folds the bar. Open/close are raw column "
+    "values (no arithmetic), so they hash-match bit-exactly across "
+    "engines. The two window sorts ride the SAME (type, hour) hash "
+    "partitioning — one exchange, two partition-local sorts, then the "
+    "aggregation reuses the partitioning exchange-free.",
+    survey_ids=("W6", "A7", "F4"),
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    wp = Window.partitionBy("event_type", "hour")
+    ranked = e.select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(wp.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", N.ts_str("hour").alias("hour")).agg(
+        N.rnd(F.max(F.when(F.col("rn_a") == 1, F.col("value")))).alias("open"),
+        N.rnd(F.max("value")).alias("high"),
+        N.rnd(F.min("value")).alias("low"),
+        N.rnd(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM gaps
+), spans AS (
+  SELECT user_id, session_idx, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY 1, 2
+), hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS hcnt
+  FROM hourly
+), hot AS (
+  SELECT h.hour FROM hourly h CROSS JOIN tot t
+  WHERE 5 * h.n * t.hcnt >= 6 * t.total
+), touched AS (
+  SELECT p.user_id, p.session_idx, h.hour
+  FROM spans p JOIN hot h
+    ON h.hour >= date_trunc('hour', p.s)
+   AND h.hour <= date_trunc('hour', p.e)
+)
+SELECT user_id,
+       CAST(count(DISTINCT session_idx) AS BIGINT) AS n_sessions_in_hot,
+       CAST(count(DISTINCT hour) AS BIGINT) AS n_hot_hours_touched
+FROM touched GROUP BY 1""",
+    doc="Interval × interval overlap join: 30-min-gap user sessions "
+    "[start, end] against globally 'hot' hours (hourly volume ≥ 1.2× "
+    "the mean — the threshold compares 5·n·hcnt ≥ 6·total in exact "
+    "BIGINT arithmetic, no float). The oracle runs the textbook "
+    "inequality join; the Spark side refuses it (range-predicate "
+    "joins execute as BroadcastNestedLoopJoin — sessions × windows "
+    "is quadratic at 100 TB) and instead explodes each session to "
+    "its bounded hour grid (F.sequence; session length caps the "
+    "fanout) and equi-joins the BROADCAST hot-hour set (≤ calendar "
+    "hours rows). The differential gate attests the two formulations "
+    "agree row-for-row.",
+    survey_ids=("M4", "W3", "M7"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    spans = sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("hcnt"),
+    )
+    hot = (
+        hourly.crossJoin(F.broadcast(tot))
+        .filter(5 * F.col("n") * F.col("hcnt") >= 6 * F.col("total"))
+        .select("hour")
+    )
+    # bounded grid-explode: a session spanning k hours yields k rows
+    grid = spans.select(
+        "user_id",
+        "session_idx",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    touched = grid.join(F.broadcast(hot), "hour")
+    return touched.groupBy("user_id").agg(
+        F.count_distinct("session_idx").cast("bigint").alias("n_sessions_in_hot"),
+        F.count_distinct("hour").cast("bigint").alias("n_hot_hours_touched"),
+    )

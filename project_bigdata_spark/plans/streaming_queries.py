@@ -232,3 +232,56 @@ def streaming_session_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.ts_str(F.col("_s.start"), micros=True).alias("session_start"),
         N.ts_str(F.col("_s.end"), micros=True).alias("window_end"),
     )
+
+
+def _run_to_memory_append(df: DataFrame, prefix: str) -> str:
+    """Append-mode memory sink (dedup/stateless topologies): rows are
+    emitted as processed; the sink table accumulates the full output."""
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+@query(
+    "streaming_dedup_attested",
+    oracle="""
+WITH dedup AS (
+  SELECT DISTINCT user_id, event_type, ts FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM dedup GROUP BY 1""",
+    doc="Watermarked streaming deduplication attested against batch "
+    "DISTINCT: a real readStream replays the events parquet through "
+    "withWatermark('ts', '1 hour') + dropDuplicates on (user_id, "
+    "event_type, ts) — the event-time column is IN the dedup key, so "
+    "the state store evicts keys as the watermark passes them "
+    "(bounded state, the production at-least-once→exactly-once "
+    "repair) — and the append-mode sink must contain exactly the "
+    "batch DISTINCT set. Only the key columns are compared, so the "
+    "check is insensitive to which physical duplicate row wins.",
+    survey_ids=("T1", "T4", "P2", "M7"),
+)
+def streaming_dedup_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .select("user_id", "event_type", "ts")
+    )
+    name = _run_to_memory_append(deduped, "stream_dedup")
+    t = spark.table(name)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
