@@ -197,6 +197,8 @@ _ATTESTATION_PRIORITY = [
     "streaming_dedup_attested",
     "bucketed_join_roundtrip",
     "partition_upsert_roundtrip",
+    "grouping_sets_profile",
+    "pareto_frontier_suppliers",
 ]
 
 

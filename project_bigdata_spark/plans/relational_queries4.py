@@ -271,3 +271,144 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("session_idx").cast("bigint").alias("n_sessions_in_hot"),
         F.count_distinct("hour").cast("bigint").alias("n_hot_hours_touched"),
     )
+
+
+@query(
+    "grouping_sets_profile",
+    oracle="""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(CAST(date_part('day', ts) AS BIGINT), -1) AS BIGINT)
+         AS day,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(date_part('day', ts)) AS BIGINT) AS g_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (date_part('day', ts)),
+                        (event_type, date_part('day', ts)), ())""",
+    doc="Explicit GROUPING SETS aggregation — the arbitrary-subset API "
+    "that cube_lineitem_flags (full lattice) and rollup_order_stats "
+    "(prefix lattice) cannot express: exactly the four requested "
+    "groupings in ONE pass (Spark expands them inside a single "
+    "Expand+HashAggregate — one scan, one exchange, NOT four union'd "
+    "subqueries). GROUPING() markers disambiguate 'ALL' placeholder "
+    "values from real ones, engine-neutrally (no grouping_id "
+    "bit-order dependence).",
+    survey_ids=("A7", "O3", "F10"),
+)
+def grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "value"
+    )
+    gs = e.groupingSets(
+        [["event_type"], ["day"], ["event_type", "day"], []],
+        "event_type",
+        "day",
+    )
+    return gs.agg(
+        F.grouping("event_type").cast("bigint").alias("g_type"),
+        F.grouping("day").cast("bigint").alias("g_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    ).select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("day").cast("bigint"), F.lit(-1)).alias("day"),
+        "g_type",
+        "g_day",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "pareto_frontier_suppliers",
+    oracle="""
+WITH perf AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+              AS DECIMAL(38,4)) AS revenue,
+         CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+           AS worst_delay
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), vec AS (
+  SELECT DISTINCT s_nationkey, revenue, worst_delay FROM perf
+), frontier AS (
+  SELECT v.s_nationkey, v.revenue, v.worst_delay
+  FROM vec v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM vec d
+    WHERE d.s_nationkey = v.s_nationkey
+      AND d.revenue >= v.revenue AND d.worst_delay <= v.worst_delay
+      AND (d.revenue > v.revenue OR d.worst_delay < v.worst_delay)
+  )
+)
+SELECT CAST(p.s_nationkey AS BIGINT) AS nationkey,
+       CAST(p.l_suppkey AS BIGINT) AS suppkey,
+       p.revenue, p.worst_delay
+FROM perf p
+JOIN frontier f
+  ON f.s_nationkey = p.s_nationkey AND f.revenue = p.revenue
+ AND f.worst_delay = p.worst_delay""",
+    doc="Per-nation Pareto frontier (skyline) of suppliers on (revenue "
+    "max, worst ship-delay min). The oracle runs the textbook NOT "
+    "EXISTS dominance test — O(n²) per nation; the Spark side computes "
+    "the identical set with ONE per-nation sort: order distinct "
+    "objective vectors by (revenue DESC, delay ASC) and keep a vector "
+    "iff its delay beats the running MIN delay of every higher-revenue "
+    "vector (strictly — equal-vector suppliers re-join the frontier "
+    "afterwards, so ties keep ALL owners). Both objectives are exact "
+    "(DECIMAL revenue, BIGINT delay): no float rounding can flip a "
+    "dominance decision. At scale: skyline rides the same (nation) "
+    "partitioning as the window — linear after one sort vs the "
+    "quadratic join the oracle runs.",
+    survey_ids=("W6", "O1", "M4"),
+)
+def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    perf = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue"),
+            F.max(F.datediff("l_shipdate", "o_orderdate"))
+            .cast("bigint")
+            .alias("worst_delay"),
+        )
+    )
+    vec = perf.select("s_nationkey", "revenue", "worst_delay").distinct()
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("revenue").desc(), F.col("worst_delay").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        vec.withColumn("min_prec_delay", F.min("worst_delay").over(w))
+        .filter(
+            F.col("min_prec_delay").isNull()
+            | (F.col("worst_delay") < F.col("min_prec_delay"))
+        )
+        .select("s_nationkey", "revenue", "worst_delay")
+    )
+    return perf.join(
+        frontier, ["s_nationkey", "revenue", "worst_delay"]
+    ).select(
+        N.big("s_nationkey").alias("nationkey"),
+        N.big("l_suppkey").alias("suppkey"),
+        "revenue",
+        "worst_delay",
+    )
