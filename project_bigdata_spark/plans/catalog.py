@@ -199,6 +199,9 @@ _ATTESTATION_PRIORITY = [
     "partition_upsert_roundtrip",
     "grouping_sets_profile",
     "pareto_frontier_suppliers",
+    "streaming_upsert_sink_attested",
+    "quantile_normalize",
+    "mmr_rerank",
 ]
 
 

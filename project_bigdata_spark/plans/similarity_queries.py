@@ -702,3 +702,207 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("adc_dist", 6).alias("adc_dist"),
         N.rnd("cosine", 6).alias("cosine"),
     )
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+WITH dims AS (
+  SELECT unnest(range(64)) AS dim
+), ex AS (
+  SELECT e.vec_id, d.dim,
+         CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN dims d
+), ranked AS (
+  SELECT vec_id, dim, val,
+         row_number() OVER (PARTITION BY dim ORDER BY val, vec_id) AS rnk
+  FROM ex
+), ref AS (
+  SELECT rnk,
+         list_sum(list(val ORDER BY dim)) / len(list(val ORDER BY dim))
+           AS qn
+  FROM ranked GROUP BY rnk
+)
+SELECT CAST(r.vec_id AS BIGINT) AS vec_id,
+       CAST(r.dim AS BIGINT) AS dim,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       round(f.qn, 6) AS qn_val
+FROM ranked r JOIN ref f ON f.rnk = r.rnk
+WHERE r.vec_id % 50 = 0""",
+    doc="Quantile normalization across embedding dimensions (the "
+    "preprocessing classic: force every feature column onto the shared "
+    "reference distribution = the per-rank mean): explode to (vec, "
+    "dim, val), rank within each dim with a vec_id tiebreak, average "
+    "the 64 dim-values at each rank via a dim-ORDERED list fold (the "
+    "catalog's deterministic-summation idiom — both engines fold in "
+    "identical order, so the double mean is bit-identical), and map "
+    "each cell to its rank's reference value. Output is a vec_id%50 "
+    "sample of the normalized cells. Scale: rank-within-feature needs "
+    "a per-feature total order — 64-way parallel here; at 10⁹ rows "
+    "the production path is repartitionByRange(dim, val) + per-range "
+    "offsets (the two-pass distributed sort-rank), same semantics.",
+    survey_ids=("M7", "W8", "F7"),
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "valf")
+    ).select("vec_id", "dim", F.col("valf").cast("double").alias("val"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dim").orderBy("val", "vec_id")
+    ranked = ex.withColumn("rnk", F.row_number().over(w))
+    ref = (
+        ranked.groupBy("rnk")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("arr")
+        )
+        .select(
+            "rnk",
+            (
+                F.aggregate(
+                    "arr", F.lit(0.0), lambda acc, x: acc + x["val"]
+                )
+                / F.size("arr")
+            ).alias("qn"),
+        )
+    )
+    return (
+        ranked.filter(F.col("vec_id") % 50 == 0)
+        .join(ref, "rnk")
+        .select(
+            N.big("vec_id").alias("vec_id"),
+            N.big("dim").alias("dim"),
+            N.big("rnk").alias("rnk"),
+            N.rnd("qn", 6).alias("qn_val"),
+        )
+    )
+
+
+_MMR_PICK = """
+  SELECT c.vec_id FROM cands c
+  WHERE c.vec_id NOT IN ({sel})
+  ORDER BY 7.0e-1 * c.simq - 3.0e-1 * (
+            SELECT max(p.s) FROM pw p
+            WHERE p.ca = c.vec_id AND p.cb IN ({sel})) DESC,
+           c.vec_id
+  LIMIT 1"""
+
+
+@query(
+    "mmr_rerank",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+), cands AS (
+  SELECT vec_id, embedding,
+         round({_cos_sql('embedding', 'q.qvec')}, 6) AS simq
+  FROM embeddings, q WHERE vec_id <> 0
+  ORDER BY simq DESC, vec_id LIMIT 20
+), pw AS (
+  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS s
+  FROM cands a, cands b WHERE a.vec_id <> b.vec_id
+), s1 AS (
+  SELECT vec_id FROM cands ORDER BY simq DESC, vec_id LIMIT 1
+), s2 AS ({_MMR_PICK.format(sel="SELECT vec_id FROM s1")}
+), s12 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+), s3 AS ({_MMR_PICK.format(sel="SELECT vec_id FROM s12")}
+), s123 AS (SELECT vec_id FROM s12 UNION ALL SELECT vec_id FROM s3
+), s4 AS ({_MMR_PICK.format(sel="SELECT vec_id FROM s123")}
+), s1234 AS (SELECT vec_id FROM s123 UNION ALL SELECT vec_id FROM s4
+), s5 AS ({_MMR_PICK.format(sel="SELECT vec_id FROM s1234")}
+), sel AS (
+  SELECT 1 AS sel_rank, vec_id FROM s1
+  UNION ALL SELECT 2, vec_id FROM s2
+  UNION ALL SELECT 3, vec_id FROM s3
+  UNION ALL SELECT 4, vec_id FROM s4
+  UNION ALL SELECT 5, vec_id FROM s5
+)
+SELECT CAST(sel.sel_rank AS BIGINT) AS sel_rank,
+       CAST(sel.vec_id AS BIGINT) AS vec_id,
+       c.simq AS sim_to_query
+FROM sel JOIN cands c ON c.vec_id = sel.vec_id""",
+    doc="Maximal-Marginal-Relevance diversity rerank (λ=0.7, k=5 from a "
+    "top-20 candidate pool, query = vec 0): greedy selection maximizing "
+    "λ·sim(c,q) − (1−λ)·max_{{s∈S}} sim(c,s). Every similarity is "
+    "pinned to the 1e-6 grid BEFORE ranking and ties break on vec_id, "
+    "so each greedy pick is replayable on any engine; the oracle "
+    "unrolls the 5 steps as chained CTEs. Scale shape: ONE corpus pass "
+    "produces the candidate pool (bounded top-k, the knn_batch "
+    "machinery), which is then localCheckpoint'ed — the 5 greedy "
+    "iterations run on the 20-row cached frame (tiny broadcast joins), "
+    "never touching the corpus again. The standard diversity stage "
+    "between ANN retrieval and an LLM context window.",
+    survey_ids=("M7", "W5"),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            N.rnd(SIM.cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "simq"
+            ),
+        )
+    )
+    cands = (
+        scored.orderBy(F.col("simq").desc(), "vec_id")
+        .limit(20)
+        .localCheckpoint(eager=True)  # ONE corpus pass; iterations below
+        # touch only this bounded 20-row frame
+    )
+    pw = (
+        cands.select(F.col("vec_id").alias("ca"), F.col("embedding").alias("va"))
+        .crossJoin(
+            cands.select(
+                F.col("vec_id").alias("cb"), F.col("embedding").alias("vb")
+            )
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            N.rnd(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cands.orderBy(F.col("simq").desc(), "vec_id")
+        .limit(1)
+        .select(F.lit(1).alias("sel_rank"), "vec_id")
+    )
+    for step in range(2, 6):
+        rem = cands.join(sel.select("vec_id"), "vec_id", "left_anti")
+        div = (
+            pw.join(
+                sel.select(F.col("vec_id").alias("cb")), "cb"
+            )
+            .groupBy("ca")
+            .agg(F.max("s").alias("maxdiv"))
+            .withColumnRenamed("ca", "vec_id")
+        )
+        pick = (
+            rem.join(div, "vec_id")
+            .select(
+                "vec_id",
+                (F.lit(0.7) * F.col("simq") - F.lit(0.3) * F.col("maxdiv")).alias(
+                    "mmr"
+                ),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .select(F.lit(step).alias("sel_rank"), "vec_id")
+        )
+        sel = sel.unionByName(pick)
+    return sel.join(cands.select("vec_id", "simq"), "vec_id").select(
+        N.big("sel_rank").alias("sel_rank"),
+        N.big("vec_id").alias("vec_id"),
+        F.col("simq").alias("sim_to_query"),
+    )

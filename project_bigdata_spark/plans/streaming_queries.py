@@ -285,3 +285,76 @@ def streaming_dedup_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_unique"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "streaming_upsert_sink_attested",
+    oracle="""
+SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM events GROUP BY 1""",
+    doc="CDC-apply topology attested end-to-end: the events stream is "
+    "applied to a partitioned parquet table through foreachBatch + "
+    "MERGE-INTO emulation (operators/upsert.py) — each micro-batch "
+    "anti-joins the existing day partitions on event_id, unions, and "
+    "dynamic-overwrites only touched days. The table is pre-seeded "
+    "with days 1-5, so the stream must REPLACE those keys (with "
+    "identical rows — idempotent re-apply) and INSERT the rest; the "
+    "read-back per-day aggregate must equal batch SQL over the "
+    "original events exactly. This is the lakehouse sink the "
+    "reference's overwrite-the-world batch job cannot express: "
+    "exactly-once-per-key regardless of micro-batch boundaries.",
+    survey_ids=("T4", "T5", "S7", "M7"),
+)
+def streaming_upsert_sink_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from project_bigdata_spark.operators.upsert import upsert_partitioned
+    from project_bigdata_spark.plans.io_queries import _sink_dir
+
+    table = _sink_dir("stream_upsert_table", sf_dir)
+    ckpt = _sink_dir("stream_upsert_ckpt", sf_dir)
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    batch.filter(F.col("day") <= 5).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(table)
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "day", F.dayofmonth("ts")
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        upsert_partitioned(
+            bdf.sparkSession,
+            table,
+            bdf,
+            key_cols=["event_id"],
+            partition_cols=["day"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(table)
+    return back.groupBy(F.col("day").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )
