@@ -202,6 +202,9 @@ _ATTESTATION_PRIORITY = [
     "streaming_upsert_sink_attested",
     "quantile_normalize",
     "mmr_rerank",
+    "corr_matrix_lineitem",
+    "schema_evolution_roundtrip",
+    "streaming_multibatch_attested",
 ]
 
 

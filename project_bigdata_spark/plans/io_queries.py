@@ -288,3 +288,65 @@ def partition_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("total_value"),
     )
+
+
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+WITH unified AS (
+  SELECT event_type,
+         CASE WHEN date_part('day', ts) >= 16
+              THEN 'ch' || CAST(user_id % 3 AS VARCHAR) END AS channel,
+         value
+  FROM events
+)
+SELECT event_type,
+       coalesce(channel, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM unified GROUP BY 1, 2""",
+    doc="Parquet schema evolution attested end-to-end: generation 1 "
+    "(days 1-15) lands WITHOUT the channel column, generation 2 (days "
+    "16-30) adds it; a mergeSchema scan reads both generations as one "
+    "table, old rows surfacing NULL for the added column — the "
+    "additive-column migration every long-lived dataset goes through, "
+    "with no rewrite of existing files. The oracle synthesizes the "
+    "same unified view with a CASE, so a scan that drops, misaligns, "
+    "or backfills the evolved column wrongly breaks the hash. At "
+    "scale: mergeSchema footer reconciliation is O(files) on the "
+    "driver — production pins the merged schema in a catalog; the "
+    "read semantics attested here are identical.",
+    survey_ids=("S3", "P4", "M7"),
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    root = _sink_dir("schema_evo", sf_dir)
+    v1 = e.filter(F.col("day") <= 15).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    v2 = e.filter(F.col("day") >= 16).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("ch"), (F.col("user_id") % 3).cast("string")).alias(
+            "channel"
+        ),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return back.groupBy(
+        "event_type", F.coalesce("channel", F.lit("none")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )

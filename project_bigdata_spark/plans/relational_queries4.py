@@ -412,3 +412,91 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "worst_delay",
     )
+
+
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CM_SUMS_SQL = ", ".join(
+    [
+        "CAST(count(*) AS DOUBLE) AS n",
+        *[
+            f"CAST(sum(CAST({c} AS DECIMAL(12,2))) AS DOUBLE) AS s_{c}"
+            for c in _CM_COLS
+        ],
+        *[
+            f"CAST(sum(CAST(CAST({a} AS DECIMAL(12,2)) * CAST({b} AS DECIMAL(12,2))"
+            f" AS DECIMAL(28,4))) AS DOUBLE) AS p_{a}_{b}"
+            for i, a in enumerate(_CM_COLS)
+            for b in _CM_COLS[i:]
+        ],
+    ]
+)
+
+_CM_PAIR_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n,
+       round((n * p_{a}_{b} - s_{a} * s_{b})
+             / sqrt((n * p_{a}_{a} - s_{a} * s_{a})
+                    * (n * p_{b}_{b} - s_{b} * s_{b})), 6) AS pearson_r
+FROM sums"""
+    for i, a in enumerate(_CM_COLS)
+    for b in _CM_COLS[i + 1 :]
+)
+
+
+@query(
+    "corr_matrix_lineitem",
+    oracle=f"""
+WITH sums AS (
+  SELECT {_CM_SUMS_SQL} FROM lineitem
+)
+{_CM_PAIR_SQL}""",
+    doc="Pearson correlation matrix over the lineitem measures "
+    "(quantity, price, discount, tax — 6 pairs) from ONE aggregation "
+    "pass: every Σx, Σx², Σxy folds exactly in DECIMAL (2-decimal "
+    "inputs cross-multiply to a 4-decimal grid), then the closed-form "
+    "r evaluates in double bit-identically on both engines — the "
+    "order-free construction native `corr()` (a streaming double "
+    "accumulator) cannot give. Scale: one scan, one partial/final "
+    "aggregate exchange producing a single 15-column row; the 6 pair "
+    "rows are exploded from that scalar row, not re-aggregated.",
+    survey_ids=("A3", "A10", "F14"),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(12,2)")
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(dec(c)).cast("double").alias(f"s_{c}") for c in _CM_COLS]
+    aggs += [
+        F.sum((dec(a) * dec(b)).cast("decimal(28,4)"))
+        .cast("double")
+        .alias(f"p_{a}_{b}")
+        for i, a in enumerate(_CM_COLS)
+        for b in _CM_COLS[i:]
+    ]
+    sums = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").cast("bigint").alias("n"),
+                N.rnd(
+                    (F.col("n") * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+                    / F.sqrt(
+                        (F.col("n") * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                        * (F.col("n") * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+                    ),
+                    6,
+                ).alias("pearson_r"),
+            )
+            for i, a in enumerate(_CM_COLS)
+            for b in _CM_COLS[i + 1 :]
+        ]
+    )
+    return (
+        sums.select(F.explode(pairs).alias("p"))
+        .select("p.col_a", "p.col_b", "p.n", "p.pearson_r")
+    )

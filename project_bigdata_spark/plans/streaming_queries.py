@@ -358,3 +358,52 @@ def streaming_upsert_sink_attested(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("decimal(38,2)")
         .alias("total_value"),
     )
+
+
+@query(
+    "streaming_multibatch_attested",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1""",
+    doc="Cross-micro-batch state accumulation attested: the events "
+    "table is re-sharded into 6 parquet files and replayed with "
+    "maxFilesPerTrigger=1, so the tumbling-hour aggregation state is "
+    "built across SIX micro-batches — unlike the single-file replays, "
+    "this attests that state merge over successive triggers (the "
+    "thing that actually happens in production) reproduces batch SQL "
+    "exactly, independent of which rows land in which trigger.",
+    survey_ids=("T2", "T3", "T4", "M7"),
+)
+def streaming_multibatch_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from project_bigdata_spark.plans.io_queries import _sink_dir
+
+    shards = _sink_dir("stream_multibatch_shards", sf_dir)
+    shutil.rmtree(shards, ignore_errors=True)
+    src = load_table(spark, sf_dir, "events")
+    src.repartition(6).write.mode("overwrite").parquet(shards)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    name = _run_to_memory(agg, "stream_multibatch")
+    return spark.table(name).select(
+        N.ts_str(F.col("w.start")).alias("hour"),
+        "n_events",
+        "total_value",
+        N.rnd("max_value").alias("max_value"),
+    )
