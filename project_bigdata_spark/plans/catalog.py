@@ -205,6 +205,7 @@ _ATTESTATION_PRIORITY = [
     "corr_matrix_lineitem",
     "schema_evolution_roundtrip",
     "streaming_multibatch_attested",
+    "scd2_point_in_time_join",
 ]
 
 

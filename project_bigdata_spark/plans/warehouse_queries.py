@@ -1106,3 +1106,100 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / 100.0
+           AS delta,
+         max(o_orderdate) AS eff_ts
+  FROM orders GROUP BY o_custkey
+), chg AS (
+  SELECT c.c_custkey, c.c_acctbal AS old_bal,
+         c.c_acctbal + u.delta AS new_bal, u.eff_ts
+  FROM customer c JOIN upd u USING (c_custkey)
+  WHERE (c.c_acctbal + u.delta) IS DISTINCT FROM c.c_acctbal
+), vers AS (
+  SELECT c_custkey, old_bal AS bal, 1 AS version,
+         CAST(NULL AS DATE) AS vfrom, eff_ts AS vto
+  FROM chg
+  UNION ALL
+  SELECT c_custkey, new_bal, 2, eff_ts, NULL FROM chg
+  UNION ALL
+  SELECT c.c_custkey, c.c_acctbal, 1, NULL, NULL
+  FROM customer c ANTI JOIN chg ch ON c.c_custkey = ch.c_custkey
+)
+SELECT o.o_orderpriority,
+       CAST(v.version AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_price,
+       CAST(sum(CAST(round(v.bal, 4) AS DECIMAL(18,4))) AS DECIMAL(38,4))
+         AS bal_sum
+FROM orders o JOIN vers v ON v.c_custkey = o.o_custkey
+WHERE (v.vfrom IS NULL OR o.o_orderdate >= v.vfrom)
+  AND (v.vto   IS NULL OR o.o_orderdate <  v.vto)
+GROUP BY 1, 2""",
+    doc="Point-in-time (AS OF) join against the SCD2 dimension "
+    "scd2_apply builds: every order joins the customer version that "
+    "was valid ON ITS ORDER DATE (valid_from <= d < valid_to, NULL = "
+    "open) — the temporal-correctness join that makes dimension "
+    "history usable, and the one a latest-version join silently gets "
+    "wrong for backdated facts. Implementation: facts equi-join the "
+    "versioned dim on the key (fanout bounded by versions-per-key, "
+    "here <= 2) and filter the validity interval — the standard PIT "
+    "shape while version counts are small; a high-churn dim would "
+    "switch to the as-of sort-merge (operators/asof.py) on the same "
+    "semantics. Balances pin to a 1e-4 DECIMAL grid before the "
+    "order-free sum.",
+    survey_ids=("M7", "M4", "W7"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(100.0)
+            ).alias("_delta"),
+            F.max("o_orderdate").alias("eff_ts"),
+        )
+        .join(dim, "c_custkey")
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.col("_delta")).alias("c_acctbal"),
+            "eff_ts",
+        )
+    )
+    scd2 = WH.scd2_apply(dim, upd, key="c_custkey", attrs=["c_acctbal"]).select(
+        F.col("c_custkey").alias("v_custkey"),
+        F.col("c_acctbal").alias("bal"),
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    o = orders.select("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    pit = o.join(scd2, o.o_custkey == scd2.v_custkey).filter(
+        (
+            F.col("valid_from").isNull()
+            | (F.col("o_orderdate").cast("timestamp") >= F.col("valid_from"))
+        )
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate").cast("timestamp") < F.col("valid_to"))
+        )
+    )
+    return pit.groupBy("o_orderpriority", N.big("version").alias("version")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+        F.sum(N.rnd("bal").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("bal_sum"),
+    )
