@@ -206,8 +206,18 @@ GROUP BY 1""",
 def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.sources.registry import write_bucketed_table
 
+    import shutil
+
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     li_tbl, o_tbl = f"lineitem_bkt_{key}", f"orders_bkt_{key}"
+    # A managed-table dir can outlive the catalog entry (fresh session,
+    # same cwd) and then block CREATE with LOCATION_ALREADY_EXISTS —
+    # drop both the entry and any orphaned location first.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for tbl in (li_tbl, o_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(wh.removeprefix("file:"), tbl.lower())
+        shutil.rmtree(loc, ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )

@@ -46,6 +46,13 @@ SIDE_EFFECTFUL = {
     "streaming_sliding_attested",
     "stream_static_join_attested",
     "streaming_session_attested",
+    # round 4
+    "streaming_dedup_attested",
+    "streaming_upsert_sink_attested",
+    "streaming_multibatch_attested",
+    "bucketed_join_roundtrip",
+    "partition_upsert_roundtrip",
+    "schema_evolution_roundtrip",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
@@ -59,6 +66,10 @@ SINGLE_PARTITION_OK = {
     "approx_stats": "sketch summary row",
     "value_hour_correlation": "five scalar moments",
     "higher_moments": "four scalar moments",
+    "interval_overlap_join": "global hourly-total scalar (one row) feeding "
+    "the broadcast hot-hour filter",
+    "corr_matrix_lineitem": "single 15-column moment row; the 6 pair rows "
+    "explode from it, no re-aggregation",
     "chi_square_independence": "scalar test statistic",
     "drift_psi": "scalar PSI",
     "gini_concentration": "per-entity aggregate ranked once (keys, not facts)",
