@@ -206,6 +206,10 @@ _ATTESTATION_PRIORITY = [
     "schema_evolution_roundtrip",
     "streaming_multibatch_attested",
     "scd2_point_in_time_join",
+    "orc_roundtrip",
+    "time_weighted_avg",
+    "loo_target_encode",
+    "json_pack_unpack",
 ]
 
 

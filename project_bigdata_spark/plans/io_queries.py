@@ -360,3 +360,39 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("total_value"),
     )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       CAST(sum(CAST(('0x' || substring(md5(props), 1, 8)) AS BIGINT))
+            AS BIGINT) AS props_md5_sum
+FROM events GROUP BY 1""",
+    doc="ORC sink+scan roundtrip attested end-to-end — the second "
+    "columnar format Spark ships natively (the Hive-ecosystem "
+    "counterpart to parquet, with its own writer/reader, stripe "
+    "layout, and timestamp encoding): events write to ORC and "
+    "re-aggregate against the parquet-derived oracle, so timestamp "
+    "precision loss (ORC nanos vs µs), string mangling, or double "
+    "re-encode drift all break the hash. Avro is NOT attestable in "
+    "this image (spark-avro external module absent) — documented "
+    "gate, same class as the Kafka broker.",
+    survey_ids=("S3", "S10", "M7"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    path = _sink_dir("orc_roundtrip", sf_dir)
+    e.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+        N.ts_str(F.min("ts"), micros=True).alias("first_ts"),
+        _md5_sum("props").alias("props_md5_sum"),
+    )

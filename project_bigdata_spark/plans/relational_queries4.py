@@ -500,3 +500,163 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums.select(F.explode(pairs).alias("p"))
         .select("p.col_a", "p.col_b", "p.n", "p.pearson_r")
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, value, ts, user_id,
+         date_trunc('day', ts) AS day,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) - epoch_us(ts)
+           AS w_us
+  FROM events
+), weighted AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * w_us AS DECIMAL(38,2)) AS vw,
+         w_us
+  FROM seq WHERE w_us IS NOT NULL AND w_us > 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_weighted,
+       CAST(sum(w_us) AS BIGINT) AS total_us,
+       round(CAST(sum(vw) AS DOUBLE) / sum(w_us), 6) AS twap
+FROM weighted GROUP BY 1""",
+    doc="Time-weighted average (TWAP): each observation is weighted by "
+    "how long it remained the latest one — the duration to the next "
+    "event in its (user, day) sequence — so sparse-in-time readings "
+    "stop being over/under-counted the way a row-weighted mean does. "
+    "Weights are exact BIGINT microseconds from one per-entity window "
+    "(lead on the same (user, day) exchange every other sequence "
+    "feature rides); value×duration folds exactly in DECIMAL; the "
+    "single double division happens once per group at the end.",
+    survey_ids=("W1", "A3", "F9"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.withColumn("w_us", F.lead(us).over(w) - us)
+    weighted = seq.filter(F.col("w_us").isNotNull() & (F.col("w_us") > 0)).select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * F.col("w_us"))
+        .cast("decimal(38,2)")
+        .alias("vw"),
+        "w_us",
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weighted"),
+        F.sum("w_us").cast("bigint").alias("total_us"),
+        N.rnd(
+            F.sum("vw").cast("double") / F.sum("w_us"), 6
+        ).alias("twap"),
+    )
+
+
+@query(
+    "loo_target_encode",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS s
+  FROM events GROUP BY 1
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       e.event_type,
+       round(e.value, 4) AS value,
+       round(CAST(st.s - CAST(e.value AS DECIMAL(12,2)) AS DOUBLE)
+             / (st.n - 1), 6) AS loo_enc
+FROM events e JOIN stats st ON st.event_type = e.event_type
+WHERE e.event_id % 101 = 0""",
+    doc="Leave-one-out target encoding — the leakage-safe categorical "
+    "encoder: each row's category is encoded by the target mean of "
+    "every OTHER row in its category, (S_cat − x) / (n_cat − 1), so "
+    "the row's own label never leaks into its feature. Category sums "
+    "are exact DECIMAL (the subtraction is exact too), one double "
+    "division per row; the per-category stats frame is |categories| "
+    "rows and broadcasts back onto the facts. Output is an "
+    "event_id%101 sample of the encoded rows.",
+    survey_ids=("F7", "M7"),
+)
+def loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("s"),
+    )
+    return (
+        e.filter(F.col("event_id") % 101 == 0)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            N.big("event_id").alias("event_id"),
+            "event_type",
+            N.rnd("value").alias("value"),
+            N.rnd(
+                (F.col("s") - F.col("value").cast("decimal(12,2)")).cast("double")
+                / (F.col("n") - 1),
+                6,
+            ).alias("loo_enc"),
+        )
+    )
+
+
+@query(
+    "json_pack_unpack",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_recent,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_recent
+FROM ranked WHERE rn <= 3 GROUP BY 1""",
+    doc="to_json / from_json fidelity attested differentially: each "
+    "user's 3 most-recent events are packed into ONE JSON document "
+    "(to_json over an array of structs — the envelope shape the S6 "
+    "Kafka sink emits), then parsed back with an explicit schema and "
+    "exploded; the final aggregate must equal the oracle computed "
+    "directly from the rows, so any value the JSON encode/parse cycle "
+    "mangles (double shortest-repr roundtrip, string escaping, field "
+    "order) breaks the hash. Spark-side only pays one (user) exchange "
+    "for the pack; the JSON hop is columnar expression work.",
+    survey_ids=("F13", "S6", "P1"),
+)
+def json_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type", "value"))
+                )
+            ).alias("doc")
+        )
+    )
+    parsed = recent.select(
+        F.from_json(
+            "doc",
+            "array<struct<rn:int,event_type:string,value:double>>",
+        ).alias("arr")
+    ).select(F.explode("arr").alias("x"))
+    return parsed.groupBy(F.col("x.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recent"),
+        F.sum(F.col("x.value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_recent"),
+    )

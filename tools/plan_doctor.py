@@ -53,6 +53,7 @@ SIDE_EFFECTFUL = {
     "bucketed_join_roundtrip",
     "partition_upsert_roundtrip",
     "schema_evolution_roundtrip",
+    "orc_roundtrip",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
