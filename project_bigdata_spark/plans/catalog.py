@@ -210,6 +210,7 @@ _ATTESTATION_PRIORITY = [
     "time_weighted_avg",
     "loo_target_encode",
     "json_pack_unpack",
+    "dynamic_partition_pruning_roundtrip",
 ]
 
 

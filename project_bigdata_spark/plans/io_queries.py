@@ -396,3 +396,58 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.ts_str(F.min("ts"), micros=True).alias("first_ts"),
         _md5_sum("props").alias("props_md5_sum"),
     )
+
+
+@query(
+    "dynamic_partition_pruning_roundtrip",
+    oracle="""
+WITH busy AS (
+  SELECT DISTINCT CAST(date_part('day', o_orderdate) AS INT) AS day
+  FROM orders WHERE o_totalprice > 499500
+)
+SELECT CAST(date_part('day', e.ts) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM events e JOIN busy b ON date_part('day', e.ts) = b.day
+GROUP BY 1""",
+    doc="Dynamic partition pruning attested end-to-end: the events "
+    "table lands partitioned by day, then joins the distinct days on "
+    "which a near-ceiling order (> 499500) occurred — a day set NOT "
+    "known until runtime, so the static planner cannot prune; Spark's "
+    "DPP injects it as a subquery filter into the partitioned scan "
+    "(the plan carries `dynamicpruning`, asserted in "
+    "tests/test_plans.py). The filtering side must be a SELECTIVE "
+    "base-column Filter for the heuristic to fire — a dim derived "
+    "through an aggregate does not qualify (measured; the agg-derived "
+    "variant plans without DPP). The oracle joins the unpartitioned "
+    "original, so the pruned scan must still see every matching row. "
+    "At 100 TB this is THE mechanism that makes star-schema joins "
+    "against partitioned facts affordable.",
+    survey_ids=("S7", "P9", "M4"),
+)
+def dynamic_partition_pruning_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    path = _sink_dir("dpp_roundtrip", sf_dir)
+    write_partitioned_parquet(e, path, ["day"])
+    facts = spark.read.parquet(path)
+    # selective base-column Filter below distinct — the shape DPP's
+    # filtering-side heuristic requires (filter above an aggregate
+    # does NOT trigger it)
+    busy = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 499500)
+        .select(F.dayofmonth("o_orderdate").alias("day"))
+        .distinct()
+    )
+    joined = facts.join(F.broadcast(busy), "day")
+    return joined.groupBy(N.big("day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+    )

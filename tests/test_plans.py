@@ -453,6 +453,14 @@ def test_partitioned_roundtrip_read_prunes_partitions(spark, sf_dir):
     assert "day#" in plan[plan.index("PartitionFilters") :][:300]
 
 
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dynamic_partition_pruning_roundtrip")
+    # the runtime-derived busy-day set must be injected into the
+    # partitioned fact scan as a DPP subquery filter — without it the
+    # join reads all 30 day partitions
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_plan_doctor_catalog_sweep():
     """Catalog-wide antipattern sweep: no CartesianProduct, no
     row-at-a-time Python UDF, and every SinglePartition exchange

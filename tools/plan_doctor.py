@@ -54,6 +54,7 @@ SIDE_EFFECTFUL = {
     "partition_upsert_roundtrip",
     "schema_evolution_roundtrip",
     "orc_roundtrip",
+    "dynamic_partition_pruning_roundtrip",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
