@@ -99,17 +99,16 @@ def query(
 # warehouse/SCD2/CDC, skew handling, the retrieval stack, and the remaining
 # feature/behavioral analytics.
 #
-# ROUND-5 WINDOW: the 13-entry overflow (63 > 50) sits at positions 51-63 —
-# deliberately the least-risky scalar readouts (small fixed-row results,
-# pure-aggregate shapes): conversion_ci, gini_concentration, higher_moments,
-# chi_square_independence, welch_ttest, trend_fit, mad_outliers,
-# approx_quantile_audit, unigram_entropy, dup_cluster_histogram,
-# exact_percentile_bands, period_over_period, temperature_mix. Any entry
-# added in round 4 registers BEHIND them, which is the correct round-5
-# order already — extend this list with new names as they are added so the
-# window stays explicit. tests/test_sql_catalog.py enforces freshness:
-# while never-attested entries exist, the first 50 of load_all() must be
-# (almost) all never-attested.
+# ROUND-5 WINDOW (35 entries, positions 51-85): the 13-entry round-3
+# overflow (63 > 50; deliberately the least-risky scalar readouts) at
+# positions 51-63, then the 22 operators ADDED in round 4 (positions
+# 64-85; each sf0.01-differential green + semantic-invariant tested this
+# round). 35 < 50, so round 5's window attests every one of them and
+# backfills ~15 slots with already-green entries — backfill preference:
+# the headline set, so timings and attestation stay paired.
+# tests/test_sql_catalog.py enforces freshness: while never-attested
+# entries exist, the first 50 of load_all() must be (almost) all
+# never-attested.
 _ATTESTATION_PRIORITY = [
     # -- round-4 window, positions 1-50: never driver-attested ---------
     # IO sink/scan roundtrips (SURVEY S6/S7/S10)
