@@ -210,6 +210,8 @@ _ATTESTATION_PRIORITY = [
     "loo_target_encode",
     "json_pack_unpack",
     "dynamic_partition_pruning_roundtrip",
+    "stream_stream_join_attested",
+    "custom_state_stream_attested",
 ]
 
 

@@ -407,3 +407,157 @@ def streaming_multibatch_attested(spark: SparkSession, sf_dir: str) -> DataFrame
         "total_value",
         N.rnd("max_value").alias("max_value"),
     )
+
+
+@query(
+    "stream_stream_join_attested",
+    oracle="""
+SELECT CAST(date_part('day', c.ts) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 30 * 60 * 1000000
+GROUP BY 1""",
+    doc="STREAM-STREAM inner join attested against the batch self-join: "
+    "the click stream joins the view stream on user_id within a ±30 "
+    "minute event-time band, BOTH sides watermarked — the time-range "
+    "condition is what lets the state store evict buffered rows once "
+    "the other side's watermark passes the band (without it, "
+    "stream-stream state grows forever). The append-mode sink must "
+    "contain exactly the pairs the batch join produces — attesting "
+    "that two independently-buffered streams meet correctly in state. "
+    "The hardest join topology Structured Streaming supports, and the "
+    "one the reference's batch-only engine cannot express at all.",
+    survey_ids=("T1", "T4", "T5", "M4", "M7"),
+)
+def stream_stream_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    name = _run_to_memory_append(pairs, "stream_stream")
+    t = spark.table(name)
+    return t.groupBy(F.dayofmonth("c_ts").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("c_user").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "custom_state_stream_attested",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM per_user GROUP BY 1""",
+    doc="ARBITRARY custom streaming state at runtime via "
+    "applyInPandasWithState (the pre-protobuf arbitrary-state API — "
+    "transformWithState's runtime stays protobuf-gated in this image, "
+    "so THIS entry is the executable proof of the custom-state "
+    "surface): a per-user (count, exact-cents-sum) accumulator is "
+    "carried across SIX real micro-batches (the 6-shard "
+    "maxFilesPerTrigger=1 replay) in a Python state handle; the "
+    "accumulation is ORDER-INSENSITIVE by construction (counts and "
+    "integer cents), so correctness holds under any row-to-trigger "
+    "assignment. Update-mode emits per-batch snapshots; the final "
+    "per-user state (max-n row) must reproduce batch SQL exactly. "
+    "Arrow-batched (FlatMapGroupsInPandasWithState), not a row-UDF — "
+    "the streaming-state seam is the one place the engine admits "
+    "Python on the data path, mirroring the multimodal policy.",
+    survey_ids=("T4", "T6", "M7"),
+)
+def custom_state_stream_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from project_bigdata_spark.plans.io_queries import _sink_dir
+
+    shards = _sink_dir("custom_state_shards", sf_dir)
+    shutil.rmtree(shards, ignore_errors=True)
+    src = load_table(spark, sf_dir, "events")
+    src.repartition(6).write.mode("overwrite").parquet(shards)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def acc(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "cents": [cents]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        acc,
+        "user_id long, n long, cents long",
+        "n long, cents long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"custom_state_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = spark.table(name)
+    # final state per user = the snapshot with the largest n (monotone)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n", "cents")
+    )
+    return final.groupBy((F.col("user_id") % 10).cast("bigint").alias("cohort")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

@@ -55,6 +55,8 @@ SIDE_EFFECTFUL = {
     "schema_evolution_roundtrip",
     "orc_roundtrip",
     "dynamic_partition_pruning_roundtrip",
+    "stream_stream_join_attested",
+    "custom_state_stream_attested",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
