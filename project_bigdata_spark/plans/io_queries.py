@@ -10,12 +10,13 @@ sink mangles (timestamp formatting, quoting, JSON escaping, partition
 column peeling) breaks the hash match. Text fidelity is pinned by an
 md5-sum over the payload column, not just row counts.
 
-Each entry writes to a deterministic per-query dir under the system
-temp root with ``mode("overwrite")`` — repeated catalog sweeps and
-bench runs reuse ONE directory per query instead of leaking a fresh
-``mkdtemp`` copy of the table per invocation, and the path is keyed by
-(query, sf_dir) so concurrent sweeps over different scale factors
-never collide.
+Each entry writes to a deterministic per-(process, query, sf_dir) dir
+under the system temp root with ``mode("overwrite")`` — repeated
+catalog sweeps within a process reuse ONE directory per query instead
+of leaking a fresh ``mkdtemp`` copy per invocation, concurrent
+PROCESSES are isolated (a shared path let a parallel sweep rewrite a
+dir another process's streaming query was mid-read on), and trees left
+by dead processes are garbage-collected on first use.
 
 Scale notes: these are sink-path attestations, not perf paths — but the
 shapes are the production ones: ``write_partitioned_parquet`` uses
@@ -60,14 +61,44 @@ def _md5_sum(col: str) -> F.Column:
     )
 
 
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+_GC_DONE = False
+
+
+def _gc_dead_process_dirs() -> None:
+    """Remove sink trees left by processes that no longer exist. Keeps
+    the per-process layout leak-free across rounds without reintroducing
+    the cross-process race a fully shared path has (a concurrent sweep
+    rewriting a dir another process's streaming query is reading)."""
+    global _GC_DONE
+    if _GC_DONE or not os.path.isdir(_IO_ROOT):
+        _GC_DONE = True
+        return
+    import shutil
+
+    for entry in os.listdir(_IO_ROOT):
+        if not entry.startswith("pid_"):
+            # pre-per-process layout residue — safe to clear
+            shutil.rmtree(os.path.join(_IO_ROOT, entry), ignore_errors=True)
+            continue
+        try:
+            pid = int(entry[4:])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(os.path.join(_IO_ROOT, entry), ignore_errors=True)
+    _GC_DONE = True
+
+
 def _sink_dir(name: str, sf_dir: str) -> str:
-    """Deterministic per-(query, sf_dir) sink path: reused with
-    mode("overwrite") across sweeps instead of leaking one mkdtemp
-    copy of the table per invocation."""
+    """Deterministic per-(process, query, sf_dir) sink path: reused with
+    mode("overwrite") across sweeps WITHIN a process (no per-invocation
+    mkdtemp leak), isolated BETWEEN processes (no concurrent-sweep
+    race), and dead processes' trees are garbage-collected on first
+    use."""
+    _gc_dead_process_dirs()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_io", f"{name}_{key}"
-    )
+    path = os.path.join(_IO_ROOT, f"pid_{os.getpid()}", f"{name}_{key}")
     os.makedirs(path, exist_ok=True)
     return path
 

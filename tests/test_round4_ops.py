@@ -127,3 +127,68 @@ def test_corr_matrix_bounds(spark, sf_dir):
     assert len(rows) == 6
     for r in rows:
         assert -1.0 <= r.pearson_r <= 1.0
+
+
+def test_time_weighted_avg_bounds(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    out = _q("time_weighted_avg")(spark, sf_dir).collect()
+    assert out
+    lo, hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("value"), F.max("value"))
+        .first()
+    )
+    for r in out:
+        assert lo - 1e-6 <= r.twap <= hi + 1e-6
+        assert r.total_us > 0
+
+
+def test_loo_encode_excludes_self(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    stats = {
+        r.event_type: (r.n, float(r.s))
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        )
+        .collect()
+    }
+    for r in _q("loo_target_encode")(spark, sf_dir).collect():
+        n, s = stats[r.event_type]
+        expect = (s - r.value) / (n - 1)
+        assert abs(expect - r.loo_enc) < 1e-4  # value col is rounded to 4dp
+
+
+def test_json_pack_unpack_row_budget(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    out = _q("json_pack_unpack")(spark, sf_dir)
+    total = out.agg(F.sum("n_recent")).first()[0]
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .select(F.least(F.col("count"), F.lit(3)).alias("m"))
+        .agg(F.sum("m"))
+        .first()[0]
+    )
+    assert total == per_user
+
+
+def test_custom_state_totals(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    out = _q("custom_state_stream_attested")(spark, sf_dir)
+    assert (
+        out.agg(F.sum("n_events")).first()[0]
+        == load_table(spark, sf_dir, "events").count()
+    )
+
+
+def test_stream_stream_join_pairs_dominate_users(spark, sf_dir):
+    for r in _q("stream_stream_join_attested")(spark, sf_dir).collect():
+        assert r.n_pairs >= r.n_users > 0
