@@ -212,6 +212,7 @@ _ATTESTATION_PRIORITY = [
     "dynamic_partition_pruning_roundtrip",
     "stream_stream_join_attested",
     "custom_state_stream_attested",
+    "python_sink_roundtrip",
 ]
 
 

@@ -482,3 +482,49 @@ def dynamic_partition_pruning_roundtrip(
         .cast("decimal(38,2)")
         .alias("total_value"),
     )
+
+
+@query(
+    "python_sink_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+         AS total_value,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY 1""",
+    doc="Python DataSource WRITER attested end-to-end (the sink face of "
+    "the PySpark-4 connector seam; python_source_stats attests the "
+    "reader face): events write through the pyjsonl custom sink — "
+    "per-task temp shards promoted atomically in commit(), the "
+    "standard task-commit protocol so speculative retries never "
+    "double-publish — then read back as JSONL and re-aggregated "
+    "against the original. A custom CONNECTOR goes through the same "
+    "differential gate as every query; double values survive the "
+    "json.dumps shortest-repr roundtrip bit-exactly.",
+    survey_ids=("S5", "S6", "F13"),
+)
+def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.sources import pysource
+
+    pysource.register(spark)
+    path = _sink_dir("python_sink", sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    (
+        e.write.format("pyjsonl")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.schema(
+        "event_id BIGINT, event_type STRING, value DOUBLE"
+    ).json(os.path.join(path, "part-*.jsonl"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_value"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )

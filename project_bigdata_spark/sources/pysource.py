@@ -29,8 +29,10 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -120,6 +122,7 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -148,3 +151,74 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter([_row(i) for i in range(int(start["offset"]),
                                             int(end["offset"]))])
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-partition JSONL shard writer (executor-side Python file IO —
+    a Python SINK is inherently Python-on-the-data-path; this is the
+    sink seam, policy-equivalent to the media seam). Tasks write to
+    uniquely-named temp shards and ``commit`` promotes them — the
+    standard task-commit protocol, so a retried/speculative task never
+    double-publishes."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(shard, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(shard, n)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            final = m.path.replace("_tmp-", "part-")
+            os.replace(m.path, final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("pyjsonl").option("path", ...)`` — the WRITER
+    face of the Python DataSource seam (the reader face is
+    SyntheticEventsDataSource)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        if overwrite:
+            import glob
+            import os
+
+            for f in glob.glob(
+                os.path.join(self.options.get("path", ""), "part-*.jsonl")
+            ):
+                os.remove(f)
+        return JsonlSinkWriter(self.options)

@@ -57,6 +57,7 @@ SIDE_EFFECTFUL = {
     "dynamic_partition_pruning_roundtrip",
     "stream_stream_join_attested",
     "custom_state_stream_attested",
+    "python_sink_roundtrip",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
