@@ -213,6 +213,7 @@ _ATTESTATION_PRIORITY = [
     "stream_stream_join_attested",
     "custom_state_stream_attested",
     "python_sink_roundtrip",
+    "triangle_count",
 ]
 
 

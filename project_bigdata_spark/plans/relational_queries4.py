@@ -660,3 +660,86 @@ def json_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("total_recent"),
     )
+
+
+@query(
+    "triangle_count",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), tri AS (
+  SELECT count(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT CAST((SELECT count(*) FROM
+             (SELECT u FROM edges UNION SELECT v FROM edges))
+        AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles""",
+    doc="Triangle counting on the co-purchase graph (edges = part pairs "
+    "sharing ≥2 orders) via DEGREE-ORDERED edge orientation — the "
+    "distributed-graph classic: orient every edge from its lower- to "
+    "higher-(degree, id) endpoint, enumerate wedges only at each "
+    "edge's LOW-degree endpoint, and close them with a semi-join "
+    "against the oriented edges. Orientation bounds per-node wedge "
+    "fanout by min(deg, √m)-ish instead of max-degree² — the "
+    "difference between feasible and explosive on power-law graphs "
+    "at 10⁹ edges. The oracle counts the same triangles with the "
+    "textbook u<v<w triple self-join, attesting the oriented "
+    "formulation is count-equivalent.",
+    survey_ids=("M4", "M7", "A6"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        items.withColumnRenamed("l_partkey", "u")
+        .join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    ends = edges.select(F.col("u").alias("n")).unionAll(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    keyed = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            (F.col("deg_u") * F.lit(1_000_000) + F.col("u")).alias("ku"),
+            (F.col("deg_v") * F.lit(1_000_000) + F.col("v")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).select("src", "dst", "kdst")
+    o1 = oriented.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
+    o2 = oriented.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
+    wedges = o1.join(o2, "src").filter(F.col("kb") < F.col("kc"))
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

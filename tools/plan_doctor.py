@@ -73,6 +73,8 @@ SINGLE_PARTITION_OK = {
     "higher_moments": "four scalar moments",
     "interval_overlap_join": "global hourly-total scalar (one row) feeding "
     "the broadcast hot-hour filter",
+    "triangle_count": "three single-row scalar counts (nodes/edges/"
+    "triangles) crossed into the summary row",
     "corr_matrix_lineitem": "single 15-column moment row; the 6 pair rows "
     "explode from it, no re-aggregation",
     "chi_square_independence": "scalar test statistic",
