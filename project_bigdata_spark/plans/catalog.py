@@ -214,6 +214,7 @@ _ATTESTATION_PRIORITY = [
     "custom_state_stream_attested",
     "python_sink_roundtrip",
     "triangle_count",
+    "pagerank_parts",
 ]
 
 

@@ -743,3 +743,116 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+_PR_EDGES_SQL = """
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs
+), deg AS (
+  SELECT src AS n, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)"""
+
+_PR_ITER_SQL = """pr{i} AS (
+  SELECT d.n,
+         (SELECT 15 * 1000000000000 // (100 * n_nodes) FROM nn)
+         + 85 * coalesce(sum(p.units // p.outdeg), 0) // 100 AS units
+  FROM deg d
+  LEFT JOIN (SELECT e.dst, pr{j}.units, pr{j}.outdeg
+             FROM edges e JOIN pr{j} ON pr{j}.n = e.src) p
+    ON p.dst = d.n
+  GROUP BY d.n
+), pr{i}d AS (
+  SELECT pr{i}.n, pr{i}.units, deg.outdeg
+  FROM pr{i} JOIN deg ON deg.n = pr{i}.n
+)"""
+
+
+@query(
+    "pagerank_parts",
+    oracle=f"""
+WITH {_PR_EDGES_SQL},
+pr0d AS (
+  SELECT d.n, CAST(1000000000000 // n.n_nodes AS BIGINT) AS units, d.outdeg
+  FROM deg d CROSS JOIN nn n
+),
+{_PR_ITER_SQL.format(i=1, j="0d")},
+{_PR_ITER_SQL.format(i=2, j="1d")},
+{_PR_ITER_SQL.format(i=3, j="2d")}
+SELECT CAST(n AS BIGINT) AS part, CAST(units AS BIGINT) AS pr_units
+FROM pr3d
+QUALIFY row_number() OVER (ORDER BY units DESC, n) <= 20""",
+    doc="PageRank (3 iterations, d=0.85) over the co-purchase graph in "
+    "EXACT INTEGER arithmetic: ranks live in integer 'micro-units' "
+    "(10¹² total mass) and every update is BIGINT division — "
+    "contribution = units/outdeg, new = (15·10¹²)/(100·N) + "
+    "85·Σcontrib/100 — so the fixpoint iteration is order-free and "
+    "bit-identical on every engine (float PageRank sums neighbor "
+    "contributions in nondeterministic order; no rounding grid fully "
+    "fixes that). Per iteration: one join edges⋈ranks + one "
+    "aggregation on the destination key — the canonical distributed "
+    "PageRank step, 3 unrolled rounds here, a loop with "
+    "localCheckpoint at depth. Top-20 by rank, id tiebreak.",
+    survey_ids=("M4", "M7", "W5"),
+)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    pairs = (
+        items.withColumnRenamed("l_partkey", "u")
+        .join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    n_nodes = deg.count()  # scalar graph size: drives the integer base
+    base = 15 * 1_000_000_000_000 // (100 * n_nodes)
+    init = 1_000_000_000_000 // n_nodes
+    pr = deg.select("n", F.lit(init).cast("bigint").alias("units"), "outdeg")
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                pr.select(F.col("n").alias("src"), "units", "outdeg"), "src"
+            )
+            .select(
+                F.col("dst").alias("n"),
+                F.expr("units div outdeg").alias("c"),
+            )
+            .groupBy("n")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            deg.join(contrib, "n", "left")
+            .select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                )
+                .cast("bigint")
+                .alias("units"),
+                "outdeg",
+            )
+        )
+    return (
+        pr.orderBy(F.col("units").desc(), "n")
+        .limit(20)
+        .select(N.big("n").alias("part"), N.big("units").alias("pr_units"))
+    )
