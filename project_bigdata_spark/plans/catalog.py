@@ -215,6 +215,9 @@ _ATTESTATION_PRIORITY = [
     "python_sink_roundtrip",
     "triangle_count",
     "pagerank_parts",
+    "variant_shred",
+    "recursive_reachability",
+    "sql_udf_pipeline",
 ]
 
 

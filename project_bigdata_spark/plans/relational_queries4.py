@@ -856,3 +856,143 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(N.big("n").alias("part"), N.big("units").alias("pr_units"))
     )
+
+
+@query(
+    "variant_shred",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_max,
+       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_distinct
+FROM events GROUP BY 1""",
+    doc="VARIANT semi-structured shredding (Spark 4's open-format "
+    "answer to a JSON column: parse_json builds the binary variant "
+    "once, variant_get extracts typed paths without re-parsing — "
+    "against DuckDB's JSON type as the oracle): props parses to "
+    "VARIANT and the typed '$.k' extraction aggregates per event "
+    "type. At scale variant beats per-expression get_json_object "
+    "calls because the parse happens once per row, not once per "
+    "extracted path; the shape here is the P1 bronze shred on the "
+    "modern type.",
+    survey_ids=("P1", "F13", "M7"),
+)
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+        F.count_distinct("k").cast("bigint").alias("k_distinct"),
+    )
+
+
+_REACH_SQL = """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM {li}
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), reach(part, hop) AS (
+  SELECT (SELECT min(u) FROM edges), 0
+  UNION ALL
+  SELECT e.v, r.hop + 1
+  FROM reach r JOIN edges e ON e.u = r.part
+  WHERE r.hop < 3
+), first_reach AS (
+  SELECT part, min(hop) AS hop FROM reach GROUP BY part
+)
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(part) AS BIGINT) AS min_part,
+       CAST(max(part) AS BIGINT) AS max_part
+FROM first_reach GROUP BY 1"""
+
+
+@query(
+    "recursive_reachability",
+    oracle=_REACH_SQL.format(li="lineitem"),
+    doc="RECURSIVE CTE (Spark 4 WITH RECURSIVE — the iterative-SQL "
+    "surface): 3-hop BFS over the co-purchase graph from its smallest "
+    "part, identical SQL text on both engines. The recursion "
+    "enumerates paths (UNION ALL + depth guard, the terminating "
+    "form); first-reach hop per node is recovered by a min(hop) "
+    "aggregate over the path set. Scale note: each recursive step is "
+    "one frontier⋈edges join — the same shape the unrolled "
+    "pagerank_parts loop hand-builds; the depth guard bounds state. "
+    "dedup_clusters' bounded label propagation remains the "
+    "DataFrame-side iteration idiom; this is its SQL-native face.",
+    survey_ids=("M4", "M7", "O3"),
+)
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_reach_lineitem"
+    )
+    return spark.sql(_REACH_SQL.format(li="_reach_lineitem"))
+
+
+@query(
+    "sql_udf_pipeline",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4))
+         AS net_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6))
+         AS charged
+FROM lineitem GROUP BY 1""",
+    doc="SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr — "
+    "Spark 4's declarative UDF surface): net price and charged amount "
+    "are declared ONCE as SQL functions and reused across aggregates; "
+    "Catalyst inlines the function body into the plan, so unlike a "
+    "Python UDF the result is whole-stage-codegen'd JVM arithmetic — "
+    "the UDF surface with zero UDF cost. The oracle inlines the same "
+    "expressions by hand; matching DECIMAL grids keep the fold exact.",
+    survey_ids=("F2", "F14", "M7"),
+)
+def sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price("
+        "p DOUBLE, d DOUBLE) RETURNS DECIMAL(24,4) RETURN "
+        "CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DECIMAL(24,6) RETURN "
+        "CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2)))"
+        " * (1 + CAST(t AS DECIMAL(12,2)))"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_udf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(net_price(l_extendedprice, l_discount))
+                    AS DECIMAL(38,4)) AS net_revenue,
+               CAST(sum(charged(l_extendedprice, l_discount, l_tax))
+                    AS DECIMAL(38,6)) AS charged
+        FROM _udf_lineitem GROUP BY 1
+        """
+    )
