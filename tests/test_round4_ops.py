@@ -192,3 +192,59 @@ def test_custom_state_totals(spark, sf_dir):
 def test_stream_stream_join_pairs_dominate_users(spark, sf_dir):
     for r in _q("stream_stream_join_attested")(spark, sf_dir).collect():
         assert r.n_pairs >= r.n_users > 0
+
+
+def test_triangle_count_consistency(spark, sf_dir):
+    r = _q("triangle_count")(spark, sf_dir).first()
+    assert r.n_nodes > 0 and r.n_edges > 0
+    # a simple undirected graph carries at most C(n,2) edges and
+    # every triangle needs 3 distinct edges
+    assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+    assert r.n_triangles <= r.n_edges * (r.n_edges - 1) // 6 + 1
+
+
+def test_pagerank_mass_and_order(spark, sf_dir):
+    rows = _q("pagerank_parts")(spark, sf_dir).collect()
+    assert len(rows) == 20
+    units = [r.pr_units for r in rows]
+    assert units == sorted(units, reverse=True)
+    # integer mass: every rank positive and below total mass
+    for u in units:
+        assert 0 < u < 1_000_000_000_000
+
+
+def test_variant_shred_totals(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    out = _q("variant_shred")(spark, sf_dir)
+    assert (
+        out.agg(F.sum("n_events")).first()[0]
+        == load_table(spark, sf_dir, "events").count()
+    )
+    for r in out.collect():
+        assert r.k_min <= r.k_max
+
+
+def test_recursive_reachability_frontier(spark, sf_dir):
+    rows = {r.hop: r for r in _q("recursive_reachability")(spark, sf_dir).collect()}
+    # hop 0 is exactly the seed node
+    assert rows[0].n_parts == 1
+    assert set(rows) <= {0, 1, 2, 3}
+
+
+def test_sql_udf_matches_inline(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    out = _q("sql_udf_pipeline")(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    inline = li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(12,2)"))
+        )
+        .cast("decimal(38,4)")
+        .alias("net_revenue")
+    )
+    got = {r.l_returnflag: r.net_revenue for r in out.collect()}
+    want = {r.l_returnflag: r.net_revenue for r in inline.collect()}
+    assert got == want
