@@ -99,12 +99,12 @@ def query(
 # warehouse/SCD2/CDC, skew handling, the retrieval stack, and the remaining
 # feature/behavioral analytics.
 #
-# ROUND-5 WINDOW (38 entries, positions 51-88): the 13-entry round-3
+# ROUND-5 WINDOW (43 entries, positions 51-93): the 13-entry round-3
 # overflow (63 > 50; deliberately the least-risky scalar readouts) at
-# positions 51-63, then the 25 operators ADDED in round 4 (positions
-# 64-88; each sf0.01-differential green + semantic-invariant tested this
-# round). 38 < 50, so round 5's window attests every one of them and
-# backfills ~12 slots with already-green entries — backfill preference:
+# positions 51-63, then the 30 operators ADDED in round 4 (positions
+# 64-93; each sf0.01-differential green + semantic-invariant tested this
+# round). 43 < 50, so round 5's window attests every one of them and
+# backfills ~7 slots with already-green entries — backfill preference:
 # the headline set, so timings and attestation stay paired.
 # tests/test_sql_catalog.py enforces freshness: while never-attested
 # entries exist, the first 50 of load_all() must be (almost) all
