@@ -99,13 +99,15 @@ def query(
 # warehouse/SCD2/CDC, skew handling, the retrieval stack, and the remaining
 # feature/behavioral analytics.
 #
-# ROUND-5 WINDOW (43 entries, positions 51-93): the 13-entry round-3
+# ROUND-5 WINDOW (47 entries, positions 51-97): the 13-entry round-3
 # overflow (63 > 50; deliberately the least-risky scalar readouts) at
-# positions 51-63, then the 30 operators ADDED in round 4 (positions
-# 64-93; each sf0.01-differential green + semantic-invariant tested this
-# round). 43 < 50, so round 5's window attests every one of them and
-# backfills ~7 slots with already-green entries — backfill preference:
-# the headline set, so timings and attestation stay paired.
+# positions 51-63, then the 34 operators ADDED in round 4 (positions
+# 64-97; each sf0.01-differential green + semantic-invariant tested this
+# round). 47 < 50, so round 5's window attests every one of them and
+# backfills ~3 slots with already-green entries — backfill preference:
+# the headline set, so timings and attestation stay paired. Round 4 is
+# the LAST round that may add entries without staging: the round-5
+# window is now nearly full.
 # tests/test_sql_catalog.py enforces freshness: while never-attested
 # entries exist, the first 50 of load_all() must be (almost) all
 # never-attested.
@@ -218,6 +220,10 @@ _ATTESTATION_PRIORITY = [
     "variant_shred",
     "recursive_reachability",
     "sql_udf_pipeline",
+    "lateral_topk_orders",
+    "xml_pack_unpack",
+    "listagg_profile",
+    "try_arithmetic_audit",
 ]
 
 

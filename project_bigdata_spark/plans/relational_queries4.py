@@ -996,3 +996,141 @@ def sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udf_lineitem GROUP BY 1
         """
     )
+
+
+_LATERAL_SQL = """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+FROM {cust} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM {ord}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o"""
+
+
+@query(
+    "lateral_topk_orders",
+    oracle=_LATERAL_SQL.format(cust="customer", ord="orders"),
+    doc="LATERAL correlated subquery (the SQL-standard per-row derived "
+    "table): each customer's top-2 orders by price via a correlated "
+    "ORDER BY ... LIMIT in the FROM clause — identical SQL text on "
+    "both engines. Catalyst rewrites the lateral into the "
+    "DomainJoin/window form, so the physical plan is the same "
+    "WindowGroupLimit shape top3_per_group builds by hand with the "
+    "DataFrame API; this entry attests the SQL surface maps onto it. "
+    "Customers with no orders drop out (inner lateral).",
+    survey_ids=("M4", "W5", "O2"),
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_ord")
+    return spark.sql(_LATERAL_SQL.format(cust="_lat_cust", ord="_lat_ord"))
+
+
+@query(
+    "xml_pack_unpack",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM events GROUP BY 1""",
+    doc="from_xml parse fidelity attested differentially (the XML face "
+    "of the semi-structured family, next to json_pack_unpack and "
+    "variant_shred): each event renders to an XML fragment "
+    "(<e><t>..</t><v>..</v></e>, integer cents so no float-to-string "
+    "ambiguity), parses back under an explicit struct schema, and the "
+    "re-aggregate must equal the oracle computed directly from the "
+    "rows. The XML hop is columnar expression work inside Spark; the "
+    "gate attests it is lossless.",
+    survey_ids=("P1", "F13", "M7"),
+)
+def xml_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    xml = e.select(
+        F.concat(
+            F.lit("<e><t>"),
+            F.col("event_type"),
+            F.lit("</t><v>"),
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            F.lit("</v></e>"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml("doc", "t STRING, v LONG").alias("x")
+    )
+    return parsed.groupBy(F.col("x.t").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("x.v").cast("bigint").alias("cents_sum"),
+    )
+
+
+@query(
+    "listagg_profile",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses
+FROM orders GROUP BY 1""",
+    doc="Ordered LISTAGG / string_agg (the SQL:2016 ordered string "
+    "aggregate Spark 4 added): distinct order statuses per priority, "
+    "concatenated in explicit WITHIN GROUP order so the string is "
+    "deterministic on every engine (an unordered listagg is "
+    "partition-order-dependent and could never hash-match). The "
+    "aggregated domain is the bounded status vocabulary — the only "
+    "safe cardinality class for string aggregation at 100 TB.",
+    survey_ids=("A8", "F11", "O4"),
+)
+def listagg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_la_ord")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM _la_ord GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "try_arithmetic_audit",
+    oracle="""
+WITH r AS (
+  SELECT event_type,
+         value / nullif(date_part('day', ts) - 15, 0) AS ratio
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       round(min(ratio), 6) AS min_ratio,
+       round(max(ratio), 6) AS max_ratio
+FROM r GROUP BY 1""",
+    doc="try_* ANSI-safe arithmetic attested (the fault-tolerant "
+    "expression family: errors become NULL instead of failing the "
+    "job — at 10¹² rows ONE bad denominator must not kill the "
+    "pipeline): try_divide by (day-of-month − 15) NULLs exactly the "
+    "day-15 rows, which the oracle reproduces with nullif. NULL "
+    "counts and rounded min/max are the deterministic readouts (a "
+    "sum of arbitrary-double ratios would be summation-order-"
+    "dependent).",
+    survey_ids=("F8", "P2", "F14"),
+)
+def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ratio = F.try_divide(F.col("value"), F.dayofmonth("ts") - F.lit(15))
+    r = e.select("event_type", ratio.alias("ratio"))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("ratio").isNull().cast("int")).cast("bigint").alias("n_div_null"),
+        N.rnd(F.min("ratio"), 6).alias("min_ratio"),
+        N.rnd(F.max("ratio"), 6).alias("max_ratio"),
+    )
