@@ -58,6 +58,16 @@ QUERIES = [
     "key_skew_profile",
     "distinct_rollup_two_level",
     "hopping_window_counts",
+    # round-4 operators whose decade behavior matters most: graph
+    # (pair-join fanout), interval overlap (grid explode), weighted
+    # quantiles (distinct-frame windows), OHLC (window+agg on one
+    # exchange), TWAP (per-entity lead)
+    "triangle_count",
+    "pagerank_parts",
+    "interval_overlap_join",
+    "weighted_median_delay",
+    "ohlc_bars",
+    "time_weighted_avg",
 ]
 
 
