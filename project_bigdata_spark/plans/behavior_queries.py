@@ -27,23 +27,25 @@ from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
 
-# Exact-DECIMAL moment fragments shared by the oracles below (the
-# catalog-wide idiom: 2-decimal value domain sums exactly in DECIMAL,
-# the closed form then evaluates in double bit-identically everywhere).
-_SUM_DEC = "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
-_SUMSQ_DEC = (
-    "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))"
-    " AS DECIMAL(28,4))) AS DOUBLE)"
-)
+# Exact-cents moment fragments shared by the oracles below (the
+# catalog-wide idiom, hardened round 5: 2-decimal value domain sums
+# exactly on an integer-cents grid — floor(x*100+0.5), no engine-
+# delegated double->DECIMAL tie rounding; see _norm.cents — the closed
+# form then evaluates in double bit-identically everywhere).
+_CENTS = N.sql_cents("value")
+_SUM_DEC = N.sql_sum_cents2("value")
+_SUMSQ_DEC = f"(CAST(sum({_CENTS} * {_CENTS}) AS DOUBLE) / 1e4)"
 
 
 def _moments(df: DataFrame, *keys: str) -> DataFrame:
     """Group ``df`` by ``keys`` -> exact count / Σx / Σx² (double)."""
-    dec = F.col("value").cast("decimal(12,2)")
+    c = N.cents("value")
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dec).cast("double").alias("s"),
-        F.sum((dec * dec).cast("decimal(28,4)")).cast("double").alias("sq"),
+        (F.sum(c.cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias("s"),
+        (F.sum((c * c).cast("decimal(38,0)")).cast("double") / F.lit(1.0e4)).alias(
+            "sq"
+        ),
     )
 
 
@@ -287,7 +289,7 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "touch_attribution",
-    oracle="""
+    oracle=f"""
 WITH touched AS (
   SELECT event_type, value, ts,
          last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
@@ -308,8 +310,7 @@ WITH touched AS (
 )
 SELECT touch_type,
        CAST(count(*) AS BIGINT) AS n_conversions,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {_SUM_DEC} AS total_value
 FROM conv GROUP BY 1""",
     doc="Last-touch conversion attribution: each purchase credits the "
     "user's most recent non-purchase event within a 7-day lookback "
@@ -354,9 +355,7 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return conv.groupBy("touch_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
@@ -415,12 +414,11 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "state_merge_audit",
-    oracle="""
+    oracle=f"""
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value,
+       {_SUM_DEC} AS total_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY 1""",
@@ -439,14 +437,14 @@ def state_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("p_count"),
-        F.sum(F.col("value").cast("decimal(12,2)")).alias("p_sum"),
+        F.sum(N.cents("value").cast("decimal(38,0)")).alias("p_sum"),
         F.min("value").alias("p_min"),
         F.max("value").alias("p_max"),
     )
     merged = partial.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("p_count").cast("bigint").alias("n_events"),
-        F.sum("p_sum").cast("decimal(38,2)").alias("total_value"),
+        (F.sum("p_sum").cast("double") / F.lit(100.0)).alias("total_value"),
         F.min("p_min").alias("min_value"),
         F.max("p_max").alias("max_value"),
     )
@@ -779,7 +777,7 @@ def exact_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hopping_window_counts",
-    oracle="""
+    oracle=f"""
 WITH hopped AS (
   SELECT user_id, value,
          unnest([date_trunc('hour', ts),
@@ -789,8 +787,7 @@ WITH hopped AS (
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {_SUM_DEC} AS total_value
 FROM hopped GROUP BY 1""",
     doc="Hopping-window aggregation in batch (2 h window, 1 h hop — the "
     "batch counterpart of the sliding-window stream in "
@@ -815,19 +812,17 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
 @query(
     "period_over_period",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+         {_SUM_DEC} AS total
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, total,
@@ -853,9 +848,7 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total"),
+        N.sum_cents2("value").alias("total"),
     )
     w = Window.partitionBy("event_type").orderBy("day")
     prev = F.lag("n", 7).over(w)
@@ -1006,16 +999,14 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_join_attested",
-    oracle="""
+    oracle=f"""
 WITH dim AS (
-  SELECT user_id,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-           AS user_value
+  SELECT user_id, sum({_CENTS}) AS user_cents
   FROM events GROUP BY 1
 )
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(d.user_value) AS DECIMAL(38,2)) AS joined_value
+       (CAST(sum(d.user_cents) AS DOUBLE) / 100) AS joined_value
 FROM events e JOIN dim d ON e.user_id = d.user_id
 GROUP BY 1""",
     doc="Differential attestation of the salted JOIN (the sibling of "
@@ -1033,16 +1024,16 @@ def salted_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     dim = e.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("user_value")
+        F.sum(N.cents("value").cast("decimal(38,0)")).alias("user_cents")
     )
     joined = salted_join(
         e.select("user_id", "event_type"), dim, key="user_id"
     )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum("user_value").cast("decimal(38,2)").alias("joined_value"),
+        (F.sum("user_cents").cast("double") / F.lit(100.0)).alias(
+            "joined_value"
+        ),
     )
 
 

@@ -105,10 +105,10 @@ def _sink_dir(name: str, sf_dir: str) -> str:
 
 @query(
     "csv_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+       {N.sql_sum_cents2('value')} AS total_value,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
        CAST(sum(CAST(('0x' || substring(md5(props), 1, 8)) AS BIGINT))
             AS BIGINT) AS props_md5_sum
@@ -142,9 +142,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
         N.ts_str(F.min("ts"), micros=True).alias("first_ts"),
         _md5_sum("props").alias("props_md5_sum"),
     )
@@ -180,10 +178,10 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "partitioned_parquet_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+       {N.sql_sum_cents2('value')} AS total_value
 FROM events
 WHERE date_part('day', ts) BETWEEN 8 AND 14
 GROUP BY 1""",
@@ -206,20 +204,16 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     back = spark.read.parquet(path).filter(F.col("day").between(8, 14))
     return back.groupBy(N.big("day").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
 @query(
     "bucketed_join_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(12,2))))
-            AS DECIMAL(38,4)) AS revenue
+       {N.sql_sum_rev2('l_extendedprice', 'l_discount')} AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1""",
     doc="Bucketed-table join attested end-to-end (S9, the OLAP-serving "
@@ -259,18 +253,15 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed_table(o, o_tbl, "o_orderkey", n_buckets=8)
     lb, ob = spark.table(li_tbl), spark.table(o_tbl)
     joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
-    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
-    )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+        N.sum_rev2("l_extendedprice", "l_discount").alias("revenue"),
     )
 
 
 @query(
     "partition_upsert_roundtrip",
-    oracle="""
+    oracle=f"""
 WITH mod AS (
   SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
          CASE WHEN date_part('day', ts) BETWEEN 10 AND 12
@@ -286,7 +277,7 @@ WITH mod AS (
 )
 SELECT day,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(v AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value
+       {N.sql_sum_cents2('v')} AS total_value
 FROM unioned GROUP BY 1""",
     doc="MERGE-INTO emulation attested end-to-end (operators/upsert.py's "
     "anti-join + union + dynamic-partition-overwrite construction, the "
@@ -325,15 +316,13 @@ def partition_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy(F.col("day").cast("bigint").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
 @query(
     "schema_evolution_roundtrip",
-    oracle="""
+    oracle=f"""
 WITH unified AS (
   SELECT event_type,
          CASE WHEN date_part('day', ts) >= 16
@@ -344,8 +333,7 @@ WITH unified AS (
 SELECT event_type,
        coalesce(channel, 'none') AS channel,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {N.sql_sum_cents2('value')} AS total_value
 FROM unified GROUP BY 1, 2""",
     doc="Parquet schema evolution attested end-to-end: generation 1 "
     "(days 1-15) lands WITHOUT the channel column, generation 2 (days "
@@ -387,18 +375,16 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.coalesce("channel", F.lit("none")).alias("channel")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
 @query(
     "orc_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+       {N.sql_sum_cents2('value')} AS total_value,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
        CAST(sum(CAST(('0x' || substring(md5(props), 1, 8)) AS BIGINT))
             AS BIGINT) AS props_md5_sum
@@ -421,9 +407,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
         N.ts_str(F.min("ts"), micros=True).alias("first_ts"),
         _md5_sum("props").alias("props_md5_sum"),
     )
@@ -431,15 +415,14 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dynamic_partition_pruning_roundtrip",
-    oracle="""
+    oracle=f"""
 WITH busy AS (
   SELECT DISTINCT CAST(date_part('day', o_orderdate) AS INT) AS day
   FROM orders WHERE o_totalprice > 499500
 )
 SELECT CAST(date_part('day', e.ts) AS BIGINT) AS day,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {N.sql_sum_cents2('e.value')} AS total_value
 FROM events e JOIN busy b ON date_part('day', e.ts) = b.day
 GROUP BY 1""",
     doc="Dynamic partition pruning attested end-to-end: the events "
@@ -478,19 +461,16 @@ def dynamic_partition_pruning_roundtrip(
     joined = facts.join(F.broadcast(busy), "day")
     return joined.groupBy(N.big("day").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
 @query(
     "python_sink_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value,
+       {N.sql_sum_cents2('value')} AS total_value,
        CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM events GROUP BY 1""",
     doc="Python DataSource WRITER attested end-to-end (the sink face of "
@@ -523,8 +503,6 @@ def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(os.path.join(path, "part-*.jsonl"))
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )

@@ -30,6 +30,11 @@ from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
 
+# exact-cents readout (round-5 verdict ask #1): no double->DECIMAL cast,
+# no DECIMAL output — see _norm.cents for the rationale
+_SUM_CENTS_VALUE = N.sql_sum_cents2("value")
+_SUM_CENTS_EVALUE = N.sql_sum_cents2("e.value")
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # load_table asserts the runtime confs and yields the post-
@@ -60,12 +65,11 @@ def _run_to_memory(agg: DataFrame, prefix: str) -> str:
 
 @query(
     "streaming_hourly_attested",
-    oracle="""
+    oracle=f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value,
+       {_SUM_CENTS_VALUE} AS total_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY 1, 2""",
     doc="Tumbling-hour streaming aggregation attested against batch SQL "
@@ -84,9 +88,7 @@ def streaming_hourly_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
         F.max("value").alias("max_value"),
     )
     name = _run_to_memory(agg, "stream_hourly")
@@ -102,7 +104,7 @@ def streaming_hourly_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sliding_attested",
-    oracle="""
+    oracle=f"""
 WITH hopped AS (
   SELECT user_id, value,
          unnest([date_trunc('hour', ts),
@@ -111,8 +113,7 @@ WITH hopped AS (
 )
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {_SUM_CENTS_VALUE} AS total_value
 FROM hopped GROUP BY 1""",
     doc="Sliding-window (2h/1h) streaming aggregation attested against "
     "the batch hopping oracle — the same window semantics "
@@ -129,9 +130,7 @@ def streaming_sliding_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "2 hours", "1 hour").alias("w")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
     name = _run_to_memory(agg, "stream_sliding")
     t = spark.table(name)
@@ -144,15 +143,14 @@ def streaming_sliding_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_static_join_attested",
-    oracle="""
+    oracle=f"""
 WITH dim AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS user_total
   FROM events GROUP BY 1
 )
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value,
+       {_SUM_CENTS_EVALUE} AS total_value,
        CAST(sum(d.user_total) AS BIGINT) AS sum_user_totals
 FROM events e JOIN dim d ON e.user_id = d.user_id
 GROUP BY 1""",
@@ -176,9 +174,7 @@ def stream_static_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(F.broadcast(static_dim), "user_id")
     agg = joined.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
         F.sum("user_total").cast("bigint").alias("sum_user_totals"),
     )
     name = _run_to_memory(agg, "stream_static")
@@ -289,12 +285,11 @@ def streaming_dedup_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_upsert_sink_attested",
-    oracle="""
+    oracle=f"""
 SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {_SUM_CENTS_VALUE} AS total_value
 FROM events GROUP BY 1""",
     doc="CDC-apply topology attested end-to-end: the events stream is "
     "applied to a partitioned parquet table through foreachBatch + "
@@ -354,19 +349,16 @@ def streaming_upsert_sink_attested(spark: SparkSession, sf_dir: str) -> DataFram
     return back.groupBy(F.col("day").cast("bigint").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
 @query(
     "streaming_multibatch_attested",
-    oracle="""
+    oracle=f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value,
+       {_SUM_CENTS_VALUE} AS total_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY 1""",
     doc="Cross-micro-batch state accumulation attested: the events "
@@ -395,9 +387,7 @@ def streaming_multibatch_attested(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
         F.max("value").alias("max_value"),
     )
     name = _run_to_memory(agg, "stream_multibatch")
