@@ -32,32 +32,42 @@ def _dec(col: str | Column, prec: str = "decimal(12,2)") -> Column:
     return c.cast(prec)
 
 
-# Exact decimal revenue term used across queries: ep * (1 - disc).
-REVENUE_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
-)
+# Exact integer revenue term used across queries, in 1e-4 units:
+# ep_cents * (100 - disc_cents). Integer arithmetic has no engine-
+# delegated rounding (round-5 hardening; see _norm.cents) — sums render
+# as DOUBLE with one /1e4 at the end.
+_EP_C = N.sql_cents("l_extendedprice")
+_DISC_C = N.sql_cents("l_discount")
+_TAX_C = N.sql_cents("l_tax")
+_QTY_C = N.sql_cents("l_quantity")
+_OTP_C = N.sql_cents("o_totalprice")
+_VAL_C = N.sql_cents("value")
+REVENUE_SQL = f"({_EP_C} * (100 - {_DISC_C}))"
 
 
 def _revenue() -> Column:
-    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    """Integer revenue term in 1e-4 units (mirror of ``REVENUE_SQL``)."""
+    return N.cents("l_extendedprice") * (F.lit(100) - N.cents("l_discount"))
+
+
+def _sum_dbl(col: Column, unit: float) -> Column:
+    """Exact DECIMAL(38,0) sum of an integer term, rendered as DOUBLE in
+    natural units (``unit`` = 1e2 for cents, 1e4 for revenue, ...)."""
+    return F.sum(col.cast("decimal(38,0)")).cast("double") / F.lit(unit)
 
 
 @query(
     "q1_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
-         AS sum_base_price,
-       round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS sum_disc_price,
-       round(CAST(sum({REVENUE_SQL} * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE), 2)
+       round(CAST(sum({_QTY_C}) AS DOUBLE) / 1e2, 2) AS sum_qty,
+       round(CAST(sum({_EP_C}) AS DOUBLE) / 1e2, 2) AS sum_base_price,
+       round(CAST(sum({REVENUE_SQL}) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+       round(CAST(sum({REVENUE_SQL} * (100 + {_TAX_C})) AS DOUBLE) / 1e6, 2)
          AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)
-         AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)
-         AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)
-         AS avg_disc,
+       round(CAST(sum({_QTY_C}) AS DOUBLE) / 1e2 / count(*), 4) AS avg_qty,
+       round(CAST(sum({_EP_C}) AS DOUBLE) / 1e2 / count(*), 4) AS avg_price,
+       round(CAST(sum({_DISC_C}) AS DOUBLE) / 1e2 / count(*), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -71,23 +81,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     revenue = _revenue()
+    qty_c, ep_c, disc_c = (
+        N.cents("l_quantity"),
+        N.cents("l_extendedprice"),
+        N.cents("l_discount"),
+    )
+    charge = revenue * (F.lit(100) + N.cents("l_tax"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias(
-                "sum_base_price"
-            ),
-            F.round(F.sum(revenue).cast("double"), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(revenue * (F.lit(1) + _dec("l_tax"))).cast("double"), 2
-            ).alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / cnt, 4).alias(
-                "avg_price"
-            ),
-            F.round(F.sum(_dec("l_discount")).cast("double") / cnt, 4).alias("avg_disc"),
+            F.round(_sum_dbl(qty_c, 1e2), 2).alias("sum_qty"),
+            F.round(_sum_dbl(ep_c, 1e2), 2).alias("sum_base_price"),
+            F.round(_sum_dbl(revenue, 1e4), 2).alias("sum_disc_price"),
+            F.round(_sum_dbl(charge, 1e6), 2).alias("sum_charge"),
+            F.round(_sum_dbl(qty_c, 1e2) / cnt, 4).alias("avg_qty"),
+            F.round(_sum_dbl(ep_c, 1e2) / cnt, 4).alias("avg_price"),
+            F.round(_sum_dbl(disc_c, 1e2) / cnt, 4).alias("avg_disc"),
             cnt.cast("bigint").alias("count_order"),
         )
     )
@@ -97,7 +107,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
 SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
-       round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS revenue,
+       round(CAST(sum({REVENUE_SQL}) AS DOUBLE) / 1e4, 2) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -128,14 +138,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.l_orderkey == o.o_orderkey,
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.sum(_revenue()).alias("rev_exact")
+        F.sum(_revenue().cast("decimal(38,0)")).alias("rev_exact")
     )
     return (
         agg.orderBy(F.desc("rev_exact"), "l_orderkey")
         .limit(10)
         .select(
             N.big("l_orderkey").alias("l_orderkey"),
-            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+            F.round(F.col("rev_exact").cast("double") / F.lit(1.0e4), 2).alias(
+                "revenue"
+            ),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         )
     )
@@ -145,7 +157,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle=f"""
 SELECT n_name,
-       round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+       round(CAST(sum({REVENUE_SQL}) AS DOUBLE) / 1e4, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -182,7 +194,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue")
+        F.round(_sum_dbl(_revenue(), 1e4), 2).alias("revenue")
     )
 
 
@@ -221,7 +233,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_top_customers",
     oracle=f"""
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
-       round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+       round(CAST(sum({REVENUE_SQL}) AS DOUBLE) / 1e4, 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -244,7 +256,7 @@ def q10_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.sum(_revenue()).alias("rev_exact")
+        F.sum(_revenue().cast("decimal(38,0)")).alias("rev_exact")
     )
     return (
         agg.orderBy(F.desc("rev_exact"), "c_custkey")
@@ -253,17 +265,19 @@ def q10_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.big("c_custkey").alias("c_custkey"),
             "c_name",
             "n_name",
-            F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+            F.round(F.col("rev_exact").cast("double") / F.lit(1.0e4), 2).alias(
+                "revenue"
+            ),
         )
     )
 
 
 @query(
     "broadcast_dim_join",
-    oracle="""
+    oracle=f"""
 SELECT p_brand,
        CAST(count(*) AS BIGINT) AS n_lines,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_qty
+       round(CAST(sum({_QTY_C}) AS DOUBLE) / 1e2, 2) AS total_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand""",
     doc="The dim_enrich operator: broadcast hash join fact x part — the "
@@ -277,7 +291,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = J.dim_enrich(l, p.select("l_partkey", "p_brand"), on="l_partkey")
     return enriched.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("total_qty"),
+        F.round(_sum_dbl(N.cents("l_quantity"), 1e2), 2).alias("total_qty"),
     )
 
 
@@ -324,12 +338,12 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_running_total",
-    oracle="""
+    oracle=f"""
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(o_orderkey AS BIGINT) AS o_orderkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+       round(CAST(sum({_OTP_C})
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             AS DOUBLE), 2) AS running_total
+             AS DOUBLE) / 1e2, 2) AS running_total
 FROM orders""",
     doc="Window running sum per customer — cumulative frame, exact decimal.",
     survey_ids=("W3",),
@@ -344,9 +358,10 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         N.big("o_custkey").alias("o_custkey"),
         N.big("o_orderkey").alias("o_orderkey"),
-        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2).alias(
-            "running_total"
-        ),
+        F.round(
+            F.sum(N.cents("o_totalprice")).over(w).cast("double") / F.lit(100.0),
+            2,
+        ).alias("running_total"),
     )
 
 
@@ -378,17 +393,17 @@ def orders_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_type_avg",
-    oracle="""
+    oracle=f"""
 SELECT CAST(user_id AS BIGINT) AS user_id,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'click') AS DOUBLE)
+       round(CAST(sum({_VAL_C}) FILTER (WHERE event_type = 'click') AS DOUBLE) / 1e2
              / count(*) FILTER (WHERE event_type = 'click'), 4) AS click,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'view') AS DOUBLE)
+       round(CAST(sum({_VAL_C}) FILTER (WHERE event_type = 'view') AS DOUBLE) / 1e2
              / count(*) FILTER (WHERE event_type = 'view'), 4) AS "view",
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+       round(CAST(sum({_VAL_C}) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / 1e2
              / count(*) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE)
+       round(CAST(sum({_VAL_C}) FILTER (WHERE event_type = 'signup') AS DOUBLE) / 1e2
              / count(*) FILTER (WHERE event_type = 'signup'), 4) AS signup,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'error') AS DOUBLE)
+       round(CAST(sum({_VAL_C}) FILTER (WHERE event_type = 'error') AS DOUBLE) / 1e2
              / count(*) FILTER (WHERE event_type = 'error'), 4) AS error
 FROM events GROUP BY user_id""",
     doc="Pivot: long->wide per-type averages — the engine's clean form of "

@@ -12,15 +12,25 @@ from pyspark.sql import functions as F
 
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
-from project_bigdata_spark.plans.relational_queries import REVENUE_SQL, _dec, _revenue
+from project_bigdata_spark.plans.relational_queries import (
+    REVENUE_SQL,
+    _revenue,
+    _sum_dbl,
+)
+
+_EP_C = N.sql_cents("l_extendedprice")
+_DISC_C = N.sql_cents("l_discount")
+_QTY_C = N.sql_cents("l_quantity")
+_OTP_C = N.sql_cents("o_totalprice")
+_BAL_C = N.sql_cents("c_acctbal")
+_VAL_C = N.sql_cents("value")
 from project_bigdata_spark.sources import load_table
 
 
 @query(
     "q6_forecast_revenue",
-    oracle="""
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 2) AS revenue,
+    oracle=f"""
+SELECT round(CAST(sum({_EP_C} * {_DISC_C}) AS DOUBLE) / 1e4, 2) AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -44,7 +54,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"), 2
+                _sum_dbl(
+                    N.cents("l_extendedprice") * N.cents("l_discount"), 1e4
+                ),
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -86,7 +99,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT round(
   1.0e2 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL}
-               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               ELSE 0 END) AS DOUBLE)
         / CAST(sum({REVENUE_SQL}) AS DOUBLE), 4) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -102,14 +115,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-    promo = F.when(
-        F.col("p_type") == "PROMO", _revenue()
-    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0))
     return joined.agg(
         N.rnd(
             F.lit(100.0)
-            * F.sum(promo).cast("double")
-            / F.sum(_revenue()).cast("double"),
+            * F.sum(promo.cast("decimal(38,0)")).cast("double")
+            / F.sum(_revenue().cast("decimal(38,0)")).cast("double"),
             4,
         ).alias("promo_share")
     )
@@ -117,17 +128,17 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q18_large_orders",
-    oracle="""
+    oracle=f"""
 WITH big AS (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+  HAVING sum({_QTY_C}) > 15000
 )
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
        CAST(o_orderkey AS BIGINT) AS o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(o_totalprice, 2) AS o_totalprice,
-       round(CAST((SELECT sum(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem
-                   WHERE l_orderkey = o_orderkey) AS DOUBLE), 2) AS total_qty
+       round(CAST((SELECT sum({_QTY_C}) FROM lineitem
+                   WHERE l_orderkey = o_orderkey) AS DOUBLE) / 1e2, 2) AS total_qty
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 WHERE o_orderkey IN (SELECT l_orderkey FROM big)""",
@@ -140,9 +151,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     totals = l.groupBy("l_orderkey").agg(
-        F.sum(_dec("l_quantity")).alias("qty_exact")
+        F.sum(N.cents("l_quantity").cast("decimal(38,0)")).alias("qty_exact")
     )
-    big = totals.filter(F.col("qty_exact") > 150)
+    big = totals.filter(F.col("qty_exact") > 15000)
     joined = (
         o.join(big, o.o_orderkey == big.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -152,14 +163,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("o_orderkey").alias("o_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         N.rnd("o_totalprice", 2).alias("o_totalprice"),
-        F.round(F.col("qty_exact").cast("double"), 2).alias("total_qty"),
+        F.round(F.col("qty_exact").cast("double") / F.lit(100.0), 2).alias(
+            "total_qty"
+        ),
     )
 
 
 @query(
     "q19_bracketed_revenue",
     oracle=f"""
-SELECT round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+SELECT round(CAST(sum({REVENUE_SQL}) AS DOUBLE) / 1e4, 2) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -181,17 +194,17 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("p_size").between(1, 15))
     )
     return joined.filter(cond).agg(
-        F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue")
+        F.round(_sum_dbl(_revenue(), 1e4), 2).alias("revenue")
     )
 
 
 @query(
     "rollup_order_stats",
-    oracle="""
+    oracle=f"""
 SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
        coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+       round(CAST(sum({_OTP_C}) AS DOUBLE) / 1e2, 2)
          AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
@@ -205,7 +218,7 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+            F.round(_sum_dbl(N.cents("o_totalprice"), 1e2), 2).alias(
                 "total_price"
             ),
         )
@@ -341,12 +354,12 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multi_granularity_rollup",
-    oracle="""
+    oracle=f"""
 SELECT granularity,
        strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+       round(CAST(sum({_VAL_C}) AS DOUBLE) / 1e2, 2) AS total
 FROM (
   SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket, event_type, value
   FROM events
@@ -379,7 +392,7 @@ def multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+            _sum_dbl(N.cents("value"), 1e2), 2
         ).alias("total"),
     )
 
@@ -466,7 +479,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       round(CAST(sum({REVENUE_SQL}) AS DOUBLE), 2) AS revenue
+       round(CAST(sum({REVENUE_SQL}) AS DOUBLE) / 1e4, 2) AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -509,19 +522,19 @@ def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(_sum_dbl(_revenue(), 1e4), 2).alias("revenue"))
     )
 
 
 @query(
     "q22_idle_customers",
-    oracle="""
+    oracle=f"""
 WITH avg_bal AS (
   SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
 )
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+       round(CAST(sum({_BAL_C}) AS DOUBLE) / 1e2, 2) AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -546,7 +559,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idle.groupBy(N.big("c_nationkey").alias("c_nationkey")).agg(
         F.count(F.lit(1)).alias("numcust"),
         F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            _sum_dbl(N.cents("c_acctbal"), 1e2), 2
         ).alias("totacctbal"),
     )
 

@@ -12,20 +12,28 @@ from pyspark.sql import functions as F
 from project_bigdata_spark.operators import joins as J
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
-from project_bigdata_spark.plans.relational_queries import REVENUE_SQL, _dec, _revenue
+from project_bigdata_spark.plans.relational_queries import (
+    REVENUE_SQL,
+    _revenue,
+    _sum_dbl,
+)
+
+_EP_C = N.sql_cents("l_extendedprice")
+_QTY_C = N.sql_cents("l_quantity")
+_RP_C = N.sql_cents("p_retailprice")
 from project_bigdata_spark.sources import load_table
 
-PROFIT_SQL = (
-    f"{REVENUE_SQL} - CAST(l_quantity AS DECIMAL(12,2))"
-    " * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.8 AS DECIMAL(3,1))"
-)
+# Integer profit term in 1e-6 units: revenue(1e-4)*100 minus
+# 0.8*qty*retailprice expressed as qty_cents*retail_cents*80.
+PROFIT_SQL = f"({REVENUE_SQL} * 100 - {_QTY_C} * {_RP_C} * 80)"
+
 
 
 @query(
     "q9_nation_profit",
     oracle=f"""
 SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum({PROFIT_SQL}) AS DOUBLE), 2) AS profit
+       round(CAST(sum({PROFIT_SQL}) AS DOUBLE) / 1e6, 2) AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -43,9 +51,9 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    profit = _revenue() - _dec("l_quantity") * _dec("p_retailprice") * F.lit(
-        "0.8"
-    ).cast("decimal(3,1)")
+    profit = _revenue() * F.lit(100) - N.cents("l_quantity") * N.cents(
+        "p_retailprice"
+    ) * F.lit(80)
     joined = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -54,7 +62,7 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
-    ).agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    ).agg(F.round(_sum_dbl(profit, 1e6), 2).alias("profit"))
 
 
 @query(
@@ -68,7 +76,7 @@ WITH revenue_view AS (
   GROUP BY l_suppkey
 )
 SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
-       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+       round(CAST(total_revenue AS DOUBLE) / 1e4, 2) AS total_revenue
 FROM supplier JOIN revenue_view ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue_view)""",
     doc="TPC-H Q15 shape: revenue view + scalar-max subquery (broadcast "
@@ -83,7 +91,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).alias("total_revenue")
+        F.sum(_revenue().cast("decimal(38,0)")).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     top = rev.crossJoin(F.broadcast(mx)).filter(
@@ -92,19 +100,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(top, s.s_suppkey == top.supplier_no).select(
         N.big("s_suppkey").alias("s_suppkey"),
         "s_name",
-        F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            F.col("total_revenue").cast("double") / F.lit(1.0e4), 2
+        ).alias("total_revenue"),
     )
 
 
 @query(
     "q17_small_quantity_revenue",
-    oracle="""
+    oracle=f"""
 WITH part_avg AS (
-  SELECT l_partkey, 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+  SELECT l_partkey, 0.5 * (CAST(sum({_QTY_C}) AS DOUBLE) / 1e2
                            / count(*)) AS threshold
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+SELECT round(CAST(sum({_EP_C}) AS DOUBLE) / 1e2 / 7.0, 2)
          AS avg_yearly
 FROM lineitem l
 JOIN part ON l.l_partkey = p_partkey
@@ -120,7 +130,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
             F.lit(0.5)
-            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            * (_sum_dbl(N.cents("l_quantity"), 1e2) / F.count(F.lit(1)))
         ).alias("threshold")
     )
     joined = (
@@ -130,19 +140,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.agg(
         F.round(
-            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            _sum_dbl(N.cents("l_extendedprice"), 1e2) / F.lit(7.0), 2
         ).alias("avg_yearly")
     )
 
 
 @query(
     "q20_bulk_suppliers",
-    oracle="""
+    oracle=f"""
 WITH bulk AS (
   SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand IN ('Brand#1', 'Brand#2')
   GROUP BY l_suppkey
-  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50
+  HAVING sum({_QTY_C}) > 5000
 )
 SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -161,8 +171,8 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bulk = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(F.sum(_dec("l_quantity")).alias("q"))
-        .filter(F.col("q") > 50)
+        .agg(F.sum(N.cents("l_quantity").cast("decimal(38,0)")).alias("q"))
+        .filter(F.col("q") > 5000)
         .select("s_suppkey")
     )
     hit = J.semi_join(s, bulk, on="s_suppkey")
@@ -263,24 +273,26 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("bigint").alias("o_year")
     ).agg(
         N.rnd(
-            F.sum(rev * is_target).cast("double") / F.sum(rev).cast("double"), 6
+            F.sum((rev * is_target).cast("decimal(38,0)")).cast("double")
+            / F.sum(rev.cast("decimal(38,0)")).cast("double"),
+            6,
         ).alias("mkt_share")
     )
 
 
 @query(
     "q11_important_parts",
-    oracle="""
+    oracle=f"""
 WITH pv AS (
-  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  SELECT l_partkey, sum({_EP_C}) AS val
   FROM lineitem GROUP BY l_partkey
 ), tot AS (
-  SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS t FROM lineitem
+  SELECT sum({_EP_C}) AS t FROM lineitem
 )
 SELECT CAST(pv.l_partkey AS BIGINT) AS l_partkey,
-       round(CAST(pv.val AS DOUBLE), 2) AS value
+       round(CAST(pv.val AS DOUBLE) / 1e2, 2) AS value
 FROM pv, tot
-WHERE pv.val > tot.t * CAST(0.0008 AS DECIMAL(5,4))""",
+WHERE pv.val * 10000 > tot.t * 8""",
     doc="TPC-H Q11 shape: per-key value with a global-fraction HAVING "
     "threshold — the scalar subquery decorrelated to a broadcast one-row "
     "total (no driver collect, no second shuffle; decimal-exact compare).",
@@ -288,14 +300,15 @@ WHERE pv.val > tot.t * CAST(0.0008 AS DECIMAL(5,4))""",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    pv = l.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("val"))
-    tot = l.agg(F.sum(_dec("l_extendedprice")).alias("t"))
+    ep_c = N.cents("l_extendedprice").cast("decimal(38,0)")
+    pv = l.groupBy("l_partkey").agg(F.sum(ep_c).alias("val"))
+    tot = l.agg(F.sum(ep_c).alias("t"))
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("val") > F.col("t") * F.lit("0.0008").cast("decimal(5,4)"))
+        .filter(F.col("val") * F.lit(10000) > F.col("t") * F.lit(8))
         .select(
             N.big("l_partkey").alias("l_partkey"),
-            F.round(F.col("val").cast("double"), 2).alias("value"),
+            F.round(F.col("val").cast("double") / F.lit(100.0), 2).alias("value"),
         )
     )
 
