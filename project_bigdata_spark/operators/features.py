@@ -89,15 +89,17 @@ def add_rolling_features(
     and summation-order-free (see plans/_norm.py rationale); max/min are
     order-free natively.
     """
+    from project_bigdata_spark.plans import _norm as N
+
     p = prefix or value_col
     w = Window.partitionBy(entity_col).orderBy(*_order_cols(order_by or ["ts"]))
     short = w.rowsBetween(-(window_rows - 1), 0)
     long = w.rowsBetween(-(long_window_rows - 1), 0)
 
-    dec = F.col(value_col).cast("decimal(12,2)")
+    c = N.cents(value_col)
     cnt_s = F.count(F.lit(1)).over(short).cast("double")
-    sum_s = F.sum(dec).over(short).cast("double")
-    sq_s = F.sum((dec * dec).cast("decimal(28,4)")).over(short).cast("double")
+    sum_s = F.sum(c).over(short).cast("double") / F.lit(100.0)
+    sq_s = F.sum(c * c).over(short).cast("double") / F.lit(1.0e4)
     var_s = F.greatest((sq_s - sum_s * sum_s / cnt_s) / (cnt_s - 1), F.lit(0.0))
 
     return (
@@ -110,7 +112,9 @@ def add_rolling_features(
         .withColumn(f"{p}_min_{window_rows}", F.min(value_col).over(short))
         .withColumn(
             f"{p}_mean_{long_window_rows}",
-            F.sum(dec).over(long).cast("double") / F.count(F.lit(1)).over(long),
+            F.sum(c).over(long).cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(long),
         )
     )
 

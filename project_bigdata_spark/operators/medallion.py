@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from project_bigdata_spark.functions import arrays as A
 from project_bigdata_spark.functions.aqi import aqi_category
 from project_bigdata_spark.functions.timeparts import with_partition_cols
+from project_bigdata_spark.plans import _norm as N
 
 # Declared envelope schema (never inferred), mirroring the reference's
 # KAFKA_MESSAGE_SCHEMA discipline (batch_processor.py:31-45).
@@ -88,10 +89,11 @@ def gold_hourly(silver_df: DataFrame) -> DataFrame:
         silver_df.groupBy(F.col("user_id"), hour, "year", "month", "day")
         .agg(
             F.max("value").alias("max_value"),
-            # exact-decimal sum / count: order-free, engine-neutral (see
-            # plans/_norm.py avg_exact rationale)
+            # exact integer-cents sum / count: order-free, engine-neutral,
+            # no double->DECIMAL cast (see plans/_norm.py cents rationale)
             (
-                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                F.sum(N.cents("value")).cast("double")
+                / F.lit(100.0)
                 / F.count(F.lit(1))
             ).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),

@@ -49,9 +49,10 @@ def big(col: Column | str) -> Column:
     return c.cast("bigint")
 
 
-def cents(col: Column | str) -> Column:
+def cents(col: Column | str, scale: int = 100) -> Column:
     """Exact integer cents of a ~2-decimal double: sign-aware
-    ``floor(x*100 + 0.5)`` as BIGINT.
+    ``floor(x*100 + 0.5)`` as BIGINT (``scale`` picks a finer grid,
+    e.g. 10_000 for a 4-decimal domain).
 
     This replaces ``CAST(x AS DECIMAL(12,2))`` as the catalog's exact-grid
     idiom (round-5 verdict ask #1). A double→DECIMAL cast delegates tie
@@ -65,8 +66,9 @@ def cents(col: Column | str) -> Column:
     Mirror SQL: :func:`sql_cents`.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
-    pos = F.floor(c * F.lit(100.0) + F.lit(0.5))
-    neg = -F.floor(-c * F.lit(100.0) + F.lit(0.5))
+    s = F.lit(float(scale))
+    pos = F.floor(c * s + F.lit(0.5))
+    neg = -F.floor(-c * s + F.lit(0.5))
     return F.when(c >= 0, pos).otherwise(neg).cast("bigint")
 
 
@@ -84,11 +86,11 @@ def sum_cents2(col: Column | str) -> Column:
     return F.sum(cents(col).cast("decimal(38,0)")).cast("double") / F.lit(100.0)
 
 
-def sql_cents(expr: str) -> str:
+def sql_cents(expr: str, scale: int = 100) -> str:
     """DuckDB mirror of :func:`cents` — identical IEEE arithmetic."""
     return (
-        f"CAST(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * 100 + 0.5) "
-        f"ELSE -floor(-({expr}) * 100 + 0.5) END AS BIGINT)"
+        f"CAST(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {scale} + 0.5) "
+        f"ELSE -floor(-({expr}) * {scale} + 0.5) END AS BIGINT)"
     )
 
 

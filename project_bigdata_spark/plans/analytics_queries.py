@@ -19,6 +19,8 @@ from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
 
+_VC = N.sql_cents("value")
+
 
 @query(
     "layer_stats",
@@ -110,13 +112,13 @@ def entity_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "time_bucketed_counts",
-    oracle="""
+    oracle=f"""
 SELECT CAST(year(ts) AS BIGINT) AS year,
        CAST(month(ts) AS BIGINT) AS month,
        CAST(dayofmonth(ts) AS BIGINT) AS day,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)
+       {N.sql_avg_exact('value')}
          AS avg_value
 FROM events GROUP BY 1, 2, 3, 4""",
     doc="A7: time-bucketed counts — ClickHouse toYear groupings "
@@ -693,19 +695,17 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "value_hour_correlation",
-    oracle="""
+    oracle=f"""
 WITH b AS (
   SELECT event_type,
          CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(sum({_VC}) AS DOUBLE) AS sx,
          CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)) AS DOUBLE) AS sy,
-         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
-                       AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(sum({_VC} * {_VC}) AS DOUBLE) AS sxx,
          CAST(sum(CAST(extract(hour FROM ts) AS BIGINT)
                   * CAST(extract(hour FROM ts) AS BIGINT)) AS DOUBLE) AS syy,
-         CAST(sum(CAST(CAST(value AS DECIMAL(12,2))
-                       * CAST(extract(hour FROM ts) AS DECIMAL(4,0))
-                       AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+         CAST(sum({_VC} * CAST(extract(hour FROM ts) AS BIGINT)) AS DOUBLE)
+           AS sxy
   FROM events GROUP BY event_type
 )
 SELECT event_type,
@@ -725,16 +725,15 @@ FROM b""",
 )
 def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    x = F.col("value").cast("decimal(12,2)")
+    x = N.cents("value")
     y = F.hour("ts").cast("bigint")
     b = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
-        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
         F.sum(y * y).cast("double").alias("syy"),
-        F.sum((x * F.hour("ts").cast("decimal(4,0)")).cast("decimal(28,2)"))
-        .cast("double").alias("sxy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
     )
     denom = (b.n * b.sxx - b.sx * b.sx) * (b.n * b.syy - b.sy * b.sy)
     return b.select(

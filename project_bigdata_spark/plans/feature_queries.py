@@ -78,22 +78,22 @@ def lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLL_DEC = "CAST(value AS DECIMAL(12,2))"
+_ROLL_DEC = N.sql_cents("value")
 _ROLL_SQL = f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
-       round(CAST(sum({_ROLL_DEC}) OVER w7 AS DOUBLE)
+       round(CAST(sum({_ROLL_DEC}) OVER w7 AS DOUBLE) / 1e2
              / count(*) OVER w7, 4) AS value_mean_7,
        CASE WHEN count(*) OVER w7 <= 1 THEN NULL ELSE
          round(sqrt(greatest(
-           (CAST(sum(CAST({_ROLL_DEC} * {_ROLL_DEC} AS DECIMAL(28,4))) OVER w7 AS DOUBLE)
-            - CAST(sum({_ROLL_DEC}) OVER w7 AS DOUBLE)
-              * CAST(sum({_ROLL_DEC}) OVER w7 AS DOUBLE)
+           (CAST(sum({_ROLL_DEC} * {_ROLL_DEC}) OVER w7 AS DOUBLE) / 1e4
+            - (CAST(sum({_ROLL_DEC}) OVER w7 AS DOUBLE) / 1e2)
+              * (CAST(sum({_ROLL_DEC}) OVER w7 AS DOUBLE) / 1e2)
               / CAST(count(*) OVER w7 AS DOUBLE))
            / (CAST(count(*) OVER w7 AS DOUBLE) - 1.0), 0.0)), 4) END AS value_std_7,
        round(max(value) OVER w7, 4) AS value_max_7,
        round(min(value) OVER w7, 4) AS value_min_7,
-       round(CAST(sum({_ROLL_DEC}) OVER w30 AS DOUBLE)
+       round(CAST(sum({_ROLL_DEC}) OVER w30 AS DOUBLE) / 1e2
              / count(*) OVER w30, 4) AS value_mean_30
 FROM events
 WINDOW
@@ -267,7 +267,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from project_bigdata_spark.plans.medallion_queries import GOLD_CTE  # noqa: E402
 
-_GD = "CAST(max_value AS DECIMAL(12,2))"
+_GD = N.sql_cents("max_value")
 _WO = "PARTITION BY user_id ORDER BY hour_ts"
 _W7 = f"{_WO} ROWS BETWEEN 167 PRECEDING AND CURRENT ROW"
 _W30 = f"{_WO} ROWS BETWEEN 719 PRECEDING AND CURRENT ROW"
@@ -291,17 +291,19 @@ feat AS (
          lag(max_value, 24)  OVER ({_WO}) AS lag_24,
          lag(max_value, 168) OVER ({_WO}) AS lag_168,
          lead(max_value, 1)  OVER ({_WO}) AS target_next,
-         CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE) / count(*) OVER ({_W7}) AS mean_168,
+         CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE) / 1e2
+           / count(*) OVER ({_W7}) AS mean_168,
          CASE WHEN count(*) OVER ({_W7}) <= 1 THEN NULL ELSE
            sqrt(greatest(
-             (CAST(sum(CAST({_GD} * {_GD} AS DECIMAL(28,4))) OVER ({_W7}) AS DOUBLE)
-              - CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE)
-                * CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE)
+             (CAST(sum({_GD} * {_GD}) OVER ({_W7}) AS DOUBLE) / 1e4
+              - (CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE) / 1e2)
+                * (CAST(sum({_GD}) OVER ({_W7}) AS DOUBLE) / 1e2)
                 / CAST(count(*) OVER ({_W7}) AS DOUBLE))
              / (CAST(count(*) OVER ({_W7}) AS DOUBLE) - 1.0), 0.0)) END AS std_168,
          max(max_value) OVER ({_W7}) AS max_168,
          min(max_value) OVER ({_W7}) AS min_168,
-         CAST(sum({_GD}) OVER ({_W30}) AS DOUBLE) / count(*) OVER ({_W30}) AS mean_720,
+         CAST(sum({_GD}) OVER ({_W30}) AS DOUBLE) / 1e2
+           / count(*) OVER ({_W30}) AS mean_720,
          max_value
   FROM gold
 )
@@ -452,11 +454,11 @@ def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "time_range_rolling",
-    oracle="""
+    oracle=f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
-       round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+       round(CAST(sum({N.sql_cents('value')}) OVER w AS DOUBLE) / 1e2
              / count(*) OVER w, 4) AS avg_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -478,7 +480,7 @@ def time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3_600_000_000, 0)
     )
     cnt = F.count(F.lit(1)).over(w)
-    avg = F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double") / cnt
+    avg = F.sum(N.cents("value")).over(w).cast("double") / F.lit(100.0) / cnt
     return e.select(
         N.big("event_id").alias("event_id"),
         N.big("user_id").alias("user_id"),

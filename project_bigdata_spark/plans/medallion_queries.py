@@ -40,15 +40,18 @@ silver AS (
 )"""
 )
 
+_VC = N.sql_cents("value")
+_MVC = N.sql_cents("max_value")
+
 GOLD_CTE = (
     SILVER_CTE
-    + """,
+    + f""",
 gold AS (
   SELECT user_id,
          date_trunc('hour', ts) AS hour_ts,
          year, month, day,
          max(value) AS max_value,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+         CAST(sum({_VC}) AS DOUBLE) / 1e2 / count(*) AS avg_value,
          count(*) AS n_events,
          list(event_type ORDER BY event_type, value) AS event_types,
          list(value ORDER BY event_type, value) AS values
@@ -164,13 +167,16 @@ def gold_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
        CAST(count(*) AS BIGINT) AS n_hours,
-       round(CAST(sum(CAST(max_value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)
+       round(CAST(sum({mvc}) AS DOUBLE) / 1e2 / count(*), 4)
          AS avg_max_value,
        round(max(max_value), 4) AS peak_value,
        round(min(max_value), 4) AS low_value,
        {stddev_pop_sql} AS stddev_value
 FROM gold
-GROUP BY user_id % 10""".format(stddev_pop_sql=N.sql_stddev_exact("max_value", pop=True)),
+GROUP BY user_id % 10""".format(
+        mvc=_MVC,
+        stddev_pop_sql=N.sql_stddev_exact("max_value", pop=True),
+    ),
     doc="The reference's flagship analytic (clickhouse_queries.sql:94-105): "
     "per-dimension stats over hourly Gold — count/avg/max/min/stddev_pop.",
     headline=True,

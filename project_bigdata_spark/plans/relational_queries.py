@@ -27,11 +27,6 @@ from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
 
 
-def _dec(col: str | Column, prec: str = "decimal(12,2)") -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(prec)
-
-
 # Exact integer revenue term used across queries, in 1e-4 units:
 # ep_cents * (100 - disc_cents). Integer arithmetic has no engine-
 # delegated rounding (round-5 hardening; see _norm.cents) — sums render

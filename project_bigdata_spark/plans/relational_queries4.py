@@ -31,18 +31,33 @@ from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
 
+# Exact-cents fragments (round-5 hardening; see _norm.cents): integer
+# grids replace every double->DECIMAL cast in this module's oracles.
+_VAL_C = N.sql_cents("value")
+_SUM_CENTS_VALUE = N.sql_sum_cents2("value")
+_EP_C = N.sql_cents("l_extendedprice")
+_DISC_C = N.sql_cents("l_discount")
+_TAX_C = N.sql_cents("l_tax")
+_QTY_C = N.sql_cents("l_quantity")
+_LQTY_C = N.sql_cents("l.l_quantity")
+_REV4 = f"({_EP_C} * (100 - {_DISC_C}))"
+_LEP_REV4 = (
+    f"({N.sql_cents('l.l_extendedprice')}"
+    f" * (100 - {N.sql_cents('l.l_discount')}))"
+)
+
 
 @query(
     "weighted_median_delay",
-    oracle="""
+    oracle=f"""
 WITH delays AS (
   SELECT o.o_orderpriority,
          date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days,
-         CAST(l.l_quantity AS DECIMAL(12,2)) AS w
+         {_LQTY_C} AS w
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), grouped AS (
   SELECT o_orderpriority, delay_days,
-         CAST(sum(w) AS DECIMAL(38,2)) AS wsum
+         sum(w) AS wsum
   FROM delays GROUP BY 1, 2
 ), cum AS (
   SELECT o_orderpriority, delay_days, wsum,
@@ -53,7 +68,7 @@ WITH delays AS (
   FROM grouped
 )
 SELECT o_orderpriority,
-       CAST(CAST(max(tot) AS DECIMAL(38,2)) AS BIGINT) AS total_weight,
+       CAST(max(tot) / 100 AS BIGINT) AS total_weight,
        CAST(min(CASE WHEN c * 4  >= tot     THEN delay_days END) AS BIGINT)
          AS wp25_days,
        CAST(min(CASE WHEN c * 2  >= tot     THEN delay_days END) AS BIGINT)
@@ -80,10 +95,10 @@ def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "o_orderpriority",
         F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
-        F.col("l_quantity").cast("decimal(12,2)").alias("w"),
+        N.cents("l_quantity").alias("w"),
     )
     grouped = delays.groupBy("o_orderpriority", "delay_days").agg(
-        F.sum("w").cast("decimal(38,2)").alias("wsum")
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("wsum")
     )
     wp = Window.partitionBy("o_orderpriority")
     cum = grouped.select(
@@ -111,7 +126,7 @@ def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cum.groupBy("o_orderpriority").agg(
-        F.max("tot").cast("decimal(38,2)").cast("bigint").alias("total_weight"),
+        (F.max("tot") / F.lit(100)).cast("bigint").alias("total_weight"),
         q_at(1, 4, "wp25_days"),
         q_at(1, 2, "wp50_days"),
         q_at(3, 4, "wp75_days"),
@@ -121,7 +136,7 @@ def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ohlc_bars",
-    oracle="""
+    oracle=f"""
 WITH ranked AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, value,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
@@ -137,8 +152,7 @@ SELECT event_type,
        round(min(value), 4) AS low,
        round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {_SUM_CENTS_VALUE} AS total_value
 FROM ranked GROUP BY 1, 2""",
     doc="Hourly OHLC bars per event type — the open/high/low/close "
     "rollup of a time-series store, expressed as first/last-in-window "
@@ -171,9 +185,7 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.min("value")).alias("low"),
         N.rnd(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     )
 
 
@@ -275,15 +287,14 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "grouping_sets_profile",
-    oracle="""
+    oracle=f"""
 SELECT coalesce(event_type, 'ALL') AS event_type,
        CAST(coalesce(CAST(date_part('day', ts) AS BIGINT), -1) AS BIGINT)
          AS day,
        CAST(GROUPING(event_type) AS BIGINT) AS g_type,
        CAST(GROUPING(date_part('day', ts)) AS BIGINT) AS g_day,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_value
+       {_SUM_CENTS_VALUE} AS total_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (date_part('day', ts)),
                         (event_type, date_part('day', ts)), ())""",
@@ -310,9 +321,7 @@ def grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("event_type").cast("bigint").alias("g_type"),
         F.grouping("day").cast("bigint").alias("g_day"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_value"),
+        N.sum_cents2("value").alias("total_value"),
     ).select(
         F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
         F.coalesce(F.col("day").cast("bigint"), F.lit(-1)).alias("day"),
@@ -325,12 +334,10 @@ def grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pareto_frontier_suppliers",
-    oracle="""
+    oracle=f"""
 WITH perf AS (
   SELECT s.s_nationkey, l.l_suppkey,
-         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
-              AS DECIMAL(38,4)) AS revenue,
+         sum({_LEP_REV4}) AS revenue,
          CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
            AS worst_delay
   FROM lineitem l
@@ -351,7 +358,7 @@ WITH perf AS (
 )
 SELECT CAST(p.s_nationkey AS BIGINT) AS nationkey,
        CAST(p.l_suppkey AS BIGINT) AS suppkey,
-       p.revenue, p.worst_delay
+       (CAST(p.revenue AS DOUBLE) / 1e4) AS revenue, p.worst_delay
 FROM perf p
 JOIN frontier f
   ON f.s_nationkey = p.s_nationkey AND f.revenue = p.revenue
@@ -380,11 +387,11 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
-            )
-            .cast("decimal(38,4)")
-            .alias("revenue"),
+                (
+                    N.cents("l_extendedprice")
+                    * (F.lit(100) - N.cents("l_discount"))
+                ).cast("decimal(38,0)")
+            ).alias("revenue"),
             F.max(F.datediff("l_shipdate", "o_orderdate"))
             .cast("bigint")
             .alias("worst_delay"),
@@ -409,23 +416,25 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         N.big("s_nationkey").alias("nationkey"),
         N.big("l_suppkey").alias("suppkey"),
-        "revenue",
+        (F.col("revenue").cast("double") / F.lit(1.0e4)).alias("revenue"),
         "worst_delay",
     )
 
 
 _CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
+# Pearson r is scale-invariant, so the moments stay in raw integer
+# cents (no unit division at all) — exact sums, double closed form.
 _CM_SUMS_SQL = ", ".join(
     [
         "CAST(count(*) AS DOUBLE) AS n",
         *[
-            f"CAST(sum(CAST({c} AS DECIMAL(12,2))) AS DOUBLE) AS s_{c}"
+            f"CAST(sum({N.sql_cents(c)}) AS DOUBLE) AS s_{c}"
             for c in _CM_COLS
         ],
         *[
-            f"CAST(sum(CAST(CAST({a} AS DECIMAL(12,2)) * CAST({b} AS DECIMAL(12,2))"
-            f" AS DECIMAL(28,4))) AS DOUBLE) AS p_{a}_{b}"
+            f"CAST(sum({N.sql_cents(a)} * {N.sql_cents(b)}) AS DOUBLE)"
+            f" AS p_{a}_{b}"
             for i, a in enumerate(_CM_COLS)
             for b in _CM_COLS[i:]
         ],
@@ -464,13 +473,13 @@ WITH sums AS (
 def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
-    def dec(c: str) -> F.Column:
-        return F.col(c).cast("decimal(12,2)")
-
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    aggs += [F.sum(dec(c)).cast("double").alias(f"s_{c}") for c in _CM_COLS]
     aggs += [
-        F.sum((dec(a) * dec(b)).cast("decimal(28,4)"))
+        F.sum(N.cents(c).cast("decimal(38,0)")).cast("double").alias(f"s_{c}")
+        for c in _CM_COLS
+    ]
+    aggs += [
+        F.sum((N.cents(a) * N.cents(b)).cast("decimal(38,0)"))
         .cast("double")
         .alias(f"p_{a}_{b}")
         for i, a in enumerate(_CM_COLS)
@@ -504,7 +513,7 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "time_weighted_avg",
-    oracle="""
+    oracle=f"""
 WITH seq AS (
   SELECT event_type, value, ts, user_id,
          date_trunc('day', ts) AS day,
@@ -514,14 +523,14 @@ WITH seq AS (
   FROM events
 ), weighted AS (
   SELECT event_type,
-         CAST(CAST(value AS DECIMAL(12,2)) * w_us AS DECIMAL(38,2)) AS vw,
+         ({_VAL_C} * w_us) AS vw,
          w_us
   FROM seq WHERE w_us IS NOT NULL AND w_us > 0
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_weighted,
        CAST(sum(w_us) AS BIGINT) AS total_us,
-       round(CAST(sum(vw) AS DOUBLE) / sum(w_us), 6) AS twap
+       round(CAST(sum(vw) AS DOUBLE) / 100 / sum(w_us), 6) AS twap
 FROM weighted GROUP BY 1""",
     doc="Time-weighted average (TWAP): each observation is weighted by "
     "how long it remained the latest one — the duration to the next "
@@ -542,34 +551,32 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.withColumn("w_us", F.lead(us).over(w) - us)
     weighted = seq.filter(F.col("w_us").isNotNull() & (F.col("w_us") > 0)).select(
         "event_type",
-        (F.col("value").cast("decimal(12,2)") * F.col("w_us"))
-        .cast("decimal(38,2)")
-        .alias("vw"),
+        (N.cents("value") * F.col("w_us")).cast("decimal(38,0)").alias("vw"),
         "w_us",
     )
     return weighted.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_weighted"),
         F.sum("w_us").cast("bigint").alias("total_us"),
         N.rnd(
-            F.sum("vw").cast("double") / F.sum("w_us"), 6
+            F.sum("vw").cast("double") / F.lit(100.0) / F.sum("w_us"), 6
         ).alias("twap"),
     )
 
 
 @query(
     "loo_target_encode",
-    oracle="""
+    oracle=f"""
 WITH stats AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS s
+         sum({_VAL_C}) AS s
   FROM events GROUP BY 1
 )
 SELECT CAST(e.event_id AS BIGINT) AS event_id,
        e.event_type,
        round(e.value, 4) AS value,
-       round(CAST(st.s - CAST(e.value AS DECIMAL(12,2)) AS DOUBLE)
-             / (st.n - 1), 6) AS loo_enc
+       round(CAST(st.s - {N.sql_cents('e.value')} AS DOUBLE) / 100
+             / nullif(st.n - 1, 0), 6) AS loo_enc
 FROM events e JOIN stats st ON st.event_type = e.event_type
 WHERE e.event_id % 101 = 0""",
     doc="Leave-one-out target encoding — the leakage-safe categorical "
@@ -586,9 +593,7 @@ def loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("s"),
+        F.sum(N.cents("value").cast("decimal(38,0)")).alias("s"),
     )
     return (
         e.filter(F.col("event_id") % 101 == 0)
@@ -598,8 +603,9 @@ def loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             N.rnd("value").alias("value"),
             N.rnd(
-                (F.col("s") - F.col("value").cast("decimal(12,2)")).cast("double")
-                / (F.col("n") - 1),
+                (F.col("s") - N.cents("value")).cast("double")
+                / F.lit(100.0)
+                / F.nullif((F.col("n") - F.lit(1)).cast("double"), F.lit(0.0)),
                 6,
             ).alias("loo_enc"),
         )
@@ -608,7 +614,7 @@ def loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_pack_unpack",
-    oracle="""
+    oracle=f"""
 WITH ranked AS (
   SELECT user_id, event_type, value,
          row_number() OVER (PARTITION BY user_id
@@ -617,8 +623,7 @@ WITH ranked AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_recent,
-       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_recent
+       {_SUM_CENTS_VALUE} AS total_recent
 FROM ranked WHERE rn <= 3 GROUP BY 1""",
     doc="to_json / from_json fidelity attested differentially: each "
     "user's 3 most-recent events are packed into ONE JSON document "
@@ -656,9 +661,7 @@ def json_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.explode("arr").alias("x"))
     return parsed.groupBy(F.col("x.event_type").alias("event_type")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_recent"),
-        F.sum(F.col("x.value").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_recent"),
+        N.sum_cents2(F.col("x.value")).alias("total_recent"),
     )
 
 
@@ -950,16 +953,11 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_udf_pipeline",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4))
-         AS net_revenue,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(12,2)))
-                * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6))
-         AS charged
+       (CAST(sum({_REV4}) AS DOUBLE) / 1e4) AS net_revenue,
+       (CAST(sum({_REV4} * (100 + {_TAX_C})) AS DOUBLE) / 1e6) AS charged
 FROM lineitem GROUP BY 1""",
     doc="SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr — "
     "Spark 4's declarative UDF surface): net price and charged amount "
@@ -973,14 +971,14 @@ FROM lineitem GROUP BY 1""",
 def sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION net_price("
-        "p DOUBLE, d DOUBLE) RETURNS DECIMAL(24,4) RETURN "
-        "CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2)))"
+        "p DOUBLE, d DOUBLE) RETURNS BIGINT RETURN "
+        f"{N.sql_cents('p')} * (100 - {N.sql_cents('d')})"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION charged("
-        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DECIMAL(24,6) RETURN "
-        "CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2)))"
-        " * (1 + CAST(t AS DECIMAL(12,2)))"
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT RETURN "
+        f"{N.sql_cents('p')} * (100 - {N.sql_cents('d')})"
+        f" * (100 + {N.sql_cents('t')})"
     )
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "_udf_lineitem"
@@ -989,10 +987,12 @@ def sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n_lines,
-               CAST(sum(net_price(l_extendedprice, l_discount))
-                    AS DECIMAL(38,4)) AS net_revenue,
-               CAST(sum(charged(l_extendedprice, l_discount, l_tax))
-                    AS DECIMAL(38,6)) AS charged
+               CAST(sum(CAST(net_price(l_extendedprice, l_discount)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1e4
+                 AS net_revenue,
+               CAST(sum(CAST(charged(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1e6
+                 AS charged
         FROM _udf_lineitem GROUP BY 1
         """
     )
@@ -1001,7 +1001,7 @@ def sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATERAL_SQL = """
 SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
        CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
-       CAST(o.o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+       o.o_totalprice AS o_totalprice
 FROM {cust} c,
 LATERAL (
   SELECT o_orderkey, o_totalprice
@@ -1033,10 +1033,10 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "xml_pack_unpack",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       CAST(sum({_VAL_C}) AS BIGINT)
          AS cents_sum
 FROM events GROUP BY 1""",
     doc="from_xml parse fidelity attested differentially (the XML face "
@@ -1056,7 +1056,7 @@ def xml_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<e><t>"),
             F.col("event_type"),
             F.lit("</t><v>"),
-            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            N.cents("value").cast("string"),
             F.lit("</v></e>"),
         ).alias("doc")
     )

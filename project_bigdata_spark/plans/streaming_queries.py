@@ -34,6 +34,7 @@ from project_bigdata_spark.sources import load_table
 # no DECIMAL output — see _norm.cents for the rationale
 _SUM_CENTS_VALUE = N.sql_sum_cents2("value")
 _SUM_CENTS_EVALUE = N.sql_sum_cents2("e.value")
+_VAL_C = N.sql_cents("value")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,11 +458,11 @@ def stream_stream_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "custom_state_stream_attested",
-    oracle="""
+    oracle=f"""
 WITH per_user AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         CAST(sum({_VAL_C}) AS BIGINT) AS cents
   FROM events GROUP BY 1
 )
 SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
@@ -504,7 +505,7 @@ def custom_state_stream_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(shards)
         .select(
             "user_id",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            N.cents("value").alias("cents"),
         )
     )
 

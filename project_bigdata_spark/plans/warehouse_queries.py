@@ -23,6 +23,11 @@ from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
 
+_VAL_C = N.sql_cents("value")
+_OTP_C = N.sql_cents("o_totalprice")
+_SUM_CENTS_OTP = N.sql_sum_cents2("o.o_totalprice")
+_BAL4 = N.sql_cents("v.bal", scale=10_000)
+
 _TSF = "%Y-%m-%d %H:%M:%S"
 
 
@@ -71,7 +76,7 @@ def ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH upd AS (
   SELECT o_custkey AS c_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / 100.0
+         CAST(sum({_OTP_C}) AS DOUBLE) / 1e2 / 100.0
            AS delta,
          max(o_orderdate) AS eff_ts
   FROM orders GROUP BY o_custkey
@@ -114,7 +119,8 @@ def scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             (
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                F.sum(N.cents("o_totalprice")).cast("double")
+                / F.lit(100.0)
                 / F.lit(100.0)
             ).alias("_delta"),
             F.max("o_orderdate").alias("eff_ts"),
@@ -321,16 +327,16 @@ def salted_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "trend_fit",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT user_id,
          CAST(count(*) AS DOUBLE) AS n,
          CAST(sum(CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
                        AS DECIMAL(18,0))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(sum({_VAL_C}) AS DOUBLE) / 1e2 AS sy,
          CAST(sum(CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
                        AS DECIMAL(18,0))
-                  * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+                  * {_VAL_C}) AS DOUBLE) / 1e2 AS sxy,
          CAST(sum(CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
                        AS DECIMAL(18,0))
                   * CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts)
@@ -362,12 +368,12 @@ def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (
         F.floor(F.unix_timestamp("ts") / 3600) - F.lit(473352)
     ).cast("decimal(18,0)")
-    y = F.col("value").cast("decimal(12,2)")
+    y = N.cents("value")
     s = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        (F.sum(y.cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias("sy"),
+        (F.sum(x * y).cast("double") / F.lit(100.0)).alias("sxy"),
         F.sum(x * x).cast("double").alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -524,8 +530,11 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VD = "CAST(value AS DECIMAL(12,2))"
-_V2 = f"CAST({_VD} * {_VD} AS DECIMAL(16,4))"
+# raw integer cents; skewness/kurtosis are scale-invariant, only the
+# mean divides back to natural units. HUGEINT/DECIMAL(38,0) hold c^4
+# exactly (cents <= ~1e5 -> c^4 <= 1e20 < 1e38).
+_VD = N.sql_cents("value")
+_V2 = f"(CAST({_VD} AS HUGEINT) * {_VD})"
 
 
 @query(
@@ -536,9 +545,8 @@ WITH s AS (
          CAST(count(*) AS DOUBLE) AS n,
          CAST(sum({_VD}) AS DOUBLE) AS s1,
          CAST(sum({_V2}) AS DOUBLE) AS s2,
-         CAST(sum(CAST({_V2} * {_VD} AS DECIMAL(29,6))) AS DOUBLE) AS s3,
-         CAST(sum(CAST(CAST({_V2} AS DECIMAL(19,4)) * {_V2}
-                       AS DECIMAL(33,8))) AS DOUBLE) AS s4
+         CAST(sum({_V2} * {_VD}) AS DOUBLE) AS s3,
+         CAST(sum({_V2} * {_V2}) AS DOUBLE) AS s4
   FROM events GROUP BY event_type
 ), m AS (
   SELECT event_type, n, s1 / n AS mu,
@@ -552,7 +560,7 @@ WITH s AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
-       round(mu, 6) AS mean,
+       round(mu / 1e2, 6) AS mean,
        round(m3 / pow(m2, 1.5), 6) AS skewness,
        round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
 FROM m""",
@@ -568,14 +576,14 @@ FROM m""",
 )
 def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    vd = F.col("value").cast("decimal(12,2)")
-    v2 = (vd * vd).cast("decimal(16,4)")
+    vd = N.cents("value")
+    v2 = vd.cast("decimal(38,0)") * vd
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd.cast("decimal(38,0)")).cast("double").alias("s1"),
         F.sum(v2).cast("double").alias("s2"),
-        F.sum((v2 * vd).cast("decimal(29,6)")).cast("double").alias("s3"),
-        F.sum((v2 * v2).cast("decimal(33,8)")).cast("double").alias("s4"),
+        F.sum(v2 * vd).cast("double").alias("s3"),
+        F.sum(v2 * v2).cast("double").alias("s4"),
     )
     mu = F.col("s1") / F.col("n")
     m2 = F.col("s2") / F.col("n") - mu * mu
@@ -593,7 +601,7 @@ def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         N.big("n").alias("n"),
-        N.rnd(mu, 6).alias("mean"),
+        N.rnd(mu / F.lit(100.0), 6).alias("mean"),
         N.rnd(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
         N.rnd(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis"),
     )
@@ -713,7 +721,7 @@ WITH agg AS (
   SELECT user_id,
          max(ts) AS last_ts,
          CAST(count(*) AS BIGINT) AS frequency,
-         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+         CAST(sum({_VAL_C}) AS DOUBLE) / 1e2 AS monetary
   FROM events GROUP BY user_id
 ), anchor AS (SELECT max(ts) AS now FROM events),
 rfm AS (
@@ -759,9 +767,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = e.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("monetary"),
+        (F.sum(N.cents("value")).cast("double") / F.lit(100.0)).alias(
+            "monetary"
+        ),
     )
     anchor = e.agg(F.max("ts").alias("now"))
     rfm = agg.crossJoin(F.broadcast(anchor)).select(
@@ -1110,10 +1118,10 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scd2_point_in_time_join",
-    oracle="""
+    oracle=f"""
 WITH upd AS (
   SELECT o_custkey AS c_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / 100.0
+         CAST(sum({_OTP_C}) AS DOUBLE) / 1e2 / 100.0
            AS delta,
          max(o_orderdate) AS eff_ts
   FROM orders GROUP BY o_custkey
@@ -1135,10 +1143,8 @@ WITH upd AS (
 SELECT o.o_orderpriority,
        CAST(v.version AS BIGINT) AS version,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-         AS total_price,
-       CAST(sum(CAST(round(v.bal, 4) AS DECIMAL(18,4))) AS DECIMAL(38,4))
-         AS bal_sum
+       {_SUM_CENTS_OTP} AS total_price,
+       (CAST(sum({_BAL4}) AS DOUBLE) / 1e4) AS bal_sum
 FROM orders o JOIN vers v ON v.c_custkey = o.o_custkey
 WHERE (v.vfrom IS NULL OR o.o_orderdate >= v.vfrom)
   AND (v.vto   IS NULL OR o.o_orderdate <  v.vto)
@@ -1164,7 +1170,8 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             (
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                F.sum(N.cents("o_totalprice")).cast("double")
+                / F.lit(100.0)
                 / F.lit(100.0)
             ).alias("_delta"),
             F.max("o_orderdate").alias("eff_ts"),
@@ -1196,10 +1203,10 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pit.groupBy("o_orderpriority", N.big("version").alias("version")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_price"),
-        F.sum(N.rnd("bal").cast("decimal(18,4)"))
-        .cast("decimal(38,4)")
-        .alias("bal_sum"),
+        N.sum_cents2(F.col("o_totalprice")).alias("total_price"),
+        (
+            F.sum(N.cents("bal", scale=10_000).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1.0e4)
+        ).alias("bal_sum"),
     )

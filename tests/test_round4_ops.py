@@ -235,15 +235,12 @@ def test_recursive_reachability_frontier(spark, sf_dir):
 def test_sql_udf_matches_inline(spark, sf_dir):
     from project_bigdata_spark.sources import load_table
 
+    from project_bigdata_spark.plans import _norm as N
+
     out = _q("sql_udf_pipeline")(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     inline = li.groupBy("l_returnflag").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (1 - F.col("l_discount").cast("decimal(12,2)"))
-        )
-        .cast("decimal(38,4)")
-        .alias("net_revenue")
+        N.sum_rev2("l_extendedprice", "l_discount").alias("net_revenue")
     )
     got = {r.l_returnflag: r.net_revenue for r in out.collect()}
     want = {r.l_returnflag: r.net_revenue for r in inline.collect()}
