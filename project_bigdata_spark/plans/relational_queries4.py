@@ -720,14 +720,18 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    # total order = explicit (deg, id) STRUCT comparison — an injective
+    # key at any id range, unlike a fixed-multiplier packed long (which
+    # collides once ids exceed the multiplier, silently dropping
+    # equal-key wedges and defeating the degree-ordering bound)
     keyed = (
         edges.join(du, "u")
         .join(dv, "v")
         .select(
             "u",
             "v",
-            (F.col("deg_u") * F.lit(1_000_000) + F.col("u")).alias("ku"),
-            (F.col("deg_v") * F.lit(1_000_000) + F.col("v")).alias("kv"),
+            F.struct(F.col("deg_u").alias("d"), F.col("u").alias("i")).alias("ku"),
+            F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i")).alias("kv"),
         )
     )
     oriented = keyed.select(
@@ -825,10 +829,14 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("n")).agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg")
     )
-    n_nodes = deg.count()  # scalar graph size: drives the integer base
-    base = 15 * 1_000_000_000_000 // (100 * n_nodes)
-    init = 1_000_000_000_000 // n_nodes
-    pr = deg.select("n", F.lit(init).cast("bigint").alias("units"), "outdeg")
+    # graph size as a broadcast one-row frame (the catalog's standard
+    # scalar pattern) — no driver-side count() action before the plan
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    base_col = F.expr("(15 * 1000000000000) div (100 * n_nodes)")
+    init_col = F.expr("1000000000000 div n_nodes")
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "n", init_col.cast("bigint").alias("units"), "outdeg"
+    )
     for _ in range(3):
         contrib = (
             edges.join(
@@ -843,10 +851,11 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             deg.join(contrib, "n", "left")
+            .crossJoin(F.broadcast(nn))
             .select(
                 "n",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr("(85 * coalesce(s, 0)) div 100")
                 )
                 .cast("bigint")

@@ -187,11 +187,25 @@ class JsonlSinkWriter(DataSourceWriter):
         return _JsonlCommit(shard, n)
 
     def commit(self, messages):
+        import glob
         import os
 
+        committed = set()
         for m in messages:
-            final = m.path.replace("_tmp-", "part-")
+            # rename only the BASENAME prefix — a parent dir containing
+            # "_tmp-" must not be rewritten (os.replace would then fail)
+            d, base = os.path.dirname(m.path), os.path.basename(m.path)
+            final = os.path.join(d, "part-" + base.removeprefix("_tmp-"))
             os.replace(m.path, final)
+            committed.add(m.path)
+        # losing speculative/retried task shards never get a commit
+        # message; sweep them so success runs don't accumulate temp files
+        for stale in glob.glob(os.path.join(self.path, "_tmp-*.jsonl")):
+            if stale not in committed:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
 
     def abort(self, messages):
         import os
