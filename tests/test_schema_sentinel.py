@@ -106,12 +106,12 @@ def test_post_load_schema_pinned(spark, sf_dir, table):
     )
 
 
-# Money-ish columns the oracle SQL casts to DECIMAL(12,2) for exact,
-# order-free summation. That idiom is only EXACT while the stored doubles
-# are 2-decimal values; if a testdata regeneration ever widens the
-# precision, Spark's and DuckDB's decimal-cast roundings can diverge
-# (HALF_UP vs HALF_EVEN) and surface as cryptic value-hash mismatches.
-# This sentinel fails first, naming the column.
+# Money-ish columns the oracles sum on the exact integer-cents grid
+# (_norm.cents: floor(x*100+0.5), round-5 hardening). The grid function
+# itself is deterministic for ANY double, but the catalog's SEMANTICS
+# assume these columns are 2-decimal values — if a testdata regeneration
+# ever widens the precision, quantizing to cents would silently change
+# what the queries compute. This sentinel fails first, naming the column.
 TWO_DECIMAL_COLS = {
     "events": ["value"],
     "orders": ["o_totalprice"],
@@ -136,8 +136,8 @@ def test_money_columns_are_two_decimal(spark, sf_dir, table, col):
     ).count()
     assert off == 0, (
         f"{table}.{col}: {off} values are not exact 2-decimal — the "
-        "DECIMAL(12,2) oracle idiom is no longer exact; re-pin the "
-        "decimal scale in the affected oracles"
+        "integer-cents grid (_norm.cents) would quantize them; re-pin "
+        "the grid scale in the affected oracles"
     )
 
 
