@@ -73,6 +73,8 @@ SINGLE_PARTITION_OK = {
     "higher_moments": "four scalar moments",
     "interval_overlap_join": "global hourly-total scalar (one row) feeding "
     "the broadcast hot-hour filter",
+    "pagerank_parts": "broadcast one-row n_nodes frame drives the integer "
+    "base (replaced the round-4 driver-side deg.count() action)",
     "triangle_count": "three single-row scalar counts (nodes/edges/"
     "triangles) crossed into the summary row",
     "corr_matrix_lineitem": "single 15-column moment row; the 6 pair rows "
