@@ -1,0 +1,530 @@
+"""Round-5 curation/monitoring catalog entries (staged for the round-6
+attestation window — registered BEHIND the round-5 priority list).
+
+Five operators a large-scale training-data pipeline adds on top of the
+dedup/retrieval/warehouse families already in the catalog:
+
+- ``benford_audit``        — first-significant-digit distribution vs
+  Benford's law: the classic generated/tampered-numeric-column detector.
+- ``cusum_drift``          — CUSUM changepoint detection over the hourly
+  value series, computed with the prefix-sum/prefix-min identity
+  (``S_t = P_t - min(0, min_{j<=t} P_j)``) so the sequential recursion
+  becomes two plain window functions — fully distributed, no recursion,
+  no driver loop.
+- ``domain_kl_divergence`` — per-source unigram KL divergence against
+  the corpus distribution over the global top-256 vocabulary: the
+  domain-mix drift monitor (which sources stopped looking like the
+  corpus they feed).
+- ``minhash_containment``  — asymmetric containment over the LSH
+  candidate pairs: catches near-SUBSET relations (quote/expansion,
+  boilerplate wrapper) that symmetric Jaccard structurally misses on
+  length-skewed pairs.
+- ``margin_bitext_mining`` — mutual-top-1 margin pair mining over the
+  embedding table (the CCMatrix/LASER batched-alignment shape): a
+  bounded query shard is broadcast, scored against the corpus in one
+  narrow pass, and the mutual check reuses the same scored frame.
+
+Cross-engine determinism strategy (the catalog's exact-grid idiom,
+``_norm.cents``): every float that participates in an aggregate or a
+threshold is first snapped to an integer grid — cents for money, 1e-6
+for cosines, 1e-9 for per-token KL terms — so sums are order-free
+integer arithmetic and comparisons are integer inequalities
+(``40*c*nA*nB > 21*(sA*nB + sB*nA)`` instead of ``margin > 1.05``).
+Transcendentals (``ln``) are evaluated per row on identical doubles and
+absorbed by the grid snap; no cross-row float summation anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.operators import dedup as DD
+from project_bigdata_spark.operators import similarity as SIM
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.dedup_queries import MINHASH_CTES, WORDS_SQL
+from project_bigdata_spark.plans.similarity_queries import _cos_sql
+from project_bigdata_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+# Shared literal table (AQI-breakpoint pattern): both engines consume the
+# SAME Python double for log10(1 + 1/d), so the chi-square arithmetic is
+# bit-identical — no cross-engine log10 evaluation at query time.
+BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+_BENFORD_SQL_ARR = "[" + ", ".join(f"{p!r}e0" for p in BENFORD_P) + "]"
+
+
+@query(
+    "benford_audit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substring(CAST({N.sql_cents("l_extendedprice")} AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM lineitem
+), obs AS (
+  SELECT digit, count(*) AS n_obs FROM d GROUP BY digit
+), tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs
+)
+SELECT CAST(digit AS BIGINT) AS digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+         AS observed_share,
+       round({_BENFORD_SQL_ARR}[digit], 4) AS expected_share,
+       round((CAST(n_obs AS DOUBLE)
+                - CAST(n_total AS DOUBLE) * {_BENFORD_SQL_ARR}[digit])
+             * (CAST(n_obs AS DOUBLE)
+                - CAST(n_total AS DOUBLE) * {_BENFORD_SQL_ARR}[digit])
+             / (CAST(n_total AS DOUBLE) * {_BENFORD_SQL_ARR}[digit]), 4)
+         AS chi2_term
+FROM obs CROSS JOIN tot""",
+    doc="Benford first-digit audit on l_extendedprice: the standard "
+    "generated-data / tampered-ledger detector. The first significant "
+    "digit is read off the EXACT integer-cents string (prices >= 0.01, "
+    "so first cents digit == first price digit) — no float log10 per "
+    "row. Expected shares are one shared literal table; the chi-square "
+    "terms are identical double expressions over exact counts on both "
+    "engines. One map + one 9-group aggregate + a broadcast scalar "
+    "total: linear scan, nothing else, at any scale. (TPC-H prices are "
+    "range-truncated synthetics, so the audit FIRES — that is the "
+    "point of running it on a pipeline's numeric columns.)",
+    survey_ids=("M7",),
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(N.cents("l_extendedprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    p_arr = F.array(*[F.lit(p) for p in BENFORD_P])
+    p = F.element_at(p_arr, F.col("digit"))
+    n_obs_d = F.col("n_obs").cast("double")
+    n_tot_d = F.col("n_total").cast("double")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        N.big("digit").alias("digit"),
+        N.big("n_obs").alias("n_obs"),
+        N.rnd(n_obs_d / n_tot_d).alias("observed_share"),
+        N.rnd(p).alias("expected_share"),
+        N.rnd(
+            (n_obs_d - n_tot_d * p) * (n_obs_d - n_tot_d * p) / (n_tot_d * p)
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cusum_drift
+# ---------------------------------------------------------------------------
+
+@query(
+    "cusum_drift",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(sum({N.sql_cents("value")}) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hour_ts, cents,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t_hours,
+         CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+  FROM hourly
+), dev AS (
+  SELECT *, 4 * t_hours * cents - 5 * tot AS sdev FROM stats
+), pref AS (
+  SELECT *, sum(sdev) OVER (PARTITION BY event_type ORDER BY hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM dev
+), cus AS (
+  SELECT *, p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM pref
+)
+SELECT event_type,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       round(CAST(cents AS DOUBLE) / 100, 4) AS hourly_value,
+       round(CAST(s AS DOUBLE) / CAST(400 * t_hours AS DOUBLE), 4) AS cusum,
+       CAST(CASE WHEN s > 8 * tot THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM cus""",
+    doc="One-sided CUSUM changepoint detector over the per-type hourly "
+    "value series (target = series mean, allowance k = mean/4, alarm at "
+    "2x mean): S_t = max(0, S_t-1 + x_t - mu - k). The sequential "
+    "recursion is rewritten with the prefix identity S_t = P_t - "
+    "min(0, min_j<=t P_j) (P = running sum of deviations), so the whole "
+    "detector is a running SUM plus a running MIN — two window "
+    "functions per type partition, embarrassingly parallel across "
+    "series. Deviations are scaled to integers (4*T*x - 5*tot in exact "
+    "cents) so every intermediate is order-free integer arithmetic; the "
+    "one double division happens at render time.",
+    survey_ids=("M7",),
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.sum(N.cents("value")).cast("bigint").alias("cents"))
+    w_all = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("t_hours"),
+        F.sum("cents").over(w_all).cast("bigint").alias("tot"),
+    )
+    dev = stats.withColumn(
+        "sdev", F.lit(4) * F.col("t_hours") * F.col("cents") - F.lit(5) * F.col("tot")
+    )
+    pref = dev.withColumn("p", F.sum("sdev").over(w_run))
+    cus = pref.withColumn(
+        "s", F.col("p") - F.least(F.lit(0), F.min("p").over(w_run))
+    )
+    return cus.select(
+        "event_type",
+        N.ts_str("hour_ts").alias("hour_ts"),
+        N.rnd(F.col("cents").cast("double") / F.lit(100)).alias("hourly_value"),
+        N.rnd(
+            F.col("s").cast("double")
+            / (F.lit(400) * F.col("t_hours")).cast("double")
+        ).alias("cusum"),
+        F.when(F.col("s") > F.lit(8) * F.col("tot"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain_kl_divergence
+# ---------------------------------------------------------------------------
+
+_KL_VOCAB = 256  # global top-V support cap; smoothing mass 0.5 per token
+
+# p_source and p_corpus are PROPER distributions over the shared support:
+# (c_w + 0.5) / (n + 0.5 * |support|) sums to exactly 1, so KL >= 0 holds
+# by Gibbs. |support| is the REALIZED vocabulary size (min(cap, distinct
+# words)) carried from the vocab CTE — hard-coding the cap would break
+# properness (and non-negativity) whenever the corpus has fewer distinct
+# tokens than the cap.
+_PS_SQL = (
+    "((CAST(cs AS DOUBLE) + 0.5)"
+    " / (CAST(ns AS DOUBLE) + 0.5 * CAST(vsz AS DOUBLE)))"
+)
+_PC_SQL = (
+    "((CAST(cg AS DOUBLE) + 0.5)"
+    " / (CAST(nv AS DOUBLE) + 0.5 * CAST(vsz AS DOUBLE)))"
+)
+
+
+@query(
+    "domain_kl_divergence",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, unnest({WORDS_SQL}) AS w FROM documents
+), cnt AS MATERIALIZED (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), gcnt AS MATERIALIZED (
+  SELECT w, CAST(sum(c) AS BIGINT) AS c FROM cnt GROUP BY w
+), vocab AS MATERIALIZED (
+  SELECT w, c FROM gcnt ORDER BY c DESC, w LIMIT {_KL_VOCAB}
+), vtot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nv, CAST(count(*) AS BIGINT) AS vsz
+  FROM vocab
+), stot AS (
+  SELECT source, CAST(sum(c.c) AS BIGINT) AS ns
+  FROM cnt c JOIN vocab v USING (w) GROUP BY source
+), grid AS (
+  SELECT s.source, v.c AS cg, coalesce(sc.c, 0) AS cs, st.ns, vt.nv, vt.vsz
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN vocab v
+  LEFT JOIN cnt sc ON sc.source = s.source AND sc.w = v.w
+  JOIN stot st ON st.source = s.source
+  CROSS JOIN vtot vt
+), terms AS (
+  SELECT source, ns,
+         {N.sql_cents(f"{_PS_SQL} * ln({_PS_SQL} / {_PC_SQL})", 1_000_000_000)}
+           AS t9
+  FROM grid
+)
+SELECT source,
+       CAST(ns AS BIGINT) AS n_vocab_tokens,
+       round(CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS kl_top{_KL_VOCAB}
+FROM terms GROUP BY source, ns""",
+    doc=f"Domain-mix drift monitor: KL(source || corpus) over the global "
+    f"top-{_KL_VOCAB} unigram support with add-0.5 smoothing normalized "
+    "by the REALIZED support size (both sides are proper distributions "
+    "over the shared support, so KL >= 0 by Gibbs). The vocabulary "
+    "builds with one token shuffle + TakeOrdered "
+    f"and broadcasts ({_KL_VOCAB} rows); the per-(source, token) grid is "
+    f"|sources| x {_KL_VOCAB} rows — bounded regardless of corpus size. "
+    "Each per-token term p_s*ln(p_s/p_c) is evaluated on identical "
+    "doubles and snapped to an exact 1e-9 integer grid BEFORE summation, "
+    "so the aggregate is order-free integer arithmetic (cross-row float "
+    "summation order can never flip the hash).",
+    survey_ids=("M7",),
+)
+def domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(DD.words_col(F.col("text"))).alias("w")
+    )
+    cnt = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gcnt = cnt.groupBy("w").agg(F.sum("c").cast("bigint").alias("c"))
+    vocab = gcnt.orderBy(F.desc("c"), "w").limit(_KL_VOCAB)
+    vtot = vocab.agg(
+        F.sum("c").cast("bigint").alias("nv"),
+        F.count(F.lit(1)).cast("bigint").alias("vsz"),
+    )
+    stot = (
+        cnt.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("ns"))
+    )
+    grid = (
+        d.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(vocab.select("w", F.col("c").alias("cg"))))
+        .join(
+            cnt.select("source", "w", F.col("c").alias("cs")),
+            ["source", "w"],
+            "left",
+        )
+        .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)))
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vtot))
+    )
+    half_v = 0.5 * F.col("vsz").cast("double")
+    ps = (F.col("cs").cast("double") + 0.5) / (
+        F.col("ns").cast("double") + half_v
+    )
+    pc = (F.col("cg").cast("double") + 0.5) / (
+        F.col("nv").cast("double") + half_v
+    )
+    terms = grid.withColumn(
+        "t9", N.cents(ps * F.log(ps / pc), scale=1_000_000_000)
+    )
+    return terms.groupBy("source", "ns").agg(
+        F.sum("t9").alias("t9_sum")
+    ).select(
+        "source",
+        N.big("ns").alias("n_vocab_tokens"),
+        N.rnd(F.col("t9_sum").cast("double") / F.lit(1e9), 6).alias(
+            f"kl_top{_KL_VOCAB}"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_containment
+# ---------------------------------------------------------------------------
+
+@query(
+    "minhash_containment",
+    oracle="WITH"
+    + MINHASH_CTES
+    + """
+SELECT CAST(p.id_a AS BIGINT) AS id_a,
+       CAST(p.id_b AS BIGINT) AS id_b,
+       round(CAST(len(list_intersect(list_distinct(sa.shingles),
+                                     list_distinct(sb.shingles))) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+         AS jaccard,
+       round(CAST(len(list_intersect(list_distinct(sa.shingles),
+                                     list_distinct(sb.shingles))) AS DOUBLE)
+             / len(list_distinct(sa.shingles)), 4) AS containment_a,
+       round(CAST(len(list_intersect(list_distinct(sa.shingles),
+                                     list_distinct(sb.shingles))) AS DOUBLE)
+             / len(list_distinct(sb.shingles)), 4) AS containment_b,
+       CASE
+         WHEN 5 * len(list_intersect(list_distinct(sa.shingles),
+                                     list_distinct(sb.shingles)))
+              >= 4 * len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+           THEN 'duplicate'
+         WHEN 10 * len(list_intersect(list_distinct(sa.shingles),
+                                      list_distinct(sb.shingles)))
+              >= 9 * len(list_distinct(sb.shingles))
+           THEN 'a_contains_b'
+         WHEN 10 * len(list_intersect(list_distinct(sa.shingles),
+                                      list_distinct(sb.shingles)))
+              >= 9 * len(list_distinct(sa.shingles))
+           THEN 'b_contains_a'
+         ELSE 'overlap'
+       END AS relation
+FROM pairs p
+JOIN sh sa ON p.id_a = sa.doc_id
+JOIN sh sb ON p.id_b = sb.doc_id""",
+    doc="Asymmetric containment over the LSH candidate pairs: "
+    "C(A,B) = |A n B| / |A| alongside Jaccard, classifying each pair as "
+    "duplicate / a_contains_b / b_contains_a / overlap. Near-SUBSET "
+    "relations (a doc quoting or wrapping another) score low on Jaccard "
+    "when lengths are skewed but ~1.0 on one-sided containment — the "
+    "dedup literature's standard fix. Thresholds are integer-scaled "
+    "inequalities (10*inter >= 9*|B|) on exact set sizes, so no float "
+    "boundary can flip a class cross-engine. Same banded-LSH candidate "
+    "generation as minhash_near_dups: digests shuffle, payloads don't, "
+    "never all-pairs.",
+    survey_ids=("M7",),
+)
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text").persist()
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.array_distinct("shingles").alias("set_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.array_distinct("shingles").alias("set_b"),
+    )
+    j = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+            F.size(F.array_union("set_a", "set_b")).alias("uni"),
+        )
+    )
+    inter, na, nb, uni = (F.col(c) for c in ("inter", "na", "nb", "uni"))
+    relation = (
+        F.when(5 * inter >= 4 * uni, "duplicate")
+        .when(10 * inter >= 9 * nb, "a_contains_b")
+        .when(10 * inter >= 9 * na, "b_contains_a")
+        .otherwise("overlap")
+    )
+    return j.select(
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        N.rnd(inter.cast("double") / uni).alias("jaccard"),
+        N.rnd(inter.cast("double") / na).alias("containment_a"),
+        N.rnd(inter.cast("double") / nb).alias("containment_b"),
+        relation.alias("relation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# margin_bitext_mining
+# ---------------------------------------------------------------------------
+
+_MICRO = 1_000_000  # cosine snap grid (1e-6, the catalog's cosine scale)
+
+
+@query(
+    "margin_bitext_mining",
+    oracle=f"""
+WITH a AS MATERIALIZED (
+  SELECT vec_id AS a_id, embedding AS avec FROM embeddings WHERE vec_id % 20 = 0
+), b AS MATERIALIZED (
+  SELECT vec_id AS b_id, embedding AS bvec FROM embeddings WHERE vec_id % 20 <> 0
+), cand AS MATERIALIZED (
+  SELECT a_id, b_id,
+         {N.sql_cents(_cos_sql("bvec", "avec"), _MICRO)} AS cm
+  FROM b CROSS JOIN a
+), ranked AS MATERIALIZED (
+  SELECT a_id, b_id, cm,
+         row_number() OVER (PARTITION BY a_id ORDER BY cm DESC, b_id) AS rn_a,
+         row_number() OVER (PARTITION BY b_id ORDER BY cm DESC, a_id) AS rn_b
+  FROM cand
+), scored AS (
+  SELECT *,
+         sum(CASE WHEN rn_a <= 4 THEN cm ELSE 0 END)
+           OVER (PARTITION BY a_id) AS s_a,
+         sum(CASE WHEN rn_a <= 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY a_id) AS n_a,
+         sum(CASE WHEN rn_b <= 4 THEN cm ELSE 0 END)
+           OVER (PARTITION BY b_id) AS s_b,
+         sum(CASE WHEN rn_b <= 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY b_id) AS n_b
+  FROM ranked
+)
+SELECT CAST(a_id AS BIGINT) AS a_id,
+       CAST(b_id AS BIGINT) AS b_id,
+       round(CAST(cm AS DOUBLE) / 1e6, 6) AS cosine,
+       round(CAST(2 * cm * n_a * n_b AS DOUBLE)
+             / CAST(s_a * n_b + s_b * n_a AS DOUBLE), 6) AS margin
+FROM scored
+WHERE rn_a = 1 AND rn_b = 1
+  AND s_a * n_b + s_b * n_a > 0
+  AND 40 * cm * n_a * n_b > 21 * (s_a * n_b + s_b * n_a)""",
+    doc="Margin-based mutual-top-1 pair mining (the CCMatrix/LASER "
+    "bitext-alignment shape): a bounded query shard (vec_id%20==0) is "
+    "broadcast and scored against the corpus in ONE narrow pass; "
+    "margin(a,b) = cos(a,b) / mean(top-4 cos from a, top-4 cos to b); a "
+    "pair is mined when each side is the other's argmax AND margin > "
+    "1.05. Cosines snap to the exact 1e-6 integer grid first, so "
+    "ranking, top-4 sums, and the threshold (40*c*nA*nB > 21*(sA*nB + "
+    "sB*nA)) are all order-free integer arithmetic — the two double "
+    "divisions happen at render time. The mutual direction reuses the "
+    "SAME scored frame (one window per side), so the corpus is touched "
+    "once; at scale the b_id window shuffles |shard| x k candidate "
+    "rows, never the corpus.",
+    survey_ids=("M7",),
+)
+def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", SIM.as_double(F.col("embedding")).alias("vec"))
+    a = ed.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("vec").alias("avec")
+    )
+    b = ed.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("bvec")
+    )
+    cand = b.crossJoin(F.broadcast(a)).select(
+        "a_id",
+        "b_id",
+        N.cents(SIM.cosine(F.col("bvec"), F.col("avec")), scale=_MICRO).alias(
+            "cm"
+        ),
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cm"), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cm"), "a_id")
+    ranked = cand.select(
+        "a_id",
+        "b_id",
+        "cm",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wb).alias("rn_b"),
+    )
+    pa, pb = Window.partitionBy("a_id"), Window.partitionBy("b_id")
+    top4 = lambda rn, col: F.sum(  # noqa: E731
+        F.when(F.col(rn) <= 4, col).otherwise(F.lit(0))
+    )
+    scored = ranked.select(
+        "*",
+        top4("rn_a", F.col("cm")).over(pa).alias("s_a"),
+        top4("rn_a", F.lit(1)).over(pa).alias("n_a"),
+        top4("rn_b", F.col("cm")).over(pb).alias("s_b"),
+        top4("rn_b", F.lit(1)).over(pb).alias("n_b"),
+    )
+    den = F.col("s_a") * F.col("n_b") + F.col("s_b") * F.col("n_a")
+    num = F.col("cm") * F.col("n_a") * F.col("n_b")
+    return scored.filter(
+        (F.col("rn_a") == 1)
+        & (F.col("rn_b") == 1)
+        & (den > 0)
+        & (40 * num > 21 * den)
+    ).select(
+        N.big("a_id").alias("a_id"),
+        N.big("b_id").alias("b_id"),
+        N.rnd(F.col("cm").cast("double") / F.lit(1e6), 6).alias("cosine"),
+        N.rnd((2 * num).cast("double") / den.cast("double"), 6).alias(
+            "margin"
+        ),
+    )

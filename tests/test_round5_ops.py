@@ -1,0 +1,91 @@
+"""Semantic invariants for the round-5 curation/monitoring operators —
+properties the DuckDB differential cannot express (it proves engine
+agreement, not that the SHARED semantics are the intended ones)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from project_bigdata_spark.plans.catalog import load_all
+from project_bigdata_spark.plans.curation_queries import BENFORD_P
+
+
+def _q(name):
+    return load_all()[name].builder
+
+
+def test_benford_is_a_proper_audit(spark, sf_dir):
+    rows = _q("benford_audit")(spark, sf_dir).collect()
+    assert {r.digit for r in rows} == set(range(1, 10))
+    # shares sum to 1 on both columns; chi2 terms are non-negative
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 2e-3
+    assert abs(sum(r.expected_share for r in rows) - 1.0) < 2e-3
+    assert all(r.chi2_term >= 0 for r in rows)
+    # the expected column IS Benford's law
+    for r in rows:
+        assert abs(r.expected_share - math.log10(1 + 1 / r.digit)) < 1e-4
+
+
+def test_cusum_matches_sequential_recursion(spark, sf_dir):
+    """The prefix-sum/prefix-min rewrite must equal the literal
+    S_t = max(0, S_{t-1} + dev_t) recursion, replayed in Python."""
+    rows = _q("cusum_drift")(spark, sf_dir).collect()
+    assert rows
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r.hour_ts)
+        cents = [round(r.hourly_value * 100) for r in rs]
+        t, tot = len(cents), sum(cents)
+        s = 0
+        for r, x in zip(rs, cents):
+            s = max(0, s + 4 * t * x - 5 * tot)
+            assert abs(r.cusum - s / (400 * t)) < 1e-3, (et, r.hour_ts)
+            assert r.alarm == (1 if s > 8 * tot else 0)
+            assert r.cusum >= 0
+
+
+def test_kl_nonnegative_per_source(spark, sf_dir):
+    rows = _q("domain_kl_divergence")(spark, sf_dir).collect()
+    assert len(rows) == 20  # every source scored
+    for r in rows:
+        assert r.kl_top256 >= 0  # proper distributions -> Gibbs holds
+        assert r.n_vocab_tokens > 0
+
+
+def test_containment_bounds_and_classes(spark, sf_dir):
+    rows = _q("minhash_containment")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.jaccard <= 1
+        assert 0 <= r.containment_a <= 1 and 0 <= r.containment_b <= 1
+        # Jaccard can never exceed either one-sided containment
+        assert r.jaccard <= r.containment_a + 1e-9
+        assert r.jaccard <= r.containment_b + 1e-9
+        if r.relation == "duplicate":
+            assert r.jaccard >= 0.8 - 1e-9
+        elif r.relation == "a_contains_b":
+            assert r.containment_b >= 0.9 - 1e-9
+        elif r.relation == "b_contains_a":
+            assert r.containment_a >= 0.9 - 1e-9
+        else:
+            assert r.relation == "overlap"
+
+
+def test_bitext_pairs_are_mutual_and_margined(spark, sf_dir):
+    df = _q("margin_bitext_mining")(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # mutual top-1 => each side appears at most once
+    a_ids = [r.a_id for r in rows]
+    b_ids = [r.b_id for r in rows]
+    assert len(a_ids) == len(set(a_ids))
+    assert len(b_ids) == len(set(b_ids))
+    for r in rows:
+        assert r.margin > 1.05 - 1e-9
+        assert -1.000001 <= r.cosine <= 1.000001
+        assert r.a_id % 20 == 0 and r.b_id % 20 != 0

@@ -75,6 +75,8 @@ SINGLE_PARTITION_OK = {
     "the broadcast hot-hour filter",
     "pagerank_parts": "broadcast one-row n_nodes frame drives the integer "
     "base (replaced the round-4 driver-side deg.count() action)",
+    "benford_audit": "broadcast one-row n_total scalar crossed into the "
+    "9 digit rows",
     "triangle_count": "three single-row scalar counts (nodes/edges/"
     "triangles) crossed into the summary row",
     "corr_matrix_lineitem": "single 15-column moment row; the 6 pair rows "
