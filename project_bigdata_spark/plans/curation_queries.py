@@ -528,3 +528,273 @@ def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd
+# ---------------------------------------------------------------------------
+
+_KM_K = 8       # centroids = vec_id < 8 (deterministic init)
+_KM_ITERS = 2   # unrolled Lloyd update rounds (assign -> mean -> ...)
+_KM_DIM = 64
+
+# Squared L2 between two DOUBLE[] lists. NOTE: list_reduce, not
+# list_sum — list_sum is not a plain sequential fold (its 64-term sums
+# can differ from Spark's zip_with/aggregate left fold in the last ulp,
+# measured here as a 1e-9-grid snap flip), while list_reduce((a,b)->a+b)
+# is exactly the left fold Spark computes.
+_SQDIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)"
+)
+
+
+def _km_assign_ctes(tag: str, centroids: str) -> str:
+    """One assignment round: score every vector against the (k-row)
+    centroid table, snap the distance to the exact 1e-9 grid, argmin
+    with (d9, cid) tie-break."""
+    d9 = N.sql_cents(_SQDIST_SQL.format(a="v.v", b="c.c"), 1_000_000_000)
+    return f"""
+x{tag} AS (
+  SELECT v.vec_id, c.cid, {d9} AS d9
+  FROM vd v CROSS JOIN {centroids} c
+), a{tag} AS (
+  SELECT vec_id, cid, d9 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d9, cid) AS rn
+    FROM x{tag}) WHERE rn = 1
+)"""
+
+
+def _km_update_ctes(tag: str, assign: str) -> str:
+    """One Lloyd mean update on the EXACT integer grid: per-(cluster,
+    dim) BIGINT sums, one double division at the end."""
+    return f"""
+s{tag} AS (
+  SELECT a.cid, t.i,
+         CAST(sum(v.vi[t.i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {assign} a JOIN vd v USING (vec_id)
+  CROSS JOIN generate_series(1, {_KM_DIM}) t(i)
+  GROUP BY 1, 2
+), c{tag} AS (
+  SELECT cid,
+         list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6 ORDER BY i) AS c
+  FROM s{tag} GROUP BY cid
+)"""
+
+
+_KM_SNAP_INT = N.sql_cents("x", 1_000_000)
+_KM_ORACLE = (
+    f"""
+WITH vd AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST({_KM_SNAP_INT} AS DOUBLE) / 1e6) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> {_KM_SNAP_INT}) AS vi
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM vd WHERE vec_id < {_KM_K}),"""
+    + _km_assign_ctes("0", "c0")
+    + ","
+    + _km_update_ctes("1", "a0")
+    + ","
+    + _km_assign_ctes("1", "c1")
+    + ","
+    + _km_update_ctes("2", "a1")
+    + ","
+    + _km_assign_ctes("2", "c2")
+    + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cid AS BIGINT) AS cluster,
+       round(CAST(d9 AS DOUBLE) / 1e9, 6) AS dist_sq
+FROM a2"""
+)
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=_KM_ORACLE,
+    doc=f"Distributed Lloyd k-means (k={_KM_K}, {_KM_ITERS} unrolled "
+    "update rounds, deterministic init = first k vectors): the iterative "
+    "clustering primitive next to pagerank in the catalog's iterative "
+    "family. Components snap to the exact 1e-6 grid at load, so every "
+    "mean update is BIGINT sums + ONE double division (order-free, "
+    "engine-free); assignment distances snap to a 1e-9 grid before the "
+    "(dist, cid) argmin so no float-noise flip can move a vector across "
+    "clusters. Scale shape: centroids are a k-row broadcast, assignment "
+    "never shuffles the corpus; each update shuffles k x dim partial "
+    "sums (map-side combined) — the canonical Spark k-means plan.",
+    survey_ids=("M7",),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    snap_i = lambda x: N.cents(x, scale=1_000_000)  # noqa: E731
+    vd = e.select(
+        "vec_id",
+        F.transform(
+            SIM.as_double(F.col("embedding")),
+            lambda x: snap_i(x).cast("double") / F.lit(1e6),
+        ).alias("v"),
+        F.transform(SIM.as_double(F.col("embedding")), snap_i).alias("vi"),
+    ).persist()
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents_df):
+        cand = vd.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id",
+            "cid",
+            N.cents(sqdist(F.col("v"), F.col("c")), scale=1_000_000_000).alias(
+                "d9"
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d9", "cid")
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d9")
+        )
+
+    def update(assign_df):
+        s = (
+            assign_df.join(vd, "vec_id")
+            .select("cid", F.posexplode("vi").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum("val").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        return s.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda x: (x.s.cast("double") / x.n.cast("double")) / F.lit(1e6),
+            ).alias("c")
+        )
+
+    cents_df = vd.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a = assign(cents_df)
+    for _ in range(_KM_ITERS):
+        cents_df = update(a)
+        a = assign(cents_df)
+    return a.select(
+        N.big("vec_id").alias("vec_id"),
+        N.big("cid").alias("cluster"),
+        N.rnd(F.col("d9").cast("double") / F.lit(1e9), 6).alias("dist_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hilbert_layout
+# ---------------------------------------------------------------------------
+
+_HB_BITS = 8
+_HB_N = 1 << _HB_BITS  # 256 x 256 grid
+
+
+def _hilbert_level_sql(i: int, s: int) -> str:
+    """One xy2d level (Wikipedia's canonical algorithm, unrolled): vote
+    the quadrant into d, then reflect+transpose (x, y) for the next
+    level. rx/ry are recomputed inline — pure integer CASE arithmetic."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    return f"""l{i} AS (
+  SELECT user_id, x0, y0,
+         d + {s * s} * xor(3 * {rx}, {ry}) AS d,
+         CASE WHEN (y & {s}) > 0 THEN x
+              WHEN (x & {s}) > 0 THEN {_HB_N - 1} - y
+              ELSE y END AS x,
+         CASE WHEN (y & {s}) > 0 THEN y
+              WHEN (x & {s}) > 0 THEN {_HB_N - 1} - x
+              ELSE x END AS y
+  FROM l{i - 1}
+)"""
+
+
+_HB_LEVELS = ",\n".join(
+    _hilbert_level_sql(i + 1, _HB_N >> (i + 1)) for i in range(_HB_BITS)
+)
+
+_HB_ORACLE = f"""
+WITH l0 AS (
+  SELECT user_id,
+         user_id % {_HB_N} AS x,
+         (epoch_us(date_trunc('hour', ts)) // 3600000000) % {_HB_N} AS y,
+         user_id % {_HB_N} AS x0,
+         (epoch_us(date_trunc('hour', ts)) // 3600000000) % {_HB_N} AS y0,
+         0 AS d
+  FROM events
+),
+{_HB_LEVELS}
+SELECT CAST(d // {_HB_N} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(max(x0) - min(x0) AS BIGINT) AS x_span,
+       CAST(max(y0) - min(y0) AS BIGINT) AS y_span
+FROM l{_HB_BITS}
+GROUP BY 1"""
+
+
+@query(
+    "hilbert_layout",
+    oracle=_HB_ORACLE,
+    doc=f"Hilbert space-filling-curve clustering key over (user_id % "
+    f"{_HB_N}, epoch-hour % {_HB_N}) — the better-locality alternative "
+    "to zorder_events (a Hilbert bucket is one contiguous curve segment; "
+    "Z-order buckets jump at quadrant seams, which is why "
+    "Delta/Iceberg offer Hilbert for multi-dim file clustering). The "
+    f"canonical xy2d bit loop is unrolled into {_HB_BITS} stages of "
+    "pure integer CASE/XOR arithmetic — exact on any engine, no UDF, "
+    "zero shuffles before the final bucket aggregate. Output: per-"
+    "bucket row/user counts and per-dimension spans (the locality "
+    "evidence a layout optimizer reads before rewriting files).",
+    survey_ids=("M7",),
+)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+    df = e.select(
+        "user_id",
+        (F.col("user_id") % _HB_N).alias("x"),
+        (hour_idx % _HB_N).alias("y"),
+        (F.col("user_id") % _HB_N).alias("x0"),
+        (hour_idx % _HB_N).alias("y0"),
+        F.lit(0).alias("d"),
+    )
+    for i in range(_HB_BITS):
+        s = _HB_N >> (i + 1)
+        rx = F.when(F.col("x").bitwiseAND(s) > 0, 1).otherwise(0)
+        ry = F.when(F.col("y").bitwiseAND(s) > 0, 1).otherwise(0)
+        df = df.select(
+            "user_id",
+            "x0",
+            "y0",
+            (F.col("d") + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)).alias(
+                "d"
+            ),
+            F.when(F.col("y").bitwiseAND(s) > 0, F.col("x"))
+            .when(F.col("x").bitwiseAND(s) > 0, F.lit(_HB_N - 1) - F.col("y"))
+            .otherwise(F.col("y"))
+            .alias("x"),
+            F.when(F.col("y").bitwiseAND(s) > 0, F.col("y"))
+            .when(F.col("x").bitwiseAND(s) > 0, F.lit(_HB_N - 1) - F.col("x"))
+            .otherwise(F.col("x"))
+            .alias("y"),
+        )
+    return (
+        df.groupBy((F.col("d") / F.lit(_HB_N)).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            (F.max("x0") - F.min("x0")).cast("bigint").alias("x_span"),
+            (F.max("y0") - F.min("y0")).cast("bigint").alias("y_span"),
+        )
+    )

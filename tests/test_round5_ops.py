@@ -89,3 +89,61 @@ def test_bitext_pairs_are_mutual_and_margined(spark, sf_dir):
         assert r.margin > 1.05 - 1e-9
         assert -1.000001 <= r.cosine <= 1.000001
         assert r.a_id % 20 == 0 and r.b_id % 20 != 0
+
+
+def test_kmeans_matches_numpy_replication(spark, sf_dir):
+    """Third-implementation differential: replay the exact algorithm
+    (1e-6 grid snap, init = first 8 vectors, 2 Lloyd rounds, (dist, cid)
+    argmin) in NumPy and require identical assignments."""
+    import numpy as np
+
+    out = {r.vec_id: r for r in _q("kmeans_lloyd")(spark, sf_dir).collect()}
+    raw = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in raw])
+    order = np.argsort(ids)
+    ids = ids[order]
+    v = np.array([raw[i].embedding for i in order], dtype=np.float64)
+    vi = np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v)  # grid ints
+    vd = vi / 1e6
+    cents = vd[ids < 8]
+    for it in range(3):
+        d = ((vd[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties: lowest cid, matches (d9, cid)
+        if it == 2:
+            break
+        cents = np.stack(
+            [
+                (vi[assign == c].sum(axis=0) / (assign == c).sum()) / 1e6
+                for c in range(8)
+            ]
+        )
+    mism = [
+        (int(i), int(a), out[int(i)].cluster)
+        for i, a in zip(ids, assign)
+        if out[int(i)].cluster != int(a)
+    ]
+    assert not mism, mism[:5]
+    assert len({r.cluster for r in out.values()}) > 1
+    assert all(r.dist_sq >= 0 for r in out.values())
+
+
+def test_hilbert_locality_beats_random(spark, sf_dir):
+    """Hilbert buckets must be LOCAL: the mean per-bucket coordinate
+    span has to be far below the full 0..255 range (a random bucketing
+    of the same rows would span ~the whole range)."""
+    rows = _q("hilbert_layout")(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_rows for r in rows)
+    assert total > 0
+    wx = sum(r.x_span * r.n_rows for r in rows) / total
+    wy = sum(r.y_span * r.n_rows for r in rows) / total
+    # each 256-cell curve segment fits in a small tile; row-weighted
+    # mean span per axis stays well under half the 256-wide domain
+    assert wx < 128 and wy < 128, (wx, wy)
+    for r in rows:
+        assert 0 <= r.bucket < 256
+        assert r.x_span <= 255 and r.y_span <= 255
