@@ -164,6 +164,11 @@ _ATTESTATION_PRIORITY = [
     "dup_cluster_histogram",
     "exact_percentile_bands",
     # -- positions 51-54: staged for round 6 (least-risky scalars) -----
+    # (the seven round-5 curation additions — benford_audit, cusum_drift,
+    # domain_kl_divergence, minhash_containment, margin_bitext_mining,
+    # kmeans_lloyd, hilbert_layout — register at the catalog tail and are
+    # likewise round-6 window candidates: 4 + 7 = 11 unattested entries
+    # lead the next rotation)
     "temperature_mix",
     "period_over_period",
     "conversion_ci",

