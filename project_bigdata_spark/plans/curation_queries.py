@@ -1,7 +1,7 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Five operators a large-scale training-data pipeline adds on top of the
+Eight operators a large-scale training-data pipeline adds on top of the
 dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
@@ -23,6 +23,13 @@ dedup/retrieval/warehouse families already in the catalog:
   embedding table (the CCMatrix/LASER batched-alignment shape): a
   bounded query shard is broadcast, scored against the corpus in one
   narrow pass, and the mutual check reuses the same scored frame.
+- ``kmeans_lloyd``         — distributed Lloyd k-means (unrolled
+  rounds, exact-grid mean updates), the iterative-clustering primitive.
+- ``hilbert_layout``       — Hilbert curve clustering key (canonical
+  xy2d unrolled to integer stages), the better-locality Z-order sibling.
+- ``pca_power_iteration``  — top axis of the class-centroid spread by
+  exact-arithmetic power iteration (discriminant / common-component
+  direction).
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -811,5 +818,198 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
             (F.max("x0") - F.min("x0")).cast("bigint").alias("x_span"),
             (F.max("y0") - F.min("y0")).cast("bigint").alias("y_span"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+_PCA_DIM = 64
+# w0 = all-ones / sqrt(64) = 0.125 exactly -> 1e-9 grid int 125_000_000
+_PCA_W0 = 125_000_000
+
+
+def _pca_matvec_ctes(tag: str, w: str) -> str:
+    """One power round: x = B w in EXACT arithmetic (HUGEINT products of
+    integer scatter entries and 1e-9-grid weight ints), then normalize
+    in doubles with an ordered 64-element left fold and re-snap."""
+    return f"""
+x{tag} AS (
+  SELECT c.j, CAST(sum(c.c * w.w9) AS DOUBLE) AS xd
+  FROM cov c JOIN {w} w ON c.i = w.i
+  GROUP BY c.j
+), n{tag} AS (
+  SELECT sqrt(list_reduce(list(xd * xd ORDER BY j), (a, b) -> a + b)) AS nrm
+  FROM x{tag}
+), w{tag} AS (
+  SELECT x.j AS i, {N.sql_cents("x.xd / n.nrm", 1_000_000_000)} AS w9
+  FROM x{tag} x CROSS JOIN n{tag} n
+)"""
+
+
+_PCA_ORACLE = (
+    f"""
+WITH vint AS MATERIALIZED (
+  SELECT label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_KM_SNAP_INT}) AS vi
+  FROM embeddings
+), sums AS MATERIALIZED (
+  SELECT label, t.i AS i,
+         CAST(sum(v.vi[t.i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vint v CROSS JOIN generate_series(1, {_PCA_DIM}) t(i)
+  GROUP BY label, t.i
+), mc AS MATERIALIZED (
+  SELECT label, i,
+         {N.sql_cents("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6",
+                      1_000_000_000)} AS m9
+  FROM sums
+), mbar AS (
+  SELECT i, CAST(sum(m9) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS nc
+  FROM mc GROUP BY i
+), dvec AS MATERIALIZED (
+  SELECT mc.label, mc.i, mc.m9 * b.nc - b.sm AS d
+  FROM mc JOIN mbar b USING (i)
+), cov AS MATERIALIZED (
+  SELECT x.i AS i, y.i AS j, CAST(sum(CAST(x.d AS HUGEINT) * y.d) AS HUGEINT) AS c
+  FROM dvec x JOIN dvec y USING (label)
+  GROUP BY 1, 2
+), trace AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS tr FROM cov WHERE i = j
+), w_init AS (
+  SELECT t.i AS i, CAST({_PCA_W0} AS BIGINT) AS w9
+  FROM generate_series(1, {_PCA_DIM}) t(i)
+),"""
+    + ",".join(
+        _pca_matvec_ctes(str(k), "w_init" if k == 1 else f"w{k - 1}")
+        for k in range(1, _PCA_ITERS + 1)
+    )
+    + f"""
+SELECT CAST(w.i AS BIGINT) AS dim,
+       round(CAST(w.w9 AS DOUBLE) / 1e9, 6) AS loading,
+       round(n.nrm / (t.tr * 1e9), 6) AS ev_ratio
+FROM w{_PCA_ITERS} w
+CROSS JOIN n{_PCA_ITERS} n CROSS JOIN trace t"""
+)
+
+
+@query(
+    "pca_power_iteration",
+    oracle=_PCA_ORACLE,
+    doc=f"Top principal axis of the class-centroid spread (macro "
+    "between-class scatter B = sum_c d_c d_c^T over the {C} label "
+    f"centroids) by {_PCA_ITERS} unrolled power-iteration rounds — the "
+    "discriminant direction along which classes separate most, the "
+    "primitive behind hard-negative axes and common-component removal. "
+    "(Raw PCA needs no iteration here: these embeddings are measured "
+    "near-isotropic, lambda1/lambda2 ~ 1.07, so the class-mean matrix "
+    "is the axis with a real spectral gap.) Everything until the final "
+    "render is EXACT: components snap to the 1e-6 grid; class means "
+    "snap to 1e-9; the centering d_c = C*m_c - sum(m) and every scatter "
+    "entry are integer arithmetic (HUGEINT / DECIMAL(38,0)); each "
+    "matvec multiplies integer scatter entries by 1e-9-grid weight "
+    "ints. Only the per-round normalization divides in doubles (an "
+    "ordered 64-element left fold), then re-snaps. Scale shape: ONE "
+    "corpus pass builds labels x dim integer sums (map-side combined); "
+    "the scatter is (labels x dim)^2-bounded; all "
+    f"{_PCA_ITERS} iterations run on dim^2-row broadcast-joined frames "
+    "— corpus-free. ev_ratio = ||Bw|| / trace(B), the top axis's share "
+    "of the between-class variance.",
+    survey_ids=("M7",),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    snap_i = lambda x: N.cents(x, scale=1_000_000)  # noqa: E731
+    vint = e.select(
+        "label",
+        F.transform(SIM.as_double(F.col("embedding")), snap_i).alias("vi"),
+    )
+    sums = (
+        vint.select("label", F.posexplode("vi").alias("i0", "a"))
+        .groupBy("label", (F.col("i0") + 1).alias("i"))
+        .agg(
+            F.sum("a").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    mc = sums.select(
+        "label",
+        "i",
+        N.cents(
+            F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e6),
+            scale=1_000_000_000,
+        ).alias("m9"),
+    )
+    mbar = mc.groupBy("i").agg(
+        F.sum("m9").cast("bigint").alias("sm"),
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+    )
+    dvec = mc.join(F.broadcast(mbar), "i").select(
+        "label", "i", (F.col("m9") * F.col("nc") - F.col("sm")).alias("d")
+    )
+    x_, y_ = dvec.alias("x"), dvec.alias("y")
+    cov = (
+        x_.join(y_, F.col("x.label") == F.col("y.label"))
+        .groupBy(F.col("x.i").alias("i"), F.col("y.i").alias("j"))
+        .agg(
+            F.sum(F.col("x.d").cast("decimal(38,0)") * F.col("y.d"))
+            .cast("decimal(38,0)")
+            .alias("c")
+        )
+        # ONE corpus-derived build; every iteration below re-reads this
+        # (labels*dim)^2-bounded frame. localCheckpoint (the
+        # mmr_rerank/pagerank precedent) pins it AND keeps each round's
+        # lineage constant-size — without it the 8 unrolled rounds
+        # compound into a multi-MiB task binary.
+        .localCheckpoint(eager=True)
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").cast("double").alias("tr")
+    )
+    w = spark.range(1, _PCA_DIM + 1).select(
+        F.col("id").alias("i"), F.lit(_PCA_W0).cast("bigint").alias("w9")
+    )
+    for _ in range(_PCA_ITERS):
+        x = (
+            cov.join(F.broadcast(w), "i")
+            .groupBy("j")
+            .agg((F.sum(F.col("c") * F.col("w9"))).cast("double").alias("xd"))
+        )
+        nrm = x.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "xd"))),
+                        lambda s: s.xd * s.xd,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("nrm")
+        )
+        w = (
+            x.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("j").alias("i"),
+                N.cents(F.col("xd") / F.col("nrm"), scale=1_000_000_000).alias(
+                    "w9"
+                ),
+            )
+            .localCheckpoint(eager=True)  # 64 rows; resets round lineage
+        )
+    return (
+        w.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            N.big("i").alias("dim"),
+            N.rnd(F.col("w9").cast("double") / F.lit(1e9), 6).alias("loading"),
+            # nrm carries the 1e-9 weight grid's 1e9 factor (x = B * w9);
+            # divide it back out so the ratio is ||Bw|| / trace(B)
+            N.rnd(F.col("nrm") / (F.col("tr") * F.lit(1e9)), 6).alias(
+                "ev_ratio"
+            ),
         )
     )

@@ -147,3 +147,35 @@ def test_hilbert_locality_beats_random(spark, sf_dir):
     for r in rows:
         assert 0 <= r.bucket < 256
         assert r.x_span <= 255 and r.y_span <= 255
+
+
+def test_pca_matches_numpy_eigenvector(spark, sf_dir):
+    """Differential vs numpy's exact eigendecomposition: the 8-round
+    power-iteration loading vector must be unit-norm and aligned (up to
+    sign) with the true top eigenvector of the SAME macro between-class
+    scatter (1e-6-grid vectors, 1e-9-grid class means)."""
+    import numpy as np
+
+    rows = _q("pca_power_iteration")(spark, sf_dir).collect()
+    assert len(rows) == 64
+    w = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    assert abs(np.linalg.norm(w) - 1.0) < 1e-4
+    raw = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label", "embedding")
+        .collect()
+    )
+    v = np.array([r.embedding for r in raw], dtype=np.float64)
+    vg = np.floor(np.abs(v) * 1e6 + 0.5) * np.sign(v)  # 1e-6-grid ints
+    lab = np.array([r.label for r in raw])
+    classes = sorted(set(lab.tolist()))
+    means = np.stack([vg[lab == c].mean(axis=0) / 1e6 for c in classes])
+    m9 = np.floor(np.abs(means) * 1e9 + 0.5) * np.sign(means)
+    d = len(classes) * m9 - m9.sum(axis=0)  # exact centering
+    bmat = d.T @ d
+    evals, evecs = np.linalg.eigh(bmat)
+    cos = abs(float(np.dot(w, evecs[:, -1])))
+    assert cos > 0.97, cos  # 8 rounds close the measured spectral gap
+    ev = rows[0].ev_ratio
+    assert 0 < ev <= 1
+    assert all(r.ev_ratio == ev for r in rows)

@@ -77,6 +77,8 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "pca_power_iteration": "per-round norm + trace scalars folded from "
+    "the 64-row matvec frame (dim-bounded, corpus-free)",
     "triangle_count": "three single-row scalar counts (nodes/edges/"
     "triangles) crossed into the summary row",
     "corr_matrix_lineitem": "single 15-column moment row; the 6 pair rows "
