@@ -1,7 +1,7 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Eight operators a large-scale training-data pipeline adds on top of the
+Nine operators a large-scale training-data pipeline adds on top of the
 dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
@@ -30,6 +30,8 @@ dedup/retrieval/warehouse families already in the catalog:
 - ``pca_power_iteration``  — top axis of the class-centroid spread by
   exact-arithmetic power iteration (discriminant / common-component
   direction).
+- ``golden_record_survivorship`` — MDM golden-record election + field
+  merge over the near-dup clusters (deterministic total-order rules).
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -1012,4 +1014,124 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ev_ratio"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# golden_record_survivorship
+# ---------------------------------------------------------------------------
+
+from project_bigdata_spark.plans.dedup_queries import (  # noqa: E402
+    _cluster_rounds_sql,
+)
+
+# Same verified-pair -> edges -> bounded min-label CTE block as
+# dedup_clusters (plans/dedup_queries.py:296) — survivorship is the MDM
+# step AFTER clustering, so the construction must be byte-identical.
+_GR_CLUSTER_BLOCK = f""",
+vp AS MATERIALIZED (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh sa ON p.id_a = sa.doc_id
+  JOIN sh sb ON p.id_b = sb.doc_id
+  WHERE CAST(len(list_intersect(list_distinct(sa.shingles),
+                                list_distinct(sb.shingles))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM vp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM vp
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+{_cluster_rounds_sql(DD.CLUSTER_ROUNDS)}"""
+
+
+@query(
+    "golden_record_survivorship",
+    oracle="WITH"
+    + MINHASH_CTES
+    + _GR_CLUSTER_BLOCK
+    + f""",
+mem AS MATERIALIZED (
+  SELECT l.label AS cluster_id, d.doc_id, d.n_chars, d.lang, d.source
+  FROM l{DD.CLUSTER_ROUNDS} l JOIN documents d ON l.id = d.doc_id
+), canon AS (
+  SELECT cluster_id, doc_id AS canonical_doc_id,
+         n_chars AS canonical_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id) AS rn FROM mem)
+  WHERE rn = 1
+), lv AS (
+  SELECT cluster_id, lang AS lang_vote
+  FROM (SELECT cluster_id, lang, count(*) AS c,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, lang) AS rn
+        FROM mem GROUP BY cluster_id, lang)
+  WHERE rn = 1
+), stats AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM mem GROUP BY cluster_id
+)
+SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       s.n_members,
+       CAST(c.canonical_doc_id AS BIGINT) AS canonical_doc_id,
+       CAST(c.canonical_chars AS BIGINT) AS canonical_chars,
+       v.lang_vote,
+       s.n_sources
+FROM stats s JOIN canon c USING (cluster_id) JOIN lv v USING (cluster_id)""",
+    doc="Golden-record survivorship — the MDM step after duplicate "
+    "clustering: per near-dup cluster, elect the canonical record "
+    "(longest text, doc_id tie-break) and merge attributes by "
+    "deterministic field rules (majority lang with lexicographic "
+    "tie-break, distinct source census). Reuses dedup_clusters' exact "
+    "pair->cluster construction, then every merge rule is a rank-1 "
+    "window or aggregate over the cluster membership frame — clusters "
+    "are tiny relative to the corpus, so all three rule frames "
+    "broadcast-join back under AQE. Tie-breaks are total orders "
+    "(count DESC, lang ASC), never engine-dependent argmax.",
+    survey_ids=("M7",),
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text").persist()
+    pairs = DD.minhash_candidate_pairs(sigs, "doc_id")
+    verified = DD.jaccard_verify(pairs, sigs, "doc_id", threshold=0.2)
+    labels = DD.min_label_clusters(verified.select("id_a", "id_b"))
+    mem = labels.join(d, labels["id"] == d["doc_id"]).select(
+        "cluster_id", "doc_id", "n_chars", "lang", "source"
+    )
+    w_canon = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    canon = (
+        mem.withColumn("rn", F.row_number().over(w_canon))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )
+    w_lang = Window.partitionBy("cluster_id").orderBy(F.desc("c"), "lang")
+    lv = (
+        mem.groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_lang))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("lang").alias("lang_vote"))
+    )
+    stats = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return stats.join(canon, "cluster_id").join(lv, "cluster_id").select(
+        N.big("cluster_id").alias("cluster_id"),
+        "n_members",
+        N.big("canonical_doc_id").alias("canonical_doc_id"),
+        N.big("canonical_chars").alias("canonical_chars"),
+        "lang_vote",
+        "n_sources",
     )

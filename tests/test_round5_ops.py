@@ -179,3 +179,24 @@ def test_pca_matches_numpy_eigenvector(spark, sf_dir):
     ev = rows[0].ev_ratio
     assert 0 < ev <= 1
     assert all(r.ev_ratio == ev for r in rows)
+
+
+def test_golden_record_rules(spark, sf_dir):
+    rows = _q("golden_record_survivorship")(spark, sf_dir).collect()
+    assert rows
+    langs = {
+        r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    ids = [r.cluster_id for r in rows]
+    assert len(ids) == len(set(ids))  # one golden record per cluster
+    for r in rows:
+        assert r.n_members >= 2  # clusters come from dup pairs
+        # cluster_id is the min member id, so it bounds the canonical id
+        assert r.cluster_id <= r.canonical_doc_id
+        assert r.canonical_chars > 0
+        assert r.lang_vote in langs
+        assert 1 <= r.n_sources <= r.n_members
