@@ -767,6 +767,33 @@ FROM l{_HB_BITS}
 GROUP BY 1"""
 
 
+def hilbert_chain(df: DataFrame, carry: list[str]) -> DataFrame:
+    """Unroll the xy2d bit loop over integer columns ``x``/``y``/``d``
+    (d must start at 0), preserving ``carry`` columns. Exhaustively
+    verified bijective with unit-step adjacency on the full
+    256x256 grid in tests/test_round5_ops.py."""
+    for i in range(_HB_BITS):
+        s = _HB_N >> (i + 1)
+        rx = F.when(F.col("x").bitwiseAND(s) > 0, 1).otherwise(0)
+        ry = F.when(F.col("y").bitwiseAND(s) > 0, 1).otherwise(0)
+        df = df.select(
+            *carry,
+            (F.col("d") + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)).alias(
+                "d"
+            ),
+            F.when(F.col("y").bitwiseAND(s) > 0, F.col("x"))
+            .when(F.col("x").bitwiseAND(s) > 0, F.lit(_HB_N - 1) - F.col("y"))
+            .otherwise(F.col("y"))
+            .alias("x"),
+            F.when(F.col("y").bitwiseAND(s) > 0, F.col("y"))
+            .when(F.col("x").bitwiseAND(s) > 0, F.lit(_HB_N - 1) - F.col("x"))
+            .otherwise(F.col("x"))
+            .alias("y"),
+        )
+    return df
+
+
+
 @query(
     "hilbert_layout",
     oracle=_HB_ORACLE,
@@ -785,34 +812,17 @@ GROUP BY 1"""
 def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hour_idx = F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
-    df = e.select(
-        "user_id",
-        (F.col("user_id") % _HB_N).alias("x"),
-        (hour_idx % _HB_N).alias("y"),
-        (F.col("user_id") % _HB_N).alias("x0"),
-        (hour_idx % _HB_N).alias("y0"),
-        F.lit(0).alias("d"),
-    )
-    for i in range(_HB_BITS):
-        s = _HB_N >> (i + 1)
-        rx = F.when(F.col("x").bitwiseAND(s) > 0, 1).otherwise(0)
-        ry = F.when(F.col("y").bitwiseAND(s) > 0, 1).otherwise(0)
-        df = df.select(
+    df = hilbert_chain(
+        e.select(
             "user_id",
-            "x0",
-            "y0",
-            (F.col("d") + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)).alias(
-                "d"
-            ),
-            F.when(F.col("y").bitwiseAND(s) > 0, F.col("x"))
-            .when(F.col("x").bitwiseAND(s) > 0, F.lit(_HB_N - 1) - F.col("y"))
-            .otherwise(F.col("y"))
-            .alias("x"),
-            F.when(F.col("y").bitwiseAND(s) > 0, F.col("y"))
-            .when(F.col("x").bitwiseAND(s) > 0, F.lit(_HB_N - 1) - F.col("x"))
-            .otherwise(F.col("x"))
-            .alias("y"),
-        )
+            (F.col("user_id") % _HB_N).alias("x"),
+            (hour_idx % _HB_N).alias("y"),
+            (F.col("user_id") % _HB_N).alias("x0"),
+            (hour_idx % _HB_N).alias("y0"),
+            F.lit(0).alias("d"),
+        ),
+        carry=["user_id", "x0", "y0"],
+    )
     return (
         df.groupBy((F.col("d") / F.lit(_HB_N)).cast("bigint").alias("bucket"))
         .agg(

@@ -200,3 +200,28 @@ def test_golden_record_rules(spark, sf_dir):
         assert r.canonical_chars > 0
         assert r.lang_vote in langs
         assert 1 <= r.n_sources <= r.n_members
+
+
+def test_hilbert_chain_is_bijective_with_unit_steps(spark):
+    """Exhaustive check of the unrolled xy2d expression chain itself,
+    over the ENTIRE 256x256 grid: the produced d values must be a
+    perfect permutation of 0..65535 (no collisions, no gaps) and
+    consecutive d must map to Manhattan-adjacent cells (the defining
+    Hilbert locality property)."""
+    from project_bigdata_spark.plans.curation_queries import hilbert_chain
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+        (F.col("id") % 256).alias("x0"),
+        (F.col("id") / 256).cast("long").alias("y0"),
+        F.lit(0).alias("d"),
+    )
+    out = hilbert_chain(grid, carry=["x0", "y0"]).select("x0", "y0", "d")
+    rows = out.collect()
+    ds = sorted(r.d for r in rows)
+    assert ds == list(range(65536))  # bijection
+    inv = {r.d: (r.x0, r.y0) for r in rows}
+    for d in range(65535):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d  # unit curve steps
