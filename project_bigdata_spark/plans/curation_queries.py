@@ -1,7 +1,7 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Nine operators a large-scale training-data pipeline adds on top of the
+Ten operators a large-scale training-data pipeline adds on top of the
 dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
@@ -32,6 +32,8 @@ dedup/retrieval/warehouse families already in the catalog:
   direction).
 - ``golden_record_survivorship`` — MDM golden-record election + field
   merge over the near-dup clusters (deterministic total-order rules).
+- ``holt_forecast``        — Holt double-exponential smoothing + linear
+  forecasts as ONE ordered fold per series (oracle: recursive CTE).
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -1144,4 +1146,143 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("canonical_chars").alias("canonical_chars"),
         "lang_vote",
         "n_sources",
+    )
+
+
+# ---------------------------------------------------------------------------
+# holt_forecast
+# ---------------------------------------------------------------------------
+
+_HOLT_LP = "(0.3e0 * h.x + 0.7e0 * (r.l + r.b))"
+
+# NOTE the oracle is a RECURSIVE CTE, not list_reduce: DuckDB 1.0's
+# list_reduce mis-evaluates struct lambdas whose fields depend on OTHER
+# accumulator fields (measured: (a,e) -> {l: a.l+e.x, b: a.b+a.l} gives
+# b=125 where the left fold gives 116), so only the recursive CTE
+# replays Spark's aggregate fold faithfully. Arithmetic below is
+# textually identical to the Spark lambda.
+@query(
+    "holt_forecast",
+    oracle=f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(CAST(sum({N.sql_cents("value")}) AS BIGINT) AS DOUBLE) / 100
+           AS x
+  FROM events GROUP BY 1, 2
+), idx AS MATERIALIZED (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) AS rn
+  FROM hourly
+), nn AS (
+  SELECT event_type, CAST(max(rn) AS BIGINT) AS n FROM idx GROUP BY 1
+), rec AS (
+  SELECT h1.event_type, CAST(2 AS BIGINT) AS rn,
+         h2.x AS l, h2.x - h1.x AS b, 2e0 AS k, 0e0 AS sse
+  FROM idx h1 JOIN idx h2
+    ON h1.event_type = h2.event_type AND h1.rn = 1 AND h2.rn = 2
+  UNION ALL
+  SELECT r.event_type, r.rn + 1,
+         {_HOLT_LP},
+         0.1e0 * ({_HOLT_LP} - r.l) + 0.9e0 * r.b,
+         r.k + 1e0,
+         r.sse + (h.x - (r.l + r.b)) * (h.x - (r.l + r.b))
+  FROM rec r JOIN idx h
+    ON h.event_type = r.event_type AND h.rn = r.rn + 1
+), fin AS (
+  SELECT r.event_type, nn.n, r.l, r.b, r.k, r.sse
+  FROM rec r JOIN nn ON r.event_type = nn.event_type AND r.rn = nn.n
+)
+SELECT event_type,
+       n AS n_hours,
+       round(l, 4) AS level,
+       round(b, 4) AS trend,
+       round(l + b, 4) AS forecast_1h,
+       round(l + 24 * b, 4) AS forecast_24h,
+       CASE WHEN k > 2e0 THEN round(sqrt(sse / (k - 2e0)), 4) END
+         AS rmse_1step
+FROM fin""",
+    doc="Holt double-exponential smoothing (alpha=0.3, beta=0.1) over "
+    "each type's hourly value series, with 1h/24h linear forecasts and "
+    "the one-step-ahead RMSE — the telemetry forecasting primitive the "
+    "reference's ML layer approximates with batch regression. On Spark "
+    "the recursion is a SINGLE ordered left fold per series (aggregate "
+    "over the sorted hourly list), so the sequential smoothing state "
+    "never leaves the executor and series parallelize perfectly; the "
+    "oracle replays the identical arithmetic as a recursive CTE "
+    "(DuckDB 1.0's list_reduce mis-folds multi-field struct state — "
+    "see the module comment). Inputs come off the exact cents grid; "
+    "the fold is deterministic because both engines execute the same "
+    "IEEE op sequence on the same doubles. Per-series state is one "
+    "5-field struct; the list frame is bounded by the series length "
+    "(one row per hour), not the event count.",
+    survey_ids=("M7",),
+)
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        (F.sum(N.cents("value")).cast("bigint").cast("double") / F.lit(100))
+        .alias("x")
+    )
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hour_ts", "x"))),
+            lambda s: s.x,
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    alpha, beta = 0.3, 0.1
+
+    def lam(a, xv):
+        lp = F.lit(alpha) * xv + F.lit(0.7) * (a["l"] + a["b"])
+        return F.when(
+            a["k"] == 0.0,
+            F.struct(
+                xv.alias("x"),
+                xv.alias("l"),
+                (xv - a["x"]).alias("b"),
+                F.lit(2.0).alias("k"),
+                F.lit(0.0).alias("sse"),
+            ),
+        ).otherwise(
+            F.struct(
+                xv.alias("x"),
+                lp.alias("l"),
+                (F.lit(beta) * (lp - a["l"]) + F.lit(0.9) * a["b"]).alias("b"),
+                (a["k"] + F.lit(1.0)).alias("k"),
+                (
+                    a["sse"]
+                    + (xv - (a["l"] + a["b"])) * (xv - (a["l"] + a["b"]))
+                ).alias("sse"),
+            )
+        )
+
+    zero = F.lit(0.0)
+    acc0 = F.struct(
+        F.element_at("xs", 1).alias("x"),
+        zero.alias("l"),
+        zero.alias("b"),
+        zero.alias("k"),
+        zero.alias("sse"),
+    )
+    folded = ser.withColumn(
+        "f",
+        F.aggregate(
+            F.slice(F.col("xs"), F.lit(2), F.size("xs") - F.lit(1)),
+            acc0,
+            lam,
+        ),
+    )
+    f = F.col("f")
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        N.rnd(f["l"]).alias("level"),
+        N.rnd(f["b"]).alias("trend"),
+        N.rnd(f["l"] + f["b"]).alias("forecast_1h"),
+        N.rnd(f["l"] + F.lit(24) * f["b"]).alias("forecast_24h"),
+        F.when(
+            f["k"] > 2.0, N.rnd(F.sqrt(f["sse"] / (f["k"] - F.lit(2.0))))
+        ).alias("rmse_1step"),
     )

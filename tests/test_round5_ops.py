@@ -225,3 +225,51 @@ def test_hilbert_chain_is_bijective_with_unit_steps(spark):
     for d in range(65535):
         (x1, y1), (x2, y2) = inv[d], inv[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, d  # unit curve steps
+
+
+def test_holt_matches_python_recursion(spark, sf_dir):
+    """Third-implementation differential: replay the exact Holt
+    recursion (l2=x2, b2=x2-x1 init; alpha=0.3, beta=0.1) in Python
+    over the same hourly series and require agreement to the rounding
+    grid."""
+    rows = _q("holt_forecast")(spark, sf_dir).collect()
+    assert rows
+    from project_bigdata_spark.sources import load_table
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+                ).otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            ).alias("cents")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r.event_type].append((r.h, r.cents / 100.0))
+    for r in rows:
+        xs = [x for _, x in sorted(series[r.event_type])]
+        assert r.n_hours == len(xs)
+        level, b = xs[1], xs[1] - xs[0]
+        k, sse = 2.0, 0.0
+        for xv in xs[2:]:
+            e = xv - (level + b)
+            lp = 0.3 * xv + 0.7 * (level + b)
+            b = 0.1 * (lp - level) + 0.9 * b
+            level = lp
+            k += 1.0
+            sse += e * e
+        assert abs(r.level - level) < 1e-3, r.event_type
+        assert abs(r.trend - b) < 1e-3
+        assert abs(r.forecast_1h - (level + b)) < 1e-3
+        assert abs(r.forecast_24h - (level + 24 * b)) < 2e-3
+        assert abs(r.rmse_1step - (sse / (k - 2)) ** 0.5) < 1e-3
