@@ -68,6 +68,20 @@ QUERIES = [
     "weighted_median_delay",
     "ohlc_bars",
     "time_weighted_avg",
+    # round-5 operators: the synthetic decade's 10x near-copies stress
+    # exactly their hot paths — containment/survivorship ride the LSH
+    # band caps, bitext mining grows shard x corpus, k-means/PCA fan a
+    # 4x corpus through fixed-size state, the fold/window detectors
+    # grow only with series length
+    "minhash_containment",
+    "golden_record_survivorship",
+    "margin_bitext_mining",
+    "kmeans_lloyd",
+    "pca_power_iteration",
+    "hilbert_layout",
+    "cusum_drift",
+    "holt_forecast",
+    "domain_kl_divergence",
 ]
 
 
@@ -116,8 +130,11 @@ def main() -> None:
           file=sys.stderr)
 
     specs = load_all()
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     rows = []
     for name in QUERIES:
+        if only and name not in only:
+            continue
         s = specs[name]
         # warm both inputs
         for d in (SRC, DST):
@@ -138,6 +155,17 @@ def main() -> None:
         rows.append((name, times["sf0.1"], times["sf1"], slope))
         print(f"{name}: {times['sf0.1']:.2f}s -> {times['sf1']:.2f}s "
               f"({slope:.1f}x)", flush=True)
+
+    if only:
+        # filtered run = ad-hoc measurement; don't clobber the full
+        # published table with a partial one
+        print(json.dumps({"probe": "sf1_decade", "queries": {
+            n: {"sf0.1": round(a, 3), "sf1": round(b, 3),
+                "slope": round(s2, 2)}
+            for n, a, b, s2 in rows}}))
+        if not keep:
+            shutil.rmtree(DST, ignore_errors=True)
+        return
 
     md = Path(__file__).resolve().parent.parent / "BENCH_SCALING.md"
     text = md.read_text()
