@@ -1,7 +1,7 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Ten operators a large-scale training-data pipeline adds on top of the
+Eleven operators a large-scale training-data pipeline adds on top of the
 dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
@@ -34,6 +34,8 @@ dedup/retrieval/warehouse families already in the catalog:
   merge over the near-dup clusters (deterministic total-order rules).
 - ``holt_forecast``        — Holt double-exponential smoothing + linear
   forecasts as ONE ordered fold per series (oracle: recursive CTE).
+- ``theil_sen_trend``      — median-of-pairwise-slopes robust trend
+  (pair join bounded by series LENGTH, not event count).
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -1297,4 +1299,136 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             f["k"] > 2.0, N.rnd(F.sqrt(f["sse"] / (f["k"] - F.lit(2.0))))
         ).alias("rmse_1step"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS th,
+         CAST(sum({N.sql_cents("value")}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), idx AS MATERIALIZED (
+  SELECT event_type, th - min(th) OVER (PARTITION BY event_type) AS t, c
+  FROM hourly
+), slopes AS MATERIALIZED (
+  SELECT a.event_type,
+         b.c - a.c AS dc, b.t - a.t AS dt,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s,
+         a.t AS ti, b.t AS tj
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.t < b.t
+), med_s AS (
+  SELECT event_type, s AS slope_c, n_pairs FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY s, dc, dt, ti, tj) AS rn,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+    FROM slopes)
+  WHERE rn = (n_pairs + 1) // 2
+), resid AS (
+  SELECT i.event_type, CAST(i.c AS DOUBLE) - m.slope_c * i.t AS r, i.t
+  FROM idx i JOIN med_s m USING (event_type)
+), med_r AS (
+  SELECT event_type, r AS icept_c FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY r, t) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM resid)
+  WHERE rn = (n + 1) // 2
+)
+SELECT s.event_type,
+       s.n_pairs,
+       round(s.slope_c / 100, 6) AS sen_slope_per_hour,
+       round(r.icept_c / 100, 4) AS sen_intercept
+FROM med_s s JOIN med_r r USING (event_type)""",
+    doc="Theil-Sen robust trend per hourly series: the median of all "
+    "pairwise slopes (and the median-residual intercept) — the "
+    "outlier-proof alternative to trend_fit's OLS (one wild hour can "
+    "drag a least-squares slope arbitrarily; the slope median has a "
+    "29.3% breakdown point). Slopes are exact-int ratios dc/dt over "
+    "integer hour offsets; the lower median is selected by rank with a "
+    "full deterministic tie-break (s, dc, dt, ti, tj), never averaged. "
+    "Scale shape: the pair self-join is O(series_length^2) per series — "
+    "bounded by the TIME RANGE (720 hours -> ~260k pairs), completely "
+    "independent of the event count, so the decade slope is ~flat; "
+    "series partition the work perfectly.",
+    survey_ids=("M7",),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("th"),
+    ).agg(F.sum(N.cents("value")).cast("bigint").alias("c"))
+    idx = hourly.select(
+        "event_type",
+        (
+            F.col("th") - F.min("th").over(Window.partitionBy("event_type"))
+        ).alias("t"),
+        "c",
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("b.c") - F.col("a.c")).alias("dc"),
+            (F.col("b.t") - F.col("a.t")).alias("dt"),
+            (
+                (F.col("b.c") - F.col("a.c")).cast("double")
+                / (F.col("b.t") - F.col("a.t")).cast("double")
+            ).alias("s"),
+            F.col("a.t").alias("ti"),
+            F.col("b.t").alias("tj"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        "s", "dc", "dt", "ti", "tj"
+    )
+    w_all = Window.partitionBy("event_type")
+    med_s = (
+        slopes.select(
+            "event_type",
+            "s",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("event_type", F.col("s").alias("slope_c"), "n_pairs")
+    )
+    resid = idx.join(F.broadcast(med_s), "event_type").select(
+        "event_type",
+        (F.col("c").cast("double") - F.col("slope_c") * F.col("t")).alias(
+            "r"
+        ),
+        "t",
+        "slope_c",
+        "n_pairs",
+    )
+    w_r = Window.partitionBy("event_type").orderBy("r", "t")
+    med_r = (
+        resid.select(
+            "event_type",
+            "r",
+            "slope_c",
+            "n_pairs",
+            F.row_number().over(w_r).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+    )
+    return med_r.select(
+        "event_type",
+        N.big("n_pairs").alias("n_pairs"),
+        N.rnd(F.col("slope_c") / F.lit(100), 6).alias("sen_slope_per_hour"),
+        N.rnd(F.col("r") / F.lit(100)).alias("sen_intercept"),
     )

@@ -273,3 +273,55 @@ def test_holt_matches_python_recursion(spark, sf_dir):
         assert abs(r.forecast_1h - (level + b)) < 1e-3
         assert abs(r.forecast_24h - (level + 24 * b)) < 2e-3
         assert abs(r.rmse_1step - (sse / (k - 2)) ** 0.5) < 1e-3
+
+
+def test_theil_sen_matches_python_median(spark, sf_dir):
+    """Third-implementation differential: recompute the Theil-Sen lower
+    median of pairwise slopes in Python over the same hourly series."""
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("theil_sen_trend")(spark, sf_dir).collect()
+    assert rows
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias(
+                "th"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+                ).otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            ).alias("c")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r.event_type].append((r.th, r.c))
+    for r in rows:
+        pts = sorted(series[r.event_type])
+        t0 = pts[0][0]
+        pts = [(t - t0, c) for t, c in pts]
+        slopes = sorted(
+            (
+                (cj - ci) / (tj - ti),
+                cj - ci,
+                tj - ti,
+                ti,
+                tj,
+            )
+            for i, (ti, ci) in enumerate(pts)
+            for tj, cj in pts[i + 1 :]
+        )
+        assert r.n_pairs == len(slopes)
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert abs(r.sen_slope_per_hour - med / 100) < 1e-5, r.event_type
+        resid = sorted(
+            (c - med * t, t) for t, c in pts
+        )
+        icept = resid[(len(resid) + 1) // 2 - 1][0]
+        assert abs(r.sen_intercept - icept / 100) < 1e-3

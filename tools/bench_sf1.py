@@ -82,6 +82,7 @@ QUERIES = [
     "cusum_drift",
     "holt_forecast",
     "domain_kl_divergence",
+    "theil_sen_trend",
 ]
 
 
