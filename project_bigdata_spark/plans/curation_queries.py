@@ -1,7 +1,7 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Eleven operators a large-scale training-data pipeline adds on top of the
+Twelve operators a large-scale training-data pipeline adds on top of the
 dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
@@ -36,6 +36,8 @@ dedup/retrieval/warehouse families already in the catalog:
   forecasts as ONE ordered fold per series (oracle: recursive CTE).
 - ``theil_sen_trend``      — median-of-pairwise-slopes robust trend
   (pair join bounded by series LENGTH, not event count).
+- ``mann_kendall_test``    — the paired nonparametric significance test
+  (integer S / tie-corrected variance; exact-integer 5% decision).
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -1431,4 +1433,145 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("n_pairs").alias("n_pairs"),
         N.rnd(F.col("slope_c") / F.lit(100), 6).alias("sen_slope_per_hour"),
         N.rnd(F.col("r") / F.lit(100)).alias("sen_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_test
+# ---------------------------------------------------------------------------
+
+@query(
+    "mann_kendall_test",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS t,
+         CAST(sum({N.sql_cents("value")}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.t < b.t
+  GROUP BY a.event_type
+), nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM hourly GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(coalesce(sum(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS tg
+        FROM hourly GROUP BY event_type, c)
+  WHERE tg > 1 GROUP BY event_type
+), stat AS (
+  SELECT s.event_type, nn.n, s.s_stat,
+         nn.n * (nn.n - 1) * (2 * nn.n + 5)
+           - coalesce(t.tie_term, 0) AS varnum
+  FROM s JOIN nn USING (event_type)
+  LEFT JOIN ties t ON s.event_type = t.event_type
+)
+SELECT event_type,
+       n AS n_hours,
+       s_stat,
+       round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                  ELSE 0e0 END
+             / sqrt(CAST(varnum AS DOUBLE) / 18), 4) AS z_stat,
+       CASE WHEN s_stat > 0
+                 AND 180000 * (s_stat - 1) * (s_stat - 1) > 38416 * varnum
+              THEN 'increasing'
+            WHEN s_stat < 0
+                 AND 180000 * (s_stat + 1) * (s_stat + 1) > 38416 * varnum
+              THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM stat""",
+    doc="Mann-Kendall trend significance test per hourly series — the "
+    "nonparametric test conventionally paired with the Theil-Sen slope: "
+    "S = sum of sign(x_j - x_i) over ordered pairs, tie-corrected "
+    "variance n(n-1)(2n+5)/18 - sum t_g(t_g-1)(2t_g+5)/18, "
+    "continuity-corrected Z, two-sided 5% decision. S, the tie term, "
+    "and the trend CLASSIFICATION are pure integer arithmetic "
+    "(180000*(S-1)^2 > 38416*varnum encodes |Z| > 1.96 exactly, since "
+    "1.96^2 = 38416/10000) — no float can flip the label cross-engine; "
+    "the one double division renders Z. Same series-length-bounded "
+    "pair join as theil_sen_trend: O(hours^2) per series, independent "
+    "of event count.",
+    survey_ids=("M7",),
+)
+def mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("t"),
+    ).agg(F.sum(N.cents("value")).cast("bigint").alias("c")).persist()
+    a, b = hourly.alias("a"), hourly.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        hourly.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tg"))
+        .filter(F.col("tg") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    stat = (
+        s.join(nn, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).alias("varnum"),
+        )
+    )
+    sgn = F.col("s_stat")
+    num = (
+        F.when(sgn > 0, (sgn - 1).cast("double"))
+        .when(sgn < 0, (sgn + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    up = F.lit(180000) * (sgn - 1) * (sgn - 1) > F.lit(38416) * F.col("varnum")
+    dn = F.lit(180000) * (sgn + 1) * (sgn + 1) > F.lit(38416) * F.col("varnum")
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        "s_stat",
+        N.rnd(num / F.sqrt(F.col("varnum").cast("double") / F.lit(18))).alias(
+            "z_stat"
+        ),
+        F.when((sgn > 0) & up, "increasing")
+        .when((sgn < 0) & dn, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
     )

@@ -325,3 +325,59 @@ def test_theil_sen_matches_python_median(spark, sf_dir):
         )
         icept = resid[(len(resid) + 1) // 2 - 1][0]
         assert abs(r.sen_intercept - icept / 100) < 1e-3
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    """Third-implementation differential: recompute S, the tie-corrected
+    variance, and Z in Python over the same hourly series."""
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("mann_kendall_test")(spark, sf_dir).collect()
+    assert rows
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias(
+                "t"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+                ).otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            ).alias("c")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r.event_type].append((r.t, r.c))
+    for r in rows:
+        xs = [c for _, c in sorted(series[r.event_type])]
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        assert r.s_stat == s and r.n_hours == n
+        from collections import Counter
+
+        tie = sum(
+            tg * (tg - 1) * (2 * tg + 5)
+            for tg in Counter(xs).values()
+            if tg > 1
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+        z = 0.0 if s == 0 else (s - 1 if s > 0 else s + 1) / var**0.5
+        assert abs(r.z_stat - z) < 1e-3
+        expected = (
+            "increasing"
+            if z > 1.96
+            else "decreasing"
+            if z < -1.96
+            else "no_trend"
+        )
+        assert r.trend == expected, (r.event_type, z, r.trend)

@@ -83,6 +83,7 @@ QUERIES = [
     "holt_forecast",
     "domain_kl_divergence",
     "theil_sen_trend",
+    "mann_kendall_test",
 ]
 
 
