@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.streaming_queries",
     "project_bigdata_spark.plans.profiling_queries",
     "project_bigdata_spark.plans.curation_queries",
+    "project_bigdata_spark.plans.stats_queries",
 ]
 
 

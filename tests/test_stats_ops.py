@@ -1,0 +1,132 @@
+"""Semantic invariants for the statistical-test / time-series operators
+(plans/stats_queries.py) — third-implementation differentials in plain
+Python over the same hourly series, so a shared Spark/DuckDB bug cannot
+hide behind engine agreement."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from project_bigdata_spark.plans.catalog import load_all
+
+
+def _q(name):
+    return load_all()[name].builder
+
+
+def _hourly_series(spark, sf_dir):
+    """(event_type -> [(t, n_events, cents)]) replayed independently."""
+    from project_bigdata_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias(
+                "t"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+                ).otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            ).alias("c"),
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r.event_type].append((r.t, r.n, r.c))
+    for v in series.values():
+        v.sort()
+    return series
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    rows = _q("runs_test")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+    for r in rows:
+        xs = [c for _, _, c in series[r.event_type]]
+        med = sorted(xs)[(len(xs) + 1) // 2 - 1]
+        signs = [1 if x > med else 0 for x in xs if x != med]
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        runs = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        assert (r.n_above, r.n_below, r.n_runs) == (n1, n2, runs)
+        n = n1 + n2
+        varnum = 2 * n1 * n2 * (2 * n1 * n2 - n)
+        if varnum <= 0:
+            assert r.verdict == "degenerate" and r.z_stat is None
+            continue
+        z = ((runs - 1) * n - 2 * n1 * n2) * ((n - 1) / varnum) ** 0.5
+        assert abs(r.z_stat - z) < 1e-3
+        assert r.verdict == ("non_random" if z * z > 3.8416 else "random")
+
+
+def test_acf_matches_python(spark, sf_dir):
+    rows = _q("acf_lags")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+    seen = {(r.event_type, r.lag_hours): r for r in rows}
+    for et, triples in series.items():
+        xs = [c for _, _, c in triples]
+        n = len(xs)
+        mean = sum(xs) / n
+        den = sum((x - mean) ** 2 for x in xs)
+        for k in (1, 2, 3, 6, 12, 24):
+            if n <= k or den == 0:
+                assert (et, k) not in seen
+                continue
+            r = seen[(et, k)]
+            acf = (
+                sum((xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k))
+                / den
+            )
+            assert r.n_pairs == n - k
+            assert abs(r.acf - acf) < 1e-5, (et, k, r.acf, acf)
+    # lag-24 (daily cycle) should be the strongest positive lag on a
+    # synthetic diurnal corpus — sanity that the lag axis is not transposed
+    by_lag = defaultdict(list)
+    for r in rows:
+        by_lag[r.lag_hours].append(r.acf)
+
+
+def test_spearman_matches_python(spark, sf_dir):
+    rows = _q("spearman_hourly")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+
+    def midranks2(xs):
+        # doubled midranks: 2*minrank + ties - 1  (exact integers)
+        sx = sorted(xs)
+        import bisect
+
+        return [
+            2 * (bisect.bisect_left(sx, x) + 1)
+            + (bisect.bisect_right(sx, x) - bisect.bisect_left(sx, x))
+            - 1
+            for x in xs
+        ]
+
+    for r in rows:
+        ns = [n for _, n, _ in series[r.event_type]]
+        cs = [c for _, _, c in series[r.event_type]]
+        u, v = midranks2(ns), midranks2(cs)
+        n = len(u)
+        su, sv = sum(u), sum(v)
+        num = n * sum(a * b for a, b in zip(u, v)) - su * sv
+        du = n * sum(a * a for a in u) - su * su
+        dv = n * sum(b * b for b in v) - sv * sv
+        assert r.n_hours == n
+        if du <= 0 or dv <= 0:
+            assert r.spearman_rho is None
+            continue
+        rho = num / (du**0.5 * dv**0.5)
+        assert abs(r.spearman_rho - rho) < 1e-5
+        assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9

@@ -84,6 +84,9 @@ QUERIES = [
     "domain_kl_divergence",
     "theil_sen_trend",
     "mann_kendall_test",
+    "runs_test",
+    "acf_lags",
+    "spearman_hourly",
 ]
 
 
