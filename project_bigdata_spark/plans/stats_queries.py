@@ -400,3 +400,281 @@ def spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(N.rnd(rho, 6))
         .alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# changepoint_best_split
+# ---------------------------------------------------------------------------
+
+@query(
+    "changepoint_best_split",
+    oracle=f"""
+WITH {HOURLY_SQL},
+idx AS (
+  SELECT event_type, t, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn,
+         count(*)    OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         sum(c) OVER (PARTITION BY event_type) AS s
+  FROM hourly
+), gains AS (
+  SELECT event_type, t, rn, n, p, s,
+         CAST(p AS DOUBLE) * p / rn
+           + CAST(s - p AS DOUBLE) * (s - p) / (n - rn)
+           - CAST(s AS DOUBLE) * s / n AS gain
+  FROM idx WHERE rn < n
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY gain DESC, rn) AS pick
+  FROM gains
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(t AS BIGINT) AS split_hour,
+       CAST(rn AS BIGINT) AS n_left,
+       CAST(n - rn AS BIGINT) AS n_right,
+       round(CAST(p AS DOUBLE) / rn / 100, 4) AS mean_left,
+       round(CAST(s - p AS DOUBLE) / (n - rn) / 100, 4) AS mean_right,
+       round(gain / 1e4, 4) AS gain
+FROM best WHERE pick = 1""",
+    doc="Single best changepoint per hourly series — the core step of "
+    "binary segmentation (Scott-Knott / PELT family): the split k "
+    "maximizing the between-segment sum of squares gain(k) = P_k^2/k + "
+    "(S-P_k)^2/(n-k) - S^2/n, where P_k is the exact integer-cents "
+    "prefix sum. gain is evaluated as the IDENTICAL double expression "
+    "over exact integers on both engines (correctly-rounded IEEE ops "
+    "on identical inputs -> identical doubles), so the argmax — "
+    "row_number ordered by (gain DESC, k ASC), tie to the earliest "
+    "split — picks the same row everywhere. Plan: one hourly exchange, "
+    "one prefix-sum window, one rank window; per-series cost linear in "
+    "hours, independent of event volume.",
+    survey_ids=("M7",),
+)
+def changepoint_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    w_all = Window.partitionBy("event_type")
+    w_t = Window.partitionBy("event_type").orderBy("t")
+    idx = hourly.select(
+        "event_type",
+        "t",
+        F.row_number().over(w_t).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("c").over(w_t.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "p"
+        ),
+        F.sum("c").over(w_all).alias("s"),
+    ).filter(F.col("rn") < F.col("n"))
+    gain = (
+        F.col("p").cast("double") * F.col("p") / F.col("rn")
+        + (F.col("s") - F.col("p")).cast("double")
+        * (F.col("s") - F.col("p"))
+        / (F.col("n") - F.col("rn"))
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    best = idx.withColumn("gain", gain).withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("gain").desc(), "rn"
+            )
+        ),
+    )
+    return best.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("t").cast("bigint").alias("split_hour"),
+        F.col("rn").cast("bigint").alias("n_left"),
+        (F.col("n") - F.col("rn")).cast("bigint").alias("n_right"),
+        N.rnd(F.col("p").cast("double") / F.col("rn") / 100).alias(
+            "mean_left"
+        ),
+        N.rnd(
+            (F.col("s") - F.col("p")).cast("double")
+            / (F.col("n") - F.col("rn"))
+            / 100
+        ).alias("mean_right"),
+        N.rnd(F.col("gain") / 1e4).alias("gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway
+# ---------------------------------------------------------------------------
+
+@query(
+    "anova_oneway",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type, {N.sql_cents("value")} AS c FROM events
+), grp AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS ng,
+         sum(CAST(c AS HUGEINT)) AS sg,
+         sum(CAST(c AS HUGEINT) * c) AS qg
+  FROM cents GROUP BY event_type
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS HUGEINT) AS n,
+         CAST(sum(sg) AS HUGEINT) AS s,
+         CAST(sum(qg) AS HUGEINT) AS q,
+         sum(CAST(sg AS DOUBLE) * sg / ng) AS ssg
+  FROM grp
+)
+SELECT k AS k_groups,
+       CAST(n AS BIGINT) AS n_events,
+       round((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE)) / 1e4, 4)
+         AS ss_between,
+       round((CAST(q AS DOUBLE) - ssg) / 1e4, 4) AS ss_within,
+       round(((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE)) / (k - 1))
+             / ((CAST(q AS DOUBLE) - ssg) / (CAST(n AS DOUBLE) - k)), 4)
+         AS f_stat,
+       round((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+             / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s
+                                      / CAST(n AS DOUBLE)), 6) AS eta_sq
+FROM tot""",
+    doc="One-way ANOVA across event types on the exact cents grid: "
+    "SS_between = sum_g S_g^2/n_g - S^2/n, SS_within = sum c^2 - "
+    "sum_g S_g^2/n_g, F = (SSB/(k-1))/(SSW/(n-k)), plus eta-squared "
+    "effect size — completes the catalog's inference row (chi-square: "
+    "categorical x categorical, Welch t: two groups, ANOVA: k groups). "
+    "Group moments (n_g, S_g, sum c^2) are exact HUGEINT/DECIMAL(38,0) "
+    "sums; per-group S_g^2/n_g is one double term summed over k rows "
+    "in a FIXED per-group expression (k tiny, and the sum is over the "
+    "same k doubles on both engines via the same single-node "
+    "aggregate). Plan: one map-side-combined group aggregate (k rows) "
+    "+ one k-row reduce — the k-row SinglePartition exchange is "
+    "cardinality-bounded by the type vocabulary.",
+    survey_ids=("M7",),
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c = N.cents("value")
+    grp = e.select(F.col("event_type"), c.alias("c")).groupBy(
+        "event_type"
+    ).agg(
+        dec(F.count(F.lit(1))).alias("ng"),
+        F.sum(dec(F.col("c"))).alias("sg"),
+        F.sum(dec(F.col("c")) * F.col("c")).alias("qg"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+        ).alias("ssg"),
+    )
+    ssb = F.col("ssg") - F.col("s").cast("double") * F.col("s") / F.col(
+        "n"
+    ).cast("double")
+    ssw = F.col("q").cast("double") - F.col("ssg")
+    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ) / F.col("n").cast("double")
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_events"),
+        N.rnd(ssb / 1e4).alias("ss_between"),
+        N.rnd(ssw / 1e4).alias("ss_within"),
+        N.rnd(
+            (ssb / (F.col("k") - 1))
+            / (ssw / (F.col("n").cast("double") - F.col("k")))
+        ).alias("f_stat"),
+        N.rnd(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stl_profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "stl_profile",
+    oracle=f"""
+WITH {HOURLY_SQL},
+tr AS (
+  SELECT event_type, t, c,
+         sum(c)   OVER w25 AS s25,
+         count(*) OVER w25 AS c25
+  FROM hourly
+  WINDOW w25 AS (PARTITION BY event_type ORDER BY t
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), det AS (
+  -- detrended value on the exact 1e-4 grid: (c - s25/25)*100
+  --   = (25*c - s25)*4, an exact integer (no float anywhere)
+  SELECT event_type, t % 24 AS hod,
+         (25 * CAST(c AS HUGEINT) - s25) * 4 AS d
+  FROM tr WHERE c25 = 25
+), prof AS (
+  SELECT event_type, hod, d,
+         sum(d)   OVER (PARTITION BY event_type, hod) AS sd,
+         count(*) OVER (PARTITION BY event_type, hod) AS cg
+  FROM det
+)
+SELECT event_type,
+       CAST(hod AS BIGINT) AS hour_of_day,
+       CAST(cg AS BIGINT) AS n_obs,
+       round(CAST(sd AS DOUBLE) / cg / 1e4, 4) AS seasonal,
+       round(CAST(sum(abs(cg * d - sd)) AS DOUBLE)
+             / (CAST(cg AS DOUBLE) * cg) / 1e4, 4) AS mean_abs_remainder
+FROM prof
+GROUP BY event_type, hod, cg, sd""",
+    doc="Additive seasonal decomposition profile (the STL shape on an "
+    "exact grid): trend = centered 25h moving average (complete "
+    "windows only), seasonal = hour-of-day mean of the detrended "
+    "series, remainder = detrended - seasonal. Exactness: the "
+    "detrended value (c - s25/25)*100 equals (25c - s25)*4 — an exact "
+    "integer on the 1e-4 value grid, so NO float ever crosses a row "
+    "boundary; the remainder is the exact rational (cg*d - sd)/cg, so "
+    "mean |remainder| is an exact integer sum divided once at render. "
+    "Plan: one hourly exchange, one 25-row moving window, one "
+    "(series, hour-of-day) window + aggregate — all linear in hours, "
+    "independent of event volume.",
+    survey_ids=("M7",),
+)
+def stl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w25 = (
+        Window.partitionBy("event_type").orderBy("t").rowsBetween(-12, 12)
+    )
+    tr = hourly.select(
+        "event_type",
+        "t",
+        "c",
+        F.sum("c").over(w25).alias("s25"),
+        F.count(F.lit(1)).over(w25).alias("c25"),
+    )
+    det = tr.filter(F.col("c25") == 25).select(
+        "event_type",
+        (F.col("t") % 24).alias("hod"),
+        ((F.lit(25) * dec(F.col("c")) - F.col("s25")) * 4).alias("d"),
+    )
+    w_g = Window.partitionBy("event_type", "hod")
+    prof = det.select(
+        "event_type",
+        "hod",
+        "d",
+        F.sum("d").over(w_g).alias("sd"),
+        F.count(F.lit(1)).over(w_g).alias("cg"),
+    )
+    return prof.groupBy("event_type", "hod", "cg", "sd").agg(
+        F.sum(F.abs(dec(F.col("cg")) * F.col("d") - F.col("sd"))).alias(
+            "sabs"
+        )
+    ).select(
+        "event_type",
+        F.col("hod").cast("bigint").alias("hour_of_day"),
+        F.col("cg").cast("bigint").alias("n_obs"),
+        N.rnd(F.col("sd").cast("double") / F.col("cg") / 1e4).alias(
+            "seasonal"
+        ),
+        N.rnd(
+            F.col("sabs").cast("double")
+            / (F.col("cg").cast("double") * F.col("cg"))
+            / 1e4
+        ).alias("mean_abs_remainder"),
+    )

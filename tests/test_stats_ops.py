@@ -130,3 +130,102 @@ def test_spearman_matches_python(spark, sf_dir):
         rho = num / (du**0.5 * dv**0.5)
         assert abs(r.spearman_rho - rho) < 1e-5
         assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+
+
+def test_changepoint_matches_exhaustive_python(spark, sf_dir):
+    """Replay the gain scan exhaustively in Python (exact fractions via
+    integer arithmetic) and check the picked split maximizes it."""
+    from fractions import Fraction
+
+    rows = _q("changepoint_best_split")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+    for r in rows:
+        xs = [c for _, _, c in series[r.event_type]]
+        ts = [t for t, _, _ in series[r.event_type]]
+        n = len(xs)
+        s = sum(xs)
+        best_k, best_gain = None, None
+        p = 0
+        for k in range(1, n):
+            p += xs[k - 1]
+            gain = (
+                Fraction(p * p, k)
+                + Fraction((s - p) * (s - p), n - k)
+                - Fraction(s * s, n)
+            )
+            if best_gain is None or gain > best_gain:
+                best_k, best_gain = k, gain
+        assert r.n_left == best_k, (r.event_type, r.n_left, best_k)
+        assert r.split_hour == ts[best_k - 1]
+        assert abs(r.gain - float(best_gain) / 1e4) < 0.01
+        # means really are the segment means
+        assert abs(r.mean_left - sum(xs[:best_k]) / best_k / 100) < 1e-3
+        assert (
+            abs(r.mean_right - sum(xs[best_k:]) / (n - best_k) / 100) < 1e-3
+        )
+
+
+def test_anova_matches_python(spark, sf_dir):
+    rows = _q("anova_oneway")(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    from project_bigdata_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.when(
+                F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+            )
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for row in ev:
+        groups[row.event_type].append(row.c)
+    k = len(groups)
+    n = sum(len(g) for g in groups.values())
+    s = sum(sum(g) for g in groups.values())
+    q = sum(x * x for g in groups.values() for x in g)
+    ssg = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    ssb = ssg - s * s / n
+    ssw = q - ssg
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.k_groups == k and r.n_events == n
+    assert abs(r.f_stat - f) < 1e-2
+    assert abs(r.ss_between - ssb / 1e4) < 1.0  # large magnitudes, rel check:
+    assert abs(r.ss_between - ssb / 1e4) / max(ssb / 1e4, 1) < 1e-6
+    assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-4
+    assert r.ss_between >= 0 and r.ss_within >= 0
+
+
+def test_stl_profile_is_an_exact_decomposition(spark, sf_dir):
+    """seasonal(hod) must equal the mean of the detrended series at that
+    hour-of-day, recomputed in exact Python integers; remainders must
+    average to ~0 within each (series, hod) cell by construction."""
+    rows = _q("stl_profile")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+    cells = {(r.event_type, r.hour_of_day): r for r in rows}
+    for et, triples in series.items():
+        xs = [c for _, _, c in triples]
+        ts = [t for t, _, _ in triples]
+        n = len(xs)
+        per_hod = defaultdict(list)
+        for i in range(12, n - 12):
+            s25 = sum(xs[i - 12 : i + 13])
+            d = (25 * xs[i] - s25) * 4  # exact 1e-4-value grid
+            per_hod[ts[i] % 24].append(d)
+        for hod, ds in per_hod.items():
+            r = cells[(et, hod)]
+            assert r.n_obs == len(ds)
+            mean_d = sum(ds) / len(ds)
+            assert abs(r.seasonal - mean_d / 1e4) < 1e-3
+            mar = sum(abs(x - mean_d) for x in ds) / len(ds)
+            assert abs(r.mean_abs_remainder - mar / 1e4) < 1e-3
+        # consecutive-hour coverage: every hod cell exists
+        assert set(per_hod) == {r_hod for (e2, r_hod) in cells if e2 == et}

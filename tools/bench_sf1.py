@@ -87,6 +87,9 @@ QUERIES = [
     "runs_test",
     "acf_lags",
     "spearman_hourly",
+    "changepoint_best_split",
+    "anova_oneway",
+    "stl_profile",
 ]
 
 

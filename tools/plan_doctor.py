@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "anova_oneway": "k-row (event-type vocabulary) group-moment frame "
+    "reduced to the single F-statistic row — bounded by the type "
+    "cardinality, never by event volume",
     "pca_power_iteration": "per-round norm + trace scalars folded from "
     "the 64-row matvec frame (dim-bounded, corpus-free)",
     "triangle_count": "three single-row scalar counts (nodes/edges/"
