@@ -1,8 +1,8 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Twelve operators a large-scale training-data pipeline adds on top of the
-dedup/retrieval/warehouse families already in the catalog:
+Fourteen operators a large-scale training-data pipeline adds on top of
+the dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
   Benford's law: the classic generated/tampered-numeric-column detector.
@@ -38,6 +38,12 @@ dedup/retrieval/warehouse families already in the catalog:
   (pair join bounded by series LENGTH, not event count).
 - ``mann_kendall_test``    — the paired nonparametric significance test
   (integer S / tie-corrected variance; exact-integer 5% decision).
+- ``ngram_novelty``        — share of globally-unique trigram
+  occurrences per (lang, source): the template-spam / scraper-loop
+  signal dedup cannot see (repeats straddle documents).
+- ``sequential_patterns``  — exists-before (A ... then B) support /
+  confidence / lift over 30-minute sessions: the ORDERED complement
+  of assoc_rules and the Markov transition matrix.
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -1574,4 +1580,251 @@ def mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((sgn < 0) & dn, "decreasing")
         .otherwise("no_trend")
         .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+_TRI_SQL = f"""
+CASE WHEN len({WORDS_SQL}) >= 3
+     THEN list_transform(range(1, len({WORDS_SQL}) - 1),
+            i -> concat_ws(' ', {WORDS_SQL}[i], {WORDS_SQL}[i+1],
+                           {WORDS_SQL}[i+2]))
+     ELSE [] END"""
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+WITH tri AS (
+  SELECT lang, source, unnest({_TRI_SQL}) AS tri FROM documents
+), per_ls AS (
+  SELECT tri, lang, source, CAST(count(*) AS BIGINT) AS cnt_ls
+  FROM tri GROUP BY 1, 2, 3
+), tot AS (
+  SELECT *, sum(cnt_ls) OVER (PARTITION BY tri) AS cnt_all FROM per_ls
+), grp AS (
+  SELECT lang, source,
+         CAST(sum(cnt_ls) AS BIGINT) AS n_trigrams,
+         CAST(sum(CASE WHEN cnt_all = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM tot GROUP BY lang, source
+), docs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+)
+SELECT d.lang, d.source, d.n_docs,
+       coalesce(g.n_trigrams, 0) AS n_trigrams,
+       coalesce(g.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(g.n_trigrams, 0) = 0 THEN NULL
+            ELSE round(CAST(g.n_novel AS DOUBLE) / g.n_trigrams, 6)
+       END AS novelty_rate
+FROM docs d LEFT JOIN grp g USING (lang, source)""",
+    doc="Corpus novelty audit: the share of word-trigram OCCURRENCES in "
+    "each (lang, source) slice that are globally unique (corpus count "
+    "== 1) — the inverse of boilerplate_ngrams (which surfaces the "
+    "most-repeated n-grams, this scores how much of a slice is "
+    "unrepeated text). A collapsing novelty rate on an incoming "
+    "source is the classic template-spam / scraper-loop signal; "
+    "dedup cannot see it because the repeats straddle documents. "
+    "Docs under 3 words contribute zero trigrams (no whole-text "
+    "fallback — novelty of a 2-word doc is undefined, not 1.0). "
+    "Exactness: pure integer counts; one double division at render. "
+    "Plan: explode trigrams once, aggregate per (trigram, lang, "
+    "source), one window over the trigram hash partitioning for the "
+    "global count, one group aggregate — payload text never shuffles "
+    "twice, only (trigram, count) pairs move.",
+    survey_ids=("M7",),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = DD.words_col(F.col("text"))
+    tri_arr = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = d.select(
+        "lang", "source", F.explode(tri_arr).alias("tri")
+    )
+    per_ls = tri.groupBy("tri", "lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_ls")
+    )
+    tot = per_ls.withColumn(
+        "cnt_all", F.sum("cnt_ls").over(Window.partitionBy("tri"))
+    )
+    grp = tot.groupBy("lang", "source").agg(
+        F.sum("cnt_ls").cast("bigint").alias("n_trigrams"),
+        F.sum(F.when(F.col("cnt_all") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+    )
+    docs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    j = docs.join(grp, ["lang", "source"], "left")
+    n_tri = F.coalesce(F.col("n_trigrams"), F.lit(0))
+    return j.select(
+        "lang",
+        "source",
+        "n_docs",
+        n_tri.alias("n_trigrams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        F.when(n_tri == 0, F.lit(None).cast("double"))
+        .otherwise(
+            N.rnd(F.col("n_novel").cast("double") / F.col("n_trigrams"), 6)
+        )
+        .alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequential_patterns
+# ---------------------------------------------------------------------------
+
+@query(
+    "sequential_patterns",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), spans AS (
+  SELECT user_id, sid, event_type,
+         min(epoch_us(ts)) AS first_us,
+         max(epoch_us(ts)) AS last_us
+  FROM sess GROUP BY 1, 2, 3
+), typ AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM spans GROUP BY event_type
+), tot AS (
+  SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n_total FROM spans
+), pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(count(*) AS BIGINT) AS support_sessions
+  FROM spans a JOIN spans b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type <> b.event_type
+   AND a.first_us < b.last_us
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.support_sessions,
+       ta.n_sessions AS sessions_with_a,
+       tb.n_sessions AS sessions_with_b,
+       round(CAST(p.support_sessions AS DOUBLE) / ta.n_sessions, 6)
+         AS confidence,
+       round(CAST(p.support_sessions AS DOUBLE) * t.n_total
+             / (CAST(ta.n_sessions AS DOUBLE) * tb.n_sessions), 6) AS lift
+FROM pairs p
+JOIN typ ta ON p.antecedent = ta.event_type
+JOIN typ tb ON p.consequent = tb.event_type
+CROSS JOIN tot t""",
+    doc="Sequential pattern mining over 30-minute-gap sessions: for "
+    "every ordered pair of event types (A, B), the number of sessions "
+    "where some A event strictly precedes some B event (first(A) < "
+    "last(B) — the exists-before predicate), with confidence "
+    "support/sessions(A) and lift support*total/(sessions(A)* "
+    "sessions(B)). The ORDERED complement of assoc_rules (co-presence) "
+    "and markov_steady_state (adjacent transitions): it sees A ...-> B "
+    "even across interleaved noise events. Exactness: epoch-microsecond "
+    "integer comparisons and integer counts; two double divisions at "
+    "render. Plan: one sessionization window per user, per-(session, "
+    "type) min/max aggregate, then a WITHIN-SESSION self-join whose "
+    "fanout is bounded by the type vocabulary squared per session — "
+    "never by event volume; totals are a broadcast type-cardinality "
+    "frame and one scalar row.",
+    survey_ids=("M7",),
+)
+def sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid", "event_type").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    typ = spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    tot = (
+        spans.select("user_id", "sid")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_us") < F.col("b.last_us")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support_sessions"))
+    )
+    ta = typ.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("n_sessions").alias("sessions_with_a"),
+    )
+    tb = typ.select(
+        F.col("event_type").alias("consequent"),
+        F.col("n_sessions").alias("sessions_with_b"),
+    )
+    return (
+        pairs.join(F.broadcast(ta), "antecedent")
+        .join(F.broadcast(tb), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "support_sessions",
+            "sessions_with_a",
+            "sessions_with_b",
+            N.rnd(
+                F.col("support_sessions").cast("double")
+                / F.col("sessions_with_a"),
+                6,
+            ).alias("confidence"),
+            N.rnd(
+                F.col("support_sessions").cast("double")
+                * F.col("n_total")
+                / (
+                    F.col("sessions_with_a").cast("double")
+                    * F.col("sessions_with_b")
+                ),
+                6,
+            ).alias("lift"),
+        )
     )

@@ -381,3 +381,99 @@ def test_mann_kendall_matches_python(spark, sf_dir):
             else "no_trend"
         )
         assert r.trend == expected, (r.event_type, z, r.trend)
+
+
+def test_ngram_novelty_matches_python(spark, sf_dir):
+    """Recompute global trigram counts and per-slice novelty in Python."""
+    from project_bigdata_spark.sources import load_table
+    from collections import Counter
+
+    rows = _q("ngram_novelty")(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "text"
+    ).collect()
+    global_cnt = Counter()
+    per_slice = defaultdict(list)
+    n_docs = Counter()
+    for d in docs:
+        n_docs[(d.lang, d.source)] += 1
+        ws = [w for w in d.text.lower().split() if w]
+        tris = [
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        ] if len(ws) >= 3 else []
+        global_cnt.update(tris)
+        per_slice[(d.lang, d.source)].extend(tris)
+    for r in rows:
+        key = (r.lang, r.source)
+        tris = per_slice.get(key, [])
+        assert r.n_docs == n_docs[key]
+        assert r.n_trigrams == len(tris)
+        novel = sum(1 for t in tris if global_cnt[t] == 1)
+        assert r.n_novel == novel
+        if tris:
+            assert abs(r.novelty_rate - novel / len(tris)) < 1e-5
+        else:
+            assert r.novelty_rate is None
+    # every (lang, source) present
+    assert {(r.lang, r.source) for r in rows} == set(n_docs)
+
+
+def test_sequential_patterns_matches_python(spark, sf_dir):
+    """Replay 30-min sessionization + exists-before pair support in
+    Python over the raw events."""
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("sequential_patterns")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((e.us, e.event_id, e.event_type))
+    sessions = []
+    for u, es in by_user.items():
+        es.sort()
+        cur = []
+        last = None
+        for us, _, et in es:
+            if last is not None and us - last <= 30 * 60 * 1_000_000:
+                cur.append((us, et))
+            else:
+                if cur:
+                    sessions.append(cur)
+                cur = [(us, et)]
+            last = us
+        sessions.append(cur)
+    n_total = len(sessions)
+    from collections import Counter
+
+    with_t = Counter()
+    support = Counter()
+    for s in sessions:
+        first = {}
+        last_ = {}
+        for us, et in s:
+            first.setdefault(et, us)
+            first[et] = min(first[et], us)
+            last_[et] = max(last_.get(et, us), us)
+        for et in first:
+            with_t[et] += 1
+        for a in first:
+            for b in last_:
+                if a != b and first[a] < last_[b]:
+                    support[(a, b)] += 1
+    seen = {(r.antecedent, r.consequent): r for r in rows}
+    assert set(seen) == set(support)
+    for (a, b), n in support.items():
+        r = seen[(a, b)]
+        assert r.support_sessions == n
+        assert r.sessions_with_a == with_t[a]
+        assert r.sessions_with_b == with_t[b]
+        assert abs(r.confidence - n / with_t[a]) < 1e-5
+        assert abs(r.lift - n * n_total / (with_t[a] * with_t[b])) < 1e-4

@@ -90,6 +90,8 @@ QUERIES = [
     "changepoint_best_split",
     "anova_oneway",
     "stl_profile",
+    "ngram_novelty",
+    "sequential_patterns",
 ]
 
 

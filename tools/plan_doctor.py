@@ -77,6 +77,8 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "sequential_patterns": "one-row total-session scalar crossed into "
+    "the type-pair rows (vocabulary-squared cardinality)",
     "anova_oneway": "k-row (event-type vocabulary) group-moment frame "
     "reduced to the single F-statistic row — bounded by the type "
     "cardinality, never by event volume",
