@@ -678,3 +678,260 @@ def stl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("mean_abs_remainder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xcorr_lags
+# ---------------------------------------------------------------------------
+
+XCORR_LAGS = (0, 1, 3, 6, 12, 24)
+_XLAGS_SQL = ", ".join(f"({k})" for k in XCORR_LAGS)
+
+
+@query(
+    "xcorr_lags",
+    oracle=f"""
+WITH {HOURLY_SQL},
+lags(k) AS (VALUES {_XLAGS_SQL}),
+pairs AS (
+  SELECT a.event_type AS lead_type, b.event_type AS lag_type, l.k,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(a.c AS HUGEINT)) AS sx,
+         sum(CAST(b.c AS HUGEINT)) AS sy,
+         sum(CAST(a.c AS HUGEINT) * a.c) AS sxx,
+         sum(CAST(b.c AS HUGEINT) * b.c) AS syy,
+         sum(CAST(a.c AS HUGEINT) * b.c) AS sxy
+  FROM hourly a
+  CROSS JOIN lags l
+  JOIN hourly b ON b.event_type <> a.event_type AND b.t = a.t + l.k
+  GROUP BY 1, 2, 3
+)
+SELECT lead_type, lag_type, CAST(k AS BIGINT) AS lag_hours,
+       CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+              THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS xcorr
+FROM pairs WHERE n >= 2""",
+    doc="Lagged cross-correlation between every ordered pair of hourly "
+    "series at lags {0,1,3,6,12,24}: Pearson r over aligned pairs "
+    "(x_t, y_t+k) — 'does purchase volume follow click volume k hours "
+    "later' — the lead-lag diagnostic that acf_lags (self) cannot "
+    "answer. Same exactness recipe as spearman_hourly: all six "
+    "sufficient statistics are exact HUGEINT/DECIMAL(38,0) sums over "
+    "integer cents, r is one double expression with sqrt applied per "
+    "factor, degenerate overlaps render NULL via integer guards. "
+    "Plan: one hourly exchange, a 6-lag shifted equi-join on (type, "
+    "t+k) — pair count bounded by types^2 * 6 * hours, independent of "
+    "event volume — one aggregate.",
+    survey_ids=("M7",),
+)
+def xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lags = spark.createDataFrame([(k,) for k in XCORR_LAGS], "k int")
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") != F.col("a.event_type"))
+            & (F.col("b.t") == F.col("a.t") + F.col("k")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("lead_type"),
+            F.col("b.event_type").alias("lag_type"),
+            "k",
+        )
+        .agg(
+            dec(F.count(F.lit(1))).alias("n"),
+            F.sum(dec(F.col("a.c"))).alias("sx"),
+            F.sum(dec(F.col("b.c"))).alias("sy"),
+            F.sum(dec(F.col("a.c")) * F.col("a.c")).alias("sxx"),
+            F.sum(dec(F.col("b.c")) * F.col("b.c")).alias("syy"),
+            F.sum(dec(F.col("a.c")) * F.col("b.c")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = num.cast("double") / (
+        F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))
+    )
+    return pairs.select(
+        "lead_type",
+        "lag_type",
+        F.col("k").cast("bigint").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when((den_x <= 0) | (den_y <= 0), F.lit(None).cast("double"))
+        .otherwise(N.rnd(r, 6))
+        .alias("xcorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+@query(
+    "kaplan_meier",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), lastobs AS (
+  SELECT user_id, max(ts) AS l_ts FROM events GROUP BY user_id
+), purch AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+  GROUP BY e.user_id
+), subj AS (
+  SELECT s.user_id,
+         (epoch_us(coalesce(p.p_ts, l.l_ts)) - epoch_us(s.s_ts))
+           // 3600000000 AS dur,
+         CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signup s
+  JOIN lastobs l ON s.user_id = l.user_id
+  LEFT JOIN purch p ON s.user_id = p.user_id
+), byd AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(ev) AS BIGINT) AS e
+  FROM subj GROUP BY dur
+), risk AS (
+  SELECT dur, cnt, e,
+         sum(cnt) OVER () -
+           coalesce(sum(cnt) OVER (ORDER BY dur
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+  FROM byd
+), ev_rows AS (
+  SELECT dur, cnt, e, n_risk,
+         CASE WHEN n_risk > e THEN
+           CASE WHEN ln(CAST(n_risk - e AS DOUBLE) / n_risk) >= 0
+                THEN floor(ln(CAST(n_risk - e AS DOUBLE) / n_risk)
+                           * 1000000000 + 0.5)
+                ELSE -floor(-ln(CAST(n_risk - e AS DOUBLE) / n_risk)
+                            * 1000000000 + 0.5) END
+           ELSE 0 END AS l9,
+         CASE WHEN e >= n_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk WHERE e > 0
+), curve AS (
+  SELECT dur, e, n_risk, cnt - e AS censored_at,
+         sum(l9) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum_l9,
+         max(hit_zero) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+           AS zeroed
+  FROM ev_rows
+)
+SELECT CAST(dur AS BIGINT) AS duration_hours,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       e AS n_events,
+       CAST(censored_at AS BIGINT) AS n_censored_at,
+       CASE WHEN zeroed = 1 THEN 0e0
+            ELSE round(exp(CAST(cum_l9 AS DOUBLE) / 1e9), 6)
+       END AS survival
+FROM curve""",
+    doc="Kaplan-Meier survival curve for signup-to-purchase conversion "
+    "with right-censoring (users who never purchase are censored at "
+    "their last observed event): S(t) = prod over event times d_i <= t "
+    "of (1 - e_i/n_i), n_i = subjects still at risk. The product is "
+    "computed with the catalog's snap-then-sum idiom: ln(1 - e/n) is "
+    "a PER-ROW double over exact integers, snapped to the 1e-9 "
+    "integer grid, prefix-summed as exact integers (order-free), and "
+    "exponentiated once at render — no cross-row float accumulation, "
+    "so both engines walk the identical integer path (same recipe as "
+    "domain_kl_divergence's KL terms). A step where e = n sends the "
+    "curve exactly to 0 via an integer flag, not a -inf. Durations on "
+    "the whole-hour integer grid (epoch-us integer division). Plan: "
+    "three per-user aggregates + one duration-grid frame (rows = "
+    "distinct event durations, bounded by the observation window in "
+    "hours, never by user count) — the prefix windows run on that "
+    "tiny frame, whitelisted single-partition.",
+    survey_ids=("M7",),
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    lastobs = e.groupBy("user_id").agg(F.max("ts").alias("l_ts"))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(signup), "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    subj = (
+        signup.join(lastobs, "user_id")
+        .join(purch, "user_id", "left")
+        .select(
+            F.expr(
+                "(unix_micros(coalesce(p_ts, l_ts)) - unix_micros(s_ts))"
+                " div 3600000000"
+            ).alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("ev").cast("bigint").alias("e"),
+    )
+    w_all = Window.partitionBy()
+    w_ex = (
+        Window.partitionBy()
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = byd.select(
+        "dur",
+        "cnt",
+        "e",
+        (
+            F.sum("cnt").over(w_all)
+            - F.coalesce(F.sum("cnt").over(w_ex), F.lit(0))
+        ).alias("n_risk"),
+    )
+    frac = (F.col("n_risk") - F.col("e")).cast("double") / F.col("n_risk")
+    ev_rows = risk.filter(F.col("e") > 0).select(
+        "dur",
+        "cnt",
+        "e",
+        "n_risk",
+        F.when(
+            F.col("n_risk") > F.col("e"),
+            N.cents(F.log(frac), scale=1_000_000_000),
+        )
+        .otherwise(F.lit(0))
+        .alias("l9"),
+        F.when(F.col("e") >= F.col("n_risk"), 1).otherwise(0).alias(
+            "hit_zero"
+        ),
+    )
+    w_in = (
+        Window.partitionBy()
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = ev_rows.select(
+        "dur",
+        "e",
+        "n_risk",
+        (F.col("cnt") - F.col("e")).alias("censored_at"),
+        F.sum("l9").over(w_in).alias("cum_l9"),
+        F.max("hit_zero").over(w_in).alias("zeroed"),
+    )
+    return curve.select(
+        F.col("dur").cast("bigint").alias("duration_hours"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("e").alias("n_events"),
+        F.col("censored_at").cast("bigint").alias("n_censored_at"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(N.rnd(F.exp(F.col("cum_l9").cast("double") / 1e9), 6))
+        .alias("survival"),
+    )

@@ -229,3 +229,93 @@ def test_stl_profile_is_an_exact_decomposition(spark, sf_dir):
             assert abs(r.mean_abs_remainder - mar / 1e4) < 1e-3
         # consecutive-hour coverage: every hod cell exists
         assert set(per_hod) == {r_hod for (e2, r_hod) in cells if e2 == et}
+
+
+def test_xcorr_matches_python(spark, sf_dir):
+    rows = _q("xcorr_lags")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+    grids = {
+        et: {t: c for t, _, c in triples} for et, triples in series.items()
+    }
+    for r in rows:
+        gx, gy = grids[r.lead_type], grids[r.lag_type]
+        pairs = [
+            (gx[t], gy[t + r.lag_hours]) for t in gx if t + r.lag_hours in gy
+        ]
+        n = len(pairs)
+        assert r.n_pairs == n and n >= 2
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            assert r.xcorr is None
+            continue
+        rr = (n * sxy - sx * sy) / (dx**0.5 * dy**0.5)
+        assert abs(r.xcorr - rr) < 1e-5
+        assert -1.0 - 1e-9 <= r.xcorr <= 1.0 + 1e-9
+    # lag 0 must be symmetric: r(A,B,0) == r(B,A,0)
+    at0 = {
+        (r.lead_type, r.lag_type): r.xcorr for r in rows if r.lag_hours == 0
+    }
+    for (a, b), v in at0.items():
+        assert abs(v - at0[(b, a)]) < 1e-9
+
+
+def test_kaplan_meier_matches_python(spark, sf_dir):
+    """Replay subjects, risk sets, and the literal product in Python."""
+    import math
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = sorted(
+        _q("kaplan_meier")(spark, sf_dir).collect(),
+        key=lambda r: r.duration_hours,
+    )
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    signup, lastobs, purch = {}, {}, {}
+    for e in ev:
+        u = e.user_id
+        lastobs[u] = max(lastobs.get(u, e.us), e.us)
+        if e.event_type == "signup":
+            signup[u] = min(signup.get(u, e.us), e.us)
+    for e in ev:
+        u = e.user_id
+        if (
+            e.event_type == "purchase"
+            and u in signup
+            and e.us > signup[u]
+        ):
+            purch[u] = min(purch.get(u, e.us), e.us)
+    subjects = [
+        (
+            (purch.get(u, lastobs[u]) - signup[u]) // 3_600_000_000,
+            1 if u in purch else 0,
+        )
+        for u in signup
+    ]
+    durs = sorted({d for d, e1 in subjects if e1 == 1})
+    s = 1.0
+    expect = {}
+    for d in durs:
+        n_risk = sum(1 for dd, _ in subjects if dd >= d)
+        e_at = sum(1 for dd, e1 in subjects if dd == d and e1 == 1)
+        s *= (n_risk - e_at) / n_risk
+        expect[d] = (n_risk, e_at, s)
+    assert [r.duration_hours for r in rows] == durs
+    for r in rows:
+        n_risk, e_at, surv = expect[r.duration_hours]
+        assert (r.n_at_risk, r.n_events) == (n_risk, e_at)
+        assert abs(r.survival - surv) < 1e-4
+    # survival is monotone non-increasing, in [0, 1]
+    vals = [r.survival for r in rows]
+    assert all(b <= a + 1e-9 for a, b in zip(vals, vals[1:]))
+    assert all(0.0 <= v <= 1.0 for v in vals)

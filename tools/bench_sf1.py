@@ -92,6 +92,8 @@ QUERIES = [
     "stl_profile",
     "ngram_novelty",
     "sequential_patterns",
+    "xcorr_lags",
+    "kaplan_meier",
 ]
 
 

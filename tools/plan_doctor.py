@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "kaplan_meier": "duration-grid frame (rows = distinct event "
+    "durations, bounded by the observation window in hours) carries "
+    "the prefix windows — never user- or event-count-sized",
     "sequential_patterns": "one-row total-session scalar crossed into "
     "the type-pair rows (vocabulary-squared cardinality)",
     "anova_oneway": "k-row (event-type vocabulary) group-moment frame "
