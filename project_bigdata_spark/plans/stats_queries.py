@@ -17,6 +17,16 @@ The monitoring layer a production pipeline runs on its own hourly series:
 - ``stl_profile``     — additive seasonal decomposition: centered-25h
   moving-average trend, hour-of-day seasonal profile of the detrended
   series, each float snapped to an integer grid before any cross-row sum.
+- ``xcorr_lags``      — lagged cross-correlation between every ordered
+  pair of hourly series (the lead-lag diagnostic ACF cannot answer).
+- ``kaplan_meier``    — survival curve for signup→purchase conversion
+  with right-censoring (snap-then-sum log-product, exact risk sets).
+- ``retention_cohorts`` — the classic signup-week × week-offset
+  retention matrix (exact integer user counts).
+- ``harmonic_regression`` — closed-form weighted least-squares fit of
+  a + b·cos(2πh/24) + c·sin(2πh/24) to the hour-of-day profile via
+  3×3 normal equations (Cramer), with the trig design from ONE shared
+  literal table and every cross-row sum on an integer grid.
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -934,4 +944,296 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("zeroed") == 1, F.lit(0.0))
         .otherwise(N.rnd(F.exp(F.col("cum_l9").cast("double") / 1e9), 6))
         .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+# ---------------------------------------------------------------------------
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH signup AS (
+  SELECT user_id,
+         (epoch_us(min(ts)) // 86400000000) // 7 AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), cohort AS (
+  SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM signup GROUP BY cw
+), act AS (
+  SELECT DISTINCT e.user_id,
+         (epoch_us(e.ts) // 86400000000) // 7 AS aw
+  FROM events e
+), ret AS (
+  SELECT s.cw, a.aw - s.cw AS k,
+         CAST(count(*) AS BIGINT) AS retained
+  FROM signup s JOIN act a ON a.user_id = s.user_id
+  WHERE a.aw - s.cw BETWEEN 0 AND 8
+  GROUP BY 1, 2
+)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(r.cw * 7 AS INT)),
+                '%Y-%m-%d') AS cohort_week,
+       CAST(r.k AS BIGINT) AS week_offset,
+       c.cohort_size,
+       r.retained,
+       round(CAST(r.retained AS DOUBLE) / c.cohort_size, 6)
+         AS retention_rate
+FROM ret r JOIN cohort c USING (cw)""",
+    doc="Classic retention matrix: users cohorted by signup week "
+    "(week = epoch-day // 7 — a pure integer grid, no locale week "
+    "definitions), retained(cohort, k) = users of that cohort active "
+    "in ANY event during week cohort+k, for offsets 0..8. Exact "
+    "integer counts; one double division at render. Plan: per-user "
+    "signup aggregate, a distinct (user, week) activity frame "
+    "(volume-bounded at one row per user-week), one equi-join on "
+    "user_id and one (cohort, offset) aggregate — the matrix is "
+    "weeks x 9 rows. The activity distinct is the only event-volume "
+    "shuffle and it is key-partitioned, never collected.",
+    survey_ids=("M7",),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.expr(f"(unix_micros(min(ts)) div {day_us}) div 7").alias("cw")
+        )
+    )
+    cohort = signup.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    act = e.select(
+        "user_id",
+        F.expr(f"(unix_micros(ts) div {day_us}) div 7").alias("aw"),
+    ).distinct()
+    ret = (
+        signup.join(act, "user_id")
+        .withColumn("k", F.col("aw") - F.col("cw"))
+        .filter((F.col("k") >= 0) & (F.col("k") <= 8))
+        .groupBy("cw", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+    return ret.join(F.broadcast(cohort), "cw").select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), (F.col("cw") * 7).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("cohort_week"),
+        F.col("k").cast("bigint").alias("week_offset"),
+        "cohort_size",
+        "retained",
+        N.rnd(F.col("retained").cast("double") / F.col("cohort_size"), 6)
+        .alias("retention_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# harmonic_regression
+# ---------------------------------------------------------------------------
+
+# Shared literal design table (BENFORD pattern): both engines consume the
+# SAME Python doubles for cos/sin(2*pi*h/24), so every moment term is the
+# identical IEEE product before its grid snap.
+import math as _math
+
+COS24 = [_math.cos(2.0 * _math.pi * h / 24.0) for h in range(24)]
+SIN24 = [_math.sin(2.0 * _math.pi * h / 24.0) for h in range(24)]
+_COS_SQL = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in COS24) + "]"
+_SIN_SQL = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in SIN24) + "]"
+
+
+@query(
+    "harmonic_regression",
+    oracle=f"""
+WITH hod AS (
+  SELECT event_type,
+         CAST(date_part('hour', ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(sum({N.sql_cents("value")}) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), terms AS (
+  SELECT event_type, w, s,
+         {_COS_SQL}[CAST(h + 1 AS INT)] AS ch,
+         {_SIN_SQL}[CAST(h + 1 AS INT)] AS sh
+  FROM hod
+), mom AS (
+  SELECT event_type,
+         CAST(sum(w) AS HUGEINT) AS m00i,
+         sum({N.sql_cents("CAST(w AS DOUBLE) * ch", 1000000)}) AS m01i,
+         sum({N.sql_cents("CAST(w AS DOUBLE) * sh", 1000000)}) AS m02i,
+         sum({N.sql_cents("CAST(w AS DOUBLE) * ch * ch", 1000000)}) AS m11i,
+         sum({N.sql_cents("CAST(w AS DOUBLE) * ch * sh", 1000000)}) AS m12i,
+         sum({N.sql_cents("CAST(w AS DOUBLE) * sh * sh", 1000000)}) AS m22i,
+         CAST(sum(s) AS HUGEINT) AS v0i,
+         sum({N.sql_cents("CAST(s AS DOUBLE) * ch", 1000000)}) AS v1i,
+         sum({N.sql_cents("CAST(s AS DOUBLE) * sh", 1000000)}) AS v2i,
+         sum({N.sql_cents("CAST(s AS DOUBLE) * s / w", 100)}) AS yyi
+  FROM terms GROUP BY event_type
+), solved AS (
+  SELECT event_type,
+         CAST(m00i AS DOUBLE) AS m00,
+         CAST(m01i AS DOUBLE) / 1e6 AS m01,
+         CAST(m02i AS DOUBLE) / 1e6 AS m02,
+         CAST(m11i AS DOUBLE) / 1e6 AS m11,
+         CAST(m12i AS DOUBLE) / 1e6 AS m12,
+         CAST(m22i AS DOUBLE) / 1e6 AS m22,
+         CAST(v0i AS DOUBLE) AS v0,
+         CAST(v1i AS DOUBLE) / 1e6 AS v1,
+         CAST(v2i AS DOUBLE) / 1e6 AS v2,
+         CAST(yyi AS DOUBLE) / 1e2 AS yy
+  FROM mom
+), cramer AS (
+  SELECT *,
+         m00 * (m11 * m22 - m12 * m12)
+           - m01 * (m01 * m22 - m12 * m02)
+           + m02 * (m01 * m12 - m11 * m02) AS det,
+         v0 * (m11 * m22 - m12 * m12)
+           - m01 * (v1 * m22 - m12 * v2)
+           + m02 * (v1 * m12 - m11 * v2) AS deta,
+         m00 * (v1 * m22 - v2 * m12)
+           - v0 * (m01 * m22 - m12 * m02)
+           + m02 * (m01 * v2 - v1 * m02) AS detb,
+         m00 * (m11 * v2 - m12 * v1)
+           - m01 * (m01 * v2 - v1 * m02)
+           + v0 * (m01 * m12 - m11 * m02) AS detc
+  FROM solved
+), coefs AS (
+  SELECT event_type, m00, v0, v1, v2, yy, det,
+         deta / det AS ac, detb / det AS bc, detc / det AS cc
+  FROM cramer WHERE det <> 0
+)
+SELECT event_type,
+       round(ac / 100, 4) AS mean_level,
+       round(bc / 100, 4) AS cos_coef,
+       round(cc / 100, 4) AS sin_coef,
+       round(sqrt(bc * bc + cc * cc) / 100, 4) AS amplitude,
+       round(CASE WHEN atan2(cc, bc) * 12 / pi() < 0
+                  THEN atan2(cc, bc) * 12 / pi() + 24
+                  ELSE atan2(cc, bc) * 12 / pi() END, 4) AS peak_hour,
+       round(1 - (yy - (ac * v0 + bc * v1 + cc * v2))
+                 / (yy - v0 * v0 / m00), 6) AS r2
+FROM coefs""",
+    doc="Closed-form harmonic (diurnal) regression per event type: "
+    "weighted least-squares fit of value ~ a + b*cos(2*pi*h/24) + "
+    "c*sin(2*pi*h/24) over the 24-row hour-of-day profile, weights = "
+    "event counts — identical to the per-event fit because rows in an "
+    "hour share the design vector. The trig design comes from ONE "
+    "shared literal table (BENFORD pattern) so both engines form the "
+    "identical IEEE products; every cross-row moment is snapped to an "
+    "integer grid (1e-6; 1e-2 for the y^2 term) before summation, and "
+    "the 3x3 normal equations are solved by Cramer's rule as a fixed "
+    "double expression over those exact sums. Reports amplitude, peak "
+    "hour (atan2 phase), and weighted R^2. This is the parametric "
+    "counterpart of stl_profile's nonparametric seasonal means. Plan: "
+    "one (type, hour-of-day) aggregate — 24 rows per type — then "
+    "scalar algebra; the heavy work is one map-side-combined exchange "
+    "of integer partials, nothing else at any scale.",
+    survey_ids=("M7",),
+)
+def harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hod = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum(N.cents("value")).cast("bigint").alias("s"),
+    )
+    ch = F.element_at(
+        F.array(*[F.lit(v) for v in COS24]), F.col("h").cast("int") + 1
+    )
+    sh = F.element_at(
+        F.array(*[F.lit(v) for v in SIN24]), F.col("h").cast("int") + 1
+    )
+    wd = F.col("w").cast("double")
+    sd = F.col("s").cast("double")
+    terms = hod.select(
+        "event_type",
+        "w",
+        "s",
+        ch.alias("ch"),
+        sh.alias("sh"),
+    )
+    g = lambda c, sc=1_000_000: N.cents(c, sc).cast("decimal(38,0)")  # noqa: E731
+    mom = terms.groupBy("event_type").agg(
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("m00i"),
+        F.sum(g(wd * F.col("ch"))).alias("m01i"),
+        F.sum(g(wd * F.col("sh"))).alias("m02i"),
+        F.sum(g(wd * F.col("ch") * F.col("ch"))).alias("m11i"),
+        F.sum(g(wd * F.col("ch") * F.col("sh"))).alias("m12i"),
+        F.sum(g(wd * F.col("sh") * F.col("sh"))).alias("m22i"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("v0i"),
+        F.sum(g(sd * F.col("ch"))).alias("v1i"),
+        F.sum(g(sd * F.col("sh"))).alias("v2i"),
+        F.sum(g(sd * F.col("s") / F.col("w"), 100)).alias("yyi"),
+    )
+    m00 = F.col("m00i").cast("double")
+    m01 = F.col("m01i").cast("double") / 1e6
+    m02 = F.col("m02i").cast("double") / 1e6
+    m11 = F.col("m11i").cast("double") / 1e6
+    m12 = F.col("m12i").cast("double") / 1e6
+    m22 = F.col("m22i").cast("double") / 1e6
+    v0 = F.col("v0i").cast("double")
+    v1 = F.col("v1i").cast("double") / 1e6
+    v2 = F.col("v2i").cast("double") / 1e6
+    yy = F.col("yyi").cast("double") / 1e2
+    det = (
+        m00 * (m11 * m22 - m12 * m12)
+        - m01 * (m01 * m22 - m12 * m02)
+        + m02 * (m01 * m12 - m11 * m02)
+    )
+    deta = (
+        v0 * (m11 * m22 - m12 * m12)
+        - m01 * (v1 * m22 - m12 * v2)
+        + m02 * (v1 * m12 - m11 * v2)
+    )
+    detb = (
+        m00 * (v1 * m22 - v2 * m12)
+        - v0 * (m01 * m22 - m12 * m02)
+        + m02 * (m01 * v2 - v1 * m02)
+    )
+    detc = (
+        m00 * (m11 * v2 - m12 * v1)
+        - m01 * (m01 * v2 - v1 * m02)
+        + v0 * (m01 * m12 - m11 * m02)
+    )
+    solved = mom.select(
+        "event_type",
+        m00.alias("m00"),
+        v0.alias("v0"),
+        v1.alias("v1"),
+        v2.alias("v2"),
+        yy.alias("yy"),
+        det.alias("det"),
+        (deta / det).alias("ac"),
+        (detb / det).alias("bc"),
+        (detc / det).alias("cc"),
+    ).filter(F.col("det") != 0)
+    phase = F.atan2(F.col("cc"), F.col("bc")) * 12.0 / _math.pi
+    return solved.select(
+        "event_type",
+        N.rnd(F.col("ac") / 100).alias("mean_level"),
+        N.rnd(F.col("bc") / 100).alias("cos_coef"),
+        N.rnd(F.col("cc") / 100).alias("sin_coef"),
+        N.rnd(
+            F.sqrt(F.col("bc") * F.col("bc") + F.col("cc") * F.col("cc"))
+            / 100
+        ).alias("amplitude"),
+        N.rnd(
+            F.when(phase < 0, phase + 24).otherwise(phase)
+        ).alias("peak_hour"),
+        N.rnd(
+            1
+            - (
+                F.col("yy")
+                - (
+                    F.col("ac") * F.col("v0")
+                    + F.col("bc") * F.col("v1")
+                    + F.col("cc") * F.col("v2")
+                )
+            )
+            / (F.col("yy") - F.col("v0") * F.col("v0") / F.col("m00")),
+            6,
+        ).alias("r2"),
     )

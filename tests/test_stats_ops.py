@@ -319,3 +319,104 @@ def test_kaplan_meier_matches_python(spark, sf_dir):
     vals = [r.survival for r in rows]
     assert all(b <= a + 1e-9 for a, b in zip(vals, vals[1:]))
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_retention_cohorts_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("retention_cohorts")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    day = 86_400_000_000
+    signup = {}
+    active = defaultdict(set)
+    for e in ev:
+        w = (e.us // day) // 7
+        active[e.user_id].add(w)
+        if e.event_type == "signup":
+            signup[e.user_id] = min(signup.get(e.user_id, w), w)
+    cohort_size = defaultdict(int)
+    for u, cw in signup.items():
+        cohort_size[cw] += 1
+    retained = defaultdict(int)
+    for u, cw in signup.items():
+        for aw in active[u]:
+            if 0 <= aw - cw <= 8:
+                retained[(cw, aw - cw)] += 1
+    import datetime
+
+    seen = {(r.cohort_week, r.week_offset): r for r in rows}
+    assert len(seen) == len(retained)
+    for (cw, k), n in retained.items():
+        week_str = (
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=cw * 7)
+        ).isoformat()
+        r = seen[(week_str, k)]
+        assert r.retained == n
+        assert r.cohort_size == cohort_size[cw]
+        assert abs(r.retention_rate - n / cohort_size[cw]) < 1e-5
+    # offset-0 retention is exactly 1.0 (signup week is itself active)
+    for r in rows:
+        if r.week_offset == 0:
+            assert r.retention_rate == 1.0
+
+
+def test_harmonic_regression_matches_numpy_lstsq(spark, sf_dir):
+    """The closed-form Cramer solution must match numpy's weighted
+    least-squares on the same hour-of-day profile."""
+    import numpy as np
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("harmonic_regression")(spark, sf_dir).collect()
+    assert rows
+    prof = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(
+                F.when(
+                    F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+                ).otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            ).alias("s"),
+        )
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for p in prof:
+        by_type[p.event_type].append((p.h, p.w, p.s))
+    import math
+
+    for r in rows:
+        data = by_type[r.event_type]
+        X, y, wts = [], [], []
+        for h, w, s in data:
+            th = 2 * math.pi * h / 24
+            X.append([1.0, math.cos(th), math.sin(th)])
+            y.append(s / w / 100.0)  # mean value per hod
+            wts.append(w)
+        X, y, wts = np.array(X), np.array(y), np.array(wts, dtype=float)
+        Xw = X * np.sqrt(wts)[:, None]
+        yw = y * np.sqrt(wts)
+        coef, *_ = np.linalg.lstsq(Xw, yw, rcond=None)
+        a, b, c = coef
+        assert abs(r.mean_level - a) < 1e-2
+        assert abs(r.cos_coef - b) < 1e-2
+        assert abs(r.sin_coef - c) < 1e-2
+        amp = math.hypot(b, c)
+        assert abs(r.amplitude - amp) < 1e-2
+        ph = math.atan2(c, b) * 12 / math.pi
+        if ph < 0:
+            ph += 24
+        if amp > 1e-3:
+            assert abs(r.peak_hour - ph) < 1e-2
+        # r2 in [-inf, 1]; for a fit with intercept, within [0, 1]
+        assert r.r2 <= 1.0 + 1e-9
+        # the fitted curve peaks where the raw profile is large: weak
+        # sanity — fitted mean at peak_hour >= fitted mean at trough
+        assert r.amplitude >= 0

@@ -157,6 +157,8 @@ EXTRA = [
     "sequential_patterns",
     "xcorr_lags",
     "kaplan_meier",
+    "retention_cohorts",
+    "harmonic_regression",
 ]
 
 

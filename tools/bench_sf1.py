@@ -94,6 +94,8 @@ QUERIES = [
     "sequential_patterns",
     "xcorr_lags",
     "kaplan_meier",
+    "retention_cohorts",
+    "harmonic_regression",
 ]
 
 
