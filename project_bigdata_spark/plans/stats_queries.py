@@ -27,6 +27,9 @@ The monitoring layer a production pipeline runs on its own hourly series:
   a + b·cos(2πh/24) + c·sin(2πh/24) to the hour-of-day profile via
   3×3 normal equations (Cramer), with the trig design from ONE shared
   literal table and every cross-row sum on an integer grid.
+- ``poisson_bootstrap_ci`` — the bootstrap that runs at 100 TB:
+  hash-seeded Poisson(1) multiplicities (integer threshold compares),
+  64 resamples, rank-based 95% CI per series.
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -1236,4 +1239,154 @@ def harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("yy") - F.col("v0") * F.col("v0") / F.col("m00")),
             6,
         ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds scaled by 2^32, as exact integers
+# (floor(cdf_k * 2^32) for k = 0..7): multiplicity m = #{T_k <= u32}.
+# P(X > 8) ~ 1.1e-6 is the documented truncation. Both engines compare
+# the SAME md5-derived u32 against the SAME integer literals, so every
+# resample weight is an exact integer decision — the bootstrap is fully
+# deterministic and engine-free.
+POISSON1_T = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+]
+N_BOOT = 64
+_T_SUM_SQL = " + ".join(
+    f"CASE WHEN u32 >= {t} THEN 1 ELSE 0 END" for t in POISSON1_T
+)
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+WITH expanded AS (
+  SELECT e.event_type, b.b,
+         {N.sql_cents("e.value")} AS c,
+         ('0x' || substring(md5(concat(CAST(e.event_id AS VARCHAR), ':',
+                                       CAST(b.b AS VARCHAR))), 1, 8))::BIGINT
+           AS u32
+  FROM events e CROSS JOIN (SELECT unnest(range(0, {N_BOOT})) AS b) b
+), weighted AS (
+  SELECT event_type, b, c, {_T_SUM_SQL} AS m FROM expanded
+), resample AS (
+  SELECT event_type, b,
+         sum(CAST(m AS HUGEINT) * c) AS smc,
+         CAST(sum(m) AS BIGINT) AS sm
+  FROM weighted GROUP BY event_type, b
+), ranked AS (
+  SELECT event_type, b,
+         CAST(smc AS DOUBLE) / sm AS mean_b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(smc AS DOUBLE) / sm, b) AS rk
+  FROM resample WHERE sm > 0
+), base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum({N.sql_cents("value")}) AS HUGEINT) AS sc
+  FROM events GROUP BY event_type
+)
+SELECT base.event_type, base.n_events,
+       round(CAST(base.sc AS DOUBLE) / base.n_events / 100, 4)
+         AS mean_value,
+       round(lo.mean_b / 100, 4) AS ci_lower,
+       round(hi.mean_b / 100, 4) AS ci_upper
+FROM base
+JOIN ranked lo ON lo.event_type = base.event_type AND lo.rk = 2
+JOIN ranked hi ON hi.event_type = base.event_type AND hi.rk = {N_BOOT - 1}""",
+    doc="Poisson bootstrap 95% CI for the mean value per event type — "
+    "the bootstrap that actually runs at 100 TB (Chamandy et al., "
+    "Google): instead of drawing n-out-of-n resamples (which needs "
+    "global coordination), each row enters resample b with an "
+    "independent Poisson(1) multiplicity, derived here from "
+    "md5(event_id:b) so it is exact-deterministic. The multiplicity "
+    "is an INTEGER comparison of the 32-bit hash prefix against 8 "
+    "shared literal CDF thresholds (floor(cdf*2^32)); resample sums "
+    "are exact integer cents; the CI is rank-based (2nd / 63rd of 64 "
+    "resample means, ranked on identical doubles with index "
+    "tie-break). Truncation at m = 8 (P ~ 1.1e-6) documented. Plan: "
+    "one 64-wide explode feeding a map-side-combined (type, b) "
+    "aggregate — 64x map work, but the shuffle carries only "
+    "types x 64 integer partials; no global resample state anywhere.",
+    survey_ids=("M7",),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    expanded = e.select(
+        "event_type",
+        "event_id",
+        N.cents("value").alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("b"),
+    ).select(
+        "event_type",
+        "b",
+        "c",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u32"),
+    )
+    m = sum(
+        F.when(F.col("u32") >= t, 1).otherwise(0) for t in POISSON1_T
+    )
+    resample = (
+        expanded.withColumn("m", m)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(dec(F.col("m")) * F.col("c")).alias("smc"),
+            F.sum("m").cast("bigint").alias("sm"),
+        )
+        .filter(F.col("sm") > 0)
+    )
+    mean_b = F.col("smc").cast("double") / F.col("sm")
+    ranked = resample.select(
+        "event_type",
+        "b",
+        mean_b.alias("mean_b"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(mean_b, F.col("b"))
+        )
+        .alias("rk"),
+    )
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(dec(N.cents("value"))).alias("sc"),
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(
+        "event_type", F.col("mean_b").alias("lo_b")
+    )
+    hi = ranked.filter(F.col("rk") == N_BOOT - 1).select(
+        "event_type", F.col("mean_b").alias("hi_b")
+    )
+    return (
+        base.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            N.rnd(
+                F.col("sc").cast("double") / F.col("n_events") / 100
+            ).alias("mean_value"),
+            N.rnd(F.col("lo_b") / 100).alias("ci_lower"),
+            N.rnd(F.col("hi_b") / 100).alias("ci_upper"),
+        )
     )

@@ -420,3 +420,57 @@ def test_harmonic_regression_matches_numpy_lstsq(spark, sf_dir):
         # the fitted curve peaks where the raw profile is large: weak
         # sanity — fitted mean at peak_hour >= fitted mean at trough
         assert r.amplitude >= 0
+
+
+def test_poisson_bootstrap_matches_python(spark, sf_dir):
+    """Replay the hash-seeded multiplicities and resample means exactly."""
+    import hashlib
+
+    from project_bigdata_spark.plans.stats_queries import (
+        N_BOOT,
+        POISSON1_T,
+    )
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("poisson_bootstrap_ci")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    sums = defaultdict(lambda: [0, 0])  # (type, b) -> [sum m*c, sum m]
+    base = defaultdict(lambda: [0, 0])  # type -> [sum c, n]
+    for e in ev:
+        base[e.event_type][0] += e.c
+        base[e.event_type][1] += 1
+        for b in range(N_BOOT):
+            u32 = int(
+                hashlib.md5(f"{e.event_id}:{b}".encode()).hexdigest()[:8],
+                16,
+            )
+            m = sum(1 for t in POISSON1_T if u32 >= t)
+            if m:
+                s = sums[(e.event_type, b)]
+                s[0] += m * e.c
+                s[1] += m
+    for r in rows:
+        means = sorted(
+            (smc / sm, b)
+            for (et, b), (smc, sm) in sums.items()
+            if et == r.event_type and sm > 0
+        )
+        assert abs(r.ci_lower - means[1][0] / 100) < 1e-3
+        assert abs(r.ci_upper - means[N_BOOT - 2][0] / 100) < 1e-3
+        sc, n = base[r.event_type]
+        assert r.n_events == n
+        assert abs(r.mean_value - sc / n / 100) < 1e-3
+        # the CI must bracket the point estimate and be reasonably tight
+        assert r.ci_lower <= r.mean_value <= r.ci_upper
+        assert (r.ci_upper - r.ci_lower) < r.mean_value  # sanity width

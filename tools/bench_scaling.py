@@ -159,6 +159,7 @@ EXTRA = [
     "kaplan_meier",
     "retention_cohorts",
     "harmonic_regression",
+    "poisson_bootstrap_ci",
 ]
 
 

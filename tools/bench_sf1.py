@@ -96,6 +96,7 @@ QUERIES = [
     "kaplan_meier",
     "retention_cohorts",
     "harmonic_regression",
+    "poisson_bootstrap_ci",
 ]
 
 
