@@ -30,6 +30,10 @@ The monitoring layer a production pipeline runs on its own hourly series:
 - ``poisson_bootstrap_ci`` — the bootstrap that runs at 100 TB:
   hash-seeded Poisson(1) multiplicities (integer threshold compares),
   64 resamples, rank-based 95% CI per series.
+- ``trimmed_stats``   — 5%-per-side trimmed and winsorized means
+  (exact integer total order + conditional aggregates).
+- ``hill_tail_index`` — Hill power-law tail estimator over the top-100
+  order statistics (WindowGroupLimit partial top-k).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -1389,4 +1393,204 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.rnd(F.col("lo_b") / 100).alias("ci_lower"),
             N.rnd(F.col("hi_b") / 100).alias("ci_upper"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# trimmed_stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "trimmed_stats",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type, event_id, {N.sql_cents("value")} AS c FROM events
+), ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM cents
+), agg AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(n) // 20 AS BIGINT) AS k,
+         CAST(sum(c) AS HUGEINT) AS s_all,
+         CAST(sum(CASE WHEN r > n // 20 AND r <= n - n // 20
+                       THEN c ELSE 0 END) AS HUGEINT) AS s_mid,
+         CAST(min(CASE WHEN r > n // 20 THEN c END) AS BIGINT) AS c_lo,
+         CAST(max(CASE WHEN r <= n - n // 20 THEN c END) AS BIGINT) AS c_hi
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n,
+       k AS n_trimmed_each_side,
+       round(CAST(s_all AS DOUBLE) / n / 100, 4) AS mean_value,
+       round(CAST(s_mid AS DOUBLE) / (n - 2 * k) / 100, 4) AS trimmed_mean,
+       round((CAST(s_mid AS DOUBLE) + CAST(k AS DOUBLE) * c_lo
+              + CAST(k AS DOUBLE) * c_hi) / n / 100, 4) AS winsorized_mean
+FROM agg WHERE n > 2 * k""",
+    doc="Robust location estimates per event type: 5%-per-side trimmed "
+    "mean (drop the k = n//20 smallest and largest, average the rest) "
+    "and winsorized mean (clamp the tails to the surviving boundary "
+    "values c_(k+1) and c_(n-k)) next to the raw mean — the standard "
+    "outlier-robust triple for monitoring a value stream. Fully exact: "
+    "ranks are a total order (value, event_id), the three sums and "
+    "both boundary values are integer cents via conditional "
+    "aggregates, two double divisions render. Plan: one rank window "
+    "per type + one aggregate — the rank is the only event-volume "
+    "sort, partitioned by series.",
+    survey_ids=("M7",),
+)
+def trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cents = e.select(
+        "event_type", "event_id", N.cents("value").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = cents.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    kk = F.expr("n div 20")
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.expr("n div 20")).cast("bigint").alias("k"),
+        F.sum(dec(F.col("c"))).alias("s_all"),
+        F.sum(
+            F.when(
+                (F.col("r") > kk) & (F.col("r") <= F.col("n") - kk),
+                dec(F.col("c")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("s_mid"),
+        F.min(F.when(F.col("r") > kk, F.col("c")))
+        .cast("bigint")
+        .alias("c_lo"),
+        F.max(F.when(F.col("r") <= F.col("n") - kk, F.col("c")))
+        .cast("bigint")
+        .alias("c_hi"),
+    )
+    return agg.filter(F.col("n") > 2 * F.col("k")).select(
+        "event_type",
+        "n",
+        F.col("k").alias("n_trimmed_each_side"),
+        N.rnd(F.col("s_all").cast("double") / F.col("n") / 100).alias(
+            "mean_value"
+        ),
+        N.rnd(
+            F.col("s_mid").cast("double")
+            / (F.col("n") - 2 * F.col("k"))
+            / 100
+        ).alias("trimmed_mean"),
+        N.rnd(
+            (
+                F.col("s_mid").cast("double")
+                + F.col("k").cast("double") * F.col("c_lo")
+                + F.col("k").cast("double") * F.col("c_hi")
+            )
+            / F.col("n")
+            / 100
+        ).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index
+# ---------------------------------------------------------------------------
+
+HILL_K = 100
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type, event_id, {N.sql_cents("value")} AS c FROM events
+  WHERE {N.sql_cents("value")} > 0
+), ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, event_id) AS r
+  FROM cents
+), topk AS (
+  SELECT * FROM ranked WHERE r <= {HILL_K} + 1
+), thresh AS (
+  SELECT event_type, c AS xk FROM topk WHERE r = {HILL_K} + 1
+), terms AS (
+  SELECT t.event_type,
+         CASE WHEN ln(CAST(t.c AS DOUBLE) / x.xk) >= 0
+              THEN floor(ln(CAST(t.c AS DOUBLE) / x.xk)
+                         * 1000000000 + 0.5)
+              ELSE -floor(-ln(CAST(t.c AS DOUBLE) / x.xk)
+                          * 1000000000 + 0.5) END AS l9
+  FROM topk t JOIN thresh x USING (event_type)
+  WHERE t.r <= {HILL_K}
+), agg AS (
+  SELECT event_type, CAST(sum(l9) AS BIGINT) AS sl9,
+         CAST(count(*) AS BIGINT) AS k
+  FROM terms GROUP BY event_type
+)
+SELECT a.event_type,
+       a.k,
+       round(CAST(x.xk AS DOUBLE) / 100, 4) AS threshold_value,
+       CASE WHEN a.sl9 <= 0 THEN NULL
+            ELSE round(CAST(a.k AS DOUBLE) * 1e9 / a.sl9, 4)
+       END AS hill_alpha
+FROM agg a JOIN thresh x USING (event_type)""",
+    doc=f"Hill tail-index estimator per event type: alpha-hat = k / "
+    f"sum(ln(x_(i)/x_(k+1))) over the top k = {HILL_K} order "
+    "statistics — the standard power-law tail-heaviness probe "
+    "(alpha < 2: infinite variance, the skew regime where mean-based "
+    "monitoring breaks). Determinism: the top-k set is an exact "
+    "integer total order (value cents DESC, event_id); each log term "
+    "is a per-row double over two exact integers, snapped to the "
+    "1e-9 grid, summed exactly (snap-then-sum, as kaplan_meier); one "
+    "double division renders alpha. Degenerate tails (all top-k "
+    "equal to the threshold, sum = 0) render NULL via an integer "
+    "guard. Plan: the rank filter r <= k+1 compiles to Spark's "
+    "WindowGroupLimit partial top-k — each partition keeps k+1 rows "
+    "before the exchange, so the sort never materializes the volume.",
+    survey_ids=("M7",),
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", "event_id", N.cents("value").alias("c")
+    ).filter(F.col("c") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), "event_id"
+    )
+    topk = cents.select(
+        "event_type", "c", F.row_number().over(w).alias("r")
+    ).filter(F.col("r") <= HILL_K + 1)
+    thresh = topk.filter(F.col("r") == HILL_K + 1).select(
+        "event_type", F.col("c").alias("xk")
+    )
+    terms = (
+        topk.filter(F.col("r") <= HILL_K)
+        .join(F.broadcast(thresh), "event_type")
+        .select(
+            "event_type",
+            N.cents(
+                F.log(F.col("c").cast("double") / F.col("xk")),
+                scale=1_000_000_000,
+            ).alias("l9"),
+        )
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("l9").cast("bigint").alias("sl9"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return agg.join(F.broadcast(thresh), "event_type").select(
+        "event_type",
+        "k",
+        N.rnd(F.col("xk").cast("double") / 100).alias("threshold_value"),
+        F.when(F.col("sl9") <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            N.rnd(F.col("k").cast("double") * 1e9 / F.col("sl9"))
+        )
+        .alias("hill_alpha"),
     )

@@ -474,3 +474,73 @@ def test_poisson_bootstrap_matches_python(spark, sf_dir):
         # the CI must bracket the point estimate and be reasonably tight
         assert r.ci_lower <= r.mean_value <= r.ci_upper
         assert (r.ci_upper - r.ci_lower) < r.mean_value  # sanity width
+
+
+def test_trimmed_stats_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("trimmed_stats")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for e in ev:
+        groups[e.event_type].append((e.c, e.event_id))
+    for r in rows:
+        xs = [c for c, _ in sorted(groups[r.event_type])]
+        n = len(xs)
+        k = n // 20
+        assert (r.n, r.n_trimmed_each_side) == (n, k)
+        mid = xs[k : n - k]
+        assert abs(r.mean_value - sum(xs) / n / 100) < 1e-3
+        assert abs(r.trimmed_mean - sum(mid) / len(mid) / 100) < 1e-3
+        wins = sum(mid) + k * mid[0] + k * mid[-1]
+        assert abs(r.winsorized_mean - wins / n / 100) < 1e-3
+        # robust means live inside the data range
+        assert xs[0] / 100 <= r.trimmed_mean <= xs[-1] / 100
+
+
+def test_hill_tail_index_matches_python(spark, sf_dir):
+    import math
+
+    from project_bigdata_spark.plans.stats_queries import HILL_K
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("hill_tail_index")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for e in ev:
+        if e.c > 0:
+            groups[e.event_type].append((-e.c, e.event_id))
+    for r in rows:
+        top = sorted(groups[r.event_type])[: HILL_K + 1]
+        xs = [-c for c, _ in top]
+        xk = xs[HILL_K]
+        s = sum(math.log(x / xk) for x in xs[:HILL_K])
+        assert r.k == HILL_K
+        assert abs(r.threshold_value - xk / 100) < 1e-3
+        if s <= 0:
+            assert r.hill_alpha is None
+        else:
+            assert abs(r.hill_alpha - HILL_K / s) < 1e-2
+            assert r.hill_alpha > 0

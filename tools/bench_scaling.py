@@ -160,6 +160,8 @@ EXTRA = [
     "retention_cohorts",
     "harmonic_regression",
     "poisson_bootstrap_ci",
+    "trimmed_stats",
+    "hill_tail_index",
 ]
 
 

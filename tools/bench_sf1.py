@@ -97,6 +97,8 @@ QUERIES = [
     "retention_cohorts",
     "harmonic_regression",
     "poisson_bootstrap_ci",
+    "trimmed_stats",
+    "hill_tail_index",
 ]
 
 
