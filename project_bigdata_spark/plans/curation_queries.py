@@ -1,7 +1,7 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Fourteen operators a large-scale training-data pipeline adds on top of
+Fifteen operators a large-scale training-data pipeline adds on top of
 the dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
@@ -44,6 +44,8 @@ the dedup/retrieval/warehouse families already in the catalog:
 - ``sequential_patterns``  — exists-before (A ... then B) support /
   confidence / lift over 30-minute sessions: the ORDERED complement
   of assoc_rules and the Markov transition matrix.
+- ``word_pmi``             — document-level word-pair PMI / lift
+  collocation mining (the word2phrase seed), exact integer counts.
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -1827,4 +1829,114 @@ def sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# word_pmi
+# ---------------------------------------------------------------------------
+
+PMI_MIN_DOCS = 5
+PMI_TOP_K = 20
+
+
+@query(
+    "word_pmi",
+    oracle=f"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+), df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM pres GROUP BY w
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_both
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.w1, p.w2, p.c_both,
+         CAST(p.c_both AS DOUBLE) * n.n_docs
+           / (CAST(d1.c AS DOUBLE) * d2.c) AS lift
+  FROM pairs p
+  JOIN df d1 ON p.w1 = d1.w
+  JOIN df d2 ON p.w2 = d2.w
+  CROSS JOIN n
+  WHERE p.c_both >= {PMI_MIN_DOCS}
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rk
+  FROM scored
+)
+SELECT w1, w2, c_both AS n_docs_both,
+       round(lift, 4) AS lift,
+       round(ln(lift), 4) AS pmi
+FROM ranked WHERE rk <= {PMI_TOP_K}""",
+    doc="Pointwise mutual information over word co-occurrence at the "
+    "DOCUMENT level: for every word pair present together in >= "
+    f"{PMI_MIN_DOCS} documents, lift = N*c_xy/(c_x*c_y) and PMI = "
+    "ln(lift); top "
+    f"{PMI_TOP_K} pairs — the collocation / topic-pair detector that "
+    "feeds phrase induction (word2phrase) and taxonomy seeding in a "
+    "corpus pipeline. Determinism: presence counts are exact integers; "
+    "lift is ONE double expression over three exact integers (identical "
+    "cross-engine), the ranking orders by that identical double with a "
+    "full (w1, w2) tie-break, and ln renders once. Plan: distinct "
+    "(doc, word) presence frame, a per-document self-join whose fanout "
+    "is vocabulary-bounded per doc, two broadcast doc-frequency joins, "
+    "one scalar N row; WindowGroupLimit caps the rank at "
+    f"{PMI_TOP_K}.",
+    survey_ids=("M7",),
+)
+def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id", F.explode(DD.words_col(F.col("text"))).alias("w")
+    ).distinct()
+    df_ = pres.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_both"))
+        .filter(F.col("c_both") >= PMI_MIN_DOCS)
+    )
+    d1 = df_.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    d2 = df_.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pairs.join(F.broadcast(d1), "w1")
+        .join(F.broadcast(d2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_both",
+            (
+                F.col("c_both").cast("double")
+                * F.col("n_docs")
+                / (F.col("c1").cast("double") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy().orderBy(
+                F.col("lift").desc(), "w1", "w2"
+            )
+        ),
+    ).filter(F.col("rk") <= PMI_TOP_K)
+    return ranked.select(
+        "w1",
+        "w2",
+        F.col("c_both").alias("n_docs_both"),
+        N.rnd(F.col("lift")).alias("lift"),
+        N.rnd(F.log(F.col("lift"))).alias("pmi"),
     )

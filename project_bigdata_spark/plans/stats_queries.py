@@ -34,6 +34,9 @@ The monitoring layer a production pipeline runs on its own hourly series:
   (exact integer total order + conditional aggregates).
 - ``hill_tail_index`` — Hill power-law tail estimator over the top-100
   order statistics (WindowGroupLimit partial top-k).
+- ``decision_stump`` — best Gini split of value → event_type over
+  decile candidates from a 1000-row deterministic hash sketch (the
+  distributed-GBDT histogram trick; TakeOrderedAndProject sample).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -1593,4 +1596,174 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.rnd(F.col("k").cast("double") * 1e9 / F.col("sl9"))
         )
         .alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decision_stump
+# ---------------------------------------------------------------------------
+
+@query(
+    "decision_stump",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type AS cls, event_id, {N.sql_cents("value")} AS c
+  FROM events
+), sample AS (
+  SELECT c, event_id FROM (
+    SELECT c, event_id,
+           row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+                              event_id) AS hr
+    FROM cents)
+  WHERE hr <= 1000
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, event_id) AS r,
+         count(*) OVER () AS m
+  FROM sample
+), cand AS (
+  SELECT DISTINCT c AS theta
+  FROM ranked, (SELECT unnest(range(1, 10)) AS i) deciles
+  WHERE r = (i * m) // 10
+), lc AS (
+  SELECT cand.theta, cents.cls,
+         CAST(sum(CASE WHEN cents.c <= cand.theta THEN 1 ELSE 0 END)
+              AS BIGINT) AS lk,
+         CAST(count(*) AS BIGINT) AS tk
+  FROM cents CROSS JOIN cand
+  GROUP BY cand.theta, cents.cls
+), per AS (
+  SELECT theta,
+         CAST(sum(lk) AS BIGINT) AS nl,
+         CAST(sum(tk - lk) AS BIGINT) AS nr,
+         CAST(sum(tk) AS BIGINT) AS n,
+         sum(CAST(lk AS HUGEINT) * lk) AS sl2,
+         sum(CAST(tk - lk AS HUGEINT) * (tk - lk)) AS sr2,
+         sum(CAST(tk AS HUGEINT) * tk) AS st2
+  FROM lc GROUP BY theta
+), scored AS (
+  SELECT *,
+         CAST(sl2 AS DOUBLE) / nl + CAST(sr2 AS DOUBLE) / nr AS f
+  FROM per WHERE nl > 0 AND nr > 0
+), best AS (
+  SELECT *, row_number() OVER (ORDER BY f DESC, theta) AS rk FROM scored
+)
+SELECT round(CAST(theta AS DOUBLE) / 100, 4) AS threshold_value,
+       nl AS n_left, nr AS n_right,
+       round(1 - CAST(st2 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+         AS gini_parent,
+       round(1 - CAST(sl2 AS DOUBLE) / (CAST(nl AS DOUBLE) * nl), 6)
+         AS gini_left,
+       round(1 - CAST(sr2 AS DOUBLE) / (CAST(nr AS DOUBLE) * nr), 6)
+         AS gini_right,
+       round((1 - CAST(st2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             - (CAST(nl AS DOUBLE) / n)
+               * (1 - CAST(sl2 AS DOUBLE) / (CAST(nl AS DOUBLE) * nl))
+             - (CAST(nr AS DOUBLE) / n)
+               * (1 - CAST(sr2 AS DOUBLE) / (CAST(nr AS DOUBLE) * nr)), 6)
+         AS gini_gain
+FROM best WHERE rk = 1""",
+    doc="Distributed decision-stump learner: the best single split of "
+    "`value` predicting event_type by Gini impurity, with candidate "
+    "thresholds = the nine decile boundaries of a FIXED-SIZE (1000) "
+    "deterministic hash sample — the histogram/sketch trick every "
+    "distributed GBDT uses (XGBoost/LightGBM approximate "
+    "split-finding): candidates never require ordering the volume. "
+    "The sample is the 1000 hash-smallest rows (md5(event_id) order), "
+    "taken with orderBy().limit() which compiles to "
+    "TakeOrderedAndProject — a distributed partial top-k, each "
+    "partition forwards at most 1000 rows. "
+    "Maximizing sum L_k^2/nL + R_k^2/nR is equivalent to minimizing "
+    "weighted child Gini; all class counts over the FULL volume are "
+    "exact integers, f is the identical double expression on both "
+    "engines, argmax tie-breaks on the threshold. Plan: capped sample "
+    "windows (<= 1000 rows), one broadcast 9-way conditional "
+    "aggregate over the volume (map-side combined), scalar algebra "
+    "after — no per-split repartition.",
+    survey_ids=("M7",),
+)
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cents = e.select(
+        F.col("event_type").alias("cls"),
+        "event_id",
+        N.cents("value").alias("c"),
+    )
+    sample = (
+        cents.orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+        .limit(1000)
+        .select("c", "event_id")
+    )
+    w = Window.partitionBy().orderBy("c", "event_id")
+    ranked = sample.select(
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("i"))
+    cand = (
+        ranked.crossJoin(F.broadcast(deciles))
+        .filter(F.col("r") == F.expr("(i * m) div 10"))
+        .select(F.col("c").alias("theta"))
+        .distinct()
+    )
+    lc = (
+        cents.crossJoin(F.broadcast(cand))
+        .groupBy("theta", "cls")
+        .agg(
+            F.sum(F.when(F.col("c") <= F.col("theta"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("lk"),
+            F.count(F.lit(1)).cast("bigint").alias("tk"),
+        )
+    )
+    per = lc.groupBy("theta").agg(
+        F.sum("lk").cast("bigint").alias("nl"),
+        F.sum(F.col("tk") - F.col("lk")).cast("bigint").alias("nr"),
+        F.sum("tk").cast("bigint").alias("n"),
+        F.sum(dec(F.col("lk")) * F.col("lk")).alias("sl2"),
+        F.sum(dec(F.col("tk") - F.col("lk")) * (F.col("tk") - F.col("lk")))
+        .alias("sr2"),
+        F.sum(dec(F.col("tk")) * F.col("tk")).alias("st2"),
+    )
+    f = F.col("sl2").cast("double") / F.col("nl") + F.col("sr2").cast(
+        "double"
+    ) / F.col("nr")
+    best = (
+        per.filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        .withColumn("f", f)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.col("f").desc(), "theta")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    gp = 1 - F.col("st2").cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    gl = 1 - F.col("sl2").cast("double") / (
+        F.col("nl").cast("double") * F.col("nl")
+    )
+    gr = 1 - F.col("sr2").cast("double") / (
+        F.col("nr").cast("double") * F.col("nr")
+    )
+    return best.select(
+        N.rnd(F.col("theta").cast("double") / 100).alias(
+            "threshold_value"
+        ),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        N.rnd(gp, 6).alias("gini_parent"),
+        N.rnd(gl, 6).alias("gini_left"),
+        N.rnd(gr, 6).alias("gini_right"),
+        N.rnd(
+            gp
+            - (F.col("nl").cast("double") / F.col("n")) * gl
+            - (F.col("nr").cast("double") / F.col("n")) * gr,
+            6,
+        ).alias("gini_gain"),
     )

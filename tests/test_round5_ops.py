@@ -477,3 +477,107 @@ def test_sequential_patterns_matches_python(spark, sf_dir):
         assert r.sessions_with_b == with_t[b]
         assert abs(r.confidence - n / with_t[a]) < 1e-5
         assert abs(r.lift - n * n_total / (with_t[a] * with_t[b])) < 1e-4
+
+
+def test_word_pmi_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from project_bigdata_spark.plans.curation_queries import (
+        PMI_MIN_DOCS,
+        PMI_TOP_K,
+    )
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("word_pmi")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    n = len(docs)
+    df = Counter()
+    both = Counter()
+    for d in docs:
+        ws = sorted({w for w in d.text.lower().split() if w})
+        df.update(ws)
+        both.update(combinations(ws, 2))
+    scored = [
+        (n * c / (df[a] * df[b]), a, b, c)
+        for (a, b), c in both.items()
+        if c >= PMI_MIN_DOCS
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    top = scored[:PMI_TOP_K]
+    assert [(r.w1, r.w2) for r in rows] == [(a, b) for _, a, b, _ in top] or {
+        (r.w1, r.w2) for r in rows
+    } == {(a, b) for _, a, b, _ in top}
+    by_pair = {(r.w1, r.w2): r for r in rows}
+    for lift, a, b, c in top:
+        r = by_pair[(a, b)]
+        assert r.n_docs_both == c
+        assert abs(r.lift - lift) < 1e-3
+        assert abs(r.pmi - math.log(lift)) < 1e-3
+
+
+def test_decision_stump_matches_exhaustive_python(spark, sf_dir):
+    """Check the picked threshold maximizes the split criterion over the
+    decile candidates, recomputed exactly with Fractions."""
+    from fractions import Fraction
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("decision_stump")(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    data = sorted((e.c, e.event_id, e.event_type) for e in ev)
+    n = len(data)
+    # candidate thresholds: deciles of the 1000 hash-smallest rows
+    import hashlib
+
+    sample = sorted(
+        (hashlib.md5(str(e.event_id).encode()).hexdigest(), e.event_id, e.c)
+        for e in ev
+    )[:1000]
+    sample_c = sorted((c, eid) for _, eid, c in sample)
+    m = len(sample_c)
+    cands = sorted({sample_c[(i * m) // 10 - 1][0] for i in range(1, 10)})
+    classes = sorted({t for _, _, t in data})
+    best = None
+    for theta in cands:
+        lk = defaultdict(int)
+        tk = defaultdict(int)
+        for c, _, t in data:
+            tk[t] += 1
+            if c <= theta:
+                lk[t] += 1
+        nl = sum(lk.values())
+        nr = n - nl
+        if nl == 0 or nr == 0:
+            continue
+        f = Fraction(
+            sum(v * v for v in lk.values()), nl
+        ) + Fraction(sum((tk[t] - lk[t]) ** 2 for t in classes), nr)
+        if best is None or f > best[0] or (f == best[0] and theta < best[1]):
+            if best is None or f > best[0]:
+                best = (f, theta, nl, nr, tk, lk)
+    f, theta, nl, nr, tk, lk = best
+    assert abs(r.threshold_value - theta / 100) < 1e-3
+    assert (r.n_left, r.n_right) == (nl, nr)
+    gp = 1 - sum(v * v for v in tk.values()) / n**2
+    gl = 1 - sum(v * v for v in lk.values()) / nl**2
+    gr = 1 - sum((tk[t] - lk[t]) ** 2 for t in classes) / nr**2
+    assert abs(r.gini_parent - gp) < 1e-4
+    assert abs(r.gini_left - gl) < 1e-4
+    assert abs(r.gini_right - gr) < 1e-4
+    assert abs(r.gini_gain - (gp - nl / n * gl - nr / n * gr)) < 1e-4
+    assert r.gini_gain >= -1e-9

@@ -162,6 +162,8 @@ EXTRA = [
     "poisson_bootstrap_ci",
     "trimmed_stats",
     "hill_tail_index",
+    "word_pmi",
+    "decision_stump",
 ]
 
 

@@ -99,6 +99,8 @@ QUERIES = [
     "poisson_bootstrap_ci",
     "trimmed_stats",
     "hill_tail_index",
+    "word_pmi",
+    "decision_stump",
 ]
 
 

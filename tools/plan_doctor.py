@@ -77,6 +77,11 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "word_pmi": "global top-20 rank over the vocabulary-bounded pair "
+    "frame (WindowGroupLimit-capped) + one-row N scalar",
+    "decision_stump": "9-row decile-candidate frame and the global "
+    "rank window over it; the volume work is the map-side-combined "
+    "broadcast conditional aggregate",
     "kaplan_meier": "duration-grid frame (rows = distinct event "
     "durations, bounded by the observation window in hours) carries "
     "the prefix windows — never user- or event-count-sized",
