@@ -566,3 +566,142 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(m2).alias("m2"),
     )
     return scored.orderBy(F.col("m2").desc(), "vec_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# uncertainty_sampling
+# ---------------------------------------------------------------------------
+
+UNCERTAIN_K = 20
+
+
+@query(
+    "uncertainty_sampling",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_BUCKET} AS bucket FROM embeddings
+), comp AS (
+  SELECT label, u.pos, u.val
+  FROM b, unnest(list_transform(embedding, (v, i) -> struct_pack(
+         pos := i,
+         val := CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(12,6))))) t(u)
+  WHERE bucket < 204
+), cent AS (
+  SELECT label AS c_label,
+         list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cvec
+  FROM (
+    SELECT label, pos, sum(val) AS s, count(*) AS n
+    FROM comp GROUP BY 1, 2
+  ) GROUP BY 1
+), scored AS (
+  SELECT t.vec_id, t.label, c.c_label,
+         round({_L2SQ_SQL.format(a='t.embedding', b='c.cvec')}, 6) AS dist,
+         row_number() OVER (PARTITION BY t.vec_id
+                            ORDER BY round(
+                              {_L2SQ_SQL.format(a='t.embedding',
+                                                b='c.cvec')}, 6),
+                              c.c_label) AS rk
+  FROM b t CROSS JOIN cent c WHERE t.bucket >= 204
+), margins AS (
+  SELECT w.vec_id, w.label,
+         w.c_label AS predicted,
+         r.c_label AS runner_up,
+         round(r.dist - w.dist, 6) AS margin
+  FROM scored w JOIN scored r
+    ON w.vec_id = r.vec_id AND w.rk = 1 AND r.rk = 2
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS BIGINT) AS label,
+       CAST(predicted AS BIGINT) AS predicted,
+       CAST(runner_up AS BIGINT) AS runner_up,
+       margin
+FROM margins
+ORDER BY margin, vec_id
+LIMIT {UNCERTAIN_K}""",
+    doc="Active-learning margin (uncertainty) sampling on the "
+    "nearest-centroid classifier: for every holdout vector, the "
+    "margin between its second-closest and closest centroid "
+    f"distances; the {UNCERTAIN_K} smallest margins are the points "
+    "a labeling budget should be spent on — the standard "
+    "annotation-prioritization step of a training-data pipeline. "
+    "Same scaffolding as centroid_classifier_eval (md5-bucket split, "
+    "exact DECIMAL centroid means, distances pinned to the 1e-6 grid "
+    "before any rank), so the margin is a difference of grid doubles "
+    "— deterministic; selection orders by (margin, vec_id). Plan: "
+    "the 10-row centroid table broadcasts, the holdout scans once "
+    "(corpus never shuffles), the per-vector rank is a 10-row window "
+    "per vec_id, and the global pick is orderBy().limit() = "
+    "TakeOrderedAndProject partial top-k.",
+    survey_ids=("M7",),
+)
+def uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _split(load_table(spark, sf_dir, "embeddings"))
+    train = e.filter(F.col("bucket") < 204)
+    test = e.filter(F.col("bucket") >= 204)
+    comp = train.select(
+        "label",
+        F.posexplode(SIM.as_double(F.col("embedding"))).alias("pos", "v"),
+    ).select(
+        "label", "pos", N.rnd("v", 6).cast("decimal(12,6)").alias("val")
+    )
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            (F.col("s").cast("double") / F.col("n")).alias(
+                                "c"
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+    )
+    scored = (
+        test.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            N.rnd(
+                SIM.l2sq(SIM.as_double(F.col("embedding")), F.col("cvec")),
+                6,
+            ).alias("dist"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "c_label")
+            ),
+        )
+    )
+    w1 = scored.filter(F.col("rk") == 1).select(
+        "vec_id",
+        "label",
+        F.col("c_label").alias("predicted"),
+        F.col("dist").alias("d1"),
+    )
+    w2 = scored.filter(F.col("rk") == 2).select(
+        "vec_id",
+        F.col("c_label").alias("runner_up"),
+        F.col("dist").alias("d2"),
+    )
+    return (
+        w1.join(w2, "vec_id")
+        .select(
+            N.big("vec_id").alias("vec_id"),
+            N.big("label").alias("label"),
+            N.big("predicted").alias("predicted"),
+            N.big("runner_up").alias("runner_up"),
+            N.rnd(F.col("d2") - F.col("d1"), 6).alias("margin"),
+        )
+        .orderBy("margin", "vec_id")
+        .limit(UNCERTAIN_K)
+    )

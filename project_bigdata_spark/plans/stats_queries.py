@@ -37,6 +37,9 @@ The monitoring layer a production pipeline runs on its own hourly series:
 - ``decision_stump`` — best Gini split of value → event_type over
   decile candidates from a 1000-row deterministic hash sketch (the
   distributed-GBDT histogram trick; TakeOrderedAndProject sample).
+- ``conformal_intervals`` — split-conformal 90% prediction interval
+  per series (md5-parity folds, finite-sample-valid quantile, audited
+  calibration coverage).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -1766,4 +1769,147 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("nr").cast("double") / F.col("n")) * gr,
             6,
         ).alias("gini_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conformal_intervals
+# ---------------------------------------------------------------------------
+
+@query(
+    "conformal_intervals",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type,
+         CAST(date_part('hour', ts) AS BIGINT) AS h,
+         event_id, {N.sql_cents("value")} AS c,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS fold
+  FROM events
+), pred AS (
+  SELECT event_type, h,
+         CAST(sum(c) AS HUGEINT) AS s, CAST(count(*) AS BIGINT) AS w
+  FROM cents WHERE fold = 0 GROUP BY 1, 2
+), resid AS (
+  SELECT ca.event_type, ca.event_id,
+         abs(CAST(ca.c AS DOUBLE) - CAST(p.s AS DOUBLE) / p.w) AS r
+  FROM cents ca JOIN pred p
+    ON ca.event_type = p.event_type AND ca.h = p.h
+  WHERE ca.fold = 1
+), ranked AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY r, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM resid
+), q AS (
+  SELECT event_type, n_cal, r AS qhat
+  FROM ranked
+  WHERE rk = least(n_cal, CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT))
+), tr AS (
+  SELECT event_type, CAST(sum(w) AS BIGINT) AS n_train FROM pred
+  GROUP BY event_type
+), cov AS (
+  SELECT re.event_type,
+         CAST(sum(CASE WHEN re.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in
+  FROM resid re JOIN q ON re.event_type = q.event_type
+  GROUP BY re.event_type
+)
+SELECT q.event_type,
+       tr.n_train,
+       CAST(q.n_cal AS BIGINT) AS n_calib,
+       round(q.qhat / 100, 4) AS qhat_value,
+       round(CAST(cov.n_in AS DOUBLE) / q.n_cal, 4) AS calib_coverage
+FROM q JOIN tr USING (event_type) JOIN cov USING (event_type)""",
+    doc="Split-conformal 90% prediction interval per event type: an "
+    "md5-parity fold splits events into train/calibration; the "
+    "predictor is the per-(type, hour-of-day) train mean (exact "
+    "integer s/w rendered as one identical double); qhat is the "
+    "ceil(0.9*(n+1))-th smallest absolute calibration residual "
+    "(finite-sample-valid conformal quantile, clamped to n_cal on "
+    "tiny folds), with full (residual, event_id) tie-break. The "
+    "reported calibration coverage >= 90% is the conformal guarantee "
+    "made auditable. This is the distribution-free uncertainty "
+    "wrapper a monitoring pipeline puts around ANY point forecast. "
+    "Plan: one train aggregate (types x 24 rows, broadcast), one "
+    "calibration join + per-type rank window, one coverage "
+    "aggregate — per-series sort of the calibration half only.",
+    survey_ids=("M7",),
+)
+def conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("h"),
+        "event_id",
+        N.cents("value").alias("c"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("fold"),
+    )
+    pred = (
+        cents.filter(F.col("fold") == 0)
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("w"),
+        )
+    )
+    resid = (
+        cents.filter(F.col("fold") == 1)
+        .join(F.broadcast(pred), ["event_type", "h"])
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(
+                F.col("c").cast("double")
+                - F.col("s").cast("double") / F.col("w")
+            ).alias("r"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "event_id")
+    wa = Window.partitionBy("event_type")
+    ranked = resid.select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wa).alias("n_cal"),
+    )
+    q = ranked.filter(
+        F.col("rk")
+        == F.least(
+            F.col("n_cal"),
+            F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint"),
+        )
+    ).select("event_type", F.col("n_cal"), F.col("r").alias("qhat"))
+    tr = pred.groupBy("event_type").agg(
+        F.sum("w").cast("bigint").alias("n_train")
+    )
+    cov = (
+        resid.join(F.broadcast(q.select("event_type", "qhat")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in")
+        )
+    )
+    return (
+        q.join(F.broadcast(tr), "event_type")
+        .join(F.broadcast(cov), "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            F.col("n_cal").cast("bigint").alias("n_calib"),
+            N.rnd(F.col("qhat") / 100).alias("qhat_value"),
+            N.rnd(F.col("n_in").cast("double") / F.col("n_cal")).alias(
+                "calib_coverage"
+            ),
+        )
     )

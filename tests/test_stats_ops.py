@@ -544,3 +544,107 @@ def test_hill_tail_index_matches_python(spark, sf_dir):
         else:
             assert abs(r.hill_alpha - HILL_K / s) < 1e-2
             assert r.hill_alpha > 0
+
+
+def test_conformal_intervals_matches_python(spark, sf_dir):
+    import hashlib
+    import math
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("conformal_intervals")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.hour("ts").alias("h"),
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    train = defaultdict(lambda: [0, 0])
+    calib = defaultdict(list)
+    for e in ev:
+        fold = (
+            int(hashlib.md5(str(e.event_id).encode()).hexdigest()[:8], 16)
+            % 2
+        )
+        if fold == 0:
+            t = train[(e.event_type, e.h)]
+            t[0] += e.c
+            t[1] += 1
+        else:
+            calib[e.event_type].append((e.event_id, e.h, e.c))
+    for r in rows:
+        res = sorted(
+            (abs(c - train[(r.event_type, h)][0] / train[(r.event_type, h)][1]), eid)
+            for eid, h, c in calib[r.event_type]
+            if train[(r.event_type, h)][1] > 0
+        )
+        n = len(res)
+        assert r.n_calib == n
+        k = min(n, math.ceil(0.9 * (n + 1)))
+        qhat = res[k - 1][0]
+        assert abs(r.qhat_value - qhat / 100) < 1e-3
+        cov = sum(1 for v, _ in res if v <= qhat) / n
+        assert abs(r.calib_coverage - cov) < 1e-3
+        assert r.calib_coverage >= 0.9 - 1e-9  # the conformal guarantee
+        assert r.n_train == sum(
+            w for (et, _), (_, w) in train.items() if et == r.event_type
+        )
+
+
+def test_uncertainty_sampling_is_min_margin(spark, sf_dir):
+    """Margins must be non-negative, sorted output must be the global
+    minimum set, and predicted != runner_up."""
+    rows = _q("uncertainty_sampling")(spark, sf_dir).collect()
+    assert len(rows) == 20
+    margins = [r.margin for r in rows]
+    assert all(m >= 0 for m in margins)
+    assert all(r.predicted != r.runner_up for r in rows)
+    # re-score everything and confirm these really are the 20 smallest
+    from project_bigdata_spark.plans.catalog import load_all as _la
+
+    # third-implementation: centroid distances via numpy
+    import numpy as np
+
+    from project_bigdata_spark.sources import load_table
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    train, test = [], []
+    for e in emb:
+        b = int(
+            hashlib.md5(str(e.vec_id).encode()).hexdigest()[:2], 16
+        )
+        (train if b < 204 else test).append(e)
+    cents = {}
+    for lab in sorted({e.label for e in train}):
+        vs = np.array(
+            [
+                [round(float(v), 6) for v in e.embedding]
+                for e in train
+                if e.label == lab
+            ]
+        )
+        cents[lab] = vs.mean(axis=0)
+    marg = []
+    for e in test:
+        x = np.array([float(v) for v in e.embedding])
+        ds = sorted(
+            (round(float(((x - c) ** 2).sum()), 6), lab)
+            for lab, c in cents.items()
+        )
+        marg.append((round(ds[1][0] - ds[0][0], 6), e.vec_id))
+    marg.sort()
+    expect = {vid for _, vid in marg[:20]}
+    got = {r.vec_id for r in rows}
+    # allow boundary ties to differ only if margins equal at the cut
+    cut = marg[19][0]
+    for r in rows:
+        assert r.margin <= cut + 1e-9
+    assert len(got & expect) >= 18

@@ -164,6 +164,8 @@ EXTRA = [
     "hill_tail_index",
     "word_pmi",
     "decision_stump",
+    "uncertainty_sampling",
+    "conformal_intervals",
 ]
 
 

@@ -101,6 +101,8 @@ QUERIES = [
     "hill_tail_index",
     "word_pmi",
     "decision_stump",
+    "uncertainty_sampling",
+    "conformal_intervals",
 ]
 
 
