@@ -1,7 +1,7 @@
 """Round-5 curation/monitoring catalog entries (staged for the round-6
 attestation window — registered BEHIND the round-5 priority list).
 
-Fifteen operators a large-scale training-data pipeline adds on top of
+Sixteen operators a large-scale training-data pipeline adds on top of
 the dedup/retrieval/warehouse families already in the catalog:
 
 - ``benford_audit``        — first-significant-digit distribution vs
@@ -46,6 +46,9 @@ the dedup/retrieval/warehouse families already in the catalog:
   of assoc_rules and the Markov transition matrix.
 - ``word_pmi``             — document-level word-pair PMI / lift
   collocation mining (the word2phrase seed), exact integer counts.
+- ``entropy_rate``         — conditional next-event entropy of the
+  per-user Markov process vs its ln(k) maximum (how predictable is
+  behavior; the complement of markov_steady_state).
 
 Cross-engine determinism strategy (the catalog's exact-grid idiom,
 ``_norm.cents``): every float that participates in an aggregate or a
@@ -1956,4 +1959,107 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_both").alias("n_docs_both"),
         N.rnd(F.col("lift")).alias("lift"),
         N.rnd(F.log(F.col("lift"))).alias("pmi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entropy_rate
+# ---------------------------------------------------------------------------
+
+@query(
+    "entropy_rate",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), trans AS (
+  SELECT prev, event_type AS nxt, CAST(count(*) AS BIGINT) AS c_ij
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+), rowm AS (
+  SELECT prev, CAST(sum(c_ij) AS BIGINT) AS c_i FROM trans GROUP BY prev
+), terms AS (
+  SELECT t.c_ij,
+         CASE WHEN ln(CAST(r.c_i AS DOUBLE) / t.c_ij) >= 0
+              THEN floor(ln(CAST(r.c_i AS DOUBLE) / t.c_ij)
+                         * 1000000000 + 0.5)
+              ELSE -floor(-ln(CAST(r.c_i AS DOUBLE) / t.c_ij)
+                          * 1000000000 + 0.5) END AS l9
+  FROM trans t JOIN rowm r USING (prev)
+), agg AS (
+  SELECT CAST(sum(c_ij) AS BIGINT) AS c_total,
+         CAST(sum(CAST(c_ij AS HUGEINT) * l9) AS HUGEINT) AS num,
+         CAST(count(*) AS BIGINT) AS n_edges
+  FROM terms
+), states AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_states FROM events
+)
+SELECT a.c_total AS n_transitions,
+       s.n_states,
+       a.n_edges AS n_observed_edges,
+       round(CAST(a.num AS DOUBLE) / a.c_total / 1e9, 6)
+         AS entropy_rate_nats,
+       round(ln(CAST(s.n_states AS DOUBLE)), 6) AS max_entropy_nats,
+       round(CAST(a.num AS DOUBLE) / a.c_total / 1e9
+             / ln(CAST(s.n_states AS DOUBLE)), 6) AS predictability_gap
+FROM agg a CROSS JOIN states s""",
+    doc="Entropy rate of the per-user event-type Markov process: H = "
+    "sum_ij (c_ij/C) * ln(c_i/c_ij) over the empirical transition "
+    "counts (the conditional next-event entropy in nats), reported "
+    "against the ln(k) maximum — the single number that says how "
+    "predictable user behavior is (the complement of "
+    "markov_steady_state, which reports WHERE the chain spends time, "
+    "not how random its moves are). Exactness: transition counts are "
+    "integers; each ln(c_i/c_ij) is a per-edge double over two exact "
+    "integers snapped to the 1e-9 grid, multiplied by the integer "
+    "c_ij, and summed exactly — snap-then-sum, no cross-row float. "
+    "Plan: one per-user lag window, one (prev, next) aggregate "
+    "(states^2 rows), scalar algebra — the window is the only "
+    "event-volume pass.",
+    survey_ids=("M7",),
+)
+def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", F.col("event_type").alias("nxt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ij")
+    )
+    rowm = trans.groupBy("prev").agg(
+        F.sum("c_ij").cast("bigint").alias("c_i")
+    )
+    terms = trans.join(F.broadcast(rowm), "prev").select(
+        "c_ij",
+        N.cents(
+            F.log(F.col("c_i").cast("double") / F.col("c_ij")),
+            scale=1_000_000_000,
+        ).alias("l9"),
+    )
+    agg = terms.agg(
+        F.sum("c_ij").cast("bigint").alias("c_total"),
+        F.sum(F.col("c_ij").cast("decimal(38,0)") * F.col("l9")).alias(
+            "num"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+    )
+    states = e.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_states")
+    )
+    h = F.col("num").cast("double") / F.col("c_total") / 1e9
+    return agg.crossJoin(F.broadcast(states)).select(
+        F.col("c_total").alias("n_transitions"),
+        "n_states",
+        F.col("n_edges").alias("n_observed_edges"),
+        N.rnd(h, 6).alias("entropy_rate_nats"),
+        N.rnd(F.log(F.col("n_states").cast("double")), 6).alias(
+            "max_entropy_nats"
+        ),
+        N.rnd(h / F.log(F.col("n_states").cast("double")), 6).alias(
+            "predictability_gap"
+        ),
     )

@@ -581,3 +581,38 @@ def test_decision_stump_matches_exhaustive_python(spark, sf_dir):
     assert abs(r.gini_right - gr) < 1e-4
     assert abs(r.gini_gain - (gp - nl / n * gl - nr / n * gr)) < 1e-4
     assert r.gini_gain >= -1e-9
+
+
+def test_entropy_rate_matches_python(spark, sf_dir):
+    import math
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("entropy_rate")(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((e.us, e.event_id, e.event_type))
+    trans = defaultdict(int)
+    for es in by_user.values():
+        es.sort()
+        for (_, _, a), (_, _, b) in zip(es, es[1:]):
+            trans[(a, b)] += 1
+    c_i = defaultdict(int)
+    for (a, _), c in trans.items():
+        c_i[a] += c
+    total = sum(trans.values())
+    h = sum(c * math.log(c_i[a] / c) for (a, _), c in trans.items()) / total
+    k = len({e.event_type for e in ev})
+    assert r.n_transitions == total
+    assert r.n_states == k
+    assert r.n_observed_edges == len(trans)
+    assert abs(r.entropy_rate_nats - h) < 1e-4
+    assert abs(r.max_entropy_nats - math.log(k)) < 1e-4
+    assert 0 <= r.entropy_rate_nats <= r.max_entropy_nats + 1e-9

@@ -166,6 +166,7 @@ EXTRA = [
     "decision_stump",
     "uncertainty_sampling",
     "conformal_intervals",
+    "entropy_rate",
 ]
 
 

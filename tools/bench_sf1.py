@@ -103,6 +103,7 @@ QUERIES = [
     "decision_stump",
     "uncertainty_sampling",
     "conformal_intervals",
+    "entropy_rate",
 ]
 
 

@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "entropy_rate": "states^2-row transition frame reduced to the one "
+    "entropy row + one-row state-count scalar — bounded by the type "
+    "vocabulary, never event volume",
     "word_pmi": "global top-20 rank over the vocabulary-bounded pair "
     "frame (WindowGroupLimit-capped) + one-row N scalar",
     "decision_stump": "9-row decile-candidate frame and the global "
