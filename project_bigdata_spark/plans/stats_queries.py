@@ -40,6 +40,9 @@ The monitoring layer a production pipeline runs on its own hourly series:
 - ``conformal_intervals`` — split-conformal 90% prediction interval
   per series (md5-parity folds, finite-sample-valid quantile, audited
   calibration coverage).
+- ``median_polish``   — Tukey two-sweep median polish of the
+  (type × hour-of-day) median matrix (dyadic-rational-exact medians;
+  the robust two-way decomposition).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -1912,4 +1915,101 @@ def conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "calib_coverage"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# median_polish
+# ---------------------------------------------------------------------------
+
+@query(
+    "median_polish",
+    oracle=f"""
+WITH cents AS (
+  SELECT event_type AS et,
+         CAST(date_part('hour', ts) AS BIGINT) AS h,
+         {N.sql_cents("value")} AS c
+  FROM events
+), cells AS (
+  SELECT et, h, quantile_cont(CAST(c AS DOUBLE), 0.5) AS v
+  FROM cents GROUP BY et, h
+), r1 AS (
+  SELECT *, quantile_cont(v, 0.5) OVER (PARTITION BY et) AS rm FROM cells
+), s1 AS (
+  SELECT et, h, v - rm AS v, rm AS re FROM r1
+), c1 AS (
+  SELECT *, quantile_cont(v, 0.5) OVER (PARTITION BY h) AS cm FROM s1
+), s2 AS (
+  SELECT et, h, v - cm AS v, re, cm AS ce FROM c1
+), r2 AS (
+  SELECT *, quantile_cont(v, 0.5) OVER (PARTITION BY et) AS rm FROM s2
+), s3 AS (
+  SELECT et, h, v - rm AS v, re + rm AS re, ce FROM r2
+), c2 AS (
+  SELECT *, quantile_cont(v, 0.5) OVER (PARTITION BY h) AS cm FROM s3
+), s4 AS (
+  SELECT et, h, v - cm AS v, re, ce + cm AS ce FROM c2
+)
+SELECT et AS event_type,
+       h AS hour_of_day,
+       round(re / 100, 4) AS row_effect,
+       round(ce / 100, 4) AS col_effect,
+       round(v / 100, 4) AS residual
+FROM s4""",
+    doc="Tukey median polish of the (event_type x hour-of-day) median-"
+    "value matrix: two full row/column sweeps of median removal — the "
+    "outlier-proof two-way decomposition (the robust sibling of "
+    "anova_oneway's means and stl_profile's mean seasonal profile; a "
+    "single wild hour cannot drag the effects). Exactness without any "
+    "grid tricks: every input is an integer-cents value, and each "
+    "interpolated median (Spark `percentile` == DuckDB quantile_cont, "
+    "the catalog's attested pair) yields (a+b)/2 of dyadic rationals "
+    "— exactly representable doubles closed under subtraction, so "
+    "after 5 median levels every matrix entry is still a bit-exact "
+    "dyadic rational on both engines. Plan: one (type, hod) aggregate "
+    "over the volume (the only big pass), then four windowed medians "
+    "over the 120-cell frame — vocabulary x 24 rows, constant at any "
+    "scale.",
+    survey_ids=("M7",),
+)
+def median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("et"),
+            F.hour("ts").cast("bigint").alias("h"),
+            N.cents("value").cast("double").alias("c"),
+        )
+        .groupBy("et", "h")
+        .agg(F.percentile(F.col("c"), F.lit(0.5)).alias("v"))
+    )
+    w_r = Window.partitionBy("et")
+    w_c = Window.partitionBy("h")
+    med = lambda w: F.percentile(F.col("v"), F.lit(0.5)).over(w)  # noqa: E731
+    r1 = cells.withColumn("rm", med(w_r))
+    s1 = r1.select(
+        "et", "h", (F.col("v") - F.col("rm")).alias("v"),
+        F.col("rm").alias("re"),
+    )
+    c1 = s1.withColumn("cm", med(w_c))
+    s2 = c1.select(
+        "et", "h", (F.col("v") - F.col("cm")).alias("v"), "re",
+        F.col("cm").alias("ce"),
+    )
+    r2 = s2.withColumn("rm", med(w_r))
+    s3 = r2.select(
+        "et", "h", (F.col("v") - F.col("rm")).alias("v"),
+        (F.col("re") + F.col("rm")).alias("re"), "ce",
+    )
+    c2 = s3.withColumn("cm", med(w_c))
+    s4 = c2.select(
+        "et", "h", (F.col("v") - F.col("cm")).alias("v"), "re",
+        (F.col("ce") + F.col("cm")).alias("ce"),
+    )
+    return s4.select(
+        F.col("et").alias("event_type"),
+        F.col("h").alias("hour_of_day"),
+        N.rnd(F.col("re") / 100).alias("row_effect"),
+        N.rnd(F.col("ce") / 100).alias("col_effect"),
+        N.rnd(F.col("v") / 100).alias("residual"),
     )

@@ -648,3 +648,63 @@ def test_uncertainty_sampling_is_min_margin(spark, sf_dir):
     for r in rows:
         assert r.margin <= cut + 1e-9
     assert len(got & expect) >= 18
+
+
+def test_median_polish_matches_python(spark, sf_dir):
+    """Replay the two-sweep polish in Python with Fraction-exact
+    interpolated medians; also pin the polish invariants (row and
+    column medians of the residual matrix are ~0 after sweeps)."""
+    from fractions import Fraction
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("median_polish")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.hour("ts").alias("h"),
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    cellvals = defaultdict(list)
+    for e in ev:
+        cellvals[(e.event_type, e.h)].append(e.c)
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return Fraction(xs[(n - 1) // 2] + xs[n // 2], 2)
+
+    v = {k: med(vs) for k, vs in cellvals.items()}
+    ets = sorted({k[0] for k in v})
+    hs = sorted({k[1] for k in v})
+    re_ = {et: Fraction(0) for et in ets}
+    ce = {h: Fraction(0) for h in hs}
+    for _ in range(2):
+        for et in ets:
+            m = med([v[(et, h)] for h in hs if (et, h) in v])
+            re_[et] += m
+            for h in hs:
+                if (et, h) in v:
+                    v[(et, h)] -= m
+        for h in hs:
+            m = med([v[(et, h)] for et in ets if (et, h) in v])
+            ce[h] += m
+            for et in ets:
+                if (et, h) in v:
+                    v[(et, h)] -= m
+    for r in rows:
+        k = (r.event_type, r.hour_of_day)
+        assert abs(r.residual - float(v[k]) / 100) < 1e-3, k
+        assert abs(r.row_effect - float(re_[r.event_type]) / 100) < 1e-3
+        assert abs(r.col_effect - float(ce[r.hour_of_day]) / 100) < 1e-3
+    # post-sweep invariant: the column median of residuals is exactly 0
+    for h in hs:
+        res = sorted(float(v[(et, h)]) for et in ets if (et, h) in v)
+        n = len(res)
+        assert abs((res[(n - 1) // 2] + res[n // 2]) / 2) < 1e-9

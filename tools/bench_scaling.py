@@ -167,6 +167,7 @@ EXTRA = [
     "uncertainty_sampling",
     "conformal_intervals",
     "entropy_rate",
+    "median_polish",
 ]
 
 

@@ -104,6 +104,7 @@ QUERIES = [
     "uncertainty_sampling",
     "conformal_intervals",
     "entropy_rate",
+    "median_polish",
 ]
 
 
