@@ -43,6 +43,11 @@ The monitoring layer a production pipeline runs on its own hourly series:
 - ``median_polish``   — Tukey two-sweep median polish of the
   (type × hour-of-day) median matrix (dyadic-rational-exact medians;
   the robust two-way decomposition).
+- ``forecast_backtest`` — rolling-origin one-step MAE/RMSE of the
+  three M-competition baselines (naive / seasonal-naive / MA-24),
+  exact integer errors on the common support.
+- ``ljung_box_test``  — portmanteau Q over lags 1..6 vs the χ²₆ 95%
+  literal (is there ANY autocorrelation — the i.i.d.-assumption gate).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -540,11 +545,14 @@ WITH cents AS (
          sum(CAST(c AS HUGEINT) * c) AS qg
   FROM cents GROUP BY event_type
 ), tot AS (
+  -- each group's S_g^2/n_g is snapped to the 1e-2 grid BEFORE the
+  -- k-row sum, so the sum is order-free integer arithmetic
   SELECT CAST(count(*) AS BIGINT) AS k,
          CAST(sum(ng) AS HUGEINT) AS n,
          CAST(sum(sg) AS HUGEINT) AS s,
          CAST(sum(qg) AS HUGEINT) AS q,
-         sum(CAST(sg AS DOUBLE) * sg / ng) AS ssg
+         CAST(sum({N.sql_cents("CAST(sg AS DOUBLE) * sg / ng", 100)})
+              AS DOUBLE) / 100 AS ssg
   FROM grp
 )
 SELECT k AS k_groups,
@@ -565,10 +573,10 @@ FROM tot""",
     "effect size — completes the catalog's inference row (chi-square: "
     "categorical x categorical, Welch t: two groups, ANOVA: k groups). "
     "Group moments (n_g, S_g, sum c^2) are exact HUGEINT/DECIMAL(38,0) "
-    "sums; per-group S_g^2/n_g is one double term summed over k rows "
-    "in a FIXED per-group expression (k tiny, and the sum is over the "
-    "same k doubles on both engines via the same single-node "
-    "aggregate). Plan: one map-side-combined group aggregate (k rows) "
+    "sums; each per-group S_g^2/n_g double is snapped to the 1e-2 "
+    "grid BEFORE the k-row sum (snap-then-sum), so even that tiny "
+    "cross-row sum is order-free integer arithmetic. Plan: one "
+    "map-side-combined group aggregate (k rows) "
     "+ one k-row reduce — the k-row SinglePartition exchange is "
     "cardinality-bounded by the type vocabulary.",
     survey_ids=("M7",),
@@ -589,8 +597,16 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ng").alias("n"),
         F.sum("sg").alias("s"),
         F.sum("qg").alias("q"),
-        F.sum(
-            F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+        (
+            F.sum(
+                N.cents(
+                    F.col("sg").cast("double")
+                    * F.col("sg")
+                    / F.col("ng"),
+                    scale=100,
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 100
         ).alias("ssg"),
     )
     ssb = F.col("ssg") - F.col("s").cast("double") * F.col("s") / F.col(
@@ -2012,4 +2028,243 @@ def median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.col("re") / 100).alias("row_effect"),
         N.rnd(F.col("ce") / 100).alias("col_effect"),
         N.rnd(F.col("v") / 100).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest
+# ---------------------------------------------------------------------------
+
+@query(
+    "forecast_backtest",
+    oracle=f"""
+WITH {HOURLY_SQL},
+idx AS (
+  SELECT event_type, t, c,
+         row_number() OVER w AS rn,
+         lag(c, 1)  OVER w AS l1,
+         lag(c, 24) OVER w AS l24,
+         sum(c) OVER (PARTITION BY event_type ORDER BY t
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s24
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), errs AS (
+  SELECT event_type,
+         CAST(c - l1 AS HUGEINT) AS e_naive,
+         CAST(c - l24 AS HUGEINT) AS e_snaive,
+         CAST(24 * c - s24 AS HUGEINT) AS e24_ma
+  FROM idx WHERE rn >= 26
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(abs(e_naive)) AS a1, sum(e_naive * e_naive) AS q1,
+         sum(abs(e_snaive)) AS a2, sum(e_snaive * e_snaive) AS q2,
+         sum(abs(e24_ma)) AS a3, sum(e24_ma * e24_ma) AS q3
+  FROM errs GROUP BY event_type
+)
+SELECT event_type, method, n AS n_forecasts,
+       round(mae, 4) AS mae, round(rmse, 4) AS rmse
+FROM (
+  SELECT event_type, n, 'naive' AS method,
+         CAST(a1 AS DOUBLE) / n / 100 AS mae,
+         sqrt(CAST(q1 AS DOUBLE) / n) / 100 AS rmse
+  FROM m
+  UNION ALL
+  SELECT event_type, n, 'seasonal_naive',
+         CAST(a2 AS DOUBLE) / n / 100,
+         sqrt(CAST(q2 AS DOUBLE) / n) / 100
+  FROM m
+  UNION ALL
+  SELECT event_type, n, 'moving_avg_24',
+         CAST(a3 AS DOUBLE) / (24 * n) / 100,
+         sqrt(CAST(q3 AS DOUBLE) / (576 * CAST(n AS DOUBLE))) / 100
+  FROM m
+)""",
+    doc="Rolling-origin forecast backtest per hourly series: one-step "
+    "MAE and RMSE of the three M-competition baselines every real "
+    "forecaster must beat — naive (last hour), seasonal-naive (same "
+    "hour yesterday), and the trailing 24h moving average — evaluated "
+    "on the common support (hour 26+ of each series) so the "
+    "comparison is fair. Exactness: every error is an exact integer "
+    "(the moving-average error is kept 24-scaled: 24c - s24), |e| and "
+    "e^2 sum in HUGEINT/DECIMAL(38,0), and MAE/RMSE are fixed double "
+    "expressions at render. This is the evaluation harness that "
+    "justifies (or indicts) holt_forecast's extra state. Plan: one "
+    "hourly exchange, one window pass computing all three forecasts, "
+    "one aggregate — linear in hours, independent of event volume.",
+    survey_ids=("M7",),
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = Window.partitionBy("event_type").orderBy("t")
+    idx = hourly.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", 24).over(w).alias("l24"),
+        F.sum("c").over(w.rowsBetween(-24, -1)).alias("s24"),
+    ).filter(F.col("rn") >= 26)
+    errs = idx.select(
+        "event_type",
+        dec(F.col("c") - F.col("l1")).alias("e_naive"),
+        dec(F.col("c") - F.col("l24")).alias("e_snaive"),
+        dec(F.lit(24) * F.col("c") - F.col("s24")).alias("e24_ma"),
+    )
+    m = errs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("e_naive"))).alias("a1"),
+        F.sum(F.col("e_naive") * F.col("e_naive")).alias("q1"),
+        F.sum(F.abs(F.col("e_snaive"))).alias("a2"),
+        F.sum(F.col("e_snaive") * F.col("e_snaive")).alias("q2"),
+        F.sum(F.abs(F.col("e24_ma"))).alias("a3"),
+        F.sum(F.col("e24_ma") * F.col("e24_ma")).alias("q3"),
+    )
+    nd = F.col("n").cast("double")
+
+    def row(method, a, q, scale_a, scale_q):
+        return m.select(
+            "event_type",
+            F.lit(method).alias("method"),
+            F.col("n").alias("n_forecasts"),
+            N.rnd(F.col(a).cast("double") / scale_a / 100).alias("mae"),
+            N.rnd(F.sqrt(F.col(q).cast("double") / scale_q) / 100).alias(
+                "rmse"
+            ),
+        )
+
+    out = (
+        row("naive", "a1", "q1", nd, nd)
+        .unionByName(row("seasonal_naive", "a2", "q2", nd, nd))
+        .unionByName(
+            row("moving_avg_24", "a3", "q3", 24 * nd, 576 * nd)
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ljung_box_test
+# ---------------------------------------------------------------------------
+
+LB_LAGS = 6
+LB_CHI2_95_6 = 12.591587243743977  # chi2.ppf(0.95, 6), shared literal
+
+
+@query(
+    "ljung_box_test",
+    oracle=f"""
+WITH {HOURLY_SQL},
+idx AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS s
+  FROM hourly
+), dev AS (
+  SELECT event_type, rn, n,
+         CAST(n AS HUGEINT) * c - s AS d
+  FROM idx
+), den AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         sum(d * d) AS den
+  FROM dev GROUP BY event_type
+), lags(k) AS (SELECT unnest(range(1, {LB_LAGS} + 1))),
+num AS (
+  SELECT a.event_type, l.k, sum(a.d * b.d) AS num
+  FROM dev a
+  CROSS JOIN lags l
+  JOIN dev b ON b.event_type = a.event_type AND b.rn = a.rn + l.k
+  GROUP BY a.event_type, l.k
+), terms AS (
+  -- snap each r_k^2/(n-k) term to the 1e-12 grid BEFORE summing, so
+  -- the 6-term sum is order-free integer arithmetic on both engines
+  SELECT n.event_type, d.n,
+         {N.sql_cents(
+             "(CAST(n.num AS DOUBLE) / d.den)"
+             " * (CAST(n.num AS DOUBLE) / d.den) / (d.n - n.k)",
+             10**12,
+         )} AS t12
+  FROM num n JOIN den d USING (event_type)
+  WHERE d.den > 0
+), q AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) * (n + 2)
+           * (CAST(sum(t12) AS DOUBLE) / 1e12) AS q_stat
+  FROM terms GROUP BY event_type, n
+)
+SELECT event_type,
+       n AS n_hours,
+       CAST({LB_LAGS} AS BIGINT) AS dof,
+       round(q_stat, 4) AS q_stat,
+       CASE WHEN q_stat > {LB_CHI2_95_6!r} THEN 'autocorrelated'
+            ELSE 'white_noise' END AS verdict
+FROM q""",
+    doc="Ljung-Box portmanteau test per hourly series: Q = n(n+2) * "
+    f"sum_k r_k^2/(n-k) over lags 1..{LB_LAGS}, vs the chi-square "
+    "95% critical value (a shared literal, the BENFORD pattern) — "
+    "the standard 'is there ANY autocorrelation' gate run before "
+    "trusting i.i.d.-based monitors (conversion_ci, poisson_bootstrap "
+    "assume exchangeability; this test tells you when that is "
+    "false). Exactness: each r_k = num_k/den is an exact-integer "
+    "ratio (same n-scaled deviations as acf_lags), so Q is a fixed "
+    "double expression over exact integers — identical cross-engine; "
+    "the verdict compares identical doubles against one shared "
+    "literal. Plan: one hourly exchange, a 6-lag index self-join "
+    "(6 x hours pairs per series), two aggregates.",
+    survey_ids=("M7",),
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    w_all = Window.partitionBy("event_type")
+    w_t = Window.partitionBy("event_type").orderBy("t")
+    dev = hourly.select(
+        "event_type",
+        F.row_number().over(w_t).alias("rn"),
+        (
+            F.count(F.lit(1)).over(w_all).cast("decimal(38,0)") * F.col("c")
+            - F.sum("c").over(w_all).cast("decimal(38,0)")
+        ).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, LB_LAGS + 1)], "k int")
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") == F.col("a.rn") + F.col("k")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "k")
+        .agg(F.sum(F.col("a.d") * F.col("b.d")).alias("num"))
+    )
+    r = F.col("num").cast("double") / F.col("den").cast("double")
+    t12 = N.cents(
+        r * r / (F.col("n") - F.col("k")), scale=10**12
+    )
+    q = (
+        num.join(den, "event_type")
+        .filter(F.col("den") > 0)
+        .select("event_type", "n", t12.alias("t12"))
+        .groupBy("event_type", "n")
+        .agg(
+            (
+                F.col("n").cast("double")
+                * (F.col("n") + 2)
+                * (F.sum("t12").cast("double") / 1e12)
+            ).alias("q_stat")
+        )
+    )
+    return q.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.lit(LB_LAGS).cast("bigint").alias("dof"),
+        N.rnd(F.col("q_stat")).alias("q_stat"),
+        F.when(F.col("q_stat") > LB_CHI2_95_6, "autocorrelated")
+        .otherwise("white_noise")
+        .alias("verdict"),
     )

@@ -708,3 +708,68 @@ def test_median_polish_matches_python(spark, sf_dir):
         res = sorted(float(v[(et, h)]) for et in ets if (et, h) in v)
         n = len(res)
         assert abs((res[(n - 1) // 2] + res[n // 2]) / 2) < 1e-9
+
+
+def test_forecast_backtest_matches_python(spark, sf_dir):
+    rows = _q("forecast_backtest")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+    got = {(r.event_type, r.method): r for r in rows}
+    for et, triples in series.items():
+        xs = [c for _, _, c in triples]
+        n = len(xs)
+        if n < 26:
+            continue
+        e1, e2, e3 = [], [], []
+        for i in range(25, n):
+            e1.append(xs[i] - xs[i - 1])
+            e2.append(xs[i] - xs[i - 24])
+            e3.append(24 * xs[i] - sum(xs[i - 24 : i]))
+        m = len(e1)
+        exp = {
+            "naive": (
+                sum(abs(x) for x in e1) / m,
+                (sum(x * x for x in e1) / m) ** 0.5,
+            ),
+            "seasonal_naive": (
+                sum(abs(x) for x in e2) / m,
+                (sum(x * x for x in e2) / m) ** 0.5,
+            ),
+            "moving_avg_24": (
+                sum(abs(x) for x in e3) / (24 * m),
+                (sum(x * x for x in e3) / (576 * m)) ** 0.5,
+            ),
+        }
+        for meth, (mae, rmse) in exp.items():
+            r = got[(et, meth)]
+            assert r.n_forecasts == m
+            assert abs(r.mae - mae / 100) < 1e-3, (et, meth)
+            assert abs(r.rmse - rmse / 100) < 1e-3, (et, meth)
+        # RMSE >= MAE always (Jensen)
+        for meth in exp:
+            r = got[(et, meth)]
+            assert r.rmse >= r.mae - 1e-9
+
+
+def test_ljung_box_matches_python(spark, sf_dir):
+    rows = _q("ljung_box_test")(spark, sf_dir).collect()
+    assert rows
+    series = _hourly_series(spark, sf_dir)
+    for r in rows:
+        xs = [c for _, _, c in series[r.event_type]]
+        n = len(xs)
+        mean = sum(xs) / n
+        den = sum((x - mean) ** 2 for x in xs)
+        q = 0.0
+        for k in range(1, 7):
+            rk = (
+                sum((xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k))
+                / den
+            )
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        assert r.n_hours == n and r.dof == 6
+        assert abs(r.q_stat - q) < max(1e-2, q * 1e-4)
+        assert r.verdict == (
+            "autocorrelated" if q > 12.591587243743977 else "white_noise"
+        )

@@ -168,6 +168,8 @@ EXTRA = [
     "conformal_intervals",
     "entropy_rate",
     "median_polish",
+    "forecast_backtest",
+    "ljung_box_test",
 ]
 
 

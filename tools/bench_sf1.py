@@ -105,6 +105,8 @@ QUERIES = [
     "conformal_intervals",
     "entropy_rate",
     "median_polish",
+    "forecast_backtest",
+    "ljung_box_test",
 ]
 
 
