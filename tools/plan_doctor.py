@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "quality_auc": "cumulative window over the SCORE-GRID bins (<= 1e6+1 "
+    "rows by construction, never corpus-sized) — the sort-free "
+    "histogram AUC",
     "entropy_rate": "states^2-row transition frame reduced to the one "
     "entropy row + one-row state-count scalar — bounded by the type "
     "vocabulary, never event volume",
