@@ -1143,3 +1143,120 @@ def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.min("ratio"), 6).alias("min_ratio"),
         N.rnd(F.max("ratio"), 6).alias("max_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+_LPA_EDGES = """
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), bi AS (
+  SELECT u AS n, v AS m FROM edges
+  UNION ALL
+  SELECT v AS n, u AS m FROM edges
+)"""
+
+_LPA_ROUND = """
+, votes{r} AS (
+  SELECT bi.n, l.lab, count(*) AS c
+  FROM bi JOIN lab{p} l ON bi.m = l.n
+  GROUP BY bi.n, l.lab
+), lab{r} AS (
+  SELECT n, lab FROM (
+    SELECT n, lab,
+           row_number() OVER (PARTITION BY n
+                              ORDER BY c DESC, lab) AS rk
+    FROM votes{r})
+  WHERE rk = 1
+)"""
+
+
+@query(
+    "label_propagation",
+    oracle=f"""
+WITH {_LPA_EDGES}
+, lab0 AS (
+  SELECT DISTINCT n, n AS lab FROM bi
+)
+{_LPA_ROUND.format(r=1, p=0)}
+{_LPA_ROUND.format(r=2, p=1)}
+{_LPA_ROUND.format(r=3, p=2)}
+SELECT CAST(lab AS BIGINT) AS community_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM lab3 GROUP BY lab HAVING count(*) >= 2""",
+    doc="Community detection by synchronous label propagation (LPA, "
+    "Raghavan et al.) on the co-purchase graph (same edges as "
+    "triangle_count: part pairs sharing >= 2 orders): every node "
+    "starts as its own label, and each of 3 unrolled rounds "
+    "reassigns every node the most frequent label among its "
+    "neighbors — argmax by exact integer count with a full (count "
+    "DESC, label ASC) tie-break, so the SYNCHRONOUS variant is fully "
+    "deterministic cross-engine (the async variant is famously "
+    "order-dependent; this formulation is the one a distributed "
+    "engine can actually attest). Output: the community census "
+    "(labels with >= 2 members). Plan: per round one edges-x-labels "
+    "equi-join + one (node, label) aggregate + one rank window — "
+    "labels frame localCheckpoint'ed between rounds (the catalog's "
+    "unrolled-iteration discipline), edges shuffle once per round on "
+    "the neighbor key, payload never widens.",
+    survey_ids=("M4", "M7"),
+)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    bi = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    bi = bi.localCheckpoint(eager=True)
+    lab = bi.select("n").distinct().select("n", F.col("n").alias("lab"))
+    for _ in range(3):
+        votes = (
+            bi.join(
+                lab.select(
+                    F.col("n").alias("m"), F.col("lab").alias("nlab")
+                ),
+                "m",
+            )
+            .groupBy("n", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            votes.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("n").orderBy(
+                        F.col("c").desc(), "nlab"
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("n", F.col("nlab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        lab.groupBy(F.col("lab").cast("bigint").alias("community_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )

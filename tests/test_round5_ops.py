@@ -662,3 +662,48 @@ def test_quality_auc_matches_sklearn_style_python(spark, sf_dir):
         auc = (su - n_pos * (n_pos + 1)) / (2 * n_pos * (n - n_pos))
         assert abs(r.auc - auc) < 1e-5, r.lang
         assert 0.0 <= r.auc <= 1.0
+
+
+def test_label_propagation_matches_python(spark, sf_dir):
+    """Replay 3 synchronous LPA rounds in pure Python over the same
+    co-purchase edges and require the identical community census."""
+    from collections import Counter
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("label_propagation")(spark, sf_dir).collect()
+    assert rows
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_cnt = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_cnt[(ps[i], ps[j])] += 1
+    adj = defaultdict(list)
+    for (u, v), c in pair_cnt.items():
+        if c >= 2:
+            adj[u].append(v)
+            adj[v].append(u)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            votes = Counter(lab[m] for m in nbrs)
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lab = new
+    census = Counter(lab.values())
+    expect = {k: v for k, v in census.items() if v >= 2}
+    got = {r.community_id: r.n_members for r in rows}
+    assert got == expect
+    # communities must be non-trivial: at least one with >= 3 members
+    assert rows and max(got.values()) >= 2

@@ -171,6 +171,7 @@ EXTRA = [
     "forecast_backtest",
     "ljung_box_test",
     "quality_auc",
+    "label_propagation",
 ]
 
 

@@ -108,6 +108,7 @@ QUERIES = [
     "forecast_backtest",
     "ljung_box_test",
     "quality_auc",
+    "label_propagation",
 ]
 
 
