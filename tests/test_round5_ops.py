@@ -707,3 +707,58 @@ def test_label_propagation_matches_python(spark, sf_dir):
     assert got == expect
     # communities must be non-trivial: at least one with >= 3 members
     assert rows and max(got.values()) >= 2
+
+
+def test_adamic_adar_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from project_bigdata_spark.plans.relational_queries4 import (
+        AA_HUB_CAP,
+        AA_TOP_K,
+    )
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("adamic_adar_links")(spark, sf_dir).collect()
+    assert rows
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_cnt = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_cnt[(ps[i], ps[j])] += 1
+    edges = {p for p, c in pair_cnt.items() if c >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    scores = Counter()
+    commons = Counter()
+    for w, nbrs in adj.items():
+        d = len(nbrs)
+        if not (2 <= d <= AA_HUB_CAP):
+            continue
+        t9 = math.floor(1e9 / math.log(d) + 0.5)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p not in edges:
+                    scores[p] += t9
+                    commons[p] += 1
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:AA_TOP_K]
+    got = [(r.u, r.v, r.n_common) for r in rows]
+    expect = [(u, v, commons[(u, v)]) for (u, v), _ in top]
+    assert got == expect or set(got) == set(expect)
+    for r, ((u, v), s9) in zip(rows, top):
+        assert abs(r.aa_score - s9 / 1e9) < 1e-3
+        assert r.aa_score > 0

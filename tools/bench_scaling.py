@@ -172,6 +172,7 @@ EXTRA = [
     "ljung_box_test",
     "quality_auc",
     "label_propagation",
+    "adamic_adar_links",
 ]
 
 

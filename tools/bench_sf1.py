@@ -109,6 +109,7 @@ QUERIES = [
     "ljung_box_test",
     "quality_auc",
     "label_propagation",
+    "adamic_adar_links",
 ]
 
 
