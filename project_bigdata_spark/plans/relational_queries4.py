@@ -1377,3 +1377,244 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.rnd(F.col("s9").cast("double") / 1e9).alias("aa_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+WITH {_LPA_EDGES}
+, deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY n
+), pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM bi JOIN deg du ON bi.n = du.n JOIN deg dv ON bi.m = dv.n
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pairs
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+              THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS assortativity
+FROM s""",
+    doc="Degree assortativity of the co-purchase graph: the Pearson "
+    "correlation of endpoint degrees over every directed edge "
+    "(Newman's r) — positive means hubs attach to hubs (social-like), "
+    "negative means hub-and-spoke (technological/retail-like); it "
+    "predicts how the graph fragments under node loss and how far "
+    "LSH/partition locality can help. Exactness: the five sufficient "
+    "statistics are exact HUGEINT/DECIMAL(38,0) sums of integer "
+    "degrees, r is one double expression with sqrt per factor, and a "
+    "degenerate (regular) graph renders NULL via integer guards. "
+    "Plan: degree aggregate + two broadcast degree joins + one "
+    "moment reduce — linear in edges.",
+    survey_ids=("M4", "M7"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    bi = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionByName(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    deg = bi.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        bi.join(F.broadcast(deg), "n")
+        .select(F.col("d").alias("x"), "m")
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("m"), F.col("d").alias("y"))),
+            "m",
+        )
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.when((dx <= 0) | (dy <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            N.rnd(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            )
+        )
+        .alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# modularity_lpa
+# ---------------------------------------------------------------------------
+
+@query(
+    "modularity_lpa",
+    oracle=f"""
+WITH {_LPA_EDGES}
+, lab0 AS (
+  SELECT DISTINCT n, n AS lab FROM bi
+)
+{_LPA_ROUND.format(r=1, p=0)}
+{_LPA_ROUND.format(r=2, p=1)}
+{_LPA_ROUND.format(r=3, p=2)}
+, m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m FROM edges
+), within AS (
+  SELECT CAST(count(*) AS HUGEINT) AS e_in
+  FROM edges e
+  JOIN lab3 lu ON e.u = lu.n
+  JOIN lab3 lv ON e.v = lv.n
+  WHERE lu.lab = lv.lab
+), dsum AS (
+  SELECT CAST(sum(dc * dc) AS HUGEINT) AS sum_dc2,
+         CAST(count(*) AS BIGINT) AS n_communities
+  FROM (
+    SELECT l.lab, CAST(count(*) AS HUGEINT) AS dc
+    FROM bi JOIN lab3 l ON bi.n = l.n
+    GROUP BY l.lab)
+)
+SELECT d.n_communities,
+       CAST(w.e_in AS BIGINT) AS intra_edges,
+       CAST(m.m AS BIGINT) AS n_edges,
+       round(CAST(4 * m.m * w.e_in - d.sum_dc2 AS DOUBLE)
+             / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)), 6)
+         AS modularity
+FROM m CROSS JOIN within w CROSS JOIN dsum d""",
+    doc="Newman modularity of the label-propagation partition: Q = "
+    "sum_c [e_c/m - (d_c/2m)^2] evaluated as the EXACT integer "
+    "expression (4m*sum(e_c) - sum(d_c^2)) / (4m^2) — the quality "
+    "score that says whether label_propagation found real structure "
+    "(Q near 0: none; Q > 0.3: strong communities). Reruns the same "
+    "3 deterministic synchronous LPA rounds (same tie-breaks), then "
+    "one labels join per edge endpoint and two integer aggregates; "
+    "the single double division happens at render. Plan: the LPA "
+    "rounds dominate (edges shuffle per round); modularity itself "
+    "adds two broadcast-label joins and scalar reduces.",
+    survey_ids=("M4", "M7"),
+)
+def modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    bi = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionByName(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    ).localCheckpoint(eager=True)
+    lab = bi.select("n").distinct().select("n", F.col("n").alias("lab"))
+    for _ in range(3):
+        votes = (
+            bi.join(
+                lab.select(
+                    F.col("n").alias("m"), F.col("lab").alias("nlab")
+                ),
+                "m",
+            )
+            .groupBy("n", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            votes.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("n").orderBy(
+                        F.col("c").desc(), "nlab"
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("n", F.col("nlab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = edges.agg(dec(F.count(F.lit(1))).alias("m"))
+    lu = lab.select(F.col("n").alias("u"), F.col("lab").alias("lu"))
+    lv = lab.select(F.col("n").alias("v"), F.col("lab").alias("lv"))
+    within = (
+        edges.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .agg(dec(F.count(F.lit(1))).alias("e_in"))
+    )
+    dsum = (
+        bi.join(F.broadcast(lab), "n")
+        .groupBy("lab")
+        .agg(dec(F.count(F.lit(1))).alias("dc"))
+        .agg(
+            F.sum(F.col("dc") * F.col("dc")).alias("sum_dc2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            "n_communities",
+            F.col("e_in").cast("bigint").alias("intra_edges"),
+            F.col("m").cast("bigint").alias("n_edges"),
+            N.rnd(
+                (
+                    F.lit(4) * F.col("m") * F.col("e_in")
+                    - F.col("sum_dc2")
+                ).cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )

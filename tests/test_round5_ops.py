@@ -762,3 +762,72 @@ def test_adamic_adar_matches_python(spark, sf_dir):
     for r, ((u, v), s9) in zip(rows, top):
         assert abs(r.aa_score - s9 / 1e9) < 1e-3
         assert r.aa_score > 0
+
+
+def test_graph_stats_match_python(spark, sf_dir):
+    """Replay assortativity and LPA-modularity in pure Python from the
+    same co-purchase graph."""
+    from collections import Counter
+
+    from project_bigdata_spark.sources import load_table
+
+    ar = _q("degree_assortativity")(spark, sf_dir).collect()[0]
+    mr = _q("modularity_lpa")(spark, sf_dir).collect()[0]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_cnt = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_cnt[(ps[i], ps[j])] += 1
+    edges = {p for p, c in pair_cnt.items() if c >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {n: len(v) for n, v in adj.items()}
+    # assortativity over directed pairs
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    assert ar.n_edges == len(edges)
+    if dx <= 0 or dy <= 0:
+        assert ar.assortativity is None
+    else:
+        r = (n * sxy - sx * sy) / (dx**0.5 * dy**0.5)
+        assert abs(ar.assortativity - r) < 1e-5
+    # LPA labels then modularity
+    lab = {nn: nn for nn in adj}
+    for _ in range(3):
+        new = {}
+        for nn, nbrs in adj.items():
+            votes = Counter(lab[m] for m in nbrs)
+            new[nn] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    m_edges = len(edges)
+    e_in = sum(1 for u, v in edges if lab[u] == lab[v])
+    dsum = Counter()
+    for nn, d in deg.items():
+        dsum[lab[nn]] += d
+    sum_dc2 = sum(d * d for d in dsum.values())
+    q = (4 * m_edges * e_in - sum_dc2) / (4 * m_edges * m_edges)
+    assert mr.n_edges == m_edges
+    assert mr.intra_edges == e_in
+    assert mr.n_communities == len(dsum)
+    assert abs(mr.modularity - q) < 1e-5
+    assert -1.0 <= mr.modularity <= 1.0

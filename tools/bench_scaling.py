@@ -173,6 +173,8 @@ EXTRA = [
     "quality_auc",
     "label_propagation",
     "adamic_adar_links",
+    "degree_assortativity",
+    "modularity_lpa",
 ]
 
 

@@ -110,6 +110,8 @@ QUERIES = [
     "quality_auc",
     "label_propagation",
     "adamic_adar_links",
+    "degree_assortativity",
+    "modularity_lpa",
 ]
 
 

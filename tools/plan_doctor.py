@@ -77,6 +77,10 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "degree_assortativity": "five scalar degree moments reduced to one "
+    "row",
+    "modularity_lpa": "scalar m / e_in / sum_dc2 reduces crossed into "
+    "the one modularity row (community frame is label-cardinality)",
     "quality_auc": "cumulative window over the SCORE-GRID bins (<= 1e6+1 "
     "rows by construction, never corpus-sized) — the sort-free "
     "histogram AUC",
