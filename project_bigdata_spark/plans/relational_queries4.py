@@ -1266,7 +1266,7 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adamic_adar_links
 # ---------------------------------------------------------------------------
 
-AA_HUB_CAP = 256
+AA_HUB_CAP = 64
 AA_TOP_K = 20
 
 
@@ -1307,8 +1307,10 @@ LIMIT {AA_TOP_K}""",
     "generator). Each 1/ln(deg) term is snapped to the 1e-9 grid "
     f"(snap-then-sum); wedge centers are capped at degree {AA_HUB_CAP} "
     "— the standard production guard, since a hub's deg^2 wedge "
-    "fanout is what explodes on power-law graphs while its "
-    "per-neighbor evidence tends to 0; degree-1 centers cannot form "
+    "fanout is what explodes on densifying graphs while its "
+    "per-neighbor evidence tends to 0 (the cap is measured a no-op "
+    "at every attested SF, max degree 51, and is what bounds the "
+    "synthetic-sf1 densification soak); degree-1 centers cannot form "
     "wedges and ln(1)=0 is excluded by construction. Existing edges "
     "are removed with an anti-join; the global top-20 is "
     "orderBy().limit() = TakeOrderedAndProject with full (score, u, "
