@@ -48,6 +48,11 @@ The monitoring layer a production pipeline runs on its own hourly series:
   exact integer errors on the common support.
 - ``ljung_box_test``  — portmanteau Q over lags 1..6 vs the χ²₆ 95%
   literal (is there ANY autocorrelation — the i.i.d.-assumption gate).
+- ``stratified_ate``  — direct-standardization treatment-effect
+  estimator (props.k arm, hour-of-day strata) next to the unadjusted
+  diff — the covariate-adjustment contrast.
+- ``diff_in_diff``    — 2×2 difference-in-differences at the window
+  midpoint (integer epoch split; parallel-trends contrast).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -2267,4 +2272,225 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("q_stat") > LB_CHI2_95_6, "autocorrelated")
         .otherwise("white_noise")
         .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified_ate
+# ---------------------------------------------------------------------------
+
+@query(
+    "stratified_ate",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+         CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+              THEN 1 ELSE 0 END AS treated,
+         {N.sql_cents("value")} AS c
+  FROM events
+), cell AS (
+  SELECT h, treated,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS s
+  FROM base GROUP BY h, treated
+), strat AS (
+  SELECT t.h, t.n + c.n AS w,
+         {N.sql_cents(
+            "(CAST(t.s AS DOUBLE) / t.n - CAST(c.s AS DOUBLE) / c.n)"
+            " * (t.n + c.n)", 10000)} AS term4
+  FROM cell t JOIN cell c ON t.h = c.h AND t.treated = 1 AND c.treated = 0
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS n_strat,
+         CAST(sum(term4) AS HUGEINT) AS s_term
+  FROM strat
+), raw AS (
+  SELECT CAST(sum(CASE WHEN treated = 1 THEN c END) AS DOUBLE)
+           / sum(CASE WHEN treated = 1 THEN 1 END)
+         - CAST(sum(CASE WHEN treated = 0 THEN c END) AS DOUBLE)
+           / sum(CASE WHEN treated = 0 THEN 1 END) AS diff,
+         CAST(sum(treated) AS BIGINT) AS n_treated,
+         CAST(sum(1 - treated) AS BIGINT) AS n_control
+  FROM base
+)
+SELECT r.n_treated, r.n_control,
+       round(r.diff / 100, 4) AS unadjusted_diff,
+       round(CAST(t.s_term AS DOUBLE) / t.n_strat / 1e4 / 100, 4)
+         AS stratified_ate
+FROM raw r CROSS JOIN tot t""",
+    doc="Stratified average-treatment-effect estimator (direct "
+    "standardization): treatment = props.k >= 50, strata = hour of "
+    "day; ATE-hat = sum_h w_h * (mean_treated_h - mean_control_h) / "
+    "sum_h w_h with w_h = stratum size — the covariate-adjusted "
+    "contrast reported next to the unadjusted diff-in-means (their "
+    "gap IS the confounding bound for this stratification; on this "
+    "synthetic corpus k is independent of hour, so the two estimates "
+    "agree — the honest null). Exactness: per-stratum means are "
+    "exact-integer ratios; each stratum term is snapped to the 1e-4 "
+    "grid before the cross-stratum sum (snap-then-sum); strata with "
+    "a missing arm drop out via the inner join, the standard "
+    "positivity rule. Plan: one (hour, arm) aggregate — 48 cells — "
+    "then scalar algebra; single volume pass, map-side combined.",
+    survey_ids=("M7",),
+)
+def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = e.select(
+        F.hour("ts").cast("bigint").alias("h"),
+        F.when(
+            F.get_json_object("props", "$.k").cast("bigint") >= 50, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        N.cents("value").alias("c"),
+    )
+    cell = base.groupBy("h", "treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("c"))).alias("s"),
+    )
+    t = cell.filter(F.col("treated") == 1).select(
+        "h", F.col("n").alias("nt"), F.col("s").alias("st")
+    )
+    c = cell.filter(F.col("treated") == 0).select(
+        "h", F.col("n").alias("nc"), F.col("s").alias("sc")
+    )
+    strat = t.join(c, "h").select(
+        (F.col("nt") + F.col("nc")).alias("w"),
+        N.cents(
+            (
+                F.col("st").cast("double") / F.col("nt")
+                - F.col("sc").cast("double") / F.col("nc")
+            )
+            * (F.col("nt") + F.col("nc")),
+            scale=10000,
+        ).alias("term4"),
+    )
+    tot = strat.agg(
+        F.sum("w").cast("bigint").alias("n_strat"),
+        F.sum(dec(F.col("term4"))).alias("s_term"),
+    )
+    raw = base.agg(
+        (
+            F.sum(F.when(F.col("treated") == 1, F.col("c"))).cast("double")
+            / F.sum(F.when(F.col("treated") == 1, 1))
+            - F.sum(F.when(F.col("treated") == 0, F.col("c"))).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("treated") == 0, 1))
+        ).alias("diff"),
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_control"),
+    )
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "n_treated",
+        "n_control",
+        N.rnd(F.col("diff") / 100).alias("unadjusted_diff"),
+        N.rnd(
+            F.col("s_term").cast("double") / F.col("n_strat") / 1e4 / 100
+        ).alias("stratified_ate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff
+# ---------------------------------------------------------------------------
+
+@query(
+    "diff_in_diff",
+    oracle=f"""
+WITH span AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events
+), base AS (
+  SELECT CASE WHEN epoch_us(e.ts) * 2 >= s.lo + s.hi THEN 1 ELSE 0 END
+           AS post,
+         CASE WHEN CAST(json_extract(e.props, '$.k') AS BIGINT) >= 50
+              THEN 1 ELSE 0 END AS treated,
+         {N.sql_cents("e.value")} AS c
+  FROM events e CROSS JOIN span s
+), cell AS (
+  SELECT treated, post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS s
+  FROM base GROUP BY treated, post
+), piv AS (
+  SELECT
+    max(CASE WHEN treated = 1 AND post = 1
+             THEN CAST(s AS DOUBLE) / n END) AS t1,
+    max(CASE WHEN treated = 1 AND post = 0
+             THEN CAST(s AS DOUBLE) / n END) AS t0,
+    max(CASE WHEN treated = 0 AND post = 1
+             THEN CAST(s AS DOUBLE) / n END) AS c1,
+    max(CASE WHEN treated = 0 AND post = 0
+             THEN CAST(s AS DOUBLE) / n END) AS c0,
+    CAST(sum(n) AS BIGINT) AS n_events
+  FROM cell
+)
+SELECT n_events,
+       round((t1 - t0) / 100, 4) AS treated_delta,
+       round((c1 - c0) / 100, 4) AS control_delta,
+       round(((t1 - t0) - (c1 - c0)) / 100, 4) AS did_estimate
+FROM piv""",
+    doc="Difference-in-differences on the 2x2 design: treatment = "
+    "props.k >= 50, periods split at the observation-window midpoint "
+    "(pure integer epoch-microsecond comparison: 2*ts >= lo + hi, no "
+    "float time math). DiD = (treated_post - treated_pre) - "
+    "(control_post - control_pre) — the parallel-trends contrast that "
+    "nets out both group effects and period effects; ~0 on this "
+    "synthetic corpus, which is the correct null readout. Exactness: "
+    "four cell means are exact-integer ratios; the final contrast is "
+    "one fixed double expression; the midpoint is a broadcast scalar "
+    "row (no driver collect). Plan: one scalar min/max reduce + one "
+    "4-cell aggregate over a single volume pass.",
+    survey_ids=("M7",),
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    span = e.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("lo"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("hi"),
+    )
+    base = e.crossJoin(F.broadcast(span)).select(
+        F.when(
+            F.unix_micros("ts") * 2 >= F.col("lo") + F.col("hi"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.when(
+            F.get_json_object("props", "$.k").cast("bigint") >= 50, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        N.cents("value").alias("c"),
+    )
+    cell = base.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("c"))).alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    piv = cell.agg(
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 1), mean)
+        ).alias("t1"),
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 0), mean)
+        ).alias("t0"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 1), mean)
+        ).alias("c1"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 0), mean)
+        ).alias("c0"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return piv.select(
+        "n_events",
+        N.rnd((F.col("t1") - F.col("t0")) / 100).alias("treated_delta"),
+        N.rnd((F.col("c1") - F.col("c0")) / 100).alias("control_delta"),
+        N.rnd(
+            ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")))
+            / 100
+        ).alias("did_estimate"),
     )

@@ -773,3 +773,70 @@ def test_ljung_box_matches_python(spark, sf_dir):
         assert r.verdict == (
             "autocorrelated" if q > 12.591587243743977 else "white_noise"
         )
+
+
+def test_causal_ops_match_python(spark, sf_dir):
+    """Replay stratified ATE and DiD in Python (json parse, exact
+    integer means) and pin the null-design sanity (estimates small
+    relative to the outcome scale on this randomized synthetic)."""
+    import json
+
+    from project_bigdata_spark.sources import load_table
+
+    ate = _q("stratified_ate")(spark, sf_dir).collect()[0]
+    did = _q("diff_in_diff")(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "props",
+            F.hour("ts").alias("h"),
+            F.unix_micros("ts").alias("us"),
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    rows = [
+        (1 if json.loads(e.props)["k"] >= 50 else 0, e.h, e.us, e.c)
+        for e in ev
+    ]
+    # stratified ATE
+    cell = defaultdict(lambda: [0, 0])
+    for t, h, _, c in rows:
+        cc = cell[(h, t)]
+        cc[0] += c
+        cc[1] += 1
+    num = 0.0
+    den = 0
+    for h in range(24):
+        if (h, 1) in cell and (h, 0) in cell:
+            st, nt = cell[(h, 1)]
+            sc, nc = cell[(h, 0)]
+            w = nt + nc
+            num += (st / nt - sc / nc) * w
+            den += w
+    assert abs(ate.stratified_ate - num / den / 100) < 1e-3
+    s1 = sum(c for t, _, _, c in rows if t == 1)
+    n1 = sum(1 for t, _, _, c in rows if t == 1)
+    s0 = sum(c for t, _, _, c in rows if t == 0)
+    n0 = len(rows) - n1
+    assert (ate.n_treated, ate.n_control) == (n1, n0)
+    assert abs(ate.unadjusted_diff - (s1 / n1 - s0 / n0) / 100) < 1e-3
+    # DiD
+    lo = min(us for _, _, us, _ in rows)
+    hi = max(us for _, _, us, _ in rows)
+    q = defaultdict(lambda: [0, 0])
+    for t, _, us, c in rows:
+        post = 1 if 2 * us >= lo + hi else 0
+        qq = q[(t, post)]
+        qq[0] += c
+        qq[1] += 1
+    m = {k: v[0] / v[1] for k, v in q.items()}
+    expect = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert abs(did.did_estimate - expect / 100) < 1e-3
+    assert did.n_events == len(rows)
+    # randomized treatment + stationary outcome => both near the null
+    mean_val = (s1 + s0) / len(rows) / 100
+    assert abs(ate.stratified_ate) < 0.25 * max(mean_val, 1.0)
+    assert abs(did.did_estimate) < 0.25 * max(mean_val, 1.0)

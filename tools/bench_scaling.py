@@ -175,6 +175,8 @@ EXTRA = [
     "adamic_adar_links",
     "degree_assortativity",
     "modularity_lpa",
+    "stratified_ate",
+    "diff_in_diff",
 ]
 
 

@@ -112,6 +112,8 @@ QUERIES = [
     "adamic_adar_links",
     "degree_assortativity",
     "modularity_lpa",
+    "stratified_ate",
+    "diff_in_diff",
 ]
 
 

@@ -77,6 +77,10 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "stratified_ate": "48-cell (hour x arm) frame reduced to scalar "
+    "estimates — bounded by the stratum grid, never event volume",
+    "diff_in_diff": "one scalar span row + the 4-cell design aggregate "
+    "reduced to one contrast row",
     "degree_assortativity": "five scalar degree moments reduced to one "
     "row",
     "modularity_lpa": "scalar m / e_in / sum_dc2 reduces crossed into "
