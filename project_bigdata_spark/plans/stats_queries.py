@@ -53,6 +53,8 @@ The monitoring layer a production pipeline runs on its own hourly series:
   diff — the covariate-adjustment contrast.
 - ``diff_in_diff``    — 2×2 difference-in-differences at the window
   midpoint (integer epoch split; parallel-trends contrast).
+- ``cuped_adjustment`` — CUPED variance reduction (pre-period
+  covariate, theta = cov/var; snapped per-user adjustments).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -2493,4 +2495,236 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")))
             / 100
         ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjustment
+# ---------------------------------------------------------------------------
+
+@query(
+    "cuped_adjustment",
+    oracle=f"""
+WITH span AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events
+), per_user AS (
+  SELECT e.user_id,
+         CAST(sum(CASE WHEN epoch_us(e.ts) * 2 < s.lo + s.hi
+                       THEN {N.sql_cents("e.value")} ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(e.ts) * 2 >= s.lo + s.hi
+                       THEN {N.sql_cents("e.value")} ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(sum(CASE WHEN epoch_us(e.ts) * 2 < s.lo + s.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+         CAST(sum(CASE WHEN epoch_us(e.ts) * 2 >= s.lo + s.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+         ('0x' || substring(md5(CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS variant
+  FROM events e CROSS JOIN span s
+  GROUP BY e.user_id
+), cohort AS (
+  SELECT * FROM per_user WHERE n_pre > 0 AND n_post > 0
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM cohort
+), theta AS (
+  SELECT n, sx, sy, syy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM mom WHERE (n * sxx - sx * sx) > 0
+), adj AS (
+  SELECT c.variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c.y) AS HUGEINT) AS sy_v,
+         CAST(sum({N.sql_cents(
+             "CAST(c.y AS DOUBLE) - t.th * (c.x - t.xbar)", 100)})
+              AS HUGEINT) AS sadj_v,
+         CAST(sum(CAST({N.sql_cents(
+             "CAST(c.y AS DOUBLE) - t.th * (c.x - t.xbar)", 100)}
+             AS HUGEINT)
+             * {N.sql_cents(
+             "CAST(c.y AS DOUBLE) - t.th * (c.x - t.xbar)", 100)})
+              AS HUGEINT) AS sadj2_v
+  FROM cohort c CROSS JOIN theta t
+  GROUP BY c.variant
+), tot AS (
+  SELECT CAST(sum(n_users) AS BIGINT) AS n,
+         CAST(sum(sadj_v) AS HUGEINT) AS sadj,
+         CAST(sum(sadj2_v) AS HUGEINT) AS sadj2
+  FROM adj
+)
+SELECT t2.n AS n_users,
+       round(th.th, 6) AS theta,
+       round((CAST(a1.sy_v AS DOUBLE) / a1.n_users
+              - CAST(a0.sy_v AS DOUBLE) / a0.n_users) / 100, 4)
+         AS mean_diff_raw,
+       round((CAST(a1.sadj_v AS DOUBLE) / a1.n_users
+              - CAST(a0.sadj_v AS DOUBLE) / a0.n_users) / 1e2 / 100, 4)
+         AS mean_diff_cuped,
+       round(1 - (CAST(t2.sadj2 AS DOUBLE) / t2.n
+                  - (CAST(t2.sadj AS DOUBLE) / t2.n)
+                    * (CAST(t2.sadj AS DOUBLE) / t2.n)) / 1e4
+                 / (CAST(th.syy AS DOUBLE) / th.n
+                    - (CAST(th.sy AS DOUBLE) / th.n)
+                      * (CAST(th.sy AS DOUBLE) / th.n)), 4)
+         AS var_reduction
+FROM theta th
+CROSS JOIN tot t2
+JOIN adj a1 ON a1.variant = 1
+JOIN adj a0 ON a0.variant = 0""",
+    doc="CUPED variance reduction (Deng et al.): per-user post-period "
+    "value adjusted by the pre-period covariate, yhat = y - "
+    "theta*(x - xbar) with theta = cov(x,y)/var(x) — the standard "
+    "trick that shrinks A/B confidence intervals using data from "
+    "before the experiment. Periods split at the integer window "
+    "midpoint (2*ts >= lo+hi, broadcast scalar span); variants are "
+    "md5(user_id) parity; only users observed in BOTH periods enter "
+    "(documented cohort rule). Exactness: the five covariate moments "
+    "are exact HUGEINT/DECIMAL(38,0) sums; theta and xbar are fixed "
+    "double expressions; each per-user adjusted value is snapped to "
+    "the 1e-2-cents grid before any cross-row sum (snap-then-sum), "
+    "so variant means and the variance-reduction readout replay "
+    "bit-identically. Plan: one per-user aggregate, one moment "
+    "reduce, one broadcast theta row back over the user frame — two "
+    "volume-independent scalar frames, no per-user shuffle beyond "
+    "the first aggregate.",
+    survey_ids=("M7",),
+)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    span = e.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("lo"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("hi"),
+    )
+    pre = F.unix_micros("ts") * 2 < F.col("lo") + F.col("hi")
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, N.cents("value")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(~pre, N.cents("value")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+            F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias(
+                "n_pre"
+            ),
+            F.sum(F.when(~pre, 1).otherwise(0)).cast("bigint").alias(
+                "n_post"
+            ),
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2,
+        )
+        .filter((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+    )
+    mom = per_user.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    theta = mom.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) > 0
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        "syy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "xbar"
+        ),
+    )
+    yhat2 = N.cents(
+        F.col("y").cast("double")
+        - F.col("th") * (F.col("x") - F.col("xbar")),
+        scale=100,
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(dec(F.col("y"))).alias("sy_v"),
+            F.sum(dec(yhat2)).alias("sadj_v"),
+            F.sum(dec(yhat2) * yhat2).alias("sadj2_v"),
+        )
+    )
+    tot = adj.agg(
+        F.sum("n_users").cast("bigint").alias("n"),
+        F.sum("sadj_v").alias("sadj"),
+        F.sum("sadj2_v").alias("sadj2"),
+    )
+    a1 = adj.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"),
+        F.col("sy_v").alias("sy1"),
+        F.col("sadj_v").alias("sa1"),
+    )
+    a0 = adj.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"),
+        F.col("sy_v").alias("sy0"),
+        F.col("sadj_v").alias("sa0"),
+    )
+    var_adj = F.col("sadj2").cast("double") / F.col("n") - (
+        F.col("sadj").cast("double") / F.col("n")
+    ) * (F.col("sadj").cast("double") / F.col("n"))
+    var_y = F.col("syy").cast("double") / F.col("n_m") - (
+        F.col("sy_m").cast("double") / F.col("n_m")
+    ) * (F.col("sy_m").cast("double") / F.col("n_m"))
+    return (
+        theta.select(
+            F.col("th"),
+            F.col("syy"),
+            F.col("sy").alias("sy_m"),
+            F.col("n").alias("n_m"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(a1))
+        .crossJoin(F.broadcast(a0))
+        .select(
+            F.col("n").alias("n_users"),
+            N.rnd(F.col("th"), 6).alias("theta"),
+            N.rnd(
+                (
+                    F.col("sy1").cast("double") / F.col("n1")
+                    - F.col("sy0").cast("double") / F.col("n0")
+                )
+                / 100
+            ).alias("mean_diff_raw"),
+            N.rnd(
+                (
+                    F.col("sa1").cast("double") / F.col("n1")
+                    - F.col("sa0").cast("double") / F.col("n0")
+                )
+                / 1e2
+                / 100
+            ).alias("mean_diff_cuped"),
+            N.rnd(1 - (var_adj / 1e4) / var_y).alias("var_reduction"),
+        )
     )

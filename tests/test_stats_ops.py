@@ -840,3 +840,66 @@ def test_causal_ops_match_python(spark, sf_dir):
     mean_val = (s1 + s0) / len(rows) / 100
     assert abs(ate.stratified_ate) < 0.25 * max(mean_val, 1.0)
     assert abs(did.did_estimate) < 0.25 * max(mean_val, 1.0)
+
+
+def test_cuped_matches_python(spark, sf_dir):
+    import hashlib
+
+    from project_bigdata_spark.sources import load_table
+
+    r = _q("cuped_adjustment")(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    lo = min(e.us for e in ev)
+    hi = max(e.us for e in ev)
+    per = defaultdict(lambda: [0, 0, 0, 0])  # x, y, n_pre, n_post
+    for e in ev:
+        p = per[e.user_id]
+        if 2 * e.us < lo + hi:
+            p[0] += e.c
+            p[2] += 1
+        else:
+            p[1] += e.c
+            p[3] += 1
+    cohort = {
+        u: (x, y) for u, (x, y, np_, nq) in per.items() if np_ and nq
+    }
+    n = len(cohort)
+    xs = [x for x, _ in cohort.values()]
+    ys = [y for _, y in cohort.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    th = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    assert r.n_users == n
+    assert abs(r.theta - th) < 1e-4
+    groups = defaultdict(lambda: [0, 0.0, 0])  # sy, sadj, n
+    adj_all = []
+    for u, (x, y) in cohort.items():
+        v = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        yhat = y - th * (x - xbar)
+        g = groups[v]
+        g[0] += y
+        g[1] += yhat
+        g[2] += 1
+        adj_all.append(yhat)
+    raw = groups[1][0] / groups[1][2] - groups[0][0] / groups[0][2]
+    cup = groups[1][1] / groups[1][2] - groups[0][1] / groups[0][2]
+    assert abs(r.mean_diff_raw - raw / 100) < 1e-2
+    assert abs(r.mean_diff_cuped - cup / 100) < 1e-2
+    var_y = sum(y * y for y in ys) / n - (sy / n) ** 2
+    m_adj = sum(adj_all) / n
+    var_adj = sum(a * a for a in adj_all) / n - m_adj**2
+    assert abs(r.var_reduction - (1 - var_adj / var_y)) < 1e-3
+    # CUPED can only reduce (or preserve) variance by construction
+    assert r.var_reduction >= -1e-6

@@ -177,6 +177,7 @@ EXTRA = [
     "modularity_lpa",
     "stratified_ate",
     "diff_in_diff",
+    "cuped_adjustment",
 ]
 
 

@@ -114,6 +114,7 @@ QUERIES = [
     "modularity_lpa",
     "stratified_ate",
     "diff_in_diff",
+    "cuped_adjustment",
 ]
 
 

@@ -77,6 +77,8 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "cuped_adjustment": "one-row covariate-moment reduce broadcast back "
+    "over the per-user frame; variant/total frames are 2-3 rows",
     "stratified_ate": "48-cell (hour x arm) frame reduced to scalar "
     "estimates — bounded by the stratum grid, never event volume",
     "diff_in_diff": "one scalar span row + the 4-cell design aggregate "
