@@ -55,6 +55,10 @@ The monitoring layer a production pipeline runs on its own hourly series:
   midpoint (integer epoch split; parallel-trends contrast).
 - ``cuped_adjustment`` — CUPED variance reduction (pre-period
   covariate, theta = cov/var; snapped per-user adjustments).
+- ``raking_ipf``      — Deming-Stephan raking to uniform marginals
+  (3 snapped IPF sweeps on the 20-cell grid).
+- ``power_analysis``  — two-sample experiment sizing from observed
+  effect and pooled variance (shared z literals).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid
@@ -2726,5 +2730,258 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100
             ).alias("mean_diff_cuped"),
             N.rnd(1 - (var_adj / 1e4) / var_y).alias("var_reduction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# raking_ipf
+# ---------------------------------------------------------------------------
+
+def _ipf_round_sql(r: int, p: int) -> str:
+    """One IPF sweep (rows then columns), weights snapped to the 1e-6
+    grid after every per-cell scaling so the marginal sums stay exact
+    integer arithmetic."""
+    return f"""
+, rsum{r} AS (
+  SELECT et, CAST(sum(w6) AS HUGEINT) AS rs FROM w{p} GROUP BY et
+), wr{r} AS (
+  SELECT w.et, w.b, n_raw,
+         {N.sql_cents(
+             "CAST(w.w6 AS DOUBLE) * t.row_t / rs.rs", 1)} AS w6
+  FROM w{p} w
+  JOIN rsum{r} rs USING (et) CROSS JOIN targets t
+), csum{r} AS (
+  SELECT b, CAST(sum(w6) AS HUGEINT) AS cs FROM wr{r} GROUP BY b
+), w{r} AS (
+  SELECT w.et, w.b, n_raw,
+         {N.sql_cents(
+             "CAST(w.w6 AS DOUBLE) * t.col_t / cs.cs", 1)} AS w6
+  FROM wr{r} w
+  JOIN csum{r} cs USING (b) CROSS JOIN targets t
+)"""
+
+
+@query(
+    "raking_ipf",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type AS et,
+         CAST(date_part('hour', ts) AS BIGINT) // 6 AS b,
+         CAST(count(*) AS BIGINT) AS n_raw
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n_raw) AS BIGINT) AS n,
+         CAST(count(DISTINCT et) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT b) AS BIGINT) AS n_cols
+  FROM cells
+), targets AS (
+  -- uniform calibration targets on the 1e-6 weight grid
+  SELECT CAST(n AS DOUBLE) * 1e6 / n_rows AS row_t,
+         CAST(n AS DOUBLE) * 1e6 / n_cols AS col_t
+  FROM tot
+), w0 AS (
+  SELECT et, b, n_raw, CAST(n_raw AS BIGINT) * 1000000 AS w6 FROM cells
+)
+{_ipf_round_sql(1, 0)}
+{_ipf_round_sql(2, 1)}
+{_ipf_round_sql(3, 2)}
+SELECT et AS event_type,
+       b AS hour_bucket,
+       n_raw,
+       round(CAST(w6 AS DOUBLE) / 1e6 / n_raw, 6) AS weight_factor
+FROM w3""",
+    doc="Raking / iterative proportional fitting (Deming-Stephan): "
+    "calibrate the (event_type x 6h-bucket) cell weights so BOTH "
+    "marginals match uniform targets — the survey-reweighting / "
+    "dataset-rebalancing primitive (make the corpus look uniform "
+    "over types AND daytime without touching the joint structure). "
+    "Three row/column sweeps; after every per-cell scaling the "
+    "weight is snapped to the 1e-6 grid, so every marginal sum the "
+    "next sweep divides by is exact integer arithmetic — the "
+    "fixpoint walk replays bit-identically on both engines "
+    "(snap-then-sum applied to an ITERATIVE algorithm). Output: the "
+    "per-cell weight factor w/n. Plan: one volume aggregate onto "
+    "the 20-cell grid, then three sweeps of grid-sized joins — "
+    "constant work at any scale after the first pass.",
+    survey_ids=("M7",),
+)
+def raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("et"),
+        (F.hour("ts").cast("bigint") / 6).cast("bigint").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    cells = cells.localCheckpoint(eager=True)
+    tot = cells.agg(
+        F.sum("n_raw").cast("bigint").alias("n"),
+        F.countDistinct("et").cast("bigint").alias("n_rows"),
+        F.countDistinct("b").cast("bigint").alias("n_cols"),
+    )
+    targets = tot.select(
+        (F.col("n").cast("double") * 1e6 / F.col("n_rows")).alias("row_t"),
+        (F.col("n").cast("double") * 1e6 / F.col("n_cols")).alias("col_t"),
+    )
+    w = cells.select(
+        "et", "b", "n_raw", (F.col("n_raw") * 1_000_000).alias("w6")
+    )
+    for _ in range(3):
+        rs = w.groupBy("et").agg(F.sum("w6").alias("rs"))
+        w = (
+            w.join(F.broadcast(rs), "et")
+            .crossJoin(F.broadcast(targets))
+            .select(
+                "et",
+                "b",
+                "n_raw",
+                N.cents(
+                    F.col("w6").cast("double")
+                    * F.col("row_t")
+                    / F.col("rs"),
+                    scale=1,
+                ).alias("w6"),
+            )
+        )
+        cs = w.groupBy("b").agg(F.sum("w6").alias("cs"))
+        w = (
+            w.join(F.broadcast(cs), "b")
+            .crossJoin(F.broadcast(targets))
+            .select(
+                "et",
+                "b",
+                "n_raw",
+                N.cents(
+                    F.col("w6").cast("double")
+                    * F.col("col_t")
+                    / F.col("cs"),
+                    scale=1,
+                ).alias("w6"),
+            )
+        )
+    return w.select(
+        F.col("et").alias("event_type"),
+        F.col("b").alias("hour_bucket"),
+        "n_raw",
+        N.rnd(
+            F.col("w6").cast("double") / 1e6 / F.col("n_raw"), 6
+        ).alias("weight_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# power_analysis
+# ---------------------------------------------------------------------------
+
+Z_ALPHA_2 = 1.959963984540054  # norm.ppf(0.975), shared literal
+Z_BETA = 0.8416212335729143  # norm.ppf(0.80), shared literal
+
+
+@query(
+    "power_analysis",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS variant,
+         {N.sql_cents("value")} AS c
+  FROM events
+), cell AS (
+  SELECT event_type, variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+  FROM base GROUP BY 1, 2
+), piv AS (
+  SELECT event_type,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 1 THEN CAST(s AS DOUBLE) / n END) AS m1,
+         max(CASE WHEN variant = 0 THEN CAST(s AS DOUBLE) / n END) AS m0,
+         CAST(sum(q) AS DOUBLE) AS qt,
+         CAST(sum(s) AS DOUBLE) AS st,
+         CAST(sum(n) AS BIGINT) AS nt
+  FROM cell GROUP BY event_type
+), stat AS (
+  SELECT event_type, n1, n0,
+         (m1 - m0) AS delta,
+         (qt - st * st / nt) / (nt - 1) AS var_pooled
+  FROM piv WHERE n1 IS NOT NULL AND n0 IS NOT NULL
+)
+SELECT event_type,
+       n1 AS n_variant_1, n0 AS n_variant_0,
+       round(delta / 100, 4) AS observed_diff,
+       round(sqrt(var_pooled) / 100, 4) AS pooled_std,
+       CASE WHEN abs(delta) < 1e-9 THEN NULL
+            ELSE CAST(ceil(2 * var_pooled
+                           * {(Z_ALPHA_2 + Z_BETA) ** 2!r}
+                           / (delta * delta)) AS BIGINT)
+       END AS n_required_per_arm
+FROM stat""",
+    doc="Experiment power analysis per event type: given the observed "
+    "variant difference (md5(event_id) parity arms) and the pooled "
+    "variance, the classic two-sample sizing formula n = "
+    "2*sigma^2*(z_0.975 + z_0.80)^2 / delta^2 — how many samples per "
+    "arm an A/B test needs to detect TODAY's effect size at 5% "
+    "significance and 80% power. The z constants are shared literals "
+    "(BENFORD pattern); variance and means come from exact "
+    "HUGEINT/DECIMAL(38,0) moments, so delta and n_required are "
+    "fixed double expressions over identical integers (the one ceil "
+    "lands on an identical double); a zero observed delta renders "
+    "NULL. Plan: one (type, arm) aggregate — single map-side-"
+    "combined volume pass, then scalar algebra on 2k rows.",
+    survey_ids=("M7",),
+)
+def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = e.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("variant"),
+        N.cents("value").alias("c"),
+    )
+    cell = base.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("c"))).alias("s"),
+        F.sum(dec(F.col("c")) * F.col("c")).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    piv = cell.groupBy("event_type").agg(
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, mean)).alias("m1"),
+        F.max(F.when(F.col("variant") == 0, mean)).alias("m0"),
+        F.sum("q").cast("double").alias("qt"),
+        F.sum("s").cast("double").alias("st"),
+        F.sum("n").cast("bigint").alias("nt"),
+    )
+    delta = F.col("m1") - F.col("m0")
+    var_pooled = (
+        F.col("qt") - F.col("st") * F.col("st") / F.col("nt")
+    ) / (F.col("nt") - 1)
+    k = (Z_ALPHA_2 + Z_BETA) ** 2
+    return (
+        piv.filter(F.col("n1").isNotNull() & F.col("n0").isNotNull())
+        .select(
+            "event_type",
+            F.col("n1").alias("n_variant_1"),
+            F.col("n0").alias("n_variant_0"),
+            N.rnd(delta / 100).alias("observed_diff"),
+            N.rnd(F.sqrt(var_pooled) / 100).alias("pooled_std"),
+            F.when(
+                F.abs(delta) < 1e-9, F.lit(None).cast("bigint")
+            )
+            .otherwise(
+                F.ceil(
+                    2 * var_pooled * F.lit(k) / (delta * delta)
+                ).cast("bigint")
+            )
+            .alias("n_required_per_arm"),
         )
     )

@@ -903,3 +903,93 @@ def test_cuped_matches_python(spark, sf_dir):
     assert abs(r.var_reduction - (1 - var_adj / var_y)) < 1e-3
     # CUPED can only reduce (or preserve) variance by construction
     assert r.var_reduction >= -1e-6
+
+
+def test_raking_ipf_matches_python_and_calibrates(spark, sf_dir):
+    """Replay the snapped IPF sweeps exactly; after 3 rounds the column
+    marginals must match the uniform target almost exactly and row
+    marginals approximately (alternating-sweep property)."""
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("raking_ipf")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", (F.hour("ts") / 6).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cells = {(r.event_type, r.b): r.n for r in ev}
+    ets = sorted({k[0] for k in cells})
+    bs = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    row_t = n * 1e6 / len(ets)
+    col_t = n * 1e6 / len(bs)
+
+    def snap(x):
+        import math
+
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    w = {k: v * 1_000_000 for k, v in cells.items()}
+    for _ in range(3):
+        rs = defaultdict(int)
+        for (et, b), v in w.items():
+            rs[et] += v
+        w = {k: snap(v * row_t / rs[k[0]]) for k, v in w.items()}
+        cs = defaultdict(int)
+        for (et, b), v in w.items():
+            cs[b] += v
+        w = {k: snap(v * col_t / cs[k[1]]) for k, v in w.items()}
+    for r in rows:
+        k = (r.event_type, r.hour_bucket)
+        assert r.n_raw == cells[k]
+        assert abs(r.weight_factor - w[k] / 1e6 / cells[k]) < 1e-5
+    # after the final column sweep, column marginals hit the target
+    cs = defaultdict(float)
+    for (et, b), v in w.items():
+        cs[b] += v / 1e6
+    for b, tot in cs.items():
+        assert abs(tot - n / len(bs)) < 1.0, (b, tot)
+
+
+def test_power_analysis_matches_python(spark, sf_dir):
+    import hashlib
+    import math
+
+    from project_bigdata_spark.sources import load_table
+
+    rows = _q("power_analysis")(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.when(F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5))
+            .otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+            .alias("c"),
+        )
+        .collect()
+    )
+    groups = defaultdict(lambda: defaultdict(list))
+    for e in ev:
+        v = int(hashlib.md5(str(e.event_id).encode()).hexdigest()[:8], 16) % 2
+        groups[e.event_type][v].append(e.c)
+    ZA, ZB = 1.959963984540054, 0.8416212335729143
+    for r in rows:
+        g = groups[r.event_type]
+        assert (r.n_variant_1, r.n_variant_0) == (len(g[1]), len(g[0]))
+        m1 = sum(g[1]) / len(g[1])
+        m0 = sum(g[0]) / len(g[0])
+        allv = g[0] + g[1]
+        nt = len(allv)
+        var = (sum(x * x for x in allv) - sum(allv) ** 2 / nt) / (nt - 1)
+        assert abs(r.observed_diff - (m1 - m0) / 100) < 1e-3
+        assert abs(r.pooled_std - var**0.5 / 100) < 1e-3
+        if abs(m1 - m0) < 1e-9:
+            assert r.n_required_per_arm is None
+        else:
+            n_req = math.ceil(2 * var * (ZA + ZB) ** 2 / (m1 - m0) ** 2)
+            assert r.n_required_per_arm == n_req
+            assert r.n_required_per_arm > 0

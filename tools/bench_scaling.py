@@ -178,6 +178,8 @@ EXTRA = [
     "stratified_ate",
     "diff_in_diff",
     "cuped_adjustment",
+    "raking_ipf",
+    "power_analysis",
 ]
 
 

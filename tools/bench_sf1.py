@@ -115,6 +115,8 @@ QUERIES = [
     "stratified_ate",
     "diff_in_diff",
     "cuped_adjustment",
+    "raking_ipf",
+    "power_analysis",
 ]
 
 

@@ -77,6 +77,8 @@ SINGLE_PARTITION_OK = {
     "base (replaced the round-4 driver-side deg.count() action)",
     "benford_audit": "broadcast one-row n_total scalar crossed into the "
     "9 digit rows",
+    "raking_ipf": "IPF sweeps run on the 20-cell (type x 6h-bucket) "
+    "grid — marginal sums and rescales are grid-sized, never volume",
     "cuped_adjustment": "one-row covariate-moment reduce broadcast back "
     "over the per-user frame; variant/total frames are 2-3 rows",
     "stratified_ate": "48-cell (hour x arm) frame reduced to scalar "
