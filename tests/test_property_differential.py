@@ -397,18 +397,28 @@ def test_no_decimal_cast_idiom_left_in_oracles():
     )
 
 
-def test_window_oracles_invariant_under_tie_mode_flip(duck):
-    """Every round-5 window oracle must produce the identical value
-    multiset when the cents grid's half-up rounding is replaced with
-    half-even — no output depends on a rounding tie."""
+# Entries whose SEMANTICS mandate half-up rounding: the US-EPA AQI
+# specification rounds concentrations half-up by definition, so a
+# tie-mode flip legitimately changes their output. Both engines
+# implement the half-up explicitly (functions/aqi.py:_round_half_up
+# mirrored in the oracle), so the idiom is still engine-proof — the
+# flip test just probes a different (wrong-per-spec) semantics there.
+_TIE_MODE_BY_SPEC = {"aqi_pm25", "aqi_full_pipeline"}
+
+
+def test_all_oracles_invariant_under_tie_mode_flip(duck):
+    """EVERY catalog oracle (not just the attestation window) must
+    produce the identical value multiset when the cents grid's half-up
+    rounding is replaced with half-even — no output depends on a
+    rounding tie, so no engine-version bump can flip a hash. The only
+    exemptions are the AQI entries whose spec mandates half-up."""
     from project_bigdata_spark.plans.catalog import load_all
 
     specs = load_all()
-    window = list(specs)[:50]
     sensitive = []
-    for name in window:
-        sql = specs[name].oracle
-        if not sql:
+    for name, spec in specs.items():
+        sql = spec.oracle
+        if not sql or name in _TIE_MODE_BY_SPEC:
             continue
         flipped = _flip_floor_half_up_to_half_even(sql)
         base = duck.execute(sql).fetchall()
@@ -417,6 +427,6 @@ def test_window_oracles_invariant_under_tie_mode_flip(duck):
         if canon(base) != canon(flip):
             sensitive.append(name)
     assert sensitive == [], (
-        f"{len(sensitive)} window entries change output under a "
+        f"{len(sensitive)} catalog entries change output under a "
         f"tie-mode flip: {sensitive}"
     )
