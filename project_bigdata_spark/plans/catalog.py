@@ -93,23 +93,78 @@ def query(
 
 
 # The driver attests only the first 50 ``queries()`` entries per round, so
-# catalog order is the attestation schedule. Rounds 1-4 attested 197 of the
-# 244 entries (CORRECTNESS_r01 ∪ ... ∪ r04 — disjoint windows), of which 7
-# came back RED in r4 (hash-only; the sum(CAST(x AS DECIMAL(12,2))) family,
-# hardened to the exact integer-cents grid in round 5 — see _norm.cents).
+# catalog order is the attestation schedule. Rounds 1-5 attested 240 of the
+# 289 entries across five disjoint windows (CORRECTNESS_r01 ∪ ... ∪ r05);
+# every attested row is GREEN except ``approx_stats`` (rows-only — it had no
+# oracle until round 6 gave it the flag-based differential oracle below).
 #
-# ROUND-5 WINDOW (positions 1-50): the 7 repaired reds FIRST (re-attest
-# after the cents hardening), then 43 of the 47 never-attested entries —
-# streaming/IO/warehouse faces first, then graphs + Spark-4 SQL surfaces,
-# then the remaining round-4 operators and the round-3 statistical
-# overflow. The 4 least-risky scalar readouts are staged at positions
-# 51-54 for round 6 (47 + 7 = 54 > 50, so four must wait).
+# ROUND-6 WINDOW (positions 1-50): full-catalog attestation closure. The
+# 4 scalars staged since round 4 lead (oldest debt), then ``approx_stats``
+# re-attests under its NEW hash oracle (the last rows-only entry retired),
+# then the 45 round-5 additions (graph mining, statistics/monitoring,
+# survival/retention, causal/experimentation tiers) in registration order.
+# 49 never-attested + 1 oracle-repaired = exactly 50 slots — after this
+# window every one of the 289 catalog entries has a green driver row.
 # tests/test_sql_catalog.py enforces freshness: while entries without a
 # GREEN driver row exist, the window must be spent on them (a RED row
 # counts as needing attestation, so re-attesting repaired entries
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
-    # -- round-5 window, positions 1-7: the repaired r4 reds -----------
+    # -- round-6 window, positions 1-4: scalars staged since round 4 ---
+    "temperature_mix",
+    "period_over_period",
+    "conversion_ci",
+    "gini_concentration",
+    # -- position 5: approx_stats under its new flag-based oracle ------
+    "approx_stats",
+    # -- positions 6-10: round-5 graph-mining tier ---------------------
+    "label_propagation",
+    "adamic_adar_links",
+    "degree_assortativity",
+    "modularity_lpa",
+    "quality_auc",
+    # -- positions 11-50: round-5 stats/monitoring/survival/causal tier
+    "uncertainty_sampling",
+    "benford_audit",
+    "cusum_drift",
+    "domain_kl_divergence",
+    "minhash_containment",
+    "margin_bitext_mining",
+    "kmeans_lloyd",
+    "hilbert_layout",
+    "pca_power_iteration",
+    "golden_record_survivorship",
+    "holt_forecast",
+    "theil_sen_trend",
+    "mann_kendall_test",
+    "ngram_novelty",
+    "sequential_patterns",
+    "word_pmi",
+    "entropy_rate",
+    "runs_test",
+    "acf_lags",
+    "spearman_hourly",
+    "changepoint_best_split",
+    "anova_oneway",
+    "stl_profile",
+    "xcorr_lags",
+    "kaplan_meier",
+    "retention_cohorts",
+    "harmonic_regression",
+    "poisson_bootstrap_ci",
+    "trimmed_stats",
+    "hill_tail_index",
+    "decision_stump",
+    "conformal_intervals",
+    "median_polish",
+    "forecast_backtest",
+    "ljung_box_test",
+    "stratified_ate",
+    "diff_in_diff",
+    "cuped_adjustment",
+    "raking_ipf",
+    "power_analysis",
+    # -- attested green r1-r5 (disjoint windows); order preserved ------
     "csv_roundtrip",
     "partitioned_parquet_roundtrip",
     "streaming_hourly_attested",
@@ -117,7 +172,6 @@ _ATTESTATION_PRIORITY = [
     "stream_static_join_attested",
     "state_merge_audit",
     "hopping_window_counts",
-    # -- positions 8-18: streaming / IO / warehouse faces --------------
     "streaming_dedup_attested",
     "stream_stream_join_attested",
     "custom_state_stream_attested",
@@ -129,7 +183,6 @@ _ATTESTATION_PRIORITY = [
     "schema_evolution_roundtrip",
     "dynamic_partition_pruning_roundtrip",
     "python_sink_roundtrip",
-    # -- positions 19-27: graphs + Spark-4 SQL surfaces ----------------
     "triangle_count",
     "pagerank_parts",
     "variant_shred",
@@ -139,7 +192,6 @@ _ATTESTATION_PRIORITY = [
     "xml_pack_unpack",
     "listagg_profile",
     "try_arithmetic_audit",
-    # -- positions 28-41: remaining round-4 operators ------------------
     "weighted_median_delay",
     "ohlc_bars",
     "interval_overlap_join",
@@ -154,7 +206,6 @@ _ATTESTATION_PRIORITY = [
     "time_weighted_avg",
     "loo_target_encode",
     "json_pack_unpack",
-    # -- positions 42-50: round-3 statistical overflow (9 of 13) -------
     "higher_moments",
     "chi_square_independence",
     "welch_ttest",
@@ -164,17 +215,6 @@ _ATTESTATION_PRIORITY = [
     "unigram_entropy",
     "dup_cluster_histogram",
     "exact_percentile_bands",
-    # -- positions 51-54: staged for round 6 (least-risky scalars) -----
-    # (the seven round-5 curation additions — benford_audit, cusum_drift,
-    # domain_kl_divergence, minhash_containment, margin_bitext_mining,
-    # kmeans_lloyd, hilbert_layout — register at the catalog tail and are
-    # likewise round-6 window candidates: 4 + 7 = 11 unattested entries
-    # lead the next rotation)
-    "temperature_mix",
-    "period_over_period",
-    "conversion_ci",
-    "gini_concentration",
-    # -- attested green r1-r4: headline set next so timings stay paired
     "jsonl_roundtrip",
     "streaming_session_attested",
     "scd2_customer",

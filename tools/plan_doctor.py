@@ -68,7 +68,7 @@ SINGLE_PARTITION_OK = {
     "key_skew_profile": "cumsum over DISTINCT count values (cardinality-bounded)",
     "embedding_drift": "64-row per-dim means packed into one row",
     "dataset_profile_5v": "five scalar census numbers",
-    "approx_stats": "sketch summary row",
+    "approx_stats": "sketch-vs-exact audit over #event_types rows",
     "value_hour_correlation": "five scalar moments",
     "higher_moments": "four scalar moments",
     "interval_overlap_join": "global hourly-total scalar (one row) feeding "
