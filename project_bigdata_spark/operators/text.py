@@ -52,14 +52,19 @@ def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation characters / total characters."""
+    """Punctuation characters / total characters.
+
+    Counted as the length difference after deleting non-punctuation —
+    the same integer as ``size(regexp_extract_all(text, punct_re))``
+    (so every oracle keeps its ``len(regexp_extract_all(...))`` mirror)
+    but without materializing a per-character array per row.
+    """
     n = F.length(text)
-    return F.size(
-        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9_\s]"), 0)
-    ) / n
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9_\s]", ""))
+    return punct / n
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, ws: Column | None = None) -> Column:
     """Composite quality heuristic in [0, 1]:
 
     - length component: saturating chars/500;
@@ -69,11 +74,20 @@ def quality_score(text: Column) -> Column:
     Weights 0.4/0.3/0.3 — the shape of the reference-free quality filters
     used in large corpus curation; thresholds are explicit constants so
     the oracle replays them.
+
+    ``ws``: optional pre-projected ``words_col(text)`` column. Higher-order
+    functions run interpreted and re-evaluate their input tree per lambda
+    reference (see operators/dedup.py shingles note), so hot callers should
+    tokenize once in a projection and pass the column here; the scalar
+    components are identical either way.
     """
     length_c = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
-    stop_c = F.least(
-        stopword_ratio(text, LANG_PROFILES["en"]) / F.lit(0.3), F.lit(1.0)
-    )
+    if ws is None:
+        stop_r = stopword_ratio(text, LANG_PROFILES["en"])
+    else:
+        sw = LANG_PROFILES["en"]
+        stop_r = F.size(F.filter(ws, lambda w: w.isin(*sw))) / F.size(ws)
+    stop_c = F.least(stop_r / F.lit(0.3), F.lit(1.0))
     punct_p = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
     return length_c * 0.4 + stop_c * 0.3 + punct_p * 0.3
 

@@ -738,25 +738,41 @@ WHERE s.n_pos > 0 AND s.n_pos < t.n""",
     "the quality filter is language-neutral; a skewed AUC means the "
     "filter systematically down-ranks a language — the fairness "
     "audit a multilingual curation pipeline owes its corpus. Plan: "
-    "one volume aggregate onto the score grid, one window over the "
-    "GRID bins (bounded at 1e6+1 rows by construction, never by "
-    "corpus size), one broadcast join back — the classic "
-    "sort-free distributed AUC.",
+    "the corpus is scanned and scored EXACTLY ONCE — one fanned-out "
+    "scoring pass (pre-projected word array, so the interpreted "
+    "higher-order stopword filter tokenizes once) aggregates straight "
+    "onto the (s6, lang) grid and is checkpointed; the volume bins, "
+    "the cumulative window (grid-bounded at 1e6+1 rows by "
+    "construction, never by corpus size), the per-language rank sums "
+    "and the global total are all derived from that bounded grid — "
+    "the classic sort-free distributed AUC.",
     survey_ids=("M7",),
 )
 def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    ws = d.select("lang", "text", words_col(F.col("text")).alias("_ws"))
+    scored = ws.select(
         "lang",
-        N.cents(TX.quality_score(F.col("text")), scale=1_000_000).alias(
-            "s6"
-        ),
+        N.cents(
+            TX.quality_score(F.col("text"), ws=F.col("_ws")),
+            scale=1_000_000,
+        ).alias("s6"),
+    )
+    # the ONLY corpus-wide pass: volume per (score-bin, lang); everything
+    # below operates on this grid-bounded frame (pinned so the three
+    # derivations don't re-scan the corpus)
+    per_lang = (
+        scored.groupBy("s6", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ml"))
+        .localCheckpoint()
     )
     bins = (
-        scored.groupBy("s6")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        per_lang.groupBy("s6")
+        .agg(F.sum("ml").cast("bigint").alias("m"))
         .withColumn(
             "cb",
             F.coalesce(
@@ -769,9 +785,6 @@ def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    per_lang = scored.groupBy("s6", "lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ml")
-    )
     sums = (
         per_lang.join(F.broadcast(bins), "s6")
         .groupBy("lang")
@@ -783,7 +796,7 @@ def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("su"),
         )
     )
-    tot = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = per_lang.agg(F.sum("ml").cast("bigint").alias("n"))
     return (
         sums.crossJoin(F.broadcast(tot))
         .filter((F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n")))
