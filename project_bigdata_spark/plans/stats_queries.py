@@ -2826,7 +2826,12 @@ def raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "et", "b", "n_raw", (F.col("n_raw") * 1_000_000).alias("w6")
     )
     for _ in range(3):
-        rs = w.groupBy("et").agg(F.sum("w6").alias("rs"))
+        # widen to DECIMAL(38,0) like the module's dec() idiom — a BIGINT
+        # sum would silently wrap (Spark non-ANSI) near ~9e12 events while
+        # the DuckDB oracle widens to HUGEINT
+        rs = w.groupBy("et").agg(
+            F.sum(F.col("w6").cast("decimal(38,0)")).alias("rs")
+        )
         w = (
             w.join(F.broadcast(rs), "et")
             .crossJoin(F.broadcast(targets))
@@ -2842,7 +2847,9 @@ def raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w6"),
             )
         )
-        cs = w.groupBy("b").agg(F.sum("w6").alias("cs"))
+        cs = w.groupBy("b").agg(
+            F.sum(F.col("w6").cast("decimal(38,0)")).alias("cs")
+        )
         w = (
             w.join(F.broadcast(cs), "b")
             .crossJoin(F.broadcast(targets))
@@ -2897,14 +2904,17 @@ WITH base AS (
          max(CASE WHEN variant = 0 THEN n END) AS n0,
          max(CASE WHEN variant = 1 THEN CAST(s AS DOUBLE) / n END) AS m1,
          max(CASE WHEN variant = 0 THEN CAST(s AS DOUBLE) / n END) AS m0,
-         CAST(sum(q) AS DOUBLE) AS qt,
-         CAST(sum(s) AS DOUBLE) AS st,
+         max(CASE WHEN variant = 1 THEN CAST(q AS DOUBLE) END) AS q1,
+         max(CASE WHEN variant = 0 THEN CAST(q AS DOUBLE) END) AS q0,
+         max(CASE WHEN variant = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+         max(CASE WHEN variant = 0 THEN CAST(s AS DOUBLE) END) AS s0,
          CAST(sum(n) AS BIGINT) AS nt
   FROM cell GROUP BY event_type
 ), stat AS (
   SELECT event_type, n1, n0,
          (m1 - m0) AS delta,
-         (qt - st * st / nt) / (nt - 1) AS var_pooled
+         ((q1 - s1 * s1 / n1) + (q0 - s0 * s0 / n0)) / (nt - 2)
+           AS var_pooled
   FROM piv WHERE n1 IS NOT NULL AND n0 IS NOT NULL
 )
 SELECT event_type,
@@ -2919,7 +2929,9 @@ SELECT event_type,
 FROM stat""",
     doc="Experiment power analysis per event type: given the observed "
     "variant difference (md5(event_id) parity arms) and the pooled "
-    "variance, the classic two-sample sizing formula n = "
+    "WITHIN-arm variance s_p^2 = (ss1 + ss0)/(nt - 2) — the standard "
+    "two-sample pooled estimator, excluding the between-arm component "
+    "(round-5 advice) — the classic sizing formula n = "
     "2*sigma^2*(z_0.975 + z_0.80)^2 / delta^2 — how many samples per "
     "arm an A/B test needs to detect TODAY's effect size at 5% "
     "significance and 80% power. The z constants are shared literals "
@@ -2957,14 +2969,27 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
         F.max(F.when(F.col("variant") == 1, mean)).alias("m1"),
         F.max(F.when(F.col("variant") == 0, mean)).alias("m0"),
-        F.sum("q").cast("double").alias("qt"),
-        F.sum("s").cast("double").alias("st"),
+        F.max(
+            F.when(F.col("variant") == 1, F.col("q").cast("double"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("variant") == 0, F.col("q").cast("double"))
+        ).alias("q0"),
+        F.max(
+            F.when(F.col("variant") == 1, F.col("s").cast("double"))
+        ).alias("s1"),
+        F.max(
+            F.when(F.col("variant") == 0, F.col("s").cast("double"))
+        ).alias("s0"),
         F.sum("n").cast("bigint").alias("nt"),
     )
     delta = F.col("m1") - F.col("m0")
+    # pooled WITHIN-arm variance (nt - 2 dof) — fixed expression order,
+    # so both engines evaluate the identical IEEE double
     var_pooled = (
-        F.col("qt") - F.col("st") * F.col("st") / F.col("nt")
-    ) / (F.col("nt") - 1)
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+        + (F.col("q0") - F.col("s0") * F.col("s0") / F.col("n0"))
+    ) / (F.col("nt") - 2)
     k = (Z_ALPHA_2 + Z_BETA) ** 2
     return (
         piv.filter(F.col("n1").isNotNull() & F.col("n0").isNotNull())

@@ -5,6 +5,8 @@ evaluates one batch DataFrame per test, not per example."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from hypothesis import given, settings, strategies as st
@@ -354,9 +356,14 @@ def test_concurrency_curve_matches_interval_count(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-def _flip_floor_half_up_to_half_even(sql: str) -> str:
+def _flip_floor_half_up_to_half_even(sql: str, name: str = "?") -> str:
     """Rewrite every ``floor(<inner> + 0.5)`` in an oracle to
-    ``round_even(<inner>, 0)`` — the simulated tie-mode flip."""
+    ``round_even(<inner>, 0)`` — the simulated tie-mode flip.
+
+    ``name`` labels assertion messages with the offending oracle.
+    ``floor (`` with a space is normalized before scanning so it cannot
+    be silently skipped."""
+    sql = re.sub(r"\bfloor\s+\(", "floor(", sql)
     out = []
     i = 0
     needle = "floor("
@@ -368,6 +375,10 @@ def _flip_floor_half_up_to_half_even(sql: str) -> str:
         depth = 1
         k = j + len(needle)
         while depth:
+            assert k < len(sql), (
+                f"oracle {name!r}: unbalanced parentheses inside "
+                f"'floor(' starting at offset {j}"
+            )
             if sql[k] == "(":
                 depth += 1
             elif sql[k] == ")":
@@ -420,7 +431,7 @@ def test_all_oracles_invariant_under_tie_mode_flip(duck):
         sql = spec.oracle
         if not sql or name in _TIE_MODE_BY_SPEC:
             continue
-        flipped = _flip_floor_half_up_to_half_even(sql)
+        flipped = _flip_floor_half_up_to_half_even(sql, name)
         base = duck.execute(sql).fetchall()
         flip = duck.execute(flipped).fetchall()
         canon = lambda rows: sorted(repr(r) for r in rows)  # noqa: E731

@@ -982,9 +982,12 @@ def test_power_analysis_matches_python(spark, sf_dir):
         assert (r.n_variant_1, r.n_variant_0) == (len(g[1]), len(g[0]))
         m1 = sum(g[1]) / len(g[1])
         m0 = sum(g[0]) / len(g[0])
-        allv = g[0] + g[1]
-        nt = len(allv)
-        var = (sum(x * x for x in allv) - sum(allv) ** 2 / nt) / (nt - 1)
+        nt = len(g[0]) + len(g[1])
+        # pooled WITHIN-arm variance (nt - 2 dof), the standard two-sample
+        # pooled estimator — excludes the between-arm component
+        ss1 = sum(x * x for x in g[1]) - sum(g[1]) ** 2 / len(g[1])
+        ss0 = sum(x * x for x in g[0]) - sum(g[0]) ** 2 / len(g[0])
+        var = (ss1 + ss0) / (nt - 2)
         assert abs(r.observed_diff - (m1 - m0) / 100) < 1e-3
         assert abs(r.pooled_std - var**0.5 / 100) < 1e-3
         if abs(m1 - m0) < 1e-9:
