@@ -772,7 +772,7 @@ FROM b""",
     "(order-free, partitioning-independent) and the one-pass formula is "
     "evaluated in double from identical inputs on every engine — the "
     "same discipline as stddev_exact. One partial-aggregated shuffle.",
-    survey_ids=("A3", "A10"),
+    survey_ids=("A3", "A10", "M7-A2"),
 )
 def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

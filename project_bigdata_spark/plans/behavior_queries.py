@@ -86,7 +86,7 @@ GROUP BY 1, 2, 3, 4, 5""",
     "one tiny broadcast, no window; the monitoring shape for the "
     "reference's hourly telemetry (spark/batch_processor.py:95-123) "
     "that a static threshold cannot express.",
-    survey_ids=("A3", "A10", "M7"),
+    survey_ids=("A3", "A10", "M7-A15b"),
 )
 def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -160,7 +160,7 @@ FROM hours GROUP BY 1""",
     "sweep-line prefix sum, which needs a GLOBAL time ordering — a "
     "single-partition window at 100 TB; here concurrency is recovered "
     "with one entity-key exchange plus a linear, bounded explode.",
-    survey_ids=("W3", "A7", "M7"),
+    survey_ids=("W3", "A7", "M7-A16b"),
 )
 def concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -246,7 +246,7 @@ FROM w""",
     "scan, a 2-row aggregate, closed form in double — the experiment "
     "analysis the chi-square screen (chi_square_independence) covers "
     "for categorical outcomes, here for the continuous metric.",
-    survey_ids=("A4", "M7"),
+    survey_ids=("A4", "M7-A17b"),
 )
 def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -318,7 +318,7 @@ FROM conv GROUP BY 1""",
     "One exchange on user_id shared by the window; the rollup is a "
     "5-row aggregate. DECIMAL revenue sum keeps the credit ledger "
     "order-free and exact.",
-    survey_ids=("W1", "A5", "M7"),
+    survey_ids=("W1", "A5", "M7-A18b"),
 )
 def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -385,7 +385,7 @@ FROM conv""",
     "differently across engines). The signup side collapses to one row "
     "per converting user and broadcasts; the fact table is scanned "
     "once per side with the event_type filter pushed to parquet.",
-    survey_ids=("A11", "F9", "M7"),
+    survey_ids=("A11", "F9", "M7-A19b"),
 )
 def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -429,7 +429,7 @@ FROM events GROUP BY 1""",
     "driver attestation proves merge(partials) == direct — the property "
     "that lets a 100 TB pipeline maintain daily states and re-aggregate "
     "only merged state instead of re-scanning history on every refresh.",
-    survey_ids=("A1", "A9", "M7"),
+    survey_ids=("A1", "A9", "M7-L4"),
 )
 def state_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -508,7 +508,7 @@ CROSS JOIN tot t""",
     "pair self-join keys on the session, so its width is bounded by "
     "the type vocabulary (itemset <= |event types|), never by session "
     "length; singles and the total collapse to broadcast rows.",
-    survey_ids=("A5", "A11", "M7"),
+    survey_ids=("A5", "A11", "M7-A20b"),
 )
 def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -682,7 +682,7 @@ def funnel_user_depths(e: DataFrame) -> DataFrame:
     "state is 4 timestamps; the folded array holds only funnel-stage "
     "events for that user (the same per-entity bound windowFunnel "
     "itself carries).",
-    survey_ids=("A11", "W6", "M7"),
+    survey_ids=("A11", "W6", "M7-A21b"),
 )
 def funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -705,7 +705,7 @@ FROM events GROUP BY 1""",
     "wide exchange carries one row per (week, user), and partial "
     "map-side aggregation dedups within every input partition before "
     "anything shuffles (a direct countDistinct shuffles raw fact rows).",
-    survey_ids=("A6", "A7", "M7"),
+    survey_ids=("A6", "A7", "M7-A22b"),
 )
 def distinct_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -744,7 +744,7 @@ FROM ranked GROUP BY 1""",
     "alternative, audited separately in approx_quantile_audit). One "
     "exchange on the group key; at 100 TB the per-group sort is the "
     "cost, which is exactly what the sketch path trades away.",
-    survey_ids=("A3", "A10", "M7"),
+    survey_ids=("A3", "A10", "M7-A23b"),
 )
 def exact_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -798,7 +798,7 @@ FROM hopped GROUP BY 1""",
     "epoch-aligned starts per event. Overlap factor is fixed at plan "
     "time, so the pre-aggregation blowup is a constant, not data-"
     "dependent.",
-    survey_ids=("T2", "A7", "M7"),
+    survey_ids=("T2", "A7", "M7-A24b"),
 )
 def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -840,7 +840,7 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day)""",
     "the lag never touches raw events. NOTE: a 7-ROW lag equals a "
     "7-DAY lag only on gap-free daily series; the events table is "
     "dense at every SF, and gap_fill_hourly covers the sparse case.",
-    survey_ids=("W1", "A7", "F9", "M7"),
+    survey_ids=("W1", "A7", "F9", "M7-A25b"),
 )
 def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -896,7 +896,7 @@ GROUP BY 1""",
     "map-side-combinable, and everything shuffles pre-deduped (user, "
     "hour) pairs, never raw facts. The sketch alternative (HLL merge "
     "over hourly registers) is the approx_distinct_audit family.",
-    survey_ids=("A6", "W3", "M7"),
+    survey_ids=("A6", "W3", "M7-A26b"),
 )
 def rolling_distinct_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -956,7 +956,7 @@ FROM cum""",
     "key would single-partition-sort the key universe). A skew_ratio "
     "near 1 means hash partitions balance; >> 1 flags the hot keys "
     "AQE's skew-join thresholds and manual salting are sized against.",
-    survey_ids=("A3", "A10", "M7"),
+    survey_ids=("A3", "A10", "M7-K2"),
 )
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1017,7 +1017,7 @@ GROUP BY 1""",
     "plain join. Proves the manual skew fallback changes the shuffle "
     "layout and nothing else; the rollup keys on event_type so any "
     "lost or duplicated row flips a count or a DECIMAL sum.",
-    survey_ids=("M4", "M7"),
+    survey_ids=("M4", "M7-K3"),
 )
 def salted_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators.joins import salted_join
@@ -1076,7 +1076,7 @@ FROM agg""",
     "and radius are spelled with the same operation order on both "
     "sides, so the IEEE arithmetic matches exactly). One entity group "
     "pass, a 2-row aggregate.",
-    survey_ids=("A4", "A11", "M7"),
+    survey_ids=("A4", "A11", "M7-A29b"),
 )
 def conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1154,7 +1154,7 @@ FROM cum GROUP BY 1""",
     "and a subtraction of identical integers — bit-identical on every "
     "IEEE engine. drift_psi's binned sibling; this one is exact and "
     "binning-free. crit_05 is the α=0.05 two-sample critical value.",
-    survey_ids=("A3", "W3", "M7"),
+    survey_ids=("A3", "W3", "M7-A35b"),
 )
 def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1229,7 +1229,7 @@ JOIN sizes sb ON sb.event_type = p.type_b""",
     "10⁹ users this is one user-key exchange over the deduped "
     "(user, type) pairs; the alternative bitmap intersection needs "
     "the same shuffle to build its bitmaps.",
-    survey_ids=("A6", "M4", "M7"),
+    survey_ids=("A6", "M4", "M7-A36b"),
 )
 def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

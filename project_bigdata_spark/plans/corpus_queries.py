@@ -57,7 +57,7 @@ GROUP BY toks.doc_id""",
     "document under the corpus top-4096 unigram model (OOV mass 0.5). "
     "Vocab builds with one token shuffle + TakeOrdered, packs into ONE "
     "broadcast map row; scoring is a zero-shuffle fold per document.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T10",),
 )
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -92,7 +92,7 @@ GROUP BY q.lang""",
     "are pre-rounded to the 4-decimal grid and the comparison carries a "
     "1e-9 slack so interpolated-threshold ulp noise can never flip a "
     "row across engines (the grid spacing is 1e-4).",
-    survey_ids=("M7",),
+    survey_ids=("M7-T11",),
 )
 def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -139,7 +139,7 @@ GROUP BY 1""",
     "from the one documents table: doc_id%11==3 rows are 'late "
     "additions' (absent from old), doc_id%7==0 rows were 'removed', and "
     "doc_id%5==0 rows carry an edited payload in new.",
-    survey_ids=("M7",),
+    survey_ids=("M7-L1",),
 )
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -182,7 +182,7 @@ FROM b GROUP BY 1, 2""",
     "val/test never bleed into train between versions. Narrow map + "
     "one small aggregation; the per-language census is the leakage "
     "sanity check.",
-    survey_ids=("M7", "W7"),
+    survey_ids=("W7", "M7-L2"),
 )
 def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import features as FE
@@ -215,7 +215,7 @@ FROM documents""",
     "chain — the cleanup pass that runs before hashing/shingling so "
     "byte-level junk cannot defeat dedup. Output is the digest of the "
     "normalized text plus the length delta, never the payload.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T12",),
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -255,7 +255,7 @@ FROM c QUALIFY rk <= {TOP_NGRAMS_K}""",
     "ranking window runs over the aggregated (lang, gram) counts — "
     "vocab-sized, orders of magnitude smaller than the corpus scan "
     "that feeds it.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T13",),
 )
 def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -362,7 +362,7 @@ FROM base b LEFT JOIN prof p USING (doc_id)""",
     "docs, merged per doc into maximal spans via gaps-and-islands; emits "
     "span count / covered words / coverage per doc. Only 16-byte digests "
     "shuffle; the repeated-gram set is capped most-frequent-first.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D11",),
 )
 def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -415,7 +415,7 @@ GROUP BY p.doc_id""",
     "unigram proxy scores as fine. Both model tables are capped TakeOrdered "
     "builds packed into single broadcast map rows; scoring is a "
     "zero-shuffle fold.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T14",),
 )
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -450,7 +450,7 @@ FROM tf GROUP BY term""",
     "total tf, doc-id span. Two partial-aggregating shuffles on tiny "
     "keys; payloads never move — the lexical-retrieval complement of "
     "the ANN path.",
-    survey_ids=("M7",),
+    survey_ids=("M7-R1",),
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -481,7 +481,7 @@ WHERE rk <= 3""",
     "deterministic tie-break on the rounded score then term. The "
     "doc-frequency side is vocab-sized -> broadcast join; rank filter "
     "compiles to WindowGroupLimit.",
-    survey_ids=("M7",),
+    survey_ids=("M7-R2",),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -516,7 +516,7 @@ ORDER BY bm25 DESC, tf.doc_id LIMIT 10""",
     "score is aggregation-order-free. The exploded frame collapses to "
     "|query|xdf rows before any wide shuffle; corpus stats are one "
     "broadcast row.",
-    survey_ids=("M7",),
+    survey_ids=("M7-R3",),
 )
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -594,7 +594,7 @@ ORDER BY rrf DESC, doc_id LIMIT 10""",
     "top-k frames, so the fusion join is a few-row full-outer, never a "
     "corpus shuffle; per-list terms are rounded then DECIMAL-summed so "
     "fusion replays bit-identically on both engines.",
-    survey_ids=("M7",),
+    survey_ids=("M7-R4",),
 )
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -707,7 +707,7 @@ ORDER BY bm25 DESC, t.doc_id LIMIT 10""",
     "term DataFrame flowing into BM25's broadcast-semi-join branch; "
     "every score is rounded-then-DECIMAL-summed so both passes replay "
     "bit-identically on the oracle.",
-    survey_ids=("M7",),
+    survey_ids=("M7-R5",),
 )
 def prf_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

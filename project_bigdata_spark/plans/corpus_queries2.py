@@ -60,7 +60,7 @@ FROM r GROUP BY doc_id""",
     "doc into non-overlapping 16-word segments, keep the first corpus-wide "
     "occurrence of each, report per-doc kept/total/dup-ratio. Only 32-hex "
     "MD5 digests shuffle — two exchanges, payload text never moves.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D15",),
 )
 def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -94,7 +94,7 @@ ORDER BY doc_freq DESC, shingle LIMIT 20""",
     "many docs — the opposite signature of within-doc repetition). "
     "array_distinct before the explode makes plain count(*) the doc "
     "frequency; the doc total is one broadcast row.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D16",),
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -125,7 +125,7 @@ FROM per""",
     "cumulative share in descending-tokens order — what a sampling-weights "
     "decision reads. One partial-aggregated shuffle to a #sources-row "
     "frame; the share window runs on that tiny frame only.",
-    survey_ids=("M7", "A10"),
+    survey_ids=("A10", "M7-C1"),
 )
 def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -162,7 +162,7 @@ FROM r GROUP BY lang""",
     "and Zipf-head coverage (token share of the top-10 types) — the stats "
     "a tokenizer-budget decision needs. Two aggregations; the rank window "
     "runs over (lang x vocab) counts, never raw tokens.",
-    survey_ids=("M7",),
+    survey_ids=("M7-C2",),
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -198,7 +198,7 @@ FROM per GROUP BY bucket""",
     doc="Sequence-length bucketing audit: smallest power-of-two bucket per "
     "doc (CASE ladder — integer-exact, no float log2 edge cases), with "
     "per-bucket padding waste — what bucketed batching costs at each size.",
-    survey_ids=("M7",),
+    survey_ids=("M7-C3",),
 )
 def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -233,7 +233,7 @@ FROM r WHERE rn <= 20""",
     "multiplicative hash of the id (pure int64, engine-identical, id "
     "reduced mod p first so it never overflows) and take the first 20. "
     "WindowGroupLimit pushes the rank limit into the per-group sort.",
-    survey_ids=("P12", "M7"),
+    survey_ids=("P12", "M7-P3"),
 )
 def stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -263,7 +263,7 @@ FROM events e JOIN s USING (event_type)""",
     "mean/stddev, rounded before the scale arithmetic so outputs are "
     "partitioning-independent) broadcasts back; the event stream itself "
     "never reshuffles.",
-    survey_ids=("M5", "M7"),
+    survey_ids=("M5", "M7-F1"),
 )
 def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -305,7 +305,7 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "come back NULL. Same single-shuffle union+carry construction — the "
     "matched timestamp rides as one extra carried column and the bound is "
     "a post-window predicate, zero extra exchanges.",
-    survey_ids=("M4", "W1"),
+    survey_ids=("M4", "W1", "M7-J1"),
 )
 def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -360,7 +360,7 @@ WHERE levenshtein(a.pfx, b.pfx) <= 8""",
     "Both quadratic dimensions bounded: constant-size DP per pair, "
     "max_block=1000 drops degenerate blocks whole (the LSH hot-bucket "
     "guard). Only (id, block, prefix) tuples shuffle.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D17",),
 )
 def edit_distance_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import dedup as DD
@@ -396,7 +396,7 @@ FROM events""",
     "variance); the oracle emits the exact count with the flag pinned "
     "true — the value hash matches only if every estimate lands within "
     "tolerance.",
-    survey_ids=("A3", "M7"),
+    survey_ids=("A3", "M7-A1"),
 )
 def approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -454,7 +454,7 @@ FROM kept GROUP BY lang""",
     "across engines, runs, and partitionings (rejection sampling a real "
     "curation pipeline can re-execute idempotently). Zero shuffles before "
     "the per-language rollup.",
-    survey_ids=("P12", "M7"),
+    survey_ids=("P12", "M7-P4"),
 )
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import text as TX
@@ -499,7 +499,7 @@ FROM toks GROUP BY doc_id, bucket""".replace("{WORDS}", WORDS_SQL),
     "(doc_id, int bucket) pairs shuffle, with map-side partial counts; "
     "at 100 TB the feature space stays 1024 wide no matter how the vocab "
     "grows.",
-    survey_ids=("M5", "M7"),
+    survey_ids=("M5", "M7-F2"),
 )
 def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators.dedup import words_col
@@ -539,7 +539,7 @@ ORDER BY cnt DESC, pair LIMIT 20""".replace("{WORDS}", WORDS_SQL),
     "collapse the ~1k-symbol-pair space map-side, and the top-20 is a "
     "TakeOrdered merge — per-iteration cost is ONE pass regardless of "
     "corpus size, which is why distributed BPE trains on 100 TB.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T15",),
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators.dedup import words_col
@@ -588,7 +588,7 @@ FROM s""",
     "fixed-width rows and each window can be fetched with a ranged GET). "
     "Companion mapInPandas RMS extraction is real signal math, tested in "
     "test_multimodal.py.",
-    survey_ids=("M7",),
+    survey_ids=("M7-M5",),
 )
 def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import multimodal as MM
@@ -627,7 +627,7 @@ FROM r GROUP BY doc_id""",
     "segment digest, reassemble on doc — the same two exchanges as the "
     "accounting pass, with surviving text riding only the second (the "
     "one unavoidable payload move: it IS the output).",
-    survey_ids=("M7",),
+    survey_ids=("M7-D15",),
 )
 def segment_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -653,7 +653,7 @@ FROM g GROUP BY group_size""",
     "— the first diagnostic a dedup run reports. Two tiny aggregations "
     "(digest -> group size -> histogram); only 16-byte digests and "
     "counts ever move.",
-    survey_ids=("M7", "A8"),
+    survey_ids=("A8", "M7-A3"),
 )
 def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -689,7 +689,7 @@ GROUP BY c.lang""".replace("{WORDS}", WORDS_SQL),
     "and any partitioning (ULP noise in ln() sits at 1e-16 relative, "
     "absorbed by the 1e-12 grid). Same two-aggregation shape as "
     "vocab_coverage; the entropy sum runs over vocab-sized counts.",
-    survey_ids=("M7", "A3"),
+    survey_ids=("A3", "M7-A4"),
 )
 def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators.dedup import words_col
@@ -742,7 +742,7 @@ FROM rows_ GROUP BY event_type""",
     "and aggregated; the oracle REGENERATES the same rows in SQL from "
     "the shared md5 row math. A connector goes through the same "
     "differential gate as a query.",
-    survey_ids=("S5", "M7"),
+    survey_ids=("S5", "M7-S8"),
 )
 def python_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.sources import pysource
@@ -793,7 +793,7 @@ FROM weighted""",
     "100k budget. The per-source aggregate is tiny; the damped weights "
     "round to a fixed 12-decimal grid and sum as DECIMAL so the "
     "normalizer is order-free and bit-identical across engines.",
-    survey_ids=("P12", "M7"),
+    survey_ids=("P12", "M7-C4"),
 )
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -852,7 +852,7 @@ FROM per_src CROSS JOIN global_mean""",
     "shared 4-decimal grid and sums as DECIMAL, so both the source "
     "means and the global mean are order-free-exact; the global row "
     "broadcasts back onto the tiny per-source aggregate.",
-    survey_ids=("A10", "M7"),
+    survey_ids=("A10", "M7-C5"),
 )
 def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import text as TX2

@@ -120,7 +120,7 @@ FROM obs CROSS JOIN tot""",
     "total: linear scan, nothing else, at any scale. (TPC-H prices are "
     "range-truncated synthetics, so the audit FIRES — that is the "
     "point of running it on a pipeline's numeric columns.)",
-    survey_ids=("M7",),
+    survey_ids=("M7-A42",),
 )
 def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -189,7 +189,7 @@ FROM cus""",
     "series. Deviations are scaled to integers (4*T*x - 5*tot in exact "
     "cents) so every intermediate is order-free integer arithmetic; the "
     "one double division happens at render time.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A43",),
 )
 def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -298,7 +298,7 @@ FROM terms GROUP BY source, ns""",
     "doubles and snapped to an exact 1e-9 integer grid BEFORE summation, "
     "so the aggregate is order-free integer arithmetic (cross-row float "
     "summation order can never flip the hash).",
-    survey_ids=("M7",),
+    survey_ids=("M7-C6",),
 )
 def domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -402,7 +402,7 @@ JOIN sh sb ON p.id_b = sb.doc_id""",
     "boundary can flip a class cross-engine. Same banded-LSH candidate "
     "generation as minhash_near_dups: digests shuffle, payloads don't, "
     "never all-pairs.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D18",),
 )
 def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -514,7 +514,7 @@ WHERE rn_a = 1 AND rn_b = 1
     "SAME scored frame (one window per side), so the corpus is touched "
     "once; at scale the b_id window shuffles |shard| x k candidate "
     "rows, never the corpus.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S14",),
 )
 def margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -678,7 +678,7 @@ FROM a2"""
     "clusters. Scale shape: centroids are a k-row broadcast, assignment "
     "never shuffles the corpus; each update shuffles k x dim partial "
     "sums (map-side combined) — the canonical Spark k-means plan.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML6",),
 )
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -836,7 +836,7 @@ def hilbert_chain(df: DataFrame, carry: list[str]) -> DataFrame:
     "zero shuffles before the final bucket aggregate. Output: per-"
     "bucket row/user counts and per-dimension spans (the locality "
     "evidence a layout optimizer reads before rewriting files).",
-    survey_ids=("M7",),
+    survey_ids=("M7-L5",),
 )
 def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -959,7 +959,7 @@ CROSS JOIN n{_PCA_ITERS} n CROSS JOIN trace t"""
     f"{_PCA_ITERS} iterations run on dim^2-row broadcast-joined frames "
     "— corpus-free. ev_ratio = ||Bw|| / trace(B), the top axis's share "
     "of the between-class variance.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML7",),
 )
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1131,7 +1131,7 @@ FROM stats s JOIN canon c USING (cluster_id) JOIN lv v USING (cluster_id)""",
     "are tiny relative to the corpus, so all three rule frames "
     "broadcast-join back under AQE. Tie-breaks are total orders "
     "(count DESC, lang ASC), never engine-dependent argmax.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D19",),
 )
 def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1242,7 +1242,7 @@ FROM fin""",
     "IEEE op sequence on the same doubles. Per-series state is one "
     "5-field struct; the list frame is bounded by the series length "
     "(one row per hour), not the event count.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A44",),
 )
 def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1370,7 +1370,7 @@ FROM med_s s JOIN med_r r USING (event_type)""",
     "bounded by the TIME RANGE (720 hours -> ~260k pairs), completely "
     "independent of the event count, so the decade slope is ~flat; "
     "series partition the work perfectly.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A45",),
 )
 def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1508,7 +1508,7 @@ FROM stat""",
     "the one double division renders Z. Same series-length-bounded "
     "pair join as theil_sen_trend: O(hours^2) per series, independent "
     "of event count.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A46",),
 )
 def mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1641,7 +1641,7 @@ FROM docs d LEFT JOIN grp g USING (lang, source)""",
     "source), one window over the trigram hash partitioning for the "
     "global count, one group aggregate — payload text never shuffles "
     "twice, only (trigram, count) pairs move.",
-    survey_ids=("M7",),
+    survey_ids=("M7-C20",),
 )
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1770,7 +1770,7 @@ CROSS JOIN tot t""",
     "fanout is bounded by the type vocabulary squared per session — "
     "never by event volume; totals are a broadcast type-cardinality "
     "frame and one scalar row.",
-    survey_ids=("M7",),
+    survey_ids=("M7-B20",),
 )
 def sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1904,7 +1904,7 @@ FROM ranked WHERE rk <= {PMI_TOP_K}""",
     "is vocabulary-bounded per doc, two broadcast doc-frequency joins, "
     "one scalar N row; WindowGroupLimit caps the rank at "
     f"{PMI_TOP_K}.",
-    survey_ids=("M7",),
+    survey_ids=("M7-C21",),
 )
 def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -2017,7 +2017,7 @@ FROM agg a CROSS JOIN states s""",
     "Plan: one per-user lag window, one (prev, next) aggregate "
     "(states^2 rows), scalar algebra — the window is the only "
     "event-volume pass.",
-    survey_ids=("M7",),
+    survey_ids=("M7-B23",),
 )
 def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

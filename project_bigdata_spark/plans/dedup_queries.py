@@ -99,7 +99,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents""",
     doc="Exact dedup: md5-digest groups, min-id canonical survivor. Only "
     "the 16-byte digest shuffles, never the text.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D1",),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -124,7 +124,7 @@ SELECT bow, CAST(count(*) AS BIGINT) AS n_docs,
 FROM fp GROUP BY bow""",
     doc="Bag-of-words fingerprint dedup: order/whitespace-insensitive "
     "digest groups (catches word-permuted copies).",
-    survey_ids=("M7",),
+    survey_ids=("M7-D2",),
 )
 def dedup_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -153,7 +153,7 @@ FROM hs""",
     doc="MinHash signatures: 8 components per doc from SLICED md5s — two "
     "md5 calls per 3-word shingle, each digest split into four 32-bit "
     "slices — one narrow pass, no shuffle.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D3",),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -185,7 +185,7 @@ WHERE CAST(len(list_intersect(list_distinct(sa.shingles),
     "band -> bucket self-join -> exact-Jaccard verification at 0.2. Only "
     "candidate pairs (not n²) reach verification.",
     headline=True,
-    survey_ids=("M7",),
+    survey_ids=("M7-D4",),
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -221,7 +221,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM bits""",
     doc="16-bit SimHash from per-word md5 bit votes, composed with "
     "F.aggregate over the word array (no explode, no UDF).",
-    survey_ids=("M7",),
+    survey_ids=("M7-D5",),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = DD.fan_out(load_table(spark, sf_dir, "documents"))
@@ -256,7 +256,7 @@ WHERE a.doc_id < b.doc_id
       / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2""",
     doc="Blocked word-bigram Jaccard: compare only within (lang, source) "
     "blocks — the sub-quadratic blocking pattern for n-gram dedup.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D6",),
 )
 def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -320,7 +320,7 @@ FROM l{DD.CLUSTER_ROUNDS}""",
     "cluster_id = min doc_id within reach, i.e. the canonical survivor). "
     "The pairs->clusters step every curation dedup pipeline needs before "
     "it can drop duplicates transitively.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D7",),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -355,7 +355,7 @@ GROUP BY c.doc_id""",
     "doc_id %% 97 = 0 stand in for an eval suite). The benchmark shingle "
     "set is broadcast — the corpus side stays a narrow explode + "
     "two-level aggregate (operators/dedup.py:shingle_containment).",
-    survey_ids=("M7",),
+    survey_ids=("M7-D9",),
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -401,7 +401,7 @@ WHERE d.doc_id % 3 = 0""",
     "candidates with exact Jaccard at 0.2, and flag each new doc novel "
     "or duplicate-of-corpus. At 100 TB the corpus side is a persisted "
     "signature table, so cost scales with the batch, not the corpus.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D10",),
 )
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -468,7 +468,7 @@ GROUP BY d.lang""",
     "kept), reported as a per-language census. The labels table covers "
     "only docs in verified pairs, so the final join broadcasts under "
     "AQE; the corpus moves at most once.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D20",),
 )
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -517,7 +517,7 @@ WHERE d.doc_id % 3 = 0""",
     "digest join. Output is EXACT (bloom false positives are resolved by "
     "the join, false negatives are impossible), so the oracle is plain "
     "SQL while the Spark plan shows the prefilter.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D13",),
 )
 def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -576,7 +576,7 @@ JOIN sigs b ON p.id_b = b.doc_id""",
     "estimate vs the exact shingle Jaccard and their absolute error — "
     "the measured readout for choosing NUM_HASHES and band geometry. "
     "Candidates only (banded + capped), never all pairs.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D21",),
 )
 def minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -120,7 +120,7 @@ FROM events GROUP BY 1""",
     "parquet, so quoting bugs (props holds JSON with quotes/commas), "
     "timestamp truncation, or float re-parse drift all break the hash. "
     "The md5-sum over props pins string fidelity exactly.",
-    survey_ids=("S10",),
+    survey_ids=("S10", "M7-IO1"),
 )
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -162,7 +162,7 @@ FROM documents GROUP BY 1""",
     "to JSONL, read back under an explicit schema, and aggregate. The "
     "md5-sum over text attests byte-exact payload survival through "
     "JSON escaping — multi-line, quoted, non-ASCII text included.",
-    survey_ids=("S6", "F13"),
+    survey_ids=("S6", "F13", "M7-IO2"),
 )
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -193,7 +193,7 @@ GROUP BY 1""",
     "the filter prunes to 7 of 30 hive partitions (asserted in "
     "tests/test_plans.py). Values re-aggregate exactly against the "
     "unpartitioned original.",
-    survey_ids=("S7", "P6"),
+    survey_ids=("S7", "P6", "M7-IO3"),
 )
 def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
@@ -226,7 +226,7 @@ GROUP BY 1""",
     "tests/test_olap_bucketing.py — this entry attests the LAYOUT "
     "preserves the data. At 100 TB bucketing is the storage-side "
     "answer to repeated big-big joins: pay the shuffle once at write.",
-    survey_ids=("S9", "M4"),
+    survey_ids=("S9", "M4", "M7-IO4"),
 )
 def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.sources.registry import write_bucketed_table
@@ -290,7 +290,7 @@ FROM unioned GROUP BY 1""",
     "Partitions outside days 10-12 are neither read nor written by "
     "the upsert — O(touched partitions), attested by the untouched "
     "days hashing clean through the same result.",
-    survey_ids=("S7", "P6", "M4"),
+    survey_ids=("S7", "P6", "M4", "M7-IO5"),
 )
 def partition_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators.upsert import upsert_partitioned
@@ -346,7 +346,7 @@ FROM unified GROUP BY 1, 2""",
     "scale: mergeSchema footer reconciliation is O(files) on the "
     "driver — production pins the merged schema in a catalog; the "
     "read semantics attested here are identical.",
-    survey_ids=("S3", "P4", "M7"),
+    survey_ids=("S3", "P4", "M7-IO6"),
 )
 def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
@@ -398,7 +398,7 @@ FROM events GROUP BY 1""",
     "re-encode drift all break the hash. Avro is NOT attestable in "
     "this image (spark-avro external module absent) — documented "
     "gate, same class as the Kafka broker.",
-    survey_ids=("S3", "S10", "M7"),
+    survey_ids=("S3", "S10", "M7-IO7"),
 )
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -438,7 +438,7 @@ GROUP BY 1""",
     "original, so the pruned scan must still see every matching row. "
     "At 100 TB this is THE mechanism that makes star-schema joins "
     "against partitioned facts affordable.",
-    survey_ids=("S7", "P9", "M4"),
+    survey_ids=("S7", "P9", "M4", "M7-IO8"),
 )
 def dynamic_partition_pruning_roundtrip(
     spark: SparkSession, sf_dir: str
@@ -482,7 +482,7 @@ FROM events GROUP BY 1""",
     "against the original. A custom CONNECTOR goes through the same "
     "differential gate as every query; double values survive the "
     "json.dumps shortest-repr roundtrip bit-exactly.",
-    survey_ids=("S5", "S6", "F13"),
+    survey_ids=("S5", "S6", "F13", "M7-S5b"),
 )
 def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.sources import pysource

@@ -62,7 +62,7 @@ FROM scaled""",
     "operators/layout.py::zorder_write — ONE sorted layout that lets "
     "parquet footer stats prune range predicates on EITHER column "
     "(reference writes in arrival order: batch_processor.py:125-129).",
-    survey_ids=("M7",),
+    survey_ids=("M7-L3",),
 )
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

@@ -88,7 +88,7 @@ FROM best GROUP BY 1, 2""",
     "broadcast row and the holdout classifies with a per-row argmin "
     "fold — corpus scan, zero shuffles, distances on the 1e-6 grid "
     "with label-order tie-break. Output is the confusion matrix.",
-    survey_ids=("M7", "A4"),
+    survey_ids=("A4", "M7-ML1"),
 )
 def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _split(load_table(spark, sf_dir, "embeddings"))
@@ -194,7 +194,7 @@ FROM winner GROUP BY 1, 2""",
     "ranks decide on (1e-6-grid distance, train id), votes break ties "
     "on (count desc, label), so every rank decision replays "
     "bit-identically in the oracle. Output is the confusion matrix.",
-    survey_ids=("M7", "A4"),
+    survey_ids=("A4", "M7-ML2"),
 )
 def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _split(load_table(spark, sf_dir, "embeddings"))
@@ -283,7 +283,7 @@ FROM means""",
     "vectors, L2 shift norm, and worst single-dimension shift. One "
     "component aggregation (rows x dims), a 64-row means frame, "
     "closed-form doubles — drift on 10^9 vectors costs one scan.",
-    survey_ids=("M7", "A10"),
+    survey_ids=("A10", "M7-S10b"),
 )
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _split(load_table(spark, sf_dir, "embeddings"))
@@ -371,7 +371,7 @@ FROM top3 GROUP BY 1, 2""",
     "shuffles shape as the kNN eval: anchors broadcast, distances on "
     "the 1e-6 grid, ranks tie-broken on candidate id so the mined set "
     "replays bit-identically in the oracle.",
-    survey_ids=("M7", "S2"),
+    survey_ids=("S2", "M7-ML3"),
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _split(load_table(spark, sf_dir, "embeddings"))
@@ -447,7 +447,7 @@ CROSS JOIN totals t""",
     "'balanced' formula). The fold x label census IS the stratification "
     "check: a skewed cell means a fold that over/under-represents a "
     "class. One group pass; weights derive from broadcast totals.",
-    survey_ids=("M7", "P12"),
+    survey_ids=("P12", "M7-ML4"),
 )
 def training_prep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _split(load_table(spark, sf_dir, "embeddings"))
@@ -518,7 +518,7 @@ QUALIFY row_number() OVER (ORDER BY m2 DESC, vec_id) <= 20""",
     "zero shuffles on the scoring side. The curation use: vectors far "
     "from the distribution in ANY subset of dimensions are encoder "
     "failures or contamination, invisible to plain L2-norm screens.",
-    survey_ids=("M7", "A5b"),
+    survey_ids=("A5b", "M7-ML5"),
 )
 def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -632,7 +632,7 @@ LIMIT {UNCERTAIN_K}""",
     "(corpus never shuffles), the per-vector rank is a 10-row window "
     "per vec_id, and the global pick is orderBy().limit() = "
     "TakeOrderedAndProject partial top-k.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML9",),
 )
 def uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _split(load_table(spark, sf_dir, "embeddings"))

@@ -83,7 +83,7 @@ FROM est""",
     "The oracle rebuilds the identical sketch AND the exact counts, so "
     "the driver attests construction and the one-sided error contract "
     "(never_underestimates must be 1 for every key).",
-    survey_ids=("A3", "M7"),
+    survey_ids=("A3", "M7-A27b"),
 )
 def countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -163,7 +163,7 @@ FROM cum GROUP BY 1""",
     "ranks value cardinality, never fact rows — same scale argument as "
     "key_skew_profile). Indivisible heavy values make depths unequal; "
     "that imbalance is exactly what the profile is for.",
-    survey_ids=("A3", "A10", "M7"),
+    survey_ids=("A3", "A10", "M7-A28b"),
 )
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

@@ -667,7 +667,7 @@ FROM sess GROUP BY user_id, session_idx""",
     "exclusive), the lag idiom at gap > 30min — both are correct "
     "sessionizations, and the differential oracle pins which one the "
     "native operator implements. One exchange on the session key.",
-    survey_ids=("T2", "W1"),
+    survey_ids=("T2", "W1", "M7-W1"),
 )
 def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

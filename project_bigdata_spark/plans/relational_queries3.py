@@ -388,7 +388,7 @@ QUALIFY row_number() OVER (ORDER BY lift DESC, part_a, part_b) <= 20""",
     "<= 7 lines), never by catalog size; support >= 2 prunes noise "
     "pairs BEFORE the lift join and the top-20 is a TakeOrdered. The "
     "lift denominator joins per-part counts back via broadcast.",
-    survey_ids=("M4", "A5", "M7"),
+    survey_ids=("M4", "A5", "M7-A30b"),
 )
 def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -466,7 +466,7 @@ FROM cum GROUP BY 1""",
     "pick runs over those values, and the fact-scale work is ONE "
     "join + group pass. The orders side joins broadcast-eligible "
     "after AQE sizes it.",
-    survey_ids=("M4", "A3", "F9", "M7"),
+    survey_ids=("M4", "A3", "F9", "M7-A31b"),
 )
 def ship_delay_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -87,7 +87,7 @@ FROM cum GROUP BY 1""",
     " so no float rounding can flip a bucket on either engine. The "
     "window runs over the DISTINCT-delay frame (a few hundred rows per "
     "priority), not the lineitems.",
-    survey_ids=("W3", "A3", "M4"),
+    survey_ids=("W3", "A3", "M4", "M7-A32b"),
 )
 def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -163,7 +163,7 @@ FROM ranked GROUP BY 1, 2""",
     "engines. The two window sorts ride the SAME (type, hour) hash "
     "partitioning — one exchange, two partition-local sorts, then the "
     "aggregation reuses the partitioning exchange-free.",
-    survey_ids=("W6", "A7", "F4"),
+    survey_ids=("W6", "A7", "F4", "M7-A33b"),
 )
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
@@ -237,7 +237,7 @@ FROM touched GROUP BY 1""",
     "fanout) and equi-joins the BROADCAST hot-hour set (≤ calendar "
     "hours rows). The differential gate attests the two formulations "
     "agree row-for-row.",
-    survey_ids=("M4", "W3", "M7"),
+    survey_ids=("M4", "W3", "M7-A34b"),
 )
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -306,7 +306,7 @@ GROUP BY GROUPING SETS ((event_type), (date_part('day', ts)),
     "subqueries). GROUPING() markers disambiguate 'ALL' placeholder "
     "values from real ones, engine-neutrally (no grouping_id "
     "bit-order dependence).",
-    survey_ids=("A7", "O3", "F10"),
+    survey_ids=("A7", "O3", "F10", "M7-A37b"),
 )
 def grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
@@ -375,7 +375,7 @@ JOIN frontier f
     "dominance decision. At scale: skyline rides the same (nation) "
     "partitioning as the window — linear after one sort vs the "
     "quadratic join the oracle runs.",
-    survey_ids=("W6", "O1", "M4"),
+    survey_ids=("W6", "O1", "M4", "M7-A38b"),
 )
 def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -468,7 +468,7 @@ WITH sums AS (
     "accumulator) cannot give. Scale: one scan, one partial/final "
     "aggregate exchange producing a single 15-column row; the 6 pair "
     "rows are exploded from that scalar row, not re-aggregated.",
-    survey_ids=("A3", "A10", "F14"),
+    survey_ids=("A3", "A10", "F14", "M7-A39b"),
 )
 def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -540,7 +540,7 @@ FROM weighted GROUP BY 1""",
     "(lead on the same (user, day) exchange every other sequence "
     "feature rides); value×duration folds exactly in DECIMAL; the "
     "single double division happens once per group at the end.",
-    survey_ids=("W1", "A3", "F9"),
+    survey_ids=("W1", "A3", "F9", "M7-A40b"),
 )
 def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
@@ -587,7 +587,7 @@ WHERE e.event_id % 101 = 0""",
     "division per row; the per-category stats frame is |categories| "
     "rows and broadcasts back onto the facts. Output is an "
     "event_id%101 sample of the encoded rows.",
-    survey_ids=("F7", "M7"),
+    survey_ids=("F7", "M7-F7b"),
 )
 def loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -634,7 +634,7 @@ FROM ranked WHERE rn <= 3 GROUP BY 1""",
     "mangles (double shortest-repr roundtrip, string escaping, field "
     "order) breaks the hash. Spark-side only pays one (user) exchange "
     "for the pack; the JSON hop is columnar expression work.",
-    survey_ids=("F13", "S6", "P1"),
+    survey_ids=("F13", "S6", "P1", "M7-F13b"),
 )
 def json_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -697,7 +697,7 @@ SELECT CAST((SELECT count(*) FROM
     "at 10⁹ edges. The oracle counts the same triangles with the "
     "textbook u<v<w triple self-join, attesting the oriented "
     "formulation is count-equivalent.",
-    survey_ids=("M4", "M7", "A6"),
+    survey_ids=("M4", "A6", "M7-G1"),
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -807,7 +807,7 @@ QUALIFY row_number() OVER (ORDER BY units DESC, n) <= 20""",
     "aggregation on the destination key — the canonical distributed "
     "PageRank step, 3 unrolled rounds here, a loop with "
     "localCheckpoint at depth. Top-20 by rank, id tiebreak.",
-    survey_ids=("M4", "M7", "W5"),
+    survey_ids=("M4", "W5", "M7-G2"),
 )
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -893,7 +893,7 @@ FROM events GROUP BY 1""",
     "calls because the parse happens once per row, not once per "
     "extracted path; the shape here is the P1 bronze shred on the "
     "modern type.",
-    survey_ids=("P1", "F13", "M7"),
+    survey_ids=("P1", "F13", "M7-F15"),
 )
 def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -951,7 +951,7 @@ FROM first_reach GROUP BY 1"""
     "pagerank_parts loop hand-builds; the depth guard bounds state. "
     "dedup_clusters' bounded label propagation remains the "
     "DataFrame-side iteration idiom; this is its SQL-native face.",
-    survey_ids=("M4", "M7", "O3"),
+    survey_ids=("M4", "O3", "M7-O5"),
 )
 def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
@@ -975,7 +975,7 @@ FROM lineitem GROUP BY 1""",
     "Python UDF the result is whole-stage-codegen'd JVM arithmetic — "
     "the UDF surface with zero UDF cost. The oracle inlines the same "
     "expressions by hand; matching DECIMAL grids keep the fold exact.",
-    survey_ids=("F2", "F14", "M7"),
+    survey_ids=("F2", "F14", "M7-F16"),
 )
 def sql_udf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
@@ -1032,7 +1032,7 @@ LATERAL (
     "WindowGroupLimit shape top3_per_group builds by hand with the "
     "DataFrame API; this entry attests the SQL surface maps onto it. "
     "Customers with no orders drop out (inner lateral).",
-    survey_ids=("M4", "W5", "O2"),
+    survey_ids=("M4", "W5", "O2", "M7-O6"),
 )
 def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_cust")
@@ -1056,7 +1056,7 @@ FROM events GROUP BY 1""",
     "re-aggregate must equal the oracle computed directly from the "
     "rows. The XML hop is columnar expression work inside Spark; the "
     "gate attests it is lossless.",
-    survey_ids=("P1", "F13", "M7"),
+    survey_ids=("P1", "F13", "M7-F17"),
 )
 def xml_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1093,7 +1093,7 @@ FROM orders GROUP BY 1""",
     "partition-order-dependent and could never hash-match). The "
     "aggregated domain is the bounded status vocabulary — the only "
     "safe cardinality class for string aggregation at 100 TB.",
-    survey_ids=("A8", "F11", "O4"),
+    survey_ids=("A8", "F11", "O4", "M7-A41b"),
 )
 def listagg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_la_ord")
@@ -1131,7 +1131,7 @@ FROM r GROUP BY 1""",
     "counts and rounded min/max are the deterministic readouts (a "
     "sum of arbitrary-double ratios would be summation-order-"
     "dependent).",
-    survey_ids=("F8", "P2", "F14"),
+    survey_ids=("F8", "P2", "F14", "M7-F8c"),
 )
 def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1206,7 +1206,7 @@ FROM lab3 GROUP BY lab HAVING count(*) >= 2""",
     "labels frame localCheckpoint'ed between rounds (the catalog's "
     "unrolled-iteration discipline), edges shuffle once per round on "
     "the neighbor key, payload never widens.",
-    survey_ids=("M4", "M7"),
+    survey_ids=("M4", "M7-G3"),
 )
 def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1316,7 +1316,7 @@ LIMIT {AA_TOP_K}""",
     "orderBy().limit() = TakeOrderedAndProject with full (score, u, "
     "v) tie-break. Plan: degree aggregate, capped wedge self-join, "
     "one anti-join, partial top-k — no uncapped quadratic anywhere.",
-    survey_ids=("M4", "M7"),
+    survey_ids=("M4", "M7-G4"),
 )
 def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1421,7 +1421,7 @@ FROM s""",
     "degenerate (regular) graph renders NULL via integer guards. "
     "Plan: degree aggregate + two broadcast degree joins + one "
     "moment reduce — linear in edges.",
-    survey_ids=("M4", "M7"),
+    survey_ids=("M4", "M7-G5"),
 )
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1529,7 +1529,7 @@ FROM m CROSS JOIN within w CROSS JOIN dsum d""",
     "the single double division happens at render. Plan: the LPA "
     "rounds dominate (edges shuffle per round); modularity itself "
     "adds two broadcast-label joins and scalar reduces.",
-    survey_ids=("M4", "M7"),
+    survey_ids=("M4", "M7-G6"),
 )
 def modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

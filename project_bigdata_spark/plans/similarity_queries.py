@@ -56,7 +56,7 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM embeddings""",
     doc="Embedding hygiene scan: dimension + L2 norm per vector, dot via "
     "left-fold zip_with/aggregate — JVM-side, no UDF.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S1",),
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -83,7 +83,7 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
     "— broadcast query row, one narrow scoring pass, per-partition top-k "
     "merge. Linear scaling, no corpus shuffle.",
     headline=True,
-    survey_ids=("M7",),
+    survey_ids=("M7-S2",),
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -115,7 +115,7 @@ FROM b GROUP BY bucket""",
     doc="Random-sign hyperplane LSH bucketing (8 planes -> 256 buckets): "
     "the ANN scale path. Plane signs are deterministic md5-derived "
     "literals shared with the oracle.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S3",),
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -144,7 +144,7 @@ ORDER BY cosine DESC, e.vec_id LIMIT 5""",
     doc="ANN query via LSH: candidates = query's bucket only, then exact "
     "cosine re-rank — the approximate path that avoids scoring the full "
     "corpus.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S3",),
 )
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -183,7 +183,7 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id
     "vector — a per-row fold over the packed centroid array (zero "
     "shuffles; the window-argmax form re-shuffles corpus×centroids); at "
     "scale the centroid table comes from sampled k-means.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S4",),
 )
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -212,7 +212,7 @@ FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
 WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
     doc="Embedding near-dup dedup: exact cosine verification restricted to "
     "LSH-bucket cohabitants (sub-quadratic; bucket-size capped at scale).",
-    survey_ids=("M7",),
+    survey_ids=("M7-D8",),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -259,7 +259,7 @@ ORDER BY cosine DESC, a.vec_id LIMIT 5""",
     "alternative to knn_brute_force: candidates ~nprobe/ncentroids of "
     "the corpus, all joins broadcast).",
     headline=True,
-    survey_ids=("M7",),
+    survey_ids=("M7-S4",),
 )
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -293,7 +293,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id
     "in ONE corpus pass, reduced by a two-level bounded top-k (per-"
     "partition candidates, then a k-per-partition merge) — no Window over "
     "the scored corpus x queries product, so the corpus never reshuffles.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S2",),
 )
 def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -341,7 +341,7 @@ FROM q""",
     "~4x memory cut for billion-vector ANN. Exact codes are in the "
     "output, so the differential gate verifies the quantizer "
     "bit-for-bit, not just summary stats. Narrow map, no shuffle.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S5",),
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -389,7 +389,7 @@ FROM scored ORDER BY qcosine DESC, vec_id LIMIT 10""",
     "alongside, so the ranking cost of quantization is measured in the "
     "result itself. Same scale shape as knn_brute_force: one broadcast "
     "query row, narrow scoring, TakeOrdered.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S5",),
 )
 def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -452,7 +452,7 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_T}""",
     "clusters (sum(|cluster|^2) candidates, not n^2; cluster size capped "
     "like MinHash's max_bucket). Fixed centroids (vec_id < 8) stand in "
     "for sampled k-means, as in ivf_assign.",
-    survey_ids=("M7",),
+    survey_ids=("M7-D12",),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -492,7 +492,7 @@ FROM r WHERE rk <= 8""",
     "to 8 per cell, stable md5 rank) — keeps rare embedding-space modes "
     "a uniform sample would drown; WindowGroupLimit caps each cell "
     "before the exchange.",
-    survey_ids=("M7",),
+    survey_ids=("M7-P2",),
 )
 def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -537,7 +537,7 @@ QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1""",
     "first 8 vectors; per (vector, subspace) the nearest codeword by "
     "rounded squared-L2. Codebook is ONE broadcast row; the M argmins "
     "run as per-row folds — zero shuffles (256 B/vector -> n_sub codes).",
-    survey_ids=("M7",),
+    survey_ids=("M7-S6",),
 )
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -583,7 +583,7 @@ ORDER BY adc_dist, codes.vec_id LIMIT 10""",
     "vector scores as a DECIMAL-exact sum of its codes' entries — zero "
     "shuffles, TakeOrderedAndProject top-10. The scan reads codes, not "
     "vectors: the PQ memory win that makes billion-vector ANN fit.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S7",),
 )
 def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -615,7 +615,7 @@ def _rp_signs_sql(j: int) -> str:
     "LSH planes): y_j = <v, s_j>/sqrt(16). Zero shuffles, narrow map — "
     "the pre-pass that shrinks an embedding corpus 4x before ANN "
     "indexing or clustering.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S15",),
 )
 def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -682,7 +682,7 @@ ORDER BY cosine DESC, t.vec_id LIMIT 5""",
     "best ADC candidates, emit top-5. Centroids + codebook + query + "
     "probe set + distance table ride ONE broadcast row; recall/cost is "
     "the (nprobe, rerank) dial FAISS exposes.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S12",),
 )
 def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -741,7 +741,7 @@ WHERE r.vec_id % 50 = 0""",
     "a per-feature total order — 64-way parallel here; at 10⁹ rows "
     "the production path is repartitionByRange(dim, val) + per-range "
     "offsets (the two-pass distributed sort-rank), same semantics.",
-    survey_ids=("M7", "W8", "F7"),
+    survey_ids=("W8", "F7", "M7-F8b"),
 )
 def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -834,7 +834,7 @@ FROM sel JOIN cands c ON c.vec_id = sel.vec_id""",
     "iterations run on the 20-row cached frame (tiny broadcast joins), "
     "never touching the corpus again. The standard diversity stage "
     "between ANN retrieval and an LLM context window.",
-    survey_ids=("M7", "W5"),
+    survey_ids=("W5", "M7-R6"),
 )
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

@@ -170,7 +170,7 @@ FROM stat""",
     "a per-series median by rank, one lag window, one aggregate — "
     "series parallelize across the cluster, per-series state is the "
     "hour count, independent of event volume.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A47",),
 )
 def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -310,7 +310,7 @@ WHERE d.den > 0""",
     "windowed pass for (n, S), a 6-way lag self-join on the row index "
     "(pair count = 6*hours per series, bounded by the time range, "
     "independent of event volume), one aggregate.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A48",),
 )
 def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -399,7 +399,7 @@ FROM s""",
     "scale). Constant series render NULL via an integer guard. Plan: "
     "one hourly exchange + two rank windows over it + one aggregate; "
     "per-series cost is the hour count, independent of event volume.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A49",),
 )
 def spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -491,7 +491,7 @@ FROM best WHERE pick = 1""",
     "split — picks the same row everywhere. Plan: one hourly exchange, "
     "one prefix-sum window, one rank window; per-series cost linear in "
     "hours, independent of event volume.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A50",),
 )
 def changepoint_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -590,7 +590,7 @@ FROM tot""",
     "map-side-combined group aggregate (k rows) "
     "+ one k-row reduce — the k-row SinglePartition exchange is "
     "cardinality-bounded by the type vocabulary.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A51",),
 )
 def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -686,7 +686,7 @@ GROUP BY event_type, hod, cg, sd""",
     "Plan: one hourly exchange, one 25-row moving window, one "
     "(series, hour-of-day) window + aggregate — all linear in hours, "
     "independent of event volume.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A52",),
 )
 def stl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -779,7 +779,7 @@ FROM pairs WHERE n >= 2""",
     "Plan: one hourly exchange, a 6-lag shifted equi-join on (type, "
     "t+k) — pair count bounded by types^2 * 6 * hours, independent of "
     "event volume — one aggregate.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A53",),
 )
 def xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -903,7 +903,7 @@ FROM curve""",
     "distinct event durations, bounded by the observation window in "
     "hours, never by user count) — the prefix windows run on that "
     "tiny frame, whitelisted single-partition.",
-    survey_ids=("M7",),
+    survey_ids=("M7-B21",),
 )
 def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1033,7 +1033,7 @@ FROM ret r JOIN cohort c USING (cw)""",
     "user_id and one (cohort, offset) aggregate — the matrix is "
     "weeks x 9 rows. The activity distinct is the only event-volume "
     "shuffle and it is key-partitioned, never collected.",
-    survey_ids=("M7",),
+    survey_ids=("M7-B22",),
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1173,7 +1173,7 @@ FROM coefs""",
     "one (type, hour-of-day) aggregate — 24 rows per type — then "
     "scalar algebra; the heavy work is one map-side-combined exchange "
     "of integer partials, nothing else at any scale.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A54",),
 )
 def harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1352,7 +1352,7 @@ JOIN ranked hi ON hi.event_type = base.event_type AND hi.rk = {N_BOOT - 1}""",
     "one 64-wide explode feeding a map-side-combined (type, b) "
     "aggregate — 64x map work, but the shuffle carries only "
     "types x 64 integer partials; no global resample state anywhere.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A55",),
 )
 def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1475,7 +1475,7 @@ FROM agg WHERE n > 2 * k""",
     "aggregates, two double divisions render. Plan: one rank window "
     "per type + one aggregate — the rank is the only event-volume "
     "sort, partitioned by series.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A56",),
 )
 def trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1589,7 +1589,7 @@ FROM agg a JOIN thresh x USING (event_type)""",
     "guard. Plan: the rank filter r <= k+1 compiles to Spark's "
     "WindowGroupLimit partial top-k — each partition keeps k+1 rows "
     "before the exchange, so the sort never materializes the volume.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A57",),
 )
 def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1712,7 +1712,7 @@ FROM best WHERE rk = 1""",
     "windows (<= 1000 rows), one broadcast 9-way conditional "
     "aggregate over the volume (map-side combined), scalar algebra "
     "after — no per-split repartition.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML8",),
 )
 def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1865,7 +1865,7 @@ FROM q JOIN tr USING (event_type) JOIN cov USING (event_type)""",
     "Plan: one train aggregate (types x 24 rows, broadcast), one "
     "calibration join + per-type rank window, one coverage "
     "aggregate — per-series sort of the calibration half only.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML10",),
 )
 def conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -1997,7 +1997,7 @@ FROM s4""",
     "over the volume (the only big pass), then four windowed medians "
     "over the 120-cell frame — vocabulary x 24 rows, constant at any "
     "scale.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A58",),
 )
 def median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -2102,7 +2102,7 @@ FROM (
     "justifies (or indicts) holt_forecast's extra state. Plan: one "
     "hourly exchange, one window pass computing all three forecasts, "
     "one aggregate — linear in hours, independent of event volume.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A59",),
 )
 def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -2223,7 +2223,7 @@ FROM q""",
     "the verdict compares identical doubles against one shared "
     "literal. Plan: one hourly exchange, a 6-lag index self-join "
     "(6 x hours pairs per series), two aggregates.",
-    survey_ids=("M7",),
+    survey_ids=("M7-A60",),
 )
 def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly(spark, sf_dir)
@@ -2336,7 +2336,7 @@ FROM raw r CROSS JOIN tot t""",
     "a missing arm drop out via the inner join, the standard "
     "positivity rule. Plan: one (hour, arm) aggregate — 48 cells — "
     "then scalar algebra; single volume pass, map-side combined.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML12",),
 )
 def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -2449,7 +2449,7 @@ FROM piv""",
     "one fixed double expression; the midpoint is a broadcast scalar "
     "row (no driver collect). Plan: one scalar min/max reduce + one "
     "4-cell aggregate over a single volume pass.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML13",),
 )
 def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -2600,7 +2600,7 @@ JOIN adj a0 ON a0.variant = 0""",
     "reduce, one broadcast theta row back over the user frame — two "
     "volume-independent scalar frames, no per-user shuffle beyond "
     "the first aggregate.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML14",),
 )
 def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -2804,7 +2804,7 @@ FROM w3""",
     "per-cell weight factor w/n. Plan: one volume aggregate onto "
     "the 20-cell grid, then three sweeps of grid-sized joins — "
     "constant work at any scale after the first pass.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML15",),
 )
 def raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -2941,7 +2941,7 @@ FROM stat""",
     "lands on an identical double); a zero observed delta renders "
     "NULL. Plan: one (type, arm) aggregate — single map-side-"
     "combined volume pass, then scalar algebra on 2k rows.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML16",),
 )
 def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

@@ -81,7 +81,7 @@ FROM events GROUP BY 1, 2""",
     "batch GROUP BY — the exactly-once-per-window contract, checked "
     "value-by-value. window(ts, '1 hour').start == date_trunc('hour') "
     "by construction.",
-    survey_ids=("T1", "T2", "T4", "A2"),
+    survey_ids=("T1", "T2", "T4", "A2", "M7-ST1"),
 )
 def streaming_hourly_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
@@ -123,7 +123,7 @@ FROM hopped GROUP BY 1""",
     "the completed state must reproduce the batch explode exactly. "
     "Streaming-vs-batch differential on one oracle = the engine's two "
     "execution modes agree with each other and with a third engine.",
-    survey_ids=("T2", "T3", "M7"),
+    survey_ids=("T2", "T3", "M7-ST2"),
 )
 def streaming_sliding_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
@@ -163,7 +163,7 @@ GROUP BY 1""",
     "scale the static side is a broadcast dim refreshed per batch "
     "(streaming/pipeline.py's production topologies); here the gate "
     "checks the join semantics value-for-value against batch SQL.",
-    survey_ids=("T5", "M7"),
+    survey_ids=("T5", "M7-ST3"),
 )
 def stream_static_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     static_dim = (
@@ -214,7 +214,7 @@ FROM sess GROUP BY user_id, session_idx""",
     "the batch answer — the hardest streaming-state shape (session "
     "merge), checked value-for-value including the native operator's "
     "own window bounds.",
-    survey_ids=("T2", "T6", "M7"),
+    survey_ids=("T2", "T6", "M7-ST4"),
 )
 def streaming_session_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
@@ -267,7 +267,7 @@ FROM dedup GROUP BY 1""",
     "repair) — and the append-mode sink must contain exactly the "
     "batch DISTINCT set. Only the key columns are compared, so the "
     "check is insensitive to which physical duplicate row wins.",
-    survey_ids=("T1", "T4", "P2", "M7"),
+    survey_ids=("T1", "T4", "P2", "M7-ST5"),
 )
 def streaming_dedup_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
@@ -303,7 +303,7 @@ FROM events GROUP BY 1""",
     "original events exactly. This is the lakehouse sink the "
     "reference's overwrite-the-world batch job cannot express: "
     "exactly-once-per-key regardless of micro-batch boundaries.",
-    survey_ids=("T4", "T5", "S7", "M7"),
+    survey_ids=("T4", "T5", "S7", "M7-ST6"),
 )
 def streaming_upsert_sink_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -369,7 +369,7 @@ FROM events GROUP BY 1""",
     "this attests that state merge over successive triggers (the "
     "thing that actually happens in production) reproduces batch SQL "
     "exactly, independent of which rows land in which trigger.",
-    survey_ids=("T2", "T3", "T4", "M7"),
+    survey_ids=("T2", "T3", "T4", "M7-ST7"),
 )
 def streaming_multibatch_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -422,7 +422,7 @@ GROUP BY 1""",
     "that two independently-buffered streams meet correctly in state. "
     "The hardest join topology Structured Streaming supports, and the "
     "one the reference's batch-only engine cannot express at all.",
-    survey_ids=("T1", "T4", "T5", "M4", "M7"),
+    survey_ids=("T1", "T4", "T5", "M4", "M7-ST8"),
 )
 def stream_stream_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (
@@ -484,7 +484,7 @@ FROM per_user GROUP BY 1""",
     "Arrow-batched (FlatMapGroupsInPandasWithState), not a row-UDF — "
     "the streaming-state seam is the one place the engine admits "
     "Python on the data path, mirroring the multimodal policy.",
-    survey_ids=("T4", "T6", "M7"),
+    survey_ids=("T4", "T6", "M7-ST9"),
 )
 def custom_state_stream_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

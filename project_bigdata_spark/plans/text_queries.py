@@ -41,7 +41,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents""",
     doc="Token counting: whitespace + BPE-ish regex tokenizers, char count, "
     "type-token ratio — all regexp/array built-ins inside codegen.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T1",),
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -68,7 +68,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents""",
     doc="Quality scoring: length saturation + stopword density + "
     "punctuation penalty, explicit constants replayed by the oracle.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T2",),
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -106,7 +106,7 @@ SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
 FROM pred GROUP BY lang, predicted""",
     doc="Language-ID heuristic (stopword-profile argmax with lexicographic "
     "tiebreak) and its confusion matrix against the labeled lang column.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T3",),
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -129,7 +129,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents""",
     doc="Document fingerprinting: polynomial rolling hash (left-fold over "
     "char codes, mod 1e9+7) + md5 prefix digest.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T4",),
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -158,7 +158,7 @@ FROM documents""",
     "deterministic fake; real decode seam documented in "
     "operators/multimodal.py). The Python-worker path itself is what this "
     "query verifies.",
-    survey_ids=("M7",),
+    survey_ids=("M7-M1",),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -206,7 +206,7 @@ FROM survivors GROUP BY lang""",
     "one dedup window + one rollup — the composition an LLM-corpus "
     "pipeline runs per snapshot.",
     headline=True,
-    survey_ids=("M7",),
+    survey_ids=("M7-P1",),
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -251,7 +251,7 @@ FROM documents""",
     "batched mapInPandas (the encoder-model stage; stubbed md5-derived "
     "deterministic floats). Output feeds the similarity operators; the "
     "oracle replays components 0, 1, and 7 of every vector.",
-    survey_ids=("M7",),
+    survey_ids=("M7-M2",),
 )
 def text_to_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -292,7 +292,7 @@ FROM s""",
     "sequence + posexplode + slice — all JVM-side, a narrow fan-out of "
     "~1/stride rows per token ready for mapInPandas encoding; every "
     "token lands in at least one chunk.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T5",),
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -352,7 +352,7 @@ LIMIT 5""".replace("{COS}", _cos_sql("e.v", "q.qv")),
     "differential gate; every stage is the scale path (narrow chunk "
     "fan-out, one Python pass, broadcast query, TakeOrderedAndProject).",
     headline=True,
-    survey_ids=("M7",),
+    survey_ids=("M7-M3",),
 )
 def chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import similarity as SIM
@@ -429,7 +429,7 @@ FROM aug""",
     doc="PII scrub for training corpora: count + redact emails / phones / "
     "IPv4s with a fixed regexp_replace chain — pure codegen'd column "
     "expressions; patterns chosen to agree between Java regex and RE2.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T6",),
 )
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
@@ -462,7 +462,7 @@ FROM pw GROUP BY doc_id""",
     doc="Within-document repetition (boilerplate / keyword-stuffing "
     "signal): explode -> two-level aggregate, partial agg shrinks both "
     "levels — never an O(n^2) per-row array scan.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T7",),
 )
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -495,7 +495,7 @@ FROM t""",
     "per-shard (doc_id % 64) windowed running sum — packing parallelizes "
     "across shards instead of serializing on a global order "
     "(operators/text.py:pack_documents).",
-    survey_ids=("M7",),
+    survey_ids=("M7-T8",),
 )
 def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -526,7 +526,7 @@ WHERE d.doc_id % 1000 < r.rate_millis""",
     "the smallest lang's count — per-lang rates (quantized to 1/1000) from "
     "a broadcast 2-row-per-lang rate table, rows kept by deterministic "
     "id-hash so the sample is reproducible and oracle-checkable.",
-    survey_ids=("M7", "P12"),
+    survey_ids=("P12", "M7-T9"),
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -558,7 +558,7 @@ FROM documents""",
     "(frame count proxied from byte_len until a real demuxer exists — "
     "the sampled frames then feed decode_features). The blob itself is "
     "projected away before the explode: payloads never shuffle.",
-    survey_ids=("M7",),
+    survey_ids=("M7-M4",),
 )
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -591,7 +591,7 @@ FROM documents""",
     "what this entry attests differentially is the full worker path and "
     "that only 16 doubles per image cross the Arrow boundary — the blob "
     "never leaves the scan.",
-    survey_ids=("M7",),
+    survey_ids=("M7-M6",),
 )
 def image_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -656,7 +656,7 @@ FROM toks GROUP BY 1""",
     "per-language rollup; per-language piece counts and chars-per-"
     "piece measure vocabulary compression efficiency — the metric a "
     "tokenizer-training loop optimizes.",
-    survey_ids=("M7",),
+    survey_ids=("M7-T18",),
 )
 def wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -746,7 +746,7 @@ WHERE s.n_pos > 0 AND s.n_pos < t.n""",
     "construction, never by corpus size), the per-language rank sums "
     "and the global total are all derived from that bounded grid — "
     "the classic sort-free distributed AUC.",
-    survey_ids=("M7",),
+    survey_ids=("M7-ML11",),
 )
 def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -55,7 +55,7 @@ FROM e""",
     "(ml_training/data_loader.py:121-194). One window pass on the entity "
     "partitioning; the weighted sum is a JVM higher-order LEFT fold, "
     "bit-identical to the oracle's list_reduce.",
-    survey_ids=("W3", "W4"),
+    survey_ids=("W3", "W4", "M7-W2"),
 )
 def ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -110,7 +110,7 @@ FROM customer c ANTI JOIN chg ch ON c.c_custkey = ch.c_custkey""",
     "batch broadcasts; the dim scans once and never shuffles. Replaces "
     "the reference's overwrite-the-world dim refresh "
     "(spark/batch_processor.py:125-129) with history-preserving merge.",
-    survey_ids=("M7",),
+    survey_ids=("M7-L6",),
 )
 def scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
@@ -162,7 +162,7 @@ FROM r WHERE rn = 1 AND event_type <> 'error'""",
     "head-pick (WindowGroupLimit), tombstone filter AFTER the pick so a "
     "trailing delete erases earlier upserts. The mechanism a Debezium/"
     "Delta MERGE applies at the lakehouse boundary.",
-    survey_ids=("M7",),
+    survey_ids=("M7-L7",),
 )
 def cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
@@ -207,7 +207,7 @@ LEFT JOIN (
     "(value_outliers) with a breakdown-point-0.5 estimator extreme "
     "points cannot drag. Two group passes + broadcast stats join; the "
     "fact table is never re-shuffled wide.",
-    survey_ids=("M7", "A3"),
+    survey_ids=("A3", "M7-A5"),
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -243,7 +243,7 @@ FROM events GROUP BY event_type""",
     "off-by-one order stat can be a 25% value jump). The oracle pins "
     "the flag true, so the value hash matches only if every estimate "
     "really lands within its rank bound.",
-    survey_ids=("A3", "M7"),
+    survey_ids=("A3", "M7-A6"),
 )
 def approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -305,7 +305,7 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)""",
     "including the deterministic sorted parallel arrays. The soak in "
     "BENCH_SCALING.md shows the unsalted variant dying on a hot key; "
     "this entry proves the surviving variant computes the same answer.",
-    survey_ids=("A1", "M7"),
+    survey_ids=("A1", "M7-K1"),
 )
 def salted_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import skew as SK
@@ -361,7 +361,7 @@ FROM s""",
     "bit-reproducible without trusting native regr_slope "
     "implementations. One aggregation exchange; degenerate single-hour "
     "entities yield NULL, not a division error.",
-    survey_ids=("A4", "M7"),
+    survey_ids=("A4", "M7-A7"),
 )
 def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -415,7 +415,7 @@ FROM s GROUP BY shard_id""",
     "identical buckets; the aggregation is one exchange of n_shards "
     "rows. publish_shards (operators/publish.py) writes the Hive-"
     "partitioned shards plus this manifest as _manifest.json.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S10",),
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import publish as PB
@@ -457,7 +457,7 @@ FROM s""",
     "serialize the corpus through one partition, while loaders consume "
     "shards independently. Both epochs' ranks ride ONE shard exchange "
     "(same window partitioning, different sort keys).",
-    survey_ids=("M7",),
+    survey_ids=("M7-S11",),
 )
 def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import publish as PB
@@ -508,7 +508,7 @@ GROUP BY c.event_type, t.t_a, t.t_b""",
     "corpus snapshots before retraining. Both sides are counted in ONE "
     "pass via conditional partial aggregation (no self-join, no second "
     "scan); per-bin terms are rounded then DECIMAL-summed.",
-    survey_ids=("M7", "A3"),
+    survey_ids=("A3", "M7-A8b"),
 )
 def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import quality as Q
@@ -572,7 +572,7 @@ FROM m""",
     "engines. Native skewness()/kurtosis() differ across engines in the "
     "last bits; the five-sum formulation replays bit-identically, the "
     "same discipline as value_hour_correlation.",
-    survey_ids=("A3", "M7"),
+    survey_ids=("A3", "M7-A9b"),
 )
 def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -632,7 +632,7 @@ FROM o JOIN rowm USING (event_type) JOIN colm USING (hr), tot""",
     "counts in one pass; row/column margins are tiny broadcast frames; "
     "cell terms (O-E)^2/E from exact integer counts are rounded then "
     "DECIMAL-summed. Only the margins shuffle, never raw rows twice.",
-    survey_ids=("M7", "A3"),
+    survey_ids=("A3", "M7-A10b"),
 )
 def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -688,7 +688,7 @@ FROM cat, tot""",
     "a learned embedding is overkill; sum(iv_term) ranks the feature. "
     "Laplace-smoothed so zero cells stay finite; one pass for the "
     "per-category counts, one broadcast total row.",
-    survey_ids=("M7", "F7"),
+    survey_ids=("F7", "M7-F3b"),
 )
 def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -760,7 +760,7 @@ FROM rfm, th""",
     "ntile, whose single-partition window would serialize millions of "
     "customers through one task. Strict-greater threshold comparisons "
     "make boundary ties engine-deterministic.",
-    survey_ids=("M7", "A4"),
+    survey_ids=("A4", "M7-A11b"),
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -838,7 +838,7 @@ FROM s""",
     "count and scheduling and therefore change across runs and cluster "
     "sizes. These are a pure function of the data; the only window is "
     "shard-local.",
-    survey_ids=("M7",),
+    survey_ids=("M7-S13",),
 )
 def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import publish as PB
@@ -883,7 +883,7 @@ ORDER BY n_sessions DESC, path LIMIT 10""",
     "top-10. Composes the sessionize idiom with a sorted-collect per "
     "session; the path aggregation shuffles short strings, never events "
     "twice.",
-    survey_ids=("M7", "A7"),
+    survey_ids=("A7", "M7-A12b"),
 )
 def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -998,7 +998,7 @@ SELECT state, pi, n_transitions FROM (
     "dedup_clusters, whose unbounded-size state genuinely needs one job "
     "per round). The oracle unrolls the identical left-associated "
     "arithmetic, so all 8 iterations replay bit-exactly.",
-    survey_ids=("M7", "A8"),
+    survey_ids=("A8", "M7-A13b"),
 )
 def markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1085,7 +1085,7 @@ FROM ranked""",
     "aggregate is globally ranked (the same cardinality label encoding "
     "already sorts), and the closed form needs one pass over the ranked "
     "rows. Deterministic rank ties via entity id.",
-    survey_ids=("M7", "A10"),
+    survey_ids=("A10", "M7-A14b"),
 )
 def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1161,7 +1161,7 @@ GROUP BY 1, 2""",
     "switch to the as-of sort-merge (operators/asof.py) on the same "
     "semantics. Balances pin to a 1e-4 DECIMAL grid before the "
     "order-free sum.",
-    survey_ids=("M7", "M4", "W7"),
+    survey_ids=("M4", "W7", "M7-W5b"),
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")

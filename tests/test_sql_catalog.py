@@ -122,3 +122,73 @@ def test_attestation_window_is_fresh():
         f"on already-green entries while {len(needing)} entries have no "
         f"green driver row; reorder _ATTESTATION_PRIORITY in plans/catalog.py"
     )
+
+
+def test_survey_m7_table_ids_map_to_catalog():
+    """Round-5 verdict ask #5: SURVEY.md §2.10's id column is mechanically
+    checkable like §2.1-2.9 — every M7-* table id is unique; every
+    backticked catalog name in its implementation column exists in the
+    catalog AND carries that id in its ``survey_ids``; ids whose row
+    references only module paths (streaming faces, protobuf-gated
+    surfaces) must point at files that exist; and every M7-* tag used in
+    catalog ``survey_ids`` appears in the table (no orphan tags, no bare
+    'M7' family markers left)."""
+    import os
+    import re
+
+    from project_bigdata_spark.plans.catalog import load_all
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    catalog = load_all()
+
+    id_rows: dict[str, list[str]] = {}
+    for line in open(os.path.join(root, "SURVEY.md")):
+        m = re.match(r"\|\s*(M7-[A-Za-z0-9]+)\s*\|(.*)\|(.*)\|\s*$", line)
+        if not m:
+            continue
+        mid, impl = m.group(1), m.group(3)
+        assert mid not in id_rows, f"duplicate §2.10 id in SURVEY.md: {mid}"
+        id_rows[mid] = re.findall(r"`([^`]+)`", impl)
+
+    assert len(id_rows) >= 200, "§2.10 table went missing or was truncated"
+
+    orphan_ids, mistagged = [], []
+    for mid, tokens in id_rows.items():
+        names = [t for t in tokens if t in catalog]
+        if names:
+            for n in names:
+                if mid not in catalog[n].survey_ids:
+                    mistagged.append((mid, n))
+        else:
+            # module-path-only row (streaming face / gated surface):
+            # the referenced source file must exist
+            paths = [
+                t.split("::")[0]
+                for t in tokens
+                if "/" in t or t.endswith(".py")
+            ]
+            assert paths, f"§2.10 id {mid} references no catalog entry or file"
+            for p in paths:
+                candidates = [
+                    os.path.join(root, "project_bigdata_spark", p),
+                    os.path.join(root, "tests", p),
+                    os.path.join(root, p),
+                ]
+                if not any(os.path.exists(c) for c in candidates):
+                    orphan_ids.append((mid, p))
+    assert not orphan_ids, f"§2.10 ids reference missing files: {orphan_ids}"
+    assert not mistagged, (
+        "catalog survey_ids out of sync with SURVEY.md §2.10: "
+        f"{mistagged[:10]}{'...' if len(mistagged) > 10 else ''}"
+    )
+
+    table_ids = set(id_rows)
+    used = {
+        t
+        for s in catalog.values()
+        for t in s.survey_ids
+        if t.startswith("M7")
+    }
+    assert "M7" not in used, "bare 'M7' family marker left in survey_ids"
+    missing = sorted(used - table_ids)
+    assert not missing, f"survey_ids reference ids absent from §2.10: {missing}"
