@@ -912,9 +912,31 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REACH_SQL = """
+# The recursive fragment — IDENTICAL text on both engines, over an
+# ``edges`` relation (Spark: a localCheckpoint'ed temp view; DuckDB: a
+# CTE). ``SELECT DISTINCT`` in the recursive step makes each iteration a
+# node FRONTIER (<= |V| rows) instead of a path multiset — without it the
+# step enumerates every path of length <= 3, a deg^3 blowup on a dense
+# co-purchase graph.
+_REACH_REC_SQL = """
+WITH RECURSIVE reach(part, hop) AS (
+  SELECT (SELECT min(u) FROM {edges}), 0
+  UNION ALL
+  SELECT DISTINCT e.v, r.hop + 1
+  FROM reach r JOIN {edges} e ON e.u = r.part
+  WHERE r.hop < 3
+), first_reach AS (
+  SELECT part, min(hop) AS hop FROM reach GROUP BY part
+)
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(part) AS BIGINT) AS min_part,
+       CAST(max(part) AS BIGINT) AS max_part
+FROM first_reach GROUP BY 1"""
+
+_REACH_ORACLE_SQL = """
 WITH RECURSIVE items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM {li}
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), pairs AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM items a JOIN items b
@@ -925,7 +947,7 @@ WITH RECURSIVE items AS (
 ), reach(part, hop) AS (
   SELECT (SELECT min(u) FROM edges), 0
   UNION ALL
-  SELECT e.v, r.hop + 1
+  SELECT DISTINCT e.v, r.hop + 1
   FROM reach r JOIN edges e ON e.u = r.part
   WHERE r.hop < 3
 ), first_reach AS (
@@ -940,24 +962,47 @@ FROM first_reach GROUP BY 1"""
 
 @query(
     "recursive_reachability",
-    oracle=_REACH_SQL.format(li="lineitem"),
+    oracle=_REACH_ORACLE_SQL,
     doc="RECURSIVE CTE (Spark 4 WITH RECURSIVE — the iterative-SQL "
     "surface): 3-hop BFS over the co-purchase graph from its smallest "
-    "part, identical SQL text on both engines. The recursion "
-    "enumerates paths (UNION ALL + depth guard, the terminating "
-    "form); first-reach hop per node is recovered by a min(hop) "
-    "aggregate over the path set. Scale note: each recursive step is "
-    "one frontier⋈edges join — the same shape the unrolled "
-    "pagerank_parts loop hand-builds; the depth guard bounds state. "
-    "dedup_clusters' bounded label propagation remains the "
-    "DataFrame-side iteration idiom; this is its SQL-native face.",
+    "part; the recursive fragment is the identical SQL text on both "
+    "engines. The step SELECTs DISTINCT, so each iteration carries a "
+    "node frontier bounded by |V| — never the deg^3 path multiset — "
+    "and first-reach hop per node is recovered by a min(hop) "
+    "aggregate. The expensive co-purchase edge derivation runs ONCE "
+    "as a localCheckpoint'ed DataFrame on the Spark side (round-6 "
+    "re-plan: the recursion's loop framework re-evaluated the edges "
+    "CTE every iteration — 4x the self-join, 11.1s at sf0.1; "
+    "materialized-once it is ~3.4s cold / ~1s for the recursion "
+    "itself). Each recursive step is one frontier⋈edges join — the "
+    "shape the unrolled pagerank_parts loop hand-builds; the depth "
+    "guard bounds state. dedup_clusters' bounded label propagation "
+    "remains the DataFrame-side iteration idiom; this is its "
+    "SQL-native face.",
     survey_ids=("M4", "O3", "M7-O5"),
 )
 def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "_reach_lineitem"
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("u", "v")
     )
-    return spark.sql(_REACH_SQL.format(li="_reach_lineitem"))
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("_reach_edges")
+    return spark.sql(_REACH_REC_SQL.format(edges="_reach_edges"))
 
 
 @query(
