@@ -197,13 +197,17 @@ FROM winner GROUP BY 1, 2""",
     survey_ids=("A4", "M7-ML2"),
 )
 def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out
+
     e = _split(load_table(spark, sf_dir, "embeddings"))
-    train = e.select(
+    # the train×256 interpreted distance folds are the cost — fan the
+    # train scan out first or they all run on the input's single split
+    # (round-6 re-plan: 3.9s -> 1.2s at sf0.1, slope 3.5x -> 1.4x)
+    train = fan_out(e.filter(F.col("bucket") < 204)).select(
         F.col("vec_id").alias("n_id"),
         F.col("label").alias("n_label"),
         SIM.as_double(F.col("embedding")).alias("n_vec"),
-        "bucket",
-    ).filter(F.col("bucket") < 204)
+    )
     test = (
         e.filter(F.col("bucket") >= 204)
         .select(

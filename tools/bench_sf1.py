@@ -117,6 +117,13 @@ QUERIES = [
     "cuped_adjustment",
     "raking_ipf",
     "power_analysis",
+    # round-6 re-planned operators: the decade table must witness the
+    # new plans (edges materialized once outside the recursive CTE;
+    # fanned-out train scan for the 5-NN eval; single-scan AUC)
+    "recursive_reachability",
+    "knn_classifier_eval",
+    "quality_quantile_filter",
+    "semantic_dedup",
 ]
 
 
