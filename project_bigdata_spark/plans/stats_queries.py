@@ -3010,3 +3010,443 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_required_per_arm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau_hourly (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kendall_tau_hourly",
+    oracle=f"""
+WITH {HOURLY_SQL},
+pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN (a.n_events - b.n_events) * (a.c - b.c) > 0
+                         THEN 1
+                       WHEN (a.n_events - b.n_events) * (a.c - b.c) < 0
+                         THEN -1 ELSE 0 END) AS HUGEINT) AS s,
+         CAST(count(*) AS HUGEINT) AS n0
+  FROM hourly a JOIN hourly b
+    ON b.event_type = a.event_type AND a.t < b.t
+  GROUP BY a.event_type
+), tu AS (
+  SELECT event_type,
+         CAST(sum(cnt * (cnt - 1) / 2) AS HUGEINT) AS tied
+  FROM (SELECT event_type, n_events, count(*) AS cnt
+        FROM hourly GROUP BY 1, 2)
+  GROUP BY event_type
+), tv AS (
+  SELECT event_type,
+         CAST(sum(cnt * (cnt - 1) / 2) AS HUGEINT) AS tied
+  FROM (SELECT event_type, c, count(*) AS cnt
+        FROM hourly GROUP BY 1, 2)
+  GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.s AS BIGINT) AS nc_minus_nd,
+       CASE WHEN (p.n0 - tu.tied) <= 0 OR (p.n0 - tv.tied) <= 0 THEN NULL
+            ELSE round(CAST(p.s AS DOUBLE)
+                       / (sqrt(CAST(p.n0 - tu.tied AS DOUBLE))
+                          * sqrt(CAST(p.n0 - tv.tied AS DOUBLE))), 6)
+       END AS tau_b
+FROM pairs p JOIN tu USING (event_type) JOIN tv USING (event_type)""",
+    doc="Kendall tau-b rank correlation between hourly event COUNT and "
+    "hourly total VALUE per series — the concordance complement of "
+    "spearman_hourly (tau's pairwise form is robust to the midrank "
+    "construction entirely). nc - nd is an exact integer sign sum over "
+    "ordered hour pairs; the tie corrections n0 - t_u, n0 - t_v are "
+    "exact integers from group counts; tau_b is one double expression "
+    "(sqrt per factor, same discipline as spearman). NULL guard for "
+    "constant series. Plan: the pair join is bounded by series "
+    "length^2 (hours^2, the theil_sen/mann_kendall bound — independent "
+    "of event volume); two tiny tie aggregates join on the type key.",
+    survey_ids=("M7-A61",),
+)
+def kendall_tau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir).localCheckpoint()
+    a, b = hourly.alias("a"), hourly.alias("b")
+    du = F.col("a.n_events") - F.col("b.n_events")
+    dv = F.col("a.c") - F.col("b.c")
+    sgn = (
+        F.when(du * dv > 0, 1).when(du * dv < 0, -1).otherwise(0)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(sgn.cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n0"),
+        )
+    )
+
+    def tie_sum(col: str):
+        return (
+            hourly.groupBy("event_type", col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("event_type")
+            .agg(
+                F.sum(
+                    (F.col("cnt") * (F.col("cnt") - 1) / 2).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("tied")
+            )
+        )
+
+    tu = tie_sum("n_events").withColumnRenamed("tied", "tu")
+    tv = tie_sum("c").withColumnRenamed("tied", "tv")
+    j = pairs.join(tu, "event_type").join(tv, "event_type")
+    fu = F.col("n0") - F.col("tu")
+    fv = F.col("n0") - F.col("tv")
+    tau = F.col("s").cast("double") / (
+        F.sqrt(fu.cast("double")) * F.sqrt(fv.cast("double"))
+    )
+    return j.select(
+        "event_type",
+        F.col("s").cast("bigint").alias("nc_minus_nd"),
+        F.when((fu <= 0) | (fv <= 0), F.lit(None).cast("double"))
+        .otherwise(N.rnd(tau, 6))
+        .alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pacf_profile (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pacf_profile",
+    oracle=f"""
+WITH {HOURLY_SQL},
+idx AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS s
+  FROM hourly
+), dev AS (
+  SELECT event_type, rn, CAST(n AS HUGEINT) * c - s AS d FROM idx
+), den AS (
+  SELECT event_type, sum(d * d) AS den FROM dev GROUP BY event_type
+), num AS (
+  SELECT a.event_type, b.rn - a.rn AS k, sum(a.d * b.d) AS num
+  FROM dev a JOIN dev b
+    ON b.event_type = a.event_type AND b.rn - a.rn IN (1, 2, 3)
+  GROUP BY 1, 2
+), r AS (
+  SELECT n.event_type,
+         max(CASE WHEN k = 1 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             END) AS r1,
+         max(CASE WHEN k = 2 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             END) AS r2,
+         max(CASE WHEN k = 3 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             END) AS r3
+  FROM num n JOIN den d USING (event_type)
+  WHERE d.den > 0
+  GROUP BY 1
+)
+SELECT event_type,
+       round(r1, 6) AS pacf1,
+       CASE WHEN (1 - r1 * r1) = 0 THEN NULL
+            ELSE round((r2 - r1 * r1) / (1 - r1 * r1), 6) END AS pacf2,
+       CASE WHEN (1 - 2 * (r1 * r1) - r2 * r2 + 2 * ((r1 * r1) * r2)) = 0
+              THEN NULL
+            ELSE round((r3 - 2 * (r1 * r2) - (r1 * r1) * r3
+                        + r1 * (r2 * r2) + (r1 * r1) * r1)
+                       / (1 - 2 * (r1 * r1) - r2 * r2
+                          + 2 * ((r1 * r1) * r2)), 6)
+       END AS pacf3
+FROM r
+WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL""",
+    doc="Partial autocorrelation of each hourly series at lags 1-3 via "
+    "the closed-form Durbin-Levinson solutions (Cramer on the Toeplitz "
+    "system): pacf1 = r1, pacf2 = (r2 - r1^2)/(1 - r1^2), pacf3 from "
+    "the 3x3 determinant ratio — the AR-order diagnostic acf_lags "
+    "cannot give (ACF of an AR(1) decays forever; PACF cuts off). "
+    "Exactness: the r_k inputs are the same exact-integer ratios as "
+    "acf_lags (n-scaled deviations, HUGEINT/DECIMAL(38,0) sums), and "
+    "the rational polynomials are written as the IDENTICAL expression "
+    "tree on both engines, so every intermediate double matches "
+    "bit-for-bit. Degenerate denominators render NULL via the same "
+    "guard both sides. Plan: one hourly exchange, one window pass, a "
+    "3-lag self-join bounded by series length, one pivot row per type.",
+    survey_ids=("M7-A62",),
+)
+def pacf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    w_all = Window.partitionBy("event_type")
+    w_t = Window.partitionBy("event_type").orderBy("t")
+    dev = hourly.select(
+        "event_type",
+        F.row_number().over(w_t).alias("rn"),
+        (
+            F.count(F.lit(1)).over(w_all).cast("decimal(38,0)") * F.col("c")
+            - F.sum("c").over(w_all).cast("decimal(38,0)")
+        ).alias("d"),
+    ).localCheckpoint()
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("den")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") - F.col("a.rn")).isin(1, 2, 3),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("b.rn") - F.col("a.rn")).alias("k"),
+        )
+        .agg(F.sum(F.col("a.d") * F.col("b.d")).alias("num"))
+    )
+    rk = lambda k: F.max(  # noqa: E731
+        F.when(
+            F.col("k") == k,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        )
+    )
+    r = (
+        num.join(den, "event_type")
+        .filter(F.col("den") > 0)
+        .groupBy("event_type")
+        .agg(rk(1).alias("r1"), rk(2).alias("r2"), rk(3).alias("r3"))
+        .filter(
+            F.col("r1").isNotNull()
+            & F.col("r2").isNotNull()
+            & F.col("r3").isNotNull()
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    den2 = 1 - r1 * r1
+    den3 = 1 - 2 * (r1 * r1) - r2 * r2 + 2 * ((r1 * r1) * r2)
+    num3 = (
+        r3 - 2 * (r1 * r2) - (r1 * r1) * r3 + r1 * (r2 * r2)
+        + (r1 * r1) * r1
+    )
+    return r.select(
+        "event_type",
+        N.rnd(r1, 6).alias("pacf1"),
+        F.when(den2 == 0, F.lit(None).cast("double"))
+        .otherwise(N.rnd((r2 - r1 * r1) / den2, 6))
+        .alias("pacf2"),
+        F.when(den3 == 0, F.lit(None).cast("double"))
+        .otherwise(N.rnd(num3 / den3, 6))
+        .alias("pacf3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# friedman_daily_types (round 6)
+# ---------------------------------------------------------------------------
+
+# chi2.ppf(0.95, df) for df = 1..10 — shared literal table (the BENFORD /
+# LB_CHI2 pattern): the treatment count k is data-dependent, so the
+# decision needs the critical value AT k-1, looked up from identical
+# literals on both engines. df > 10 renders NULL (never hit on this data).
+CHI2_95 = {
+    1: 3.841458820694124,
+    2: 5.991464547107979,
+    3: 7.814727903251179,
+    4: 9.487729036781154,
+    5: 11.070497693516351,
+    6: 12.591587243743977,
+    7: 14.067140449340169,
+    8: 15.50731305586545,
+    9: 16.918977604620448,
+    10: 18.307038053275146,
+}
+_CHI2_CASES_SQL = " ".join(
+    f"WHEN {df} THEN {crit!r}" for df, crit in CHI2_95.items()
+)
+
+
+@query(
+    "friedman_daily_types",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+           AS day,
+         CAST(sum({N.sql_cents("value")}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), k AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily
+), complete AS (
+  SELECT d.day FROM daily d, k
+  GROUP BY d.day, k.k HAVING count(*) = max(k.k)
+), ranked AS (
+  SELECT d.event_type, d.day,
+         2 * rank() OVER (PARTITION BY d.day ORDER BY d.c)
+           + count(*) OVER (PARTITION BY d.day, d.c) - 1 AS u
+  FROM daily d JOIN complete USING (day)
+), rsums AS (
+  SELECT event_type, CAST(sum(u) AS HUGEINT) AS dj,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ranked GROUP BY event_type
+), stat AS (
+  SELECT CAST(sum(dj * dj) AS HUGEINT) AS s2,
+         max(n) AS n, CAST(count(*) AS BIGINT) AS k
+  FROM rsums
+)
+SELECT n AS n_blocks, k AS k_treatments,
+       round(3.0 * CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * k * (k + 1))
+             - 3.0 * n * (k + 1), 6) AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df,
+       CASE WHEN k - 1 > 10 THEN NULL
+            WHEN 3.0 * CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * k * (k + 1))
+                 - 3.0 * n * (k + 1)
+                 > (CASE k - 1 {_CHI2_CASES_SQL} END)
+              THEN 'types_differ' ELSE 'no_evidence' END AS decision
+FROM stat""",
+    doc="Friedman rank test across event types with DAYS as blocks: do "
+    "the k types carry systematically different daily value totals, "
+    "judged nonparametrically within each day (robust to day-level "
+    "volume swings that would wreck ANOVA's assumptions)? Only "
+    "complete blocks (days observing all k types) enter, per the "
+    "classic design. Midranks within each day are DOUBLED "
+    "(2*rank + ties - 1, the spearman_hourly recipe) so every rank "
+    "sum D_j and S = sum(D_j^2) is an exact integer; with R_j = D_j/2 "
+    "the statistic Q = 12/(nk(k+1))*sum(R_j^2) - 3n(k+1) reduces to "
+    "3S/(nk(k+1)) - 3n(k+1), one double expression over exact "
+    "integers. Decision vs the chi2(k-1) 95% shared-literal table. "
+    "Plan: one daily aggregate, one complete-block semi-join, one "
+    "rank window per day, one k-row reduce.",
+    survey_ids=("M7-A63",),
+)
+def friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('day', ts)) div 86400").alias(
+            "day"
+        ),
+    ).agg(F.sum(N.cents("value")).cast("bigint").alias("c"))
+    k = daily.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    complete = (
+        daily.crossJoin(F.broadcast(k))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == F.col("k"))
+        .select("day")
+    )
+    ranked = daily.join(F.broadcast(complete), "day").select(
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("day", "c"))
+            - 1
+        ).alias("u"),
+    )
+    rsums = ranked.groupBy("event_type").agg(
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("dj"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    stat = rsums.agg(
+        F.sum(F.col("dj") * F.col("dj")).alias("s2"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    n, kk = F.col("n"), F.col("k")
+    q = (
+        F.lit(3.0) * F.col("s2").cast("double")
+        / (n.cast("double") * kk * (kk + 1))
+        - F.lit(3.0) * n * (kk + 1)
+    )
+    crit = F.lit(None).cast("double")
+    for df_, c_ in sorted(CHI2_95.items(), reverse=True):
+        crit = F.when(kk - 1 == df_, F.lit(c_)).otherwise(crit)
+    return stat.select(
+        n.alias("n_blocks"),
+        kk.alias("k_treatments"),
+        N.rnd(q, 6).alias("q_stat"),
+        (kk - 1).cast("bigint").alias("df"),
+        F.when(kk - 1 > 10, F.lit(None).cast("string"))
+        .when(q > crit, F.lit("types_differ"))
+        .otherwise(F.lit("no_evidence"))
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# overdispersion_test (round 6)
+# ---------------------------------------------------------------------------
+
+Z_95 = 1.6448536269514722  # norm.ppf(0.95), shared literal
+
+
+@query(
+    "overdispersion_test",
+    oracle=f"""
+WITH {HOURLY_SQL},
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_events) AS HUGEINT) AS s,
+         CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS q
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_per_hour,
+       round(CAST(n * q - s * s AS DOUBLE)
+             / (CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS vmr,
+       CASE WHEN CAST(n * q - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+                 > CAST(n - 1 AS DOUBLE)
+                   * pow(1.0 - 2.0 / (9.0 * CAST(n - 1 AS DOUBLE))
+                         + {Z_95!r} * sqrt(2.0 / (9.0 * CAST(n - 1 AS DOUBLE))), 3.0)
+              THEN 'overdispersed' ELSE 'poisson_ok' END AS decision
+FROM m WHERE n > 1 AND s > 0""",
+    doc="Poisson overdispersion test of each hourly COUNT series: the "
+    "dispersion statistic D = (n-1)*s^2/xbar = (n*sum(x^2) - S^2)/S is "
+    "an EXACT integer ratio (one double division at render), and under "
+    "H0 (counts are Poisson) D ~ chi2(n-1). The variance-to-mean ratio "
+    "(VMR > 1 = clumping/burstiness, the monitoring readout) is the "
+    "same integers over (n-1). Because df = n-1 is data-dependent and "
+    "large, the 95% critical value uses the Wilson-Hilferty closed "
+    "form df*(1 - 2/(9df) + z*sqrt(2/(9df)))^3 with the z literal "
+    "shared — a DEFINED decision rule evaluated as the identical "
+    "double expression on both engines (WH is the standard large-df "
+    "approximation). Plan: one hourly aggregate, one k-row reduce per "
+    "type; cost bounded by series length, never event volume.",
+    survey_ids=("M7-A64",),
+)
+def overdispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = hourly.groupBy("event_type").agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("n_events"))).alias("s"),
+        F.sum(dec(F.col("n_events")) * F.col("n_events")).alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    disp_num = (n * q - s * s).cast("double")
+    df_ = (n - 1).cast("double")
+    wh = df_ * F.pow(
+        F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * df_)
+        + F.lit(Z_95) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * df_)),
+        F.lit(3.0),
+    )
+    return (
+        m.filter((n > 1) & (s > 0))
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_hours"),
+            N.rnd(s.cast("double") / n.cast("double"), 6).alias(
+                "mean_per_hour"
+            ),
+            N.rnd(disp_num / (df_ * s.cast("double")), 6).alias("vmr"),
+            F.when(
+                disp_num / s.cast("double") > wh, F.lit("overdispersed")
+            )
+            .otherwise(F.lit("poisson_ok"))
+            .alias("decision"),
+        )
+    )

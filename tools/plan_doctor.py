@@ -95,6 +95,9 @@ SINGLE_PARTITION_OK = {
     "entropy_rate": "states^2-row transition frame reduced to the one "
     "entropy row + one-row state-count scalar — bounded by the type "
     "vocabulary, never event volume",
+    "friedman_daily_types": "k-row rank-sum frame reduced to the one "
+    "Q-statistic row (k = type vocabulary) + one-row k scalar; the "
+    "per-day rank windows partition on the day key",
     "word_pmi": "global top-20 rank over the vocabulary-bounded pair "
     "frame (WindowGroupLimit-capped) + one-row N scalar",
     "decision_stump": "9-row decile-candidate frame and the global "
