@@ -64,6 +64,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.profiling_queries",
     "project_bigdata_spark.plans.curation_queries",
     "project_bigdata_spark.plans.stats_queries",
+    "project_bigdata_spark.plans.eval_queries",
 ]
 
 

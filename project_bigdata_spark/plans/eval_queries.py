@@ -1,0 +1,415 @@
+"""Round-6 evaluation-metric catalog entries (staged BEHIND the round-6
+attestation window — driver rows land in round 7).
+
+The measurement layer every retrieval / curation stack owes its users:
+
+- ``ndcg_eval``             — NDCG@10 of the dense (stub-encoder cosine)
+  ranking against lexical graded relevance (#query terms present, 0-3);
+  the semantic-vs-lexical agreement audit of the hybrid stack.
+- ``precision_recall_at_k`` — P@k / R@k (k in {5, 10, 20}) of the same
+  ranking against binary relevance (>= 2 query terms).
+- ``roc_curve_points``      — exact ROC points of the composite quality
+  score as a detector of English documents, at the nine 0.1-grid
+  thresholds (the operating-point table behind quality_auc's scalar).
+- ``calibration_bins``      — 10-bin reliability diagram of the quality
+  score vs the empirical P(lang = 'en') per bin (is the score a
+  calibrated probability or just a ranker?).
+
+Cross-engine determinism: cosines and quality scores live on integer
+grids (1e-6 cents), relevance grades and confusion counts are exact
+integers, and every DCG term is rel * W_i with W_i = 1/log2(i+1) a
+shared Python literal — each term snapped to the 1e-9 grid and summed
+as integers (snap-then-sum, the kaplan_meier recipe), so rank order,
+every count, and every rendered double replay bit-identically.
+
+Reference parity: the reference has no evaluation layer; these are the
+standard IR-metric completions (Järvelin & Kekäläinen 2002 for NDCG) of
+the retrieval surface built in rounds 3-4.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_bigdata_spark.plans import _norm as N
+from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.corpus_queries import _stub_e_sql
+from project_bigdata_spark.plans.text_queries import WORDS_SQL
+from project_bigdata_spark.sources import load_table
+
+_QTEXT = "spark window join"
+_QTERMS = ("spark", "window", "join")
+
+# stub-encoder cosine of every document against the fixed query text,
+# replayed in SQL (the hybrid_rrf_search construction)
+_Q_SQL = f"'{_QTEXT}'"
+_DOT = " + ".join(
+    f"({_stub_e_sql('text', k)} * {_stub_e_sql(_Q_SQL, k)})" for k in range(8)
+)
+_NA = "sqrt(" + " + ".join(
+    f"({_stub_e_sql('text', k)} * {_stub_e_sql('text', k)})" for k in range(8)
+) + ")"
+_NB = "sqrt(" + " + ".join(
+    f"({_stub_e_sql(_Q_SQL, k)} * {_stub_e_sql(_Q_SQL, k)})" for k in range(8)
+) + ")"
+_COS_SQL = f"(({_DOT}) / ({_NA} * {_NB}))"
+
+_REL_SQL = " + ".join(
+    f"(CASE WHEN list_contains({WORDS_SQL}, '{t}') THEN 1 ELSE 0 END)"
+    for t in _QTERMS
+)
+
+# W_i = 1/log2(i+1) for ranks 1..20 — shared literals on both engines
+_INV_LOG2 = {i: 1.0 / math.log2(i + 1) for i in range(1, 21)}
+_W_CASES_SQL = " ".join(f"WHEN {i} THEN {w!r}" for i, w in _INV_LOG2.items())
+
+# the scored CTE both document-eval entries share (SQL side)
+_SCORED_SQL = f"""
+scored AS (
+  SELECT doc_id,
+         {N.sql_cents(_COS_SQL, 10**6)} AS c6,
+         CAST({_REL_SQL} AS BIGINT) AS rel
+  FROM documents
+)"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, c6 = 1e-6-grid stub cosine vs the query, rel = 0..3)."""
+    from project_bigdata_spark.operators import multimodal as MM
+    from project_bigdata_spark.operators import similarity as SIM
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    emb = MM.text_to_embedding(d)
+    qrow = MM.text_to_embedding(
+        spark.createDataFrame([(-1, _QTEXT)], "doc_id long, text string")
+    ).select(F.col("embedding").alias("_q"))
+    ws = words_col(F.col("text"))
+    rel = sum(
+        F.array_contains(ws, t).cast("bigint") for t in _QTERMS
+    )
+    return (
+        d.join(emb.select("doc_id", "embedding"), "doc_id")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "doc_id",
+            N.cents(SIM.cosine(F.col("embedding"), F.col("_q")), 10**6)
+            .alias("c6"),
+            rel.alias("rel"),
+        )
+    )
+
+
+def _w_col(rank_col) -> F.Column:
+    """1/log2(rank+1) as the shared literal CASE (identical both engines)."""
+    crit = F.lit(None).cast("double")
+    for i, w in sorted(_INV_LOG2.items(), reverse=True):
+        crit = F.when(rank_col == i, F.lit(w)).otherwise(crit)
+    return crit
+
+
+@query(
+    "ndcg_eval",
+    oracle=f"""
+WITH {_SCORED_SQL},
+topd AS (
+  SELECT rel, row_number() OVER (ORDER BY c6 DESC, doc_id) AS rk
+  FROM scored QUALIFY rk <= 10
+), topi AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+  FROM scored QUALIFY rk <= 10
+), dcg AS (
+  SELECT sum({N.sql_cents("rel * (CASE rk " + _W_CASES_SQL + " END)", 10**9)})
+           AS d9
+  FROM topd
+), idcg AS (
+  SELECT sum({N.sql_cents("rel * (CASE rk " + _W_CASES_SQL + " END)", 10**9)})
+           AS i9
+  FROM topi
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       round(CAST(d9 AS DOUBLE) / 1e9, 6) AS dcg,
+       round(CAST(i9 AS DOUBLE) / 1e9, 6) AS idcg,
+       CASE WHEN i9 = 0 THEN NULL
+            ELSE round(CAST(d9 AS DOUBLE) / CAST(i9 AS DOUBLE), 6)
+       END AS ndcg
+FROM dcg, idcg""",
+    doc="NDCG@10 of the dense stub-encoder ranking against lexical graded "
+    "relevance (how many of the query's 3 terms a document contains, "
+    "0-3) — the agreement audit between the semantic and lexical faces "
+    "of the hybrid retrieval stack (Järvelin & Kekäläinen 2002). Every "
+    "DCG term is rel * W_rank with W = 1/log2(rank+1) a shared literal, "
+    "snapped to the 1e-9 grid and integer-summed (snap-then-sum), so "
+    "DCG, ideal DCG and their ratio replay bit-identically. Plan: one "
+    "fanned-out scoring pass; two TakeOrdered top-10 cuts (ranked by "
+    "(1e-6-grid cosine, doc_id) and (rel, doc_id) — fully tie-broken); "
+    "two 10-row reduces.",
+    survey_ids=("M7-R7",),
+)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir).localCheckpoint()
+    w1 = Window.partitionBy(F.lit(1))
+
+    def top10(order):
+        return (
+            scored.orderBy(*order)
+            .limit(10)
+            .select(
+                "rel",
+                F.row_number().over(w1.orderBy(*order)).alias("rk"),
+            )
+        )
+
+    topd = top10([F.desc("c6"), F.col("doc_id")])
+    topi = top10([F.desc("rel"), F.col("doc_id")])
+
+    def dcg9(df):
+        return df.agg(
+            F.sum(N.cents(F.col("rel") * _w_col(F.col("rk")), 10**9)).alias(
+                "x9"
+            )
+        )
+
+    d9 = dcg9(topd).withColumnRenamed("x9", "d9")
+    i9 = dcg9(topi).withColumnRenamed("x9", "i9")
+    return d9.crossJoin(i9).select(
+        F.lit(10).cast("bigint").alias("k"),
+        N.rnd(F.col("d9").cast("double") / 1e9, 6).alias("dcg"),
+        N.rnd(F.col("i9").cast("double") / 1e9, 6).alias("idcg"),
+        F.when(F.col("i9") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            N.rnd(
+                F.col("d9").cast("double") / F.col("i9").cast("double"), 6
+            )
+        )
+        .alias("ndcg"),
+    )
+
+
+@query(
+    "precision_recall_at_k",
+    oracle=f"""
+WITH {_SCORED_SQL},
+ranked AS (
+  SELECT CASE WHEN rel >= 2 THEN 1 ELSE 0 END AS hit,
+         row_number() OVER (ORDER BY c6 DESC, doc_id) AS rk
+  FROM scored
+), tot AS (
+  SELECT CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel
+  FROM scored
+), ks(k) AS (VALUES (5), (10), (20))
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(sum(r.hit) AS BIGINT) AS hits,
+       tot.n_rel,
+       round(CAST(sum(r.hit) AS DOUBLE) / ks.k, 6) AS precision_at_k,
+       CASE WHEN tot.n_rel = 0 THEN NULL
+            ELSE round(CAST(sum(r.hit) AS DOUBLE) / tot.n_rel, 6)
+       END AS recall_at_k
+FROM ranked r CROSS JOIN ks CROSS JOIN tot
+WHERE r.rk <= ks.k
+GROUP BY ks.k, tot.n_rel""",
+    doc="Precision@k and Recall@k (k in {5, 10, 20}) of the dense "
+    "stub-encoder ranking against binary lexical relevance (>= 2 of "
+    "the 3 query terms present) — the operating-point companions of "
+    "ndcg_eval's graded summary. All hits and totals are exact "
+    "integer counts over the fully tie-broken (1e-6-grid cosine, "
+    "doc_id) rank; the two divisions render at the end. Plan: one "
+    "fanned-out scoring pass, one TakeOrdered top-20 cut crossed with "
+    "the 3-row k table, one scalar relevant-total reduce.",
+    survey_ids=("M7-R8",),
+)
+def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir).localCheckpoint()
+    hit = (F.col("rel") >= 2).cast("bigint")
+    top = (
+        scored.orderBy(F.desc("c6"), "doc_id")
+        .limit(20)
+        .select(
+            hit.alias("hit"),
+            F.row_number()
+            .over(Window.partitionBy(F.lit(1)).orderBy(F.desc("c6"), "doc_id"))
+            .alias("rk"),
+        )
+    )
+    tot = scored.agg(F.sum(hit).cast("bigint").alias("n_rel"))
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    return (
+        top.crossJoin(F.broadcast(ks))
+        .filter(F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").cast("bigint").alias("k"), F.col("n_rel"))
+        .agg(F.sum("hit").cast("bigint").alias("hits"))
+        .select(
+            "k",
+            "hits",
+            "n_rel",
+            N.rnd(F.col("hits").cast("double") / F.col("k"), 6).alias(
+                "precision_at_k"
+            ),
+            F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                N.rnd(F.col("hits").cast("double") / F.col("n_rel"), 6)
+            )
+            .alias("recall_at_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# roc_curve_points / calibration_bins — the quality score as an English
+# detector (the operating-point and calibration views behind
+# quality_auc's scalar summary)
+# ---------------------------------------------------------------------------
+
+# the composite quality score on the 1e-6 integer grid (the quality_auc
+# construction), replayed from text_queries' shared SQL fragment
+def _qscored_sql() -> str:
+    from project_bigdata_spark.plans.text_queries import _QUALITY_SQL
+
+    return f"""
+qscored AS (
+  SELECT {N.sql_cents(_QUALITY_SQL, 10**6)} AS s6,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+)"""
+
+
+def _qscored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators import text as TX
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    ws = d.select("lang", "text", words_col(F.col("text")).alias("_ws"))
+    return ws.select(
+        N.cents(
+            TX.quality_score(F.col("text"), ws=F.col("_ws")), 10**6
+        ).alias("s6"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+
+
+@query(
+    "roc_curve_points",
+    oracle=f"""
+WITH {{qscored}},
+thr(t6) AS (VALUES (100000), (200000), (300000), (400000), (500000),
+                   (600000), (700000), (800000), (900000)),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p,
+         CAST(count(*) - sum(pos) AS BIGINT) AS n
+  FROM qscored
+)
+SELECT round(thr.t6 / 1e6, 1) AS threshold,
+       CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN q.pos ELSE 0 END) AS BIGINT)
+         AS tp,
+       CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN 1 - q.pos ELSE 0 END)
+            AS BIGINT) AS fp,
+       tot.p AS n_pos, tot.n AS n_neg,
+       round(CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN q.pos ELSE 0 END)
+                  AS DOUBLE) / tot.p, 6) AS tpr,
+       round(CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN 1 - q.pos ELSE 0 END)
+                  AS DOUBLE) / tot.n, 6) AS fpr
+FROM qscored q CROSS JOIN thr CROSS JOIN tot
+GROUP BY thr.t6, tot.p, tot.n""".format(qscored=_qscored_sql()),
+    doc="Exact ROC operating points of the composite quality score as a "
+    "detector of English documents, at the nine 0.1-grid thresholds — "
+    "the per-threshold table behind quality_auc's scalar (a fairness "
+    "audit needs to know WHERE on the curve a cutoff sits, not just "
+    "the area). Scores live on the 1e-6 integer grid so every "
+    "threshold compare is an integer inequality; TP/FP/position "
+    "totals are exact counts and TPR/FPR render as one division. "
+    "Plan: one fanned-out scoring pass crossed with the 9-row literal "
+    "threshold table (a constant 9x explode), one aggregate, one "
+    "broadcast totals row.",
+    survey_ids=("M7-ML17",),
+)
+def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _qscored(spark, sf_dir).localCheckpoint()
+    thr = spark.createDataFrame(
+        [(i * 100000,) for i in range(1, 10)], "t6 int"
+    )
+    tot = q.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
+    )
+    hit = (F.col("s6") >= F.col("t6")).cast("bigint")
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("t6")
+        .agg(
+            F.sum(hit * F.col("pos")).cast("bigint").alias("tp"),
+            F.sum(hit * (1 - F.col("pos"))).cast("bigint").alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            N.rnd(F.col("t6") / 1e6, 1).alias("threshold"),
+            "tp",
+            "fp",
+            "n_pos",
+            "n_neg",
+            N.rnd(F.col("tp").cast("double") / F.col("n_pos"), 6).alias(
+                "tpr"
+            ),
+            N.rnd(F.col("fp").cast("double") / F.col("n_neg"), 6).alias(
+                "fpr"
+            ),
+        )
+    )
+
+
+@query(
+    "calibration_bins",
+    oracle=f"""
+WITH {{qscored}}
+SELECT CAST(least(s6 // 100000, 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_score,
+       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS en_rate,
+       round(abs(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6
+                 - CAST(sum(pos) AS DOUBLE) / count(*)), 6) AS gap
+FROM qscored GROUP BY 1""".format(qscored=_qscored_sql()),
+    doc="Reliability diagram of the quality score vs the empirical "
+    "P(lang = 'en') in 10 fixed-width score bins — is the score a "
+    "calibrated probability or only a ranker? (The Brier/ECE-style "
+    "readout a filter needs before its threshold is treated as a "
+    "confidence.) Bin ids are integer divisions on the 1e-6 score "
+    "grid; per-bin sums are exact integers; the three rendered "
+    "doubles are fixed expressions over them. Plan: one fanned-out "
+    "scoring pass, one 10-group aggregate.",
+    survey_ids=("M7-ML18",),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _qscored(spark, sf_dir)
+    return (
+        q.groupBy(
+            F.least(F.floor(F.col("s6") / 100000), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("s6").alias("_s"),
+            F.sum("pos").alias("_p"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            N.rnd(
+                F.col("_s").cast("double") / F.col("n_docs") / 1e6, 6
+            ).alias("mean_score"),
+            N.rnd(F.col("_p").cast("double") / F.col("n_docs"), 6).alias(
+                "en_rate"
+            ),
+            N.rnd(
+                F.abs(
+                    F.col("_s").cast("double") / F.col("n_docs") / 1e6
+                    - F.col("_p").cast("double") / F.col("n_docs")
+                ),
+                6,
+            ).alias("gap"),
+        )
+    )

@@ -163,3 +163,96 @@ def test_overdispersion_matches_python(spark, sf_dir):
         wh = df * (1 - 2 / (9 * df) + z * math.sqrt(2 / (9 * df))) ** 3
         want = "overdispersed" if disp > wh else "poisson_ok"
         assert r.decision == want
+
+
+def _doc_scores(spark, sf_dir):
+    """Independent replay of the stub cosine + lexical relevance."""
+    import hashlib
+
+    from project_bigdata_spark.sources import load_table
+
+    def emb(text):
+        h = hashlib.md5(text.encode()).hexdigest()
+        return [int(h[4 * k : 4 * k + 4], 16) / 3.27675e4 - 1.0 for k in range(8)]
+
+    q = emb("spark window join")
+    qn = math.sqrt(sum(x * x for x in q))
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    out = []
+    for r in rows:
+        e = emb(r.text)
+        en = math.sqrt(sum(x * x for x in e))
+        cos = sum(a * b for a, b in zip(e, q)) / (en * qn)
+        words = set(r.text.lower().split())
+        rel = sum(t in words for t in ("spark", "window", "join"))
+        c6 = math.floor(cos * 1e6 + 0.5) if cos >= 0 else -math.floor(-cos * 1e6 + 0.5)
+        out.append((r.doc_id, int(c6), rel))
+    return out
+
+
+def test_ndcg_matches_python(spark, sf_dir):
+    scored = _doc_scores(spark, sf_dir)
+    topd = sorted(scored, key=lambda x: (-x[1], x[0]))[:10]
+    topi = sorted(scored, key=lambda x: (-x[2], x[0]))[:10]
+    dcg = sum(r[2] / math.log2(i + 2) for i, r in enumerate(topd))
+    idcg = sum(r[2] / math.log2(i + 2) for i, r in enumerate(topi))
+    row = _q("ndcg_eval")(spark, sf_dir).first()
+    assert row.k == 10
+    assert abs(row.dcg - dcg) < 1e-4
+    assert abs(row.idcg - idcg) < 1e-4
+    if idcg > 0:
+        assert abs(row.ndcg - dcg / idcg) < 1e-4
+        assert 0.0 <= row.ndcg <= 1.0
+    assert row.dcg <= row.idcg + 1e-9  # ideal ordering dominates
+
+
+def test_precision_recall_matches_python(spark, sf_dir):
+    scored = _doc_scores(spark, sf_dir)
+    ranked = sorted(scored, key=lambda x: (-x[1], x[0]))
+    n_rel = sum(1 for r in scored if r[2] >= 2)
+    rows = {r.k: r for r in _q("precision_recall_at_k")(spark, sf_dir).collect()}
+    assert set(rows) == {5, 10, 20}
+    prev_recall = -1.0
+    for k in (5, 10, 20):
+        hits = sum(1 for r in ranked[:k] if r[2] >= 2)
+        r = rows[k]
+        assert r.hits == hits and r.n_rel == n_rel
+        assert abs(r.precision_at_k - hits / k) < 1e-6
+        if n_rel:
+            assert abs(r.recall_at_k - hits / n_rel) < 1e-6
+            assert r.recall_at_k >= prev_recall  # monotone in k
+            prev_recall = r.recall_at_k
+
+
+def test_roc_points_match_python(spark, sf_dir):
+    from project_bigdata_spark.operators import text as TX
+
+    scored = (
+        load_all()["quality_scores"].builder(spark, sf_dir).collect()
+    )
+    # quality_scores rounds to 4 decimals; recompute exact s6 instead
+    rows = {round(r.threshold, 1): r for r in _q("roc_curve_points")(spark, sf_dir).collect()}
+    assert len(rows) == 9
+    prev_tpr, prev_fpr = 1.1, 1.1
+    for i in range(1, 10):
+        r = rows[round(i / 10, 1)]
+        assert r.tp + (r.n_pos - r.tp) == r.n_pos
+        assert 0 <= r.tpr <= 1 and 0 <= r.fpr <= 1
+        # raising the threshold can only shrink the positive set
+        assert r.tpr <= prev_tpr + 1e-12 and r.fpr <= prev_fpr + 1e-12
+        prev_tpr, prev_fpr = r.tpr, r.fpr
+    assert rows[0.1].tp + rows[0.1].fp >= rows[0.9].tp + rows[0.9].fp
+
+
+def test_calibration_bins_match_python(spark, sf_dir):
+    rows = _q("calibration_bins")(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    docs = load_all()["quality_scores"].builder(spark, sf_dir).count()
+    assert total == docs  # every document lands in exactly one bin
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.en_rate <= 1.0
+        assert abs(r.gap - abs(r.mean_score - r.en_rate)) < 1e-5
+        # mean score must sit inside its bin (clamped top bin excepted)
+        if r.bin < 9:
+            assert r.bin / 10 - 1e-6 <= r.mean_score <= (r.bin + 1) / 10 + 1e-6

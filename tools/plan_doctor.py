@@ -98,6 +98,10 @@ SINGLE_PARTITION_OK = {
     "friedman_daily_types": "k-row rank-sum frame reduced to the one "
     "Q-statistic row (k = type vocabulary) + one-row k scalar; the "
     "per-day rank windows partition on the day key",
+    "precision_recall_at_k": "rank window over the TakeOrdered top-20 "
+    "cut (20 rows by construction) + one-row relevant-total scalar",
+    "roc_curve_points": "9-threshold confusion table (9 rows by the "
+    "literal threshold set) + one-row positives/negatives scalar",
     "word_pmi": "global top-20 rank over the vocabulary-bounded pair "
     "frame (WindowGroupLimit-capped) + one-row N scalar",
     "decision_stump": "9-row decile-candidate frame and the global "
