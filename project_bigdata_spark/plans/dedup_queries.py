@@ -590,3 +590,87 @@ def minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd("exact_jaccard").alias("exact_jaccard"),
         N.rnd("abs_err").alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle_granularity_curve (round 6)
+# ---------------------------------------------------------------------------
+
+_CURVE_KS = (1, 2, 3, 5, 8)
+
+
+def _kgram_sql(k: int) -> str:
+    """k-word shingle array in SQL (generalizes SHINGLES_SQL beyond k=3);
+    a doc shorter than k words is its own single shingle."""
+    if k == 1:
+        return WORDS_SQL
+    parts = ", ".join(f"{WORDS_SQL}[i+{j}]" for j in range(k))
+    return f"""
+CASE WHEN len({WORDS_SQL}) >= {k}
+     THEN list_transform(range(1, len({WORDS_SQL}) - {k - 2}),
+            i -> concat_ws(' ', {parts}))
+     ELSE [lower(text)] END"""
+
+
+_CURVE_ARMS_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT CAST({k} AS BIGINT) AS k_words,
+       CAST(count(*) AS BIGINT) AS total_shingles,
+       CAST(count(DISTINCT s) AS BIGINT) AS distinct_shingles,
+       round(CAST(count(*) - count(DISTINCT s) AS DOUBLE) / count(*), 6)
+         AS dup_occurrence_share
+FROM (SELECT md5(unnest({_kgram_sql(k)})) AS s FROM documents)"""
+    for k in _CURVE_KS
+)
+
+
+@query(
+    "shingle_granularity_curve",
+    oracle=_CURVE_ARMS_SQL,
+    doc="Dedup-aggressiveness curve: for each shingle width k in "
+    f"{_CURVE_KS}, the corpus's total k-gram occurrences, distinct "
+    "k-grams, and the duplicated-occurrence share (total - distinct) / "
+    "total — the knob-tuning diagnostic for exact-substring and "
+    "MinHash dedup (k=1 is vocabulary reuse, always high; the k where "
+    "the share collapses is the smallest width that stops punishing "
+    "natural phrase reuse and starts measuring real duplication — the "
+    "width segment_dedup / minhash should run at). Shingles shuffle as "
+    "md5 digests only (payload text never moves); each arm is one "
+    "map-side-combinable aggregate; the word array is projected once "
+    "per arm so the interpreted slice lambda never re-tokenizes. "
+    "Exact integer counts; one division at render.",
+    survey_ids=("M7-D22",),
+)
+def shingle_granularity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = DD.fan_out(load_table(spark, sf_dir, "documents").select("text"))
+    ws = d.select(
+        DD.words_col(F.col("text")).alias("_ws"),
+        F.lower(F.col("text")).alias("_low"),
+    )
+    arms = []
+    for k in _CURVE_KS:
+        if k == 1:
+            sh = F.col("_ws")
+        else:
+            sh = DD.shingles_from_words(F.col("_ws"), F.col("_low"), k=k)
+        digests = ws.select(
+            F.explode(sh).alias("_s")
+        ).select(F.md5("_s").alias("s"))
+        arms.append(
+            digests.agg(
+                F.lit(k).cast("bigint").alias("k_words"),
+                F.count(F.lit(1)).cast("bigint").alias("total_shingles"),
+                F.countDistinct("s").cast("bigint").alias(
+                    "distinct_shingles"
+                ),
+                N.rnd(
+                    (F.count(F.lit(1)) - F.countDistinct("s")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("dup_occurrence_share"),
+            )
+        )
+    res = arms[0]
+    for a in arms[1:]:
+        res = res.unionByName(a)
+    return res

@@ -506,3 +506,80 @@ def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.sum_cents2("value").alias("total_value"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# csv_malformed_audit (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "csv_malformed_audit",
+    oracle=f"""
+WITH flagged AS (
+  SELECT event_type, value,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 2))
+              AS INT) % 16 = 0 AS corrupt
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       {N.sql_sum_cents2("CASE WHEN corrupt THEN NULL ELSE value END")}
+         AS clean_value_sum
+FROM flagged GROUP BY event_type""",
+    doc="Bad-records handling audit — the PERMISSIVE-parse face a 10^12-"
+    "row CSV ingest cannot ship without: 1-in-16 rows (md5(event_id) "
+    "bucket, deterministic and oracle-replayable) are written with a "
+    "non-numeric value field, the file is read back under an explicit "
+    "schema with mode=PERMISSIVE + columnNameOfCorruptRecord, and the "
+    "audit reports per type how many rows were quarantined and that "
+    "the CLEAN rows' value sum survived bit-exactly (exact cents sum). "
+    "The oracle recomputes the corruption rule over the original "
+    "parquet — so this attests both the parser's row-preserving "
+    "quarantine contract AND that corruption never leaks into clean "
+    "aggregates. Plan: one tasks-sharded text write, one schema'd CSV "
+    "scan, one aggregate; no coalesce-to-1 anywhere.",
+    survey_ids=("S10", "M7-IO9"),
+)
+def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    path = _sink_dir("csv_malformed_audit", sf_dir)
+    corrupt = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 16
+        == 0
+    )
+    # value field: the shortest-repr double string parses back to the
+    # identical double; corrupted rows get a non-numeric token
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.when(corrupt, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+    e.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "event_id BIGINT, event_type STRING, value DOUBLE, "
+            "_malformed STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_malformed")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_malformed").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        N.sum_cents2(
+            F.when(F.col("_malformed").isNull(), F.col("value"))
+        ).alias("clean_value_sum"),
+    )

@@ -1665,3 +1665,216 @@ def modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# jaccard_link_prediction (round 6)
+# ---------------------------------------------------------------------------
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """(edges(u<v), bi(n,m)) of the co-purchase graph — the shared
+    derivation of the graph-mining family (same SQL: _LPA_EDGES)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    bi = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionByName(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    return edges, bi
+
+
+@query(
+    "jaccard_link_prediction",
+    oracle=f"""
+WITH {_LPA_EDGES}
+, deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY n
+), contrib AS (
+  SELECT bi.n AS w, bi.m
+  FROM bi JOIN deg ON bi.n = deg.n
+  WHERE deg.d BETWEEN 2 AND {AA_HUB_CAP}
+), wedges AS (
+  SELECT a.m AS u, b.m AS v, CAST(count(*) AS BIGINT) AS n_common
+  FROM contrib a JOIN contrib b
+    ON a.w = b.w AND a.m < b.m
+  GROUP BY 1, 2
+), cand AS (
+  SELECT w.* FROM wedges w
+  ANTI JOIN edges e ON w.u = e.u AND w.v = e.v
+), scored AS (
+  SELECT c.u, c.v, c.n_common,
+         du.d + dv.d - c.n_common AS n_union,
+         floor(CAST(c.n_common AS DOUBLE) * 1e6
+               / (du.d + dv.d - c.n_common) + 0.5) AS j6
+  FROM cand c JOIN deg du ON c.u = du.n JOIN deg dv ON c.v = dv.n
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       n_common, CAST(n_union AS BIGINT) AS n_union,
+       round(j6 / 1e6, 4) AS jaccard
+FROM scored
+ORDER BY j6 DESC, u, v
+LIMIT {AA_TOP_K}""",
+    doc="Link prediction on the co-purchase graph by neighborhood "
+    "Jaccard: for every candidate non-edge pair, |N(u) ∩ N(v)| / "
+    "|N(u) ∪ N(v)| — the normalized common-neighbor predictor next "
+    "to adamic_adar_links' rarity-weighted one (Jaccard punishes "
+    "hub-heavy neighborhoods; AA discounts hub evidence smoothly — "
+    "comparing the two top-20s is the standard link-prediction "
+    "ablation). Candidates are generated through sub-hub wedges "
+    f"(centers capped at degree {AA_HUB_CAP}, the AA production "
+    "guard against deg^2 fanout on densifying graphs — cap shared "
+    "with the oracle); union sizes come from the full exact degree "
+    "table. The score is the exact integer ratio snapped to the "
+    "1e-6 grid, so the TakeOrdered top-20 rank (j6 DESC, u, v) "
+    "replays bit-identically. Plan: degree aggregate, capped wedge "
+    "self-join, one anti-join, two broadcast degree joins, partial "
+    "top-k — no uncapped quadratic anywhere.",
+    survey_ids=("M4", "M7-G7"),
+)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, bi = _copurchase_edges(spark, sf_dir)
+    deg = bi.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    contrib = (
+        bi.join(F.broadcast(deg), "n")
+        .filter((F.col("d") >= 2) & (F.col("d") <= AA_HUB_CAP))
+        .select(F.col("n").alias("w"), "m")
+    )
+    ca, cb = contrib.alias("ca"), contrib.alias("cb")
+    wedges = (
+        ca.join(
+            cb,
+            (F.col("ca.w") == F.col("cb.w"))
+            & (F.col("ca.m") < F.col("cb.m")),
+        )
+        .groupBy(F.col("ca.m").alias("u"), F.col("cb.m").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    cand = wedges.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    n_union = F.col("du") + F.col("dv") - F.col("n_common")
+    scored = (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            n_union.alias("n_union"),
+            F.floor(
+                F.col("n_common").cast("double") * 1e6 / n_union + 0.5
+            ).alias("j6"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("j6").desc(), "u", "v")
+        .limit(AA_TOP_K)
+        .select(
+            N.big("u").alias("u"),
+            N.big("v").alias("v"),
+            "n_common",
+            N.big("n_union").alias("n_union"),
+            N.rnd(F.col("j6") / 1e6, 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k_core_decomposition (round 6)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+_KCORE_ROUND = """
+, deg{r} AS (
+  SELECT n, count(*) AS d FROM bi{p} GROUP BY n
+), keep{r} AS (
+  SELECT n FROM deg{r} WHERE d >= {k}
+), bi{r} AS (
+  SELECT b.n, b.m FROM bi{p} b
+  SEMI JOIN keep{r} kn ON b.n = kn.n
+  SEMI JOIN keep{r} km ON b.m = km.n
+)"""
+
+
+@query(
+    "k_core_decomposition",
+    oracle=f"""
+WITH {_LPA_EDGES}
+, bi0 AS (SELECT n, m FROM bi)
+{_KCORE_ROUND.format(r=1, p=0, k=KCORE_K)}
+{_KCORE_ROUND.format(r=2, p=1, k=KCORE_K)}
+{_KCORE_ROUND.format(r=3, p=2, k=KCORE_K)}
+SELECT r.round,
+       CAST(r.n_nodes AS BIGINT) AS n_nodes,
+       CAST(r.n_edges AS BIGINT) AS n_edges
+FROM (
+  SELECT CAST(1 AS BIGINT) AS round,
+         (SELECT count(DISTINCT n) FROM bi1) AS n_nodes,
+         (SELECT count(*) / 2 FROM bi1) AS n_edges
+  UNION ALL
+  SELECT 2, (SELECT count(DISTINCT n) FROM bi2),
+         (SELECT count(*) / 2 FROM bi2)
+  UNION ALL
+  SELECT 3, (SELECT count(DISTINCT n) FROM bi3),
+         (SELECT count(*) / 2 FROM bi3)
+) r""",
+    doc=f"k-core decomposition of the co-purchase graph (k = {KCORE_K}, "
+    f"{KCORE_ROUNDS} unrolled peeling rounds): each round drops every "
+    "node of degree < k and the edges touching it — the standard "
+    "dense-subgraph extractor (graph-ML sampling, community seeding, "
+    "spam-ring detection all start from the k-core). Output: the node "
+    "and edge census after each peel; round 3 == round 2 means the "
+    "peeling reached its fixpoint (the full decomposition iterates to "
+    "convergence; bounded unrolling is the catalog's iteration "
+    "discipline — dedup_clusters, pagerank_parts, label_propagation). "
+    "Exact integer counts only; edges counted once (bi holds both "
+    "directions, so count/2). Plan per round: one degree aggregate + "
+    "two semi-joins, all on (node, neighbor) pairs — payload never "
+    "widens, cost bounded by surviving-edge count which only shrinks.",
+    survey_ids=("M4", "M7-G8"),
+)
+def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, bi = _copurchase_edges(spark, sf_dir)
+    bi = bi.localCheckpoint(eager=True)
+    out = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = bi.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+        bi = (
+            bi.join(F.broadcast(keep), "n", "left_semi")
+            .join(
+                F.broadcast(keep.withColumnRenamed("n", "m")),
+                "m",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            bi.agg(
+                F.lit(r).cast("bigint").alias("round"),
+                F.countDistinct("n").cast("bigint").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

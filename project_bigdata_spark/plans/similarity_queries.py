@@ -906,3 +906,79 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("vec_id").alias("vec_id"),
         F.col("simq").alias("sim_to_query"),
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_truncation_audit (round 6)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@query(
+    "matryoshka_truncation_audit",
+    oracle=f"""
+WITH dims(m) AS (VALUES {", ".join(f"({m})" for m in _MRL_DIMS)}),
+per AS (
+  SELECT d.m,
+         {N.sql_cents(
+             "sqrt(" + _dot_sql("e.embedding[1:d.m]", "e.embedding[1:d.m]")
+             + ") / sqrt(" + _dot_sql("e.embedding", "e.embedding") + ")",
+             10**6,
+         )} AS r6,
+         {N.sql_cents(_dot_sql("e.embedding[1:d.m]", "e.embedding[1:d.m]"),
+                      10**6)} AS em6,
+         {N.sql_cents(_dot_sql("e.embedding", "e.embedding"), 10**6)} AS ef6
+  FROM embeddings e CROSS JOIN dims d
+)
+SELECT CAST(m AS BIGINT) AS m_dims,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(r6) AS DOUBLE) / count(*) / 1e6, 6)
+         AS avg_norm_retention,
+       round(min(r6) / 1e6, 6) AS min_norm_retention,
+       round(CAST(sum(em6) AS DOUBLE) / CAST(sum(ef6) AS DOUBLE), 6)
+         AS energy_share
+FROM per GROUP BY m""",
+    doc="Matryoshka/MRL truncation audit: for each prefix length m in "
+    f"{_MRL_DIMS}, how much of every embedding's L2 norm (and of the "
+    "corpus's total energy) the first m dimensions retain — the "
+    "measurement that decides whether an ANN index can run on "
+    "truncated vectors (Kusupati et al. 2022; a front-loaded encoder "
+    "shows high retention at small m, an untrained layout shows "
+    "~sqrt(m/64)). Per-vector norms are fixed-order left folds "
+    "(zip_with/aggregate == list_sum, the embedding_norms idiom), the "
+    "retention ratio and squared energies are snapped to the 1e-6 "
+    "grid per vector, and cross-vector aggregation is exact integer "
+    "sums — averages, minima and the energy ratio replay "
+    "bit-identically. Plan: one corpus scan crossed with the 4-row "
+    "literal dim table (constant 4x explode), one aggregate; no "
+    "shuffle carries vectors.",
+    survey_ids=("M7-S16",),
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = spark.createDataFrame([(m,) for m in _MRL_DIMS], "m int")
+    v = SIM.as_double(F.col("embedding"))
+    vm = F.slice(v, 1, F.col("m"))
+    per = e.crossJoin(F.broadcast(dims)).select(
+        "m",
+        N.cents(F.sqrt(SIM.dot(vm, vm)) / F.sqrt(SIM.dot(v, v)), 10**6)
+        .alias("r6"),
+        N.cents(SIM.dot(vm, vm), 10**6).alias("em6"),
+        N.cents(SIM.dot(v, v), 10**6).alias("ef6"),
+    )
+    return per.groupBy(F.col("m").cast("bigint").alias("m_dims")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        N.rnd(
+            F.sum(F.col("r6").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("avg_norm_retention"),
+        N.rnd(F.min("r6") / 1e6, 6).alias("min_norm_retention"),
+        N.rnd(
+            F.sum(F.col("em6").cast("decimal(38,0)")).cast("double")
+            / F.sum(F.col("ef6").cast("decimal(38,0)")).cast("double"),
+            6,
+        ).alias("energy_share"),
+    )

@@ -256,3 +256,223 @@ def test_calibration_bins_match_python(spark, sf_dir):
         # mean score must sit inside its bin (clamped top bin excepted)
         if r.bin < 9:
             assert r.bin / 10 - 1e-6 <= r.mean_score <= (r.bin + 1) / 10 + 1e-6
+
+
+def _copurchase_graph(spark, sf_dir):
+    """Independent replay of the co-purchase graph (edges u<v, >=2 shared
+    orders) in plain Python."""
+    from project_bigdata_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in rows:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_orders = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_orders[(ps[i], ps[j])] += 1
+    edges = {p for p, c in pair_orders.items() if c >= 2}
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    return edges, nbr
+
+
+def test_jaccard_link_prediction_matches_python(spark, sf_dir):
+    edges, nbr = _copurchase_graph(spark, sf_dir)
+    cap = 64
+    # candidates via sub-hub wedges (the documented generation rule)
+    cands = defaultdict(int)
+    for w, ns in nbr.items():
+        if not (2 <= len(ns) <= cap):
+            continue
+        ns_s = sorted(ns)
+        for i in range(len(ns_s)):
+            for j in range(i + 1, len(ns_s)):
+                cands[(ns_s[i], ns_s[j])] += 1
+    scored = []
+    for (u, v), common in cands.items():
+        if (u, v) in edges:
+            continue
+        union = len(nbr[u]) + len(nbr[v]) - common
+        j6 = math.floor(common * 1e6 / union + 0.5)
+        scored.append((-j6, u, v, common, union))
+    scored.sort()
+    rows = _q("jaccard_link_prediction")(spark, sf_dir).collect()
+    assert len(rows) == min(20, len(scored))
+    for r, (nj6, u, v, common, union) in zip(rows, scored[:20]):
+        assert (r.u, r.v, r.n_common, r.n_union) == (u, v, common, union)
+        assert abs(r.jaccard - (-nj6) / 1e6) < 5.1e-5  # output rounds to 4dp
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_k_core_matches_python(spark, sf_dir):
+    edges, nbr = _copurchase_graph(spark, sf_dir)
+    cur = {tuple(e) for e in edges}
+    expected = []
+    for _ in range(3):
+        deg = defaultdict(int)
+        for u, v in cur:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+        nodes = {n for e in cur for n in e}
+        expected.append((len(nodes), len(cur)))
+    rows = sorted(
+        _q("k_core_decomposition")(spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    assert [(r.n_nodes, r.n_edges) for r in rows] == expected
+    # peeling is monotone: censuses never grow
+    for a, b in zip(expected, expected[1:]):
+        assert b[0] <= a[0] and b[1] <= a[1]
+
+
+def test_naive_bayes_matches_python(spark, sf_dir):
+    import hashlib
+
+    from project_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    snap = lambda x: math.floor(x * 1e9 + 0.5) if x >= 0 else -math.floor(  # noqa: E731
+        -x * 1e9 + 0.5
+    )
+    train, test = [], []
+    for r in docs:
+        b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2], 16)
+        (train if b < 204 else test).append(r)
+    counts = defaultdict(lambda: defaultdict(int))
+    nl = defaultdict(int)
+    dl = defaultdict(int)
+    vocab = set()
+    for r in train:
+        dl[r.lang] += 1
+        for w in r.text.lower().split():
+            counts[r.lang][w] += 1
+            nl[r.lang] += 1
+            vocab.add(w)
+    V, D = len(vocab), len(train)
+    langs = sorted(nl)
+    confusion = defaultdict(int)
+    for r in test:
+        words = defaultdict(int)
+        for w in r.text.lower().split():
+            words[w] += 1
+        best = None
+        for lang in langs:
+            s9 = snap(math.log(dl[lang] / D))
+            u9 = snap(math.log(1.0 / (nl[lang] + V)))
+            for w, k in words.items():
+                if w in counts[lang]:
+                    s9 += k * snap(
+                        math.log((counts[lang][w] + 1) / (nl[lang] + V))
+                    )
+                else:
+                    s9 += k * u9
+            if best is None or (-s9, lang) < best:
+                best = (-s9, lang)
+        confusion[(r.lang, best[1])] += 1
+    rows = _q("naive_bayes_eval")(spark, sf_dir).collect()
+    got = {(r.lang_true, r.predicted): r.n for r in rows}
+    assert got == dict(confusion)
+    # the classifier must beat chance on its own training distribution
+    correct = sum(n for (t, p), n in got.items() if t == p)
+    assert correct / max(1, len(test)) > 1.0 / max(2, len(langs))
+
+
+def test_matryoshka_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    vecs = [
+        list(r.embedding)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    ]
+    rows = {r.m_dims: r for r in _q("matryoshka_truncation_audit")(spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    prev = -1.0
+    for m in (8, 16, 32, 64):
+        r = rows[m]
+        assert r.n_vectors == len(vecs)
+        rets = []
+        for v in vecs:
+            vd = [float(x) for x in v]
+            full = math.sqrt(sum(x * x for x in vd))
+            part = math.sqrt(sum(x * x for x in vd[:m]))
+            rets.append(part / full)
+        avg = sum(rets) / len(rets)
+        assert abs(r.avg_norm_retention - avg) < 1e-4
+        assert abs(r.min_norm_retention - min(rets)) < 1e-4
+        # retention grows with m; m=64 is the whole vector
+        assert r.avg_norm_retention >= prev
+        prev = r.avg_norm_retention
+    assert abs(rows[64].avg_norm_retention - 1.0) < 1e-6
+    assert abs(rows[64].energy_share - 1.0) < 1e-6
+
+
+def test_shingle_curve_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    rows = {r.k_words: r for r in _q("shingle_granularity_curve")(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 5, 8}
+    for k in (1, 2, 3, 5, 8):
+        total, distinct = 0, set()
+        for t in texts:
+            ws = [w for w in t.lower().split() if w]
+            if k == 1:
+                sh = ws
+            elif len(ws) >= k:
+                sh = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+            else:
+                sh = [t.lower()]
+            total += len(sh)
+            distinct.update(sh)
+        r = rows[k]
+        assert (r.total_shingles, r.distinct_shingles) == (total, len(distinct))
+        assert abs(
+            r.dup_occurrence_share - (total - len(distinct)) / total
+        ) < 1e-6
+
+
+def test_csv_malformed_audit_matches_python(spark, sf_dir):
+    import hashlib
+
+    from project_bigdata_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    per = defaultdict(lambda: [0, 0, 0])  # rows, corrupt, clean cents
+    for r in ev:
+        b = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:2], 16)
+        p = per[r.event_type]
+        p[0] += 1
+        if b % 16 == 0:
+            p[1] += 1
+        else:
+            c = (
+                math.floor(r.value * 100 + 0.5)
+                if r.value >= 0
+                else -math.floor(-r.value * 100 + 0.5)
+            )
+            p[2] += c
+    rows = _q("csv_malformed_audit")(spark, sf_dir).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        n, nc, cents = per[r.event_type]
+        assert (r.n_rows, r.n_corrupt) == (n, nc)
+        assert abs(r.clean_value_sum - cents / 100) < 1e-9

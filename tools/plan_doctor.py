@@ -100,6 +100,12 @@ SINGLE_PARTITION_OK = {
     "per-day rank windows partition on the day key",
     "precision_recall_at_k": "rank window over the TakeOrdered top-20 "
     "cut (20 rows by construction) + one-row relevant-total scalar",
+    "k_core_decomposition": "one census row per peeling round (3 rows "
+    "total) unioned; the peels themselves are keyed joins",
+    "shingle_granularity_curve": "one census row per shingle width "
+    "(5 rows total) unioned; each arm is a map-side-combinable agg",
+    "naive_bayes_eval": "vocab-size + train-doc-count scalars (one row "
+    "each) broadcast into the model build",
     "roc_curve_points": "9-threshold confusion table (9 rows by the "
     "literal threshold set) + one-row positives/negatives scalar",
     "word_pmi": "global top-20 rank over the vocabulary-bounded pair "
