@@ -58,7 +58,19 @@ The monitoring layer a production pipeline runs on its own hourly series:
 - ``raking_ipf``      — Deming-Stephan raking to uniform marginals
   (3 snapped IPF sweeps on the 20-cell grid).
 - ``power_analysis``  — two-sample experiment sizing from observed
-  effect and pooled variance (shared z literals).
+  effect and pooled within-arm variance (shared z literals).
+
+Round-6 additions (staged behind the ROUND-6 window, attest in round 7):
+
+- ``kendall_tau_hourly``   — Kendall tau-b between hourly count and
+  value (exact integer sign sum + exact tie corrections).
+- ``pacf_profile``         — partial autocorrelation at lags 1-3 via
+  closed-form Durbin-Levinson determinant ratios.
+- ``friedman_daily_types`` — Friedman rank test across types with days
+  as complete blocks (doubled midranks; chi2(k-1) literal table).
+- ``overdispersion_test``  — Poisson overdispersion / VMR per hourly
+  count series (exact integer dispersion ratio; Wilson-Hilferty
+  large-df critical value as the defined decision rule).
 
 Cross-engine determinism strategy (same as the rest of the catalog —
 see ``_norm.cents``): every aggregate runs on an exact integer grid

@@ -180,6 +180,21 @@ EXTRA = [
     "cuped_adjustment",
     "raking_ipf",
     "power_analysis",
+    # round-6 additions
+    "kendall_tau_hourly",
+    "pacf_profile",
+    "friedman_daily_types",
+    "overdispersion_test",
+    "ndcg_eval",
+    "precision_recall_at_k",
+    "roc_curve_points",
+    "calibration_bins",
+    "jaccard_link_prediction",
+    "k_core_decomposition",
+    "naive_bayes_eval",
+    "matryoshka_truncation_audit",
+    "shingle_granularity_curve",
+    "csv_malformed_audit",
 ]
 
 

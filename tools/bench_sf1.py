@@ -124,6 +124,23 @@ QUERIES = [
     "knn_classifier_eval",
     "quality_quantile_filter",
     "semantic_dedup",
+    # round-6 additions whose decade behavior matters: graph wedges
+    # densify, NB model vocab grows, shingle arms scan 5x, the rest are
+    # series/grid-bounded controls
+    "kendall_tau_hourly",
+    "pacf_profile",
+    "friedman_daily_types",
+    "overdispersion_test",
+    "ndcg_eval",
+    "precision_recall_at_k",
+    "roc_curve_points",
+    "calibration_bins",
+    "jaccard_link_prediction",
+    "k_core_decomposition",
+    "naive_bayes_eval",
+    "matryoshka_truncation_audit",
+    "shingle_granularity_curve",
+    "csv_malformed_audit",
 ]
 
 
