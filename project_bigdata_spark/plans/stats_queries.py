@@ -3462,3 +3462,215 @@ def overdispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual_information_profile (round 6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "mutual_information_profile",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), margins AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY 1
+), mcols AS (
+  SELECT h, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells
+), terms AS (
+  SELECT c.n,
+         {N.sql_cents(
+             "ln(CAST(c.n AS DOUBLE) * t.nt"
+             " / (CAST(m.nr AS DOUBLE) * mc.nc))", 10**9)} AS l9
+  FROM cells c JOIN margins m USING (event_type)
+  JOIN mcols mc USING (h) CROSS JOIN tot t
+), hx AS (
+  SELECT {N.sql_cents(
+      "-ln(CAST(nr AS DOUBLE) / t.nt) * (CAST(nr AS DOUBLE) / t.nt)",
+      10**9)} AS e9
+  FROM margins CROSS JOIN tot t
+)
+SELECT t.nt AS n_events,
+       round(CAST(sum(CAST(terms.n AS HUGEINT) * terms.l9) AS DOUBLE)
+             / CAST(t.nt AS DOUBLE) / 1e9, 6) AS mi_nats,
+       round((SELECT CAST(sum(e9) AS DOUBLE) / 1e9 FROM hx), 6)
+         AS h_type_nats,
+       round(CAST(sum(CAST(terms.n AS HUGEINT) * terms.l9) AS DOUBLE)
+             / CAST(t.nt AS DOUBLE)
+             / (SELECT CAST(sum(e9) AS DOUBLE) / 1e9 FROM hx) / 1e9, 6)
+         AS uncertainty_coefficient
+FROM terms CROSS JOIN tot t
+GROUP BY t.nt""",
+    doc="Mutual information between event type and hour-of-day, with the "
+    "type entropy and Theil's uncertainty coefficient U = I/H(type) — "
+    "the EFFECT-SIZE companion to chi_square_independence (chi-square "
+    "answers 'is there any dependence?', which at 10^12 rows is almost "
+    "always yes; MI answers 'how much' on a [0, H] scale and U "
+    "normalizes it to [0, 1]). Every pointwise log term ln(n*N/"
+    "(nr*nc)) is snapped to the 1e-9 grid and weighted by the exact "
+    "integer cell count in HUGEINT/DECIMAL(38,0) (snap-then-sum), so "
+    "the nats values replay bit-identically. Plan: one (type, hour) "
+    "cell aggregate (24 x |types| rows), two margin aggregates, "
+    "broadcast joins — all post-aggregate frames are grid-bounded.",
+    survey_ids=("M7-A65",),
+)
+def mutual_information_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = cells.localCheckpoint()
+    margins = cells.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nr")
+    )
+    mcols = cells.groupBy("h").agg(F.sum("n").cast("bigint").alias("nc"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
+    terms = (
+        cells.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(mcols), "h")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "nt",
+            N.cents(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("nt")
+                    / (F.col("nr").cast("double") * F.col("nc"))
+                ),
+                10**9,
+            ).alias("l9"),
+        )
+    )
+    hx = (
+        margins.crossJoin(F.broadcast(tot))
+        .select(
+            N.cents(
+                -F.log(F.col("nr").cast("double") / F.col("nt"))
+                * (F.col("nr").cast("double") / F.col("nt")),
+                10**9,
+            ).alias("e9")
+        )
+        .agg(F.sum(dec(F.col("e9"))).alias("h9"))
+    )
+    mi = terms.groupBy("nt").agg(
+        F.sum(dec(F.col("n")) * F.col("l9")).alias("s9")
+    )
+    mi_nats = F.col("s9").cast("double") / F.col("nt").cast("double") / 1e9
+    h_nats = F.col("h9").cast("double") / 1e9
+    return mi.crossJoin(F.broadcast(hx)).select(
+        F.col("nt").alias("n_events"),
+        N.rnd(mi_nats, 6).alias("mi_nats"),
+        N.rnd(h_nats, 6).alias("h_type_nats"),
+        N.rnd(mi_nats / h_nats, 6).alias("uncertainty_coefficient"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zipf_slope_fit (round 6)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 1000
+
+
+@query(
+    "zipf_slope_fit",
+    oracle=f"""
+WITH freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w FROM documents)
+  GROUP BY w
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+  FROM freq
+  QUALIFY r <= {ZIPF_TOP_N}
+), pts AS (
+  SELECT {N.sql_cents("ln(CAST(r AS DOUBLE))", 10**9)} AS x9,
+         {N.sql_cents("ln(CAST(f AS DOUBLE))", 10**9)} AS y9
+  FROM ranked
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x9 AS HUGEINT)) AS sx, sum(CAST(y9 AS HUGEINT)) AS sy,
+         sum(CAST(x9 AS HUGEINT) * x9) AS sxx,
+         sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+         sum(CAST(y9 AS HUGEINT) * y9) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n AS DOUBLE) / 1e9, 6) AS intercept_ln,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_squared
+FROM s""",
+    doc="Zipf power-law fit of the corpus rank-frequency curve: OLS of "
+    f"ln(freq) on ln(rank) over the top-{ZIPF_TOP_N} words — natural "
+    "language sits near slope -1 / R^2 ~ 0.98+, template or generated "
+    "text bends the curve (the corpus-level fingerprint of the "
+    "heaviness hill_tail_index measures per tail). Ranks are fully "
+    "tie-broken (freq DESC, word); both log coordinates snap to the "
+    "1e-9 grid so the five OLS moments are exact HUGEINT/"
+    "DECIMAL(38,0) sums and slope/intercept/R^2 are fixed double "
+    "expressions. Plan: one word-frequency aggregate (digest-width "
+    "shuffle), a WindowGroupLimit-capped top-1000 rank, one 1000-row "
+    "reduce.",
+    survey_ids=("M7-C22",),
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("text"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    freq = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = (
+        freq.orderBy(F.desc("f"), "w")
+        .limit(ZIPF_TOP_N)
+        .select(
+            "f",
+            F.row_number()
+            .over(
+                Window.partitionBy(F.lit(1)).orderBy(F.desc("f"), "w")
+            )
+            .alias("r"),
+        )
+    )
+    pts = ranked.select(
+        N.cents(F.log(F.col("r").cast("double")), 10**9).alias("x9"),
+        N.cents(F.log(F.col("f").cast("double")), 10**9).alias("y9"),
+    )
+    s = pts.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("x9"))).alias("sx"),
+        F.sum(dec(F.col("y9"))).alias("sy"),
+        F.sum(dec(F.col("x9")) * F.col("x9")).alias("sxx"),
+        F.sum(dec(F.col("x9")) * F.col("y9")).alias("sxy"),
+        F.sum(dec(F.col("y9")) * F.col("y9")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    slope = num / denx
+    return s.select(
+        n.cast("bigint").alias("n_ranks"),
+        N.rnd(slope, 6).alias("zipf_slope"),
+        N.rnd(
+            (sy.cast("double") - slope * sx) / n.cast("double") / 1e9, 6
+        ).alias("intercept_ln"),
+        N.rnd(num * num / (denx * deny), 6).alias("r_squared"),
+    )

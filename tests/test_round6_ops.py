@@ -476,3 +476,65 @@ def test_csv_malformed_audit_matches_python(spark, sf_dir):
         n, nc, cents = per[r.event_type]
         assert (r.n_rows, r.n_corrupt) == (n, nc)
         assert abs(r.clean_value_sum - cents / 100) < 1e-9
+
+
+def test_mutual_information_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cells = {(r.event_type, r.h): r.n for r in ev}
+    nt = sum(cells.values())
+    nr = defaultdict(int)
+    nc = defaultdict(int)
+    for (t, h), n in cells.items():
+        nr[t] += n
+        nc[h] += n
+    mi = sum(
+        n / nt * math.log(n * nt / (nr[t] * nc[h]))
+        for (t, h), n in cells.items()
+    )
+    hx = -sum(v / nt * math.log(v / nt) for v in nr.values())
+    row = _q("mutual_information_profile")(spark, sf_dir).first()
+    assert row.n_events == nt
+    assert abs(row.mi_nats - mi) < 1e-4
+    assert abs(row.h_type_nats - hx) < 1e-4
+    assert abs(row.uncertainty_coefficient - mi / hx) < 1e-4
+    # MI is non-negative and bounded by the type entropy
+    assert -1e-9 <= row.mi_nats <= row.h_type_nats + 1e-9
+    assert 0.0 <= row.uncertainty_coefficient <= 1.0
+
+
+def test_zipf_slope_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    freq = defaultdict(int)
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                freq[w] += 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    pts = [
+        (math.log(i + 1), math.log(f)) for i, (_, f) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    syy = sum(p[1] ** 2 for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    row = _q("zipf_slope_fit")(spark, sf_dir).first()
+    assert row.n_ranks == n
+    assert abs(row.zipf_slope - slope) < 1e-4
+    assert abs(row.r_squared - r2) < 1e-4
+    assert row.zipf_slope < 0.0 and 0.0 <= row.r_squared <= 1.0

@@ -141,6 +141,8 @@ QUERIES = [
     "matryoshka_truncation_audit",
     "shingle_granularity_curve",
     "csv_malformed_audit",
+    "mutual_information_profile",
+    "zipf_slope_fit",
 ]
 
 

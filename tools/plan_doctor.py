@@ -106,6 +106,10 @@ SINGLE_PARTITION_OK = {
     "(5 rows total) unioned; each arm is a map-side-combinable agg",
     "naive_bayes_eval": "vocab-size + train-doc-count scalars (one row "
     "each) broadcast into the model build",
+    "mutual_information_profile": "(type x hour) cell grid (24 x "
+    "|types| rows) reduced to the one MI row + one-row entropy scalar",
+    "zipf_slope_fit": "rank window over the TakeOrdered top-1000 "
+    "frequency cut + one 5-moment scalar reduce",
     "roc_curve_points": "9-threshold confusion table (9 rows by the "
     "literal threshold set) + one-row positives/negatives scalar",
     "word_pmi": "global top-20 rank over the vocabulary-bounded pair "
