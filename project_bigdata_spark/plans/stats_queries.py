@@ -1367,7 +1367,17 @@ JOIN ranked hi ON hi.event_type = base.event_type AND hi.rk = {N_BOOT - 1}""",
     survey_ids=("M7-A55",),
 )
 def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    from project_bigdata_spark.operators.dedup import fan_out
+
+    # the 64x resample explode does 64 md5s per event — fan the scan out
+    # first or the whole expansion runs on the input's single split
+    # (round-6 re-plan: 7.4s -> ~1.3s at sf0.1; the 0.01->0.1 slope was
+    # 5.5x while 0.1->synthetic-1 was 1.1x, the single-split signature)
+    e = fan_out(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "event_id", "value"
+        )
+    )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     expanded = e.select(
         "event_type",

@@ -659,7 +659,11 @@ FROM toks GROUP BY 1""",
     survey_ids=("M7-T18",),
 )
 def wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from project_bigdata_spark.operators.dedup import fan_out
+
+    # the longest-first alternation regex is the heaviest per-row scan in
+    # the text family — fan out or it runs on the input's single split
+    d = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
     toks = d.select(
         "lang",
         F.expr(
