@@ -712,12 +712,30 @@ def edit_distance_pairs(
         F.col(id_col),
         F.concat_ws(
             "|", *[F.col(c) for c in block_cols], first_word
-        ).alias("_blk"),
+        ).alias("_blk0"),
         F.substring(F.lower(F.col(text_col)), 1, prefix_chars).alias("_pfx"),
     )
+    # conditional sub-blocking (round-6 re-plan): the coarse key's block
+    # COUNT is a constant (lang x first-word vocabulary), so block SIZE —
+    # and the pair count, quadratically — grows with the corpus (the
+    # synthetic-decade soak measured 1.6s -> 102s). When a block exceeds
+    # ``refine_over`` members, refine its key with the prefix's first 8
+    # chars: true near-dup pairs (Levenshtein <= 8 over 32-char prefixes)
+    # almost surely agree on the first 8 chars, while unrelated docs that
+    # merely share a first word scatter. A no-op below the threshold, so
+    # attested outputs are unchanged (max block at any attested SF is 93).
+    refine_over = 128
+    w0 = Window.partitionBy("_blk0")
+    refined = keyed.withColumn(
+        "_blk",
+        F.when(
+            F.count(F.lit(1)).over(w0) > refine_over,
+            F.concat_ws("|", F.col("_blk0"), F.substring(F.col("_pfx"), 1, 8)),
+        ).otherwise(F.col("_blk0")),
+    ).drop("_blk0")
     bw = Window.partitionBy("_blk")
     bounded = (
-        keyed.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+        refined.withColumn("_bsz", F.count(F.lit(1)).over(bw))
         .filter(F.col("_bsz") <= max_block)
         .drop("_bsz")
     )

@@ -214,11 +214,17 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for sf in SFS:
         for s in specs:
-            t0 = time.perf_counter()
-            s.builder(spark, f"{BASE}/{sf}").write.format("noop").mode(
-                "overwrite"
-            ).save()
-            results.setdefault(s.name, {})[sf] = time.perf_counter() - t0
+            # best-of-2: a single-shot cell is 20-40% noisy on this VM
+            # (GC pauses, /tmp churn from the IO entries) — enough to
+            # print a phantom 4-7x slope on a genuinely linear plan
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                s.builder(spark, f"{BASE}/{sf}").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(s.name, {})[sf] = best
 
     lines = [
         "# BENCH_SCALING — headline runtimes across scale factors",

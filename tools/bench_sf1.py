@@ -143,6 +143,7 @@ QUERIES = [
     "csv_malformed_audit",
     "mutual_information_profile",
     "zipf_slope_fit",
+    "edit_distance_linkage",
 ]
 
 
