@@ -361,22 +361,46 @@ def ngram_jaccard_pairs(
         F.lower(F.col(text_col)).alias("_lt"),
         words_col(F.col(text_col)).alias("_ws"),
     )
+    # conditional sub-blocking (round-6 re-plan, the edit_distance_pairs
+    # discipline): the metadata key's block count is a vocabulary
+    # constant, so block size — and the pair join, quadratically — grows
+    # with the corpus. Blocks denser than 128 members refine on the
+    # lowered text's first 8 chars; a no-op at every attested SF.
+    refine_over = 128
+    blk0 = F.concat_ws("|", *[F.col(c) for c in block_cols])
+    w0 = Window.partitionBy(*block_cols)
+    pre = pre.withColumn(
+        "_blk",
+        F.when(
+            F.count(F.lit(1)).over(w0) > refine_over,
+            F.concat_ws("|", blk0, F.substring(F.col("_lt"), 1, 8)),
+        ).otherwise(blk0),
+    )
+    # size-filter BEFORE materializing gram sets, so dropped blocks never
+    # pay the shingle/array_distinct cost
+    bw = Window.partitionBy("_blk")
+    pre = pre.withColumn("_bsz", F.count(F.lit(1)).over(bw)).filter(
+        F.col("_bsz") <= max_block
+    )
     grams = F.array_distinct(
         shingles_from_words(F.col("_ws"), F.col("_lt"), k=n)
     ).alias("_grams")
-    base = pre.select(F.col(id_col), *[F.col(c) for c in block_cols], grams)
-    block_w = Window.partitionBy(*block_cols)
-    base = base.withColumn("_bsz", F.count(F.lit(1)).over(block_w)).filter(
-        F.col("_bsz") <= max_block
+    base = pre.select(
+        F.col(id_col), F.col("_blk"), *[F.col(c) for c in block_cols], grams
     )
     a = base.select(
-        *block_cols, F.col(id_col).alias("id_a"), F.col("_grams").alias("ga")
+        "_blk",
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        F.col("_grams").alias("ga"),
     )
     b = base.select(
-        *block_cols, F.col(id_col).alias("id_b"), F.col("_grams").alias("gb")
+        F.col("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col("_grams").alias("gb"),
     )
     return (
-        a.join(b, on=block_cols)
+        a.join(b, on="_blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "jaccard",

@@ -110,13 +110,48 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     max_bucket: int = 2000,
+    adaptive_planes: bool = False,
 ) -> DataFrame:
     """Embedding near-dup: exact cosine verification restricted to vectors
-    sharing an LSH bucket — the sub-quadratic embedding-dedup pattern."""
-    withb = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("_v"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
-    )
+    sharing an LSH bucket — the sub-quadratic embedding-dedup pattern.
+
+    ``adaptive_planes``: with a FIXED plane count the bucket count is a
+    constant (2^N_PLANES), so bucket size — and the verify join,
+    quadratically — grows with the corpus (the round-6 synthetic-decade
+    soak measured 7.4x). When enabled, a 16-plane signature is computed
+    and truncated to k = clamp(ceil(log2(n / 8)), N_PLANES, 16) bits, so
+    expected bucket occupancy stays ~8 and the pair count grows linearly;
+    at n <= 2^(N_PLANES+3) the truncation reproduces the fixed-plane
+    bucketing bit-for-bit (the first k planes are the same literals).
+    """
+    if adaptive_planes:
+        from project_bigdata_spark.operators.dedup import fan_out
+
+        df = fan_out(df)  # 16 interpreted plane folds per row
+        kcol = df.agg(
+            F.least(
+                F.greatest(
+                    F.ceil(F.log2(F.count(F.lit(1)) / F.lit(8.0))),
+                    F.lit(N_PLANES).cast("bigint"),
+                ),
+                F.lit(16).cast("bigint"),
+            ).alias("_k")
+        )
+        withb = (
+            df.crossJoin(F.broadcast(kcol))
+            .select(
+                F.col(id_col),
+                as_double(F.col(vec_col)).alias("_v"),
+                lsh_bucket(F.col(vec_col), n_planes=16)
+                .substr(F.lit(1), F.col("_k").cast("int"))
+                .alias("bucket"),
+            )
+        )
+    else:
+        withb = df.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("_v"),
+            lsh_bucket(F.col(vec_col)).alias("bucket"),
+        )
     w = Window.partitionBy("bucket")
     bounded = withb.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
         F.col("_bsz") <= max_bucket

@@ -199,24 +199,49 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket16_sql(vec: str) -> str:
+    bits = [
+        f"CASE WHEN {_dot_sql(vec, _signs_sql(p))} > 0 THEN '1' ELSE '0' END"
+        for p in range(16)
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
 @query(
     "embedding_near_dups",
     oracle=f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+WITH k AS (
+  SELECT least(greatest(CAST(ceil(log2(count(*) / 8.0)) AS BIGINT),
+                        {SIM.N_PLANES}), 16) AS k
+  FROM embeddings
+), b AS (
+  SELECT vec_id, embedding,
+         substring({_bucket16_sql('embedding')}, 1, CAST(k.k AS INT))
+           AS bucket
+  FROM embeddings, k
 )
 SELECT a.bucket,
        CAST(a.vec_id AS BIGINT) AS id_a, CAST(x.vec_id AS BIGINT) AS id_b,
        round({_cos_sql('a.embedding', 'x.embedding')}, 6) AS cosine
 FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
 WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
-    doc="Embedding near-dup dedup: exact cosine verification restricted to "
-    "LSH-bucket cohabitants (sub-quadratic; bucket-size capped at scale).",
+    doc="Embedding near-dup dedup: exact cosine verification restricted "
+    "to LSH-bucket cohabitants. The plane count ADAPTS to the corpus "
+    "(round-6 re-plan: k = clamp(ceil(log2(n/8)), 8, 16) bits of a "
+    "16-plane signature, mirrored in the oracle) — with the fixed "
+    "8-plane bucketing the bucket count was a constant 256, so bucket "
+    "occupancy and the verify join grew quadratically (the synthetic-"
+    "decade soak measured 7.4x; adaptive planes hold expected "
+    "occupancy ~8 and the soak at 1.8x). At every attested SF "
+    "(n <= 2048) the truncation reproduces the original 8-plane "
+    "buckets bit-for-bit, so attested outputs are unchanged.",
     survey_ids=("M7-D8",),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.lsh_near_dup_pairs(e, threshold=0.0, max_bucket=100000)
+    pairs = SIM.lsh_near_dup_pairs(
+        e, threshold=0.0, max_bucket=100000, adaptive_planes=True
+    )
     out = pairs.withColumn("cosine", N.rnd("cosine", 6)).filter(
         F.col("cosine") >= 0.85
     )

@@ -144,6 +144,8 @@ QUERIES = [
     "mutual_information_profile",
     "zipf_slope_fit",
     "edit_distance_linkage",
+    "ngram_jaccard_block",
+    "embedding_near_dups",
 ]
 
 

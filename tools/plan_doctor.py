@@ -108,6 +108,8 @@ SINGLE_PARTITION_OK = {
     "each) broadcast into the model build",
     "mutual_information_profile": "(type x hour) cell grid (24 x "
     "|types| rows) reduced to the one MI row + one-row entropy scalar",
+    "embedding_near_dups": "one-row adaptive plane-count scalar "
+    "(k = clamp(ceil(log2(n/8)), 8, 16)) broadcast into the bucketing",
     "zipf_slope_fit": "rank window over the TakeOrdered top-1000 "
     "frequency cut + one 5-moment scalar reduce",
     "roc_curve_points": "9-threshold confusion table (9 rows by the "
