@@ -94,37 +94,91 @@ def query(
 
 
 # The driver attests only the first 50 ``queries()`` entries per round, so
-# catalog order is the attestation schedule. Rounds 1-5 attested 240 of the
-# 289 entries across five disjoint windows (CORRECTNESS_r01 ∪ ... ∪ r05);
-# every attested row is GREEN except ``approx_stats`` (rows-only — it had no
-# oracle until round 6 gave it the flag-based differential oracle below).
+# catalog order is the attestation schedule. Rounds 1-6 attested 289 of the
+# 305 entries across six disjoint windows (CORRECTNESS_r01 ∪ ... ∪ r06),
+# all green at latest status; 16 round-6 additions were registered behind
+# the round-6 window and have no driver row yet.
 #
-# ROUND-6 WINDOW (positions 1-50): full-catalog attestation closure. The
-# 4 scalars staged since round 4 lead (oldest debt), then ``approx_stats``
-# re-attests under its NEW hash oracle (the last rows-only entry retired),
-# then the 45 round-5 additions (graph mining, statistics/monitoring,
-# survival/retention, causal/experimentation tiers) in registration order.
-# 49 never-attested + 1 oracle-repaired = exactly 50 slots — after this
-# window every one of the 289 catalog entries has a green driver row.
+# ROUND-7 WINDOW (positions 1-50), per the round-6 verdict ask #1:
+#  1-16  the 16 never-attested round-6 additions (nonparametric
+#        monitoring, IR evaluation, graph mining, naive Bayes, embedding
+#        and dedup diagnostics, IO robustness) in registration order;
+# 17-25  the 9 entries whose plans/oracles were re-planned in round 6
+#        AFTER their last green driver row (adaptive scale guards, fan-out
+#        fixes, CTE materialization) — their old attestations are stale
+#        against the current code, so they re-attest;
+# 26-50  25 regression probes re-attesting the oldest (round-1 vintage)
+#        green rows: the medallion core, the AQI pipeline, the TPC-H
+#        subset, the join/window primitives.
 # tests/test_sql_catalog.py enforces freshness: while entries without a
 # GREEN driver row exist, the window must be spent on them (a RED row
 # counts as needing attestation, so re-attesting repaired entries
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
-    # -- round-6 window, positions 1-4: scalars staged since round 4 ---
+    # -- round-7 window, positions 1-16: round-6 additions, no row yet -
+    "kendall_tau_hourly",
+    "pacf_profile",
+    "friedman_daily_types",
+    "overdispersion_test",
+    "ndcg_eval",
+    "precision_recall_at_k",
+    "roc_curve_points",
+    "calibration_bins",
+    "jaccard_link_prediction",
+    "k_core_decomposition",
+    "naive_bayes_eval",
+    "matryoshka_truncation_audit",
+    "shingle_granularity_curve",
+    "csv_malformed_audit",
+    "mutual_information_profile",
+    "zipf_slope_fit",
+    # -- positions 17-25: re-planned after last green row (stale) ------
+    "semantic_dedup",
+    "edit_distance_linkage",
+    "ngram_jaccard_block",
+    "embedding_near_dups",
+    "recursive_reachability",
+    "knn_classifier_eval",
+    "poisson_bootstrap_ci",
+    "ngram_novelty",
+    "wordpiece_apply",
+    # -- positions 26-50: oldest-green (r1) regression probes ----------
+    "bronze_ingest",
+    "silver_clean",
+    "gold_hourly",
+    "gold_cohort_stats",
+    "gold_unpivot",
+    "aqi_pm25",
+    "aqi_full_pipeline",
+    "aqi_category_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "q10_top_customers",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "broadcast_dim_join",
+    "semi_join_customers",
+    "anti_join_customers",
+    "orders_running_total",
+    "orders_lag_lead",
+    "top3_per_group",
+    "exact_percentiles",
+    # -- round-6 window (all green r6); order preserved ----------------
     "temperature_mix",
     "period_over_period",
     "conversion_ci",
     "gini_concentration",
-    # -- position 5: approx_stats under its new flag-based oracle ------
     "approx_stats",
-    # -- positions 6-10: round-5 graph-mining tier ---------------------
     "label_propagation",
     "adamic_adar_links",
     "degree_assortativity",
     "modularity_lpa",
     "quality_auc",
-    # -- positions 11-50: round-5 stats/monitoring/survival/causal tier
     "uncertainty_sampling",
     "benford_audit",
     "cusum_drift",
@@ -138,7 +192,6 @@ _ATTESTATION_PRIORITY = [
     "holt_forecast",
     "theil_sen_trend",
     "mann_kendall_test",
-    "ngram_novelty",
     "sequential_patterns",
     "word_pmi",
     "entropy_rate",
@@ -152,7 +205,6 @@ _ATTESTATION_PRIORITY = [
     "kaplan_meier",
     "retention_cohorts",
     "harmonic_regression",
-    "poisson_bootstrap_ci",
     "trimmed_stats",
     "hill_tail_index",
     "decision_stump",
@@ -187,7 +239,6 @@ _ATTESTATION_PRIORITY = [
     "triangle_count",
     "pagerank_parts",
     "variant_shred",
-    "recursive_reachability",
     "sql_udf_pipeline",
     "lateral_topk_orders",
     "xml_pack_unpack",
@@ -230,7 +281,6 @@ _ATTESTATION_PRIORITY = [
     "ship_delay_sla",
     "image_resize_grid",
     "audio_segments",
-    "wordpiece_apply",
     "segment_dedup_apply",
     "python_source_stats",
     "source_reputation",
@@ -240,7 +290,6 @@ _ATTESTATION_PRIORITY = [
     "training_prep_audit",
     "mahalanobis_outliers",
     "centroid_classifier_eval",
-    "knn_classifier_eval",
     "woe_iv_encoding",
     "shard_manifest",
     "epoch_shuffle",
