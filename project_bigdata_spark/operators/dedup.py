@@ -344,6 +344,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 2,
     max_block: int = 1000,
+    refine_over: int = 128,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard: compare only docs sharing a blocking
     key (cheap metadata), with distinct word-n-gram sets.
@@ -354,6 +355,23 @@ def ngram_jaccard_pairs(
     in web corpora) whose self-join would be quadratic, mirroring
     ``minhash_candidate_pairs``'s ``max_bucket`` guard; route oversized
     blocks through MinHash LSH instead.
+
+    ``refine_over``: blocks denser than this many members sub-block on the
+    lowered text's first 8 chars (the metadata key's block COUNT is a
+    vocabulary constant, so block size — and the pair join, quadratically
+    — otherwise grows with the corpus). RECALL TRADE-OFF: inside a dense
+    block, near-dup pairs that reorder words or differ within their first
+    8 lowered chars stop pairing, even though the same block under
+    ``refine_over`` members would emit them — the refinement trades that
+    slice of recall for sub-quadratic cost, exactly like ``max_block``
+    trades whole hot blocks. The prefix key is kept deliberately: an
+    order-insensitive alternative with a CONSTANT vocabulary (word-length
+    buckets span ~12 values at any corpus size) re-creates the quadratic
+    one level down, and a 1-band word MinHash collapses onto whichever
+    common word hashes globally smallest — the prefix's cardinality grows
+    with content diversity, which is what bounds dense-block fan-out.
+    Pairs the refinement does drop remain reachable via MinHash LSH
+    (``minhash_candidate_pairs``), the designated route for hot blocks.
     """
     pre = df.select(
         F.col(id_col),
@@ -362,23 +380,18 @@ def ngram_jaccard_pairs(
         words_col(F.col(text_col)).alias("_ws"),
     )
     # conditional sub-blocking (round-6 re-plan, the edit_distance_pairs
-    # discipline): the metadata key's block count is a vocabulary
-    # constant, so block size — and the pair join, quadratically — grows
-    # with the corpus. Blocks denser than 128 members refine on the
-    # lowered text's first 8 chars; a no-op at every attested SF.
-    refine_over = 128
-    blk0 = F.concat_ws("|", *[F.col(c) for c in block_cols])
+    # discipline); a no-op at every attested SF.
     w0 = Window.partitionBy(*block_cols)
     pre = pre.withColumn(
         "_blk",
         F.when(
             F.count(F.lit(1)).over(w0) > refine_over,
-            F.concat_ws("|", blk0, F.substring(F.col("_lt"), 1, 8)),
-        ).otherwise(blk0),
+            F.substring(F.col("_lt"), 1, 8),
+        ).otherwise(F.lit("")),
     )
     # size-filter BEFORE materializing gram sets, so dropped blocks never
     # pay the shingle/array_distinct cost
-    bw = Window.partitionBy("_blk")
+    bw = Window.partitionBy("_blk", *block_cols)
     pre = pre.withColumn("_bsz", F.count(F.lit(1)).over(bw)).filter(
         F.col("_bsz") <= max_block
     )
@@ -396,11 +409,17 @@ def ngram_jaccard_pairs(
     )
     b = base.select(
         F.col("_blk"),
+        *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"),
         F.col("_grams").alias("gb"),
     )
+    # join on the block columns THEMSELVES plus the refinement suffix —
+    # never on a concat_ws composite alone, whose '|' separator can
+    # collide distinct blocks (('a|b','c') vs ('a','b|c')) and whose
+    # NULL-skipping would pair rows with NULL block keys that a plain
+    # equi-join (correctly) never matches.
     return (
-        a.join(b, on="_blk")
+        a.join(b, on=["_blk", *block_cols])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "jaccard",
@@ -718,6 +737,7 @@ def edit_distance_pairs(
     prefix_chars: int = 32,
     max_dist: int = 8,
     max_block: int = 1000,
+    refine_over: int = 128,
 ) -> DataFrame:
     """Blocked fuzzy record linkage: within each block (cheap equality
     keys + the first word), pair documents whose lowercased
@@ -730,47 +750,63 @@ def edit_distance_pairs(
     ``max_block`` are dropped whole (the same degenerate-bucket guard as
     LSH banding; a hot block belongs to MinHash, not edit distance).
     Only (id, block key, prefix) tuples shuffle — never documents.
+
+    ``refine_over``: the coarse key's block COUNT is a constant (lang x
+    first-word vocabulary), so block SIZE — and the pair count,
+    quadratically — grows with the corpus (the synthetic-decade soak
+    measured 1.6s -> 102s). Blocks exceeding ``refine_over`` members
+    refine on the prefix's first 8 chars: true near-dup pairs
+    (Levenshtein <= 8 over 32-char prefixes) almost surely agree on the
+    first 8 chars, while unrelated docs that merely share a first word
+    scatter. RECALL TRADE-OFF: inside a dense block, a pair whose edits
+    fall within the first 8 chars stops pairing once the refinement
+    fires. A no-op below the threshold (max block at any attested SF is
+    93). The prefix refinement is justified HERE specifically because
+    the metric itself is prefix edit distance — key agreement and metric
+    proximity align.
     """
     first_word = F.element_at(words_col(F.col(text_col)), 1)
     keyed = df.select(
         F.col(id_col),
-        F.concat_ws(
-            "|", *[F.col(c) for c in block_cols], first_word
-        ).alias("_blk0"),
+        *[F.col(c) for c in block_cols],
+        first_word.alias("_fw"),
         F.substring(F.lower(F.col(text_col)), 1, prefix_chars).alias("_pfx"),
     )
-    # conditional sub-blocking (round-6 re-plan): the coarse key's block
-    # COUNT is a constant (lang x first-word vocabulary), so block SIZE —
-    # and the pair count, quadratically — grows with the corpus (the
-    # synthetic-decade soak measured 1.6s -> 102s). When a block exceeds
-    # ``refine_over`` members, refine its key with the prefix's first 8
-    # chars: true near-dup pairs (Levenshtein <= 8 over 32-char prefixes)
-    # almost surely agree on the first 8 chars, while unrelated docs that
-    # merely share a first word scatter. A no-op below the threshold, so
-    # attested outputs are unchanged (max block at any attested SF is 93).
-    refine_over = 128
-    w0 = Window.partitionBy("_blk0")
+    # conditional sub-blocking (round-6 re-plan); block identity lives in
+    # the key columns themselves (never a concat_ws composite, whose '|'
+    # separator can collide distinct blocks and whose NULL-skipping would
+    # pair NULL-keyed rows an equi-join correctly never matches); the
+    # refinement is a separate suffix column.
+    w0 = Window.partitionBy(*block_cols, "_fw")
     refined = keyed.withColumn(
-        "_blk",
+        "_sfx",
         F.when(
             F.count(F.lit(1)).over(w0) > refine_over,
-            F.concat_ws("|", F.col("_blk0"), F.substring(F.col("_pfx"), 1, 8)),
-        ).otherwise(F.col("_blk0")),
-    ).drop("_blk0")
-    bw = Window.partitionBy("_blk")
+            F.substring(F.col("_pfx"), 1, 8),
+        ).otherwise(F.lit("")),
+    )
+    bw = Window.partitionBy(*block_cols, "_fw", "_sfx")
     bounded = (
         refined.withColumn("_bsz", F.count(F.lit(1)).over(bw))
         .filter(F.col("_bsz") <= max_block)
         .drop("_bsz")
     )
     a = bounded.select(
-        F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pa")
+        *block_cols,
+        "_fw",
+        "_sfx",
+        F.col(id_col).alias("id_a"),
+        F.col("_pfx").alias("_pa"),
     )
     b = bounded.select(
-        F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pb")
+        *block_cols,
+        "_fw",
+        "_sfx",
+        F.col(id_col).alias("id_b"),
+        F.col("_pfx").alias("_pb"),
     )
     return (
-        a.join(b, on="_blk")
+        a.join(b, on=[*block_cols, "_fw", "_sfx"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
         .filter(F.col("edit_dist") <= max_dist)

@@ -119,24 +119,25 @@ def lsh_near_dup_pairs(
     constant (2^N_PLANES), so bucket size — and the verify join,
     quadratically — grows with the corpus (the round-6 synthetic-decade
     soak measured 7.4x). When enabled, a 16-plane signature is computed
-    and truncated to k = clamp(ceil(log2(n / 8)), N_PLANES, 16) bits, so
+    and truncated to k = the smallest k in [N_PLANES, 16] with
+    8·2^k >= n (equivalently clamp(ceil(log2(n/8)), N_PLANES, 16)), so
     expected bucket occupancy stays ~8 and the pair count grows linearly;
     at n <= 2^(N_PLANES+3) the truncation reproduces the fixed-plane
     bucketing bit-for-bit (the first k planes are the same literals).
+    k is derived by an integer comparison ladder on the row count — never
+    a floating-point log, whose 1-ulp divergence between engines at exact
+    boundary counts (n = 8·2^j) would flip ceil and rewrite every bucket
+    (round-6 advice; the DuckDB oracle mirrors the same ladder).
     """
     if adaptive_planes:
         from project_bigdata_spark.operators.dedup import fan_out
 
         df = fan_out(df)  # 16 interpreted plane folds per row
-        kcol = df.agg(
-            F.least(
-                F.greatest(
-                    F.ceil(F.log2(F.count(F.lit(1)) / F.lit(8.0))),
-                    F.lit(N_PLANES).cast("bigint"),
-                ),
-                F.lit(16).cast("bigint"),
-            ).alias("_k")
-        )
+        n = F.count(F.lit(1))
+        ladder = F.when(n <= F.lit(8 * 2**N_PLANES), F.lit(N_PLANES))
+        for j in range(N_PLANES + 1, 16):
+            ladder = ladder.when(n <= F.lit(8 * 2**j), F.lit(j))
+        kcol = df.agg(ladder.otherwise(F.lit(16)).cast("bigint").alias("_k"))
         withb = (
             df.crossJoin(F.broadcast(kcol))
             .select(

@@ -338,28 +338,29 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "edit_distance_linkage",
     oracle="""
 WITH keyed AS (
-  SELECT doc_id,
-         concat_ws('|', lang,
-           list_filter(string_split_regex(lower(text), '\\s+'),
-                       w -> w <> '')[1]) AS blk0,
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '')[1] AS fw,
          substring(lower(text), 1, 32) AS pfx
   FROM documents
 ), refined AS (
-  SELECT doc_id, pfx,
-         CASE WHEN count(*) OVER (PARTITION BY blk0) > 128
-              THEN concat_ws('|', blk0, substring(pfx, 1, 8))
-              ELSE blk0 END AS blk
+  SELECT doc_id, lang, fw, pfx,
+         CASE WHEN count(*) OVER (PARTITION BY lang, fw) > 128
+              THEN substring(pfx, 1, 8)
+              ELSE '' END AS sfx
   FROM keyed
 ), bounded AS (
   SELECT * FROM (
-    SELECT refined.*, count(*) OVER (PARTITION BY blk) AS bsz FROM refined
+    SELECT refined.*, count(*) OVER (PARTITION BY lang, fw, sfx) AS bsz
+    FROM refined
   ) WHERE bsz <= 1000
 )
 SELECT CAST(a.doc_id AS BIGINT) AS id_a,
        CAST(b.doc_id AS BIGINT) AS id_b,
        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
 FROM bounded a JOIN bounded b
-  ON a.blk = b.blk AND a.doc_id < b.doc_id
+  ON a.lang = b.lang AND a.fw = b.fw AND a.sfx = b.sfx
+ AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pfx, b.pfx) <= 8""",
     doc="Blocked fuzzy record linkage: equality blocking on "
     "(lang, first word), Levenshtein <= 8 on fixed 32-char prefixes. "

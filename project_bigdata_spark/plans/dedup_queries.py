@@ -237,23 +237,24 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH keyed AS (
   SELECT doc_id, lang, source, lower(text) AS lt,
          CASE WHEN count(*) OVER (PARTITION BY lang, source) > 128
-              THEN concat_ws('|', lang, source, substring(lower(text), 1, 8))
-              ELSE concat_ws('|', lang, source) END AS blk
+              THEN substring(lower(text), 1, 8)
+              ELSE '' END AS sfx
   FROM documents
 ), g0 AS (
-  SELECT doc_id, lang, source, blk,
+  SELECT doc_id, lang, source, sfx,
          list_distinct(CASE WHEN len({WORDS_SQL}) >= 2
            THEN list_transform(range(1, len({WORDS_SQL})),
                   i -> concat_ws(' ', {WORDS_SQL}[i], {WORDS_SQL}[i+1]))
            ELSE [lower(text)] END) AS grams
   FROM (SELECT keyed.*, lt AS text FROM keyed)
-  QUALIFY count(*) OVER (PARTITION BY blk) <= 1000
+  QUALIFY count(*) OVER (PARTITION BY lang, source, sfx) <= 1000
 )
 SELECT a.lang, a.source,
        CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
-FROM g0 a JOIN g0 b ON a.blk = b.blk
+FROM g0 a JOIN g0 b
+  ON a.lang = b.lang AND a.source = b.source AND a.sfx = b.sfx
 WHERE a.doc_id < b.doc_id
   AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2""",

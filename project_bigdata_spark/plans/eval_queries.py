@@ -88,8 +88,12 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(-1, _QTEXT)], "doc_id long, text string")
     ).select(F.col("embedding").alias("_q"))
     ws = words_col(F.col("text"))
+    # coalesce per term: array_contains over a NULL text yields NULL in
+    # Spark while the oracle's CASE WHEN yields 0 — grade NULL text as
+    # rel=0 on both engines (round-6 advice).
     rel = sum(
-        F.array_contains(ws, t).cast("bigint") for t in _QTERMS
+        F.coalesce(F.array_contains(ws, t).cast("bigint"), F.lit(0))
+        for t in _QTERMS
     )
     return (
         d.join(emb.select("doc_id", "embedding"), "doc_id")

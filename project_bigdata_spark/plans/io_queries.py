@@ -555,13 +555,31 @@ def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     # value field: the shortest-repr double string parses back to the
-    # identical double; corrupted rows get a non-numeric token
+    # identical double; corrupted rows get a non-numeric token.
+    # Every field coalesces NULL to an explicit empty slot — concat_ws
+    # SKIPS NULLs, so a NULL value would otherwise emit a 2-field line
+    # that PERMISSIVE-parses as a clean row (round-6 advice). The empty
+    # slot reads back as NULL under the CSV default nullValue, matching
+    # the oracle's NULL semantics. event_type is additionally asserted
+    # CSV-safe (no comma/quote/newline) rather than silently relying on
+    # the fixture vocabulary: an unsafe token would shift fields.
+    safe_type = F.col("event_type").isNull() | F.col("event_type").rlike(
+        '^[^",\n\r]*$'
+    )
     line = F.concat_ws(
         ",",
-        F.col("event_id").cast("string"),
-        F.col("event_type"),
-        F.when(corrupt, F.lit("NOT_A_NUMBER")).otherwise(
-            F.col("value").cast("string")
+        F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+        F.when(safe_type, F.coalesce(F.col("event_type"), F.lit(""))).otherwise(
+            F.raise_error(
+                F.lit("csv_malformed_audit: event_type contains CSV "
+                      "metacharacters; quote or re-block the vocabulary")
+            )
+        ),
+        F.coalesce(
+            F.when(corrupt, F.lit("NOT_A_NUMBER")).otherwise(
+                F.col("value").cast("string")
+            ),
+            F.lit(""),
         ),
     )
     e.select(line.alias("value")).write.mode("overwrite").text(path)

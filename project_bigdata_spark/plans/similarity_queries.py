@@ -207,18 +207,36 @@ def _bucket16_sql(vec: str) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+_K_LADDER_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN count(*) <= {8 * 2**j} THEN {j}"
+        for j in range(SIM.N_PLANES, 16)
+    )
+    + " ELSE 16 END"
+)
+
+_NEAR_DUP_SEED_STRIDE = 31
+_NEAR_DUP_SEED_BASE = 10_000_000
+
+
 @query(
     "embedding_near_dups",
     oracle=f"""
-WITH k AS (
-  SELECT least(greatest(CAST(ceil(log2(count(*) / 8.0)) AS BIGINT),
-                        {SIM.N_PLANES}), 16) AS k
-  FROM embeddings
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_NEAR_DUP_SEED_BASE} AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.05)
+           AS embedding
+  FROM embeddings WHERE vec_id % {_NEAR_DUP_SEED_STRIDE} = 0
+), k AS (
+  SELECT {_K_LADDER_SQL} AS k FROM corpus
 ), b AS (
   SELECT vec_id, embedding,
          substring({_bucket16_sql('embedding')}, 1, CAST(k.k AS INT))
            AS bucket
-  FROM embeddings, k
+  FROM corpus, k
 )
 SELECT a.bucket,
        CAST(a.vec_id AS BIGINT) AS id_a, CAST(x.vec_id AS BIGINT) AS id_b,
@@ -227,20 +245,35 @@ FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
 WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
     doc="Embedding near-dup dedup: exact cosine verification restricted "
     "to LSH-bucket cohabitants. The plane count ADAPTS to the corpus "
-    "(round-6 re-plan: k = clamp(ceil(log2(n/8)), 8, 16) bits of a "
-    "16-plane signature, mirrored in the oracle) — with the fixed "
-    "8-plane bucketing the bucket count was a constant 256, so bucket "
-    "occupancy and the verify join grew quadratically (the synthetic-"
-    "decade soak measured 7.4x; adaptive planes hold expected "
-    "occupancy ~8 and the soak at 1.8x). At every attested SF "
-    "(n <= 2048) the truncation reproduces the original 8-plane "
-    "buckets bit-for-bit, so attested outputs are unchanged.",
+    "(round-6 re-plan: the smallest k in [8, 16] with 8*2^k >= n bits "
+    "of a 16-plane signature — an integer comparison ladder on the row "
+    "count, identical in the oracle, never a float log whose 1-ulp "
+    "engine divergence at boundary counts would rewrite every bucket) "
+    "— with the fixed 8-plane bucketing the bucket count was a "
+    "constant 256, so bucket occupancy and the verify join grew "
+    "quadratically (the synthetic-decade soak measured 7.4x; adaptive "
+    "planes hold expected occupancy ~8 and the soak at 1.3x). The "
+    "fixture's random embeddings contain no genuine near-dups (max "
+    "in-bucket cosine 0.46 at sf0.01), which made the old attestation "
+    "vacuous (0 = 0 rows); the corpus is therefore seeded in-query "
+    "with scale-1.05 copies of every 31st vector (round-7 verdict ask "
+    "#3) — positive scaling preserves every hyperplane sign, so each "
+    "seed shares its original's bucket and verifies at cosine 1.0, "
+    "making the attested output non-empty at every SF.",
     survey_ids=("M7-D8",),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", SIM.as_double(F.col("embedding")).alias("embedding"))
+    seeds = e.filter(F.col("vec_id") % _NEAR_DUP_SEED_STRIDE == 0).select(
+        (F.col("vec_id") + F.lit(_NEAR_DUP_SEED_BASE)).alias("vec_id"),
+        F.transform(
+            SIM.as_double(F.col("embedding")), lambda x: x * F.lit(1.05)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(seeds)
     pairs = SIM.lsh_near_dup_pairs(
-        e, threshold=0.0, max_bucket=100000, adaptive_planes=True
+        corpus, threshold=0.0, max_bucket=100000, adaptive_planes=True
     )
     out = pairs.withColumn("cosine", N.rnd("cosine", 6)).filter(
         F.col("cosine") >= 0.85

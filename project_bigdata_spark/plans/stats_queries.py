@@ -3593,7 +3593,7 @@ ZIPF_TOP_N = 1000
     oracle=f"""
 WITH freq AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f
-  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w FROM documents)
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS w FROM documents)
   GROUP BY w
 ), ranked AS (
   SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
