@@ -336,6 +336,99 @@ def simhash16(text: Column) -> Column:
     return total.cast("bigint")
 
 
+def simhash_bits(text: Column, nbits: int = 60) -> Column:
+    """``nbits``-bit SimHash (nbits <= 60 so the packed fingerprint stays
+    positive in a signed BIGINT on both engines — bit 63 would sign-extend
+    under shiftright and break band extraction).
+
+    Same vote construction as :func:`simhash16` — per word, md5 hex
+    nibbles supply the bit stream; each bit votes +1/-1; the sign vector
+    packs into an integer — but md5 is computed ONCE per word (a
+    ``transform`` pass) instead of once per (word, bit), which matters at
+    60 bits. Executor-side higher-order functions only, no explode, no
+    UDF.
+    """
+    hs = F.transform(words_col(text), lambda w: F.md5(w))
+
+    def bit(h: Column, b: int) -> Column:
+        nibble = F.conv(F.substring(h, 1 + b // 4, 1), 16, 10).cast("int")
+        return F.shiftright(nibble, 3 - b % 4).bitwiseAND(F.lit(1))
+
+    zero = F.array(*[F.lit(0)] * nbits)
+    votes = F.aggregate(
+        hs,
+        zero,
+        lambda acc, h: F.array(
+            *[acc[b] + (bit(h, b) * 2 - 1) for b in range(nbits)]
+        ),
+    )
+    total = F.lit(0).cast("bigint")
+    for b in range(nbits):
+        total = total + F.when(
+            votes[b] > 0, F.lit(1 << (nbits - 1 - b)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return total
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 60,
+    bands: int = 4,
+    max_dist: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs by pigeonhole banding (the classic
+    Charikar/Manku web-dedup construction): split the ``nbits``
+    fingerprint into ``bands`` equal bit-bands — any pair within Hamming
+    distance ``bands - 1`` agrees EXACTLY on at least one band — then
+    equi-join per band and verify ``bit_count(xor) <= max_dist``.
+
+    Scale shape: candidates come from band-bucket equi-joins (never n²);
+    ``max_bucket`` drops degenerate band buckets whole (a band value
+    shared by a huge cohort — boilerplate-dominated corpora), the same
+    hot-bucket guard as MinHash LSH banding. Requires
+    ``max_dist <= bands - 1`` for the pigeonhole guarantee.
+    """
+    assert max_dist <= bands - 1, "pigeonhole needs max_dist <= bands-1"
+    bandw = nbits // bands
+    sh = df.select(
+        F.col(id_col), simhash_bits(F.col(text_col), nbits).alias("_sh")
+    )
+    bands_arr = F.array(
+        *[
+            F.shiftright(F.col("_sh"), bandw * i).bitwiseAND(
+                F.lit((1 << bandw) - 1).cast("bigint")
+            )
+            for i in range(bands)
+        ]
+    )
+    e = sh.select(
+        F.col(id_col), F.col("_sh"), F.posexplode(bands_arr).alias("_band", "_bv")
+    )
+    w = Window.partitionBy("_band", "_bv")
+    capped = e.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bsz") <= max_bucket
+    )
+    a = capped.select(
+        "_band", "_bv", F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")
+    )
+    b = capped.select(
+        "_band", "_bv", F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")
+    )
+    pairs = (
+        a.join(b, on=["_band", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "_sha", "id_b", "_shb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_dist
+    ).select("id_a", "id_b", "hamming")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

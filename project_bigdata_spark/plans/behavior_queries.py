@@ -1267,3 +1267,94 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_order_inversions (round 7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_order_inversions",
+    oracle="""
+WITH arr AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) + 1000000 * (CAST(('0x' ||
+           substring(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) % 8)
+           AS arr_us,
+         event_id
+  FROM events
+), lagged AS (
+  SELECT event_type, ts_us,
+         lag(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY arr_us, event_id) AS prev_ts_us
+  FROM arr
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_ts_us > ts_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       round(CAST(sum(CASE WHEN prev_ts_us > ts_us THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS late_share,
+       CAST(coalesce(max(CASE WHEN prev_ts_us > ts_us
+                              THEN prev_ts_us - ts_us END), 0) AS BIGINT)
+         AS max_lateness_us,
+       round(CAST(sum(CASE WHEN prev_ts_us > ts_us
+                           THEN prev_ts_us - ts_us ELSE 0 END) AS DOUBLE)
+             / greatest(1, sum(CASE WHEN prev_ts_us > ts_us
+                                    THEN 1 ELSE 0 END)), 4)
+         AS avg_lateness_us
+FROM lagged GROUP BY event_type""",
+    doc="Event-time out-of-orderness profile — the measurement that "
+    "SIZES a streaming watermark (T1's delay threshold is exactly "
+    "'max tolerated lateness'; picking it without this profile is "
+    "guessing). The fixture arrives perfectly ordered, so a "
+    "deterministic md5-derived network jitter of 0-7 s is added "
+    "in-query to form the ARRIVAL order (the csv_malformed_audit "
+    "seeding discipline — oracle-replayable, non-vacuous at every "
+    "SF); events are then walked per user in (arrival, event_id) "
+    "order and every event-time regression against the previous "
+    "arrival is counted, with max and mean lateness in exact integer "
+    "microseconds. Plan: one per-user window over the facts, one "
+    "#types-row aggregate; lateness stays integer so the shares are "
+    "identical doubles cross-engine.",
+    survey_ids=("M7-A67",),
+)
+def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    jit = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 8
+    )
+    arr = e.select(
+        "event_type",
+        "user_id",
+        ts_us.alias("ts_us"),
+        (ts_us + F.lit(1000000) * jit).alias("arr_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("arr_us", "event_id")
+    lagged = arr.select(
+        "event_type",
+        "ts_us",
+        F.lag("ts_us").over(w).alias("prev_ts_us"),
+    )
+    late = F.col("prev_ts_us") > F.col("ts_us")
+    lateness = F.col("prev_ts_us") - F.col("ts_us")
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late.cast("int")).cast("bigint").alias("n_late"),
+        N.rnd(
+            F.sum(late.cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("late_share"),
+        F.coalesce(F.max(F.when(late, lateness)), F.lit(0))
+        .cast("bigint")
+        .alias("max_lateness_us"),
+        N.rnd(
+            F.sum(F.when(late, lateness).otherwise(F.lit(0))).cast("double")
+            / F.greatest(F.lit(1), F.sum(late.cast("int"))),
+            4,
+        ).alias("avg_lateness_us"),
+    )

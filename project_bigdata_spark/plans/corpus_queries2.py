@@ -898,3 +898,161 @@ def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_docs") + 20.0)
         ).alias("shrunk_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chao1_vocab_richness / heaps_law_fit (round 7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "chao1_vocab_richness",
+    oracle=f"""
+WITH wc AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY lang, w
+), s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM wc GROUP BY lang
+)
+SELECT lang, vocab, f1, f2, n_tokens,
+       round(vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)), 4)
+         AS chao1_richness,
+       round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass
+FROM s""",
+    doc="Chao1 species-richness estimate of the per-language vocabulary "
+    "(bias-corrected form V + F1(F1-1)/(2(F2+1)) from the singleton/"
+    "doubleton counts) plus the Good-Turing unseen-probability mass "
+    "F1/N — how much vocabulary a corpus slice has NOT yet seen, the "
+    "coverage planning number for tokenizer training and dedup-width "
+    "tuning. All sufficient statistics are exact integers from one "
+    "count-of-counts pass over the word-frequency frame; the estimator "
+    "is a fixed double expression. Scale: the only fact-width shuffle "
+    "is the (lang, word) aggregate — everything after is "
+    "vocabulary-bounded.",
+    survey_ids=("M7-C23",),
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    wc = (
+        d.select("lang", F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    chao1 = F.col("vocab") + (F.col("f1") * (F.col("f1") - 1)).cast(
+        "double"
+    ) / (F.lit(2.0) * (F.col("f2") + 1))
+    return s.select(
+        "lang",
+        "vocab",
+        "f1",
+        "f2",
+        "n_tokens",
+        N.rnd(chao1, 4).alias("chao1_richness"),
+        N.rnd(F.col("f1").cast("double") / F.col("n_tokens"), 6).alias(
+            "gt_unseen_mass"
+        ),
+    )
+
+
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+WITH slice_stats AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT lang, source, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY lang, source
+), pts AS (
+  SELECT {N.sql_cents("ln(CAST(n_tok AS DOUBLE))", 10**9)} AS x9,
+         {N.sql_cents("ln(CAST(v AS DOUBLE))", 10**9)} AS y9
+  FROM slice_stats
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x9 AS HUGEINT)) AS sx, sum(CAST(y9 AS HUGEINT)) AS sy,
+         sum(CAST(x9 AS HUGEINT) * x9) AS sxx,
+         sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+         sum(CAST(y9 AS HUGEINT) * y9) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_slices,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n AS DOUBLE) / 1e9, 6) AS heaps_lnk,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_squared
+FROM s""",
+    doc="Heaps'-law fit of vocabulary growth V = K * N^beta: OLS of "
+    "ln(vocab) on ln(tokens) across the (lang, source) corpus slices "
+    "(each slice one point — natural text sits near beta ~0.5; "
+    "template or generated text flattens the curve). The "
+    "zipf_slope_fit machinery reused on the growth axis: both log "
+    "coordinates snap to the 1e-9 grid so the five OLS moments are "
+    "exact HUGEINT/DECIMAL(38,0) sums, slope/intercept/R^2 fixed "
+    "double expressions. Predicts the vocabulary a 100x corpus will "
+    "carry — the tokenizer/embedding-table budget extrapolation. "
+    "Plan: one (lang, source, word) distinct-count aggregate, then a "
+    "#slices-row reduce.",
+    survey_ids=("M7-C24",),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("lang", "source", "text")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    slices = (
+        d.select(
+            "lang", "source", F.explode(words_col(F.col("text"))).alias("w")
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.countDistinct("w").cast("bigint").alias("v"),
+        )
+    )
+    pts = slices.select(
+        N.cents(F.log(F.col("n_tok").cast("double")), 10**9).alias("x9"),
+        N.cents(F.log(F.col("v").cast("double")), 10**9).alias("y9"),
+    )
+    s = pts.agg(
+        dec(F.count(F.lit(1))).alias("n"),
+        F.sum(dec(F.col("x9"))).alias("sx"),
+        F.sum(dec(F.col("y9"))).alias("sy"),
+        F.sum(dec(F.col("x9")) * F.col("x9")).alias("sxx"),
+        F.sum(dec(F.col("x9")) * F.col("y9")).alias("sxy"),
+        F.sum(dec(F.col("y9")) * F.col("y9")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    denx = (n * sxx - sx * sx).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    slope = num / denx
+    return s.select(
+        n.cast("bigint").alias("n_slices"),
+        N.rnd(slope, 6).alias("heaps_beta"),
+        N.rnd(
+            (sy.cast("double") - slope * sx) / n.cast("double") / 1e9, 6
+        ).alias("heaps_lnk"),
+        N.rnd(num * num / (denx * deny), 6).alias("r_squared"),
+    )

@@ -2075,3 +2075,95 @@ def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predictability_gap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_allocation (round 7)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1000
+
+
+@query(
+    "temperature_mix_allocation",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+w AS (
+  SELECT lang, n,
+         {N.sql_cents("sqrt(sqrt(CAST(n AS DOUBLE) / nt))", 10**9)} AS w9
+  FROM c, tot
+), sw AS (SELECT CAST(sum(CAST(w9 AS HUGEINT)) AS HUGEINT) AS s FROM w),
+q AS (
+  SELECT lang, n, w9,
+         ({_MIX_BUDGET} * CAST(w9 AS HUGEINT)) // s AS base,
+         ({_MIX_BUDGET} * CAST(w9 AS HUGEINT)) % s AS rem
+  FROM w, sw
+), fl AS (SELECT CAST(sum(base) AS BIGINT) AS fsum FROM q),
+r AS (
+  SELECT q.*, fl.fsum,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM q, fl
+)
+SELECT lang, n AS n_docs,
+       round(CAST(w9 AS DOUBLE) / 1e9, 6) AS weight,
+       CAST(base + CASE WHEN rk <= {_MIX_BUDGET} - fsum THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r""",
+    doc="Temperature-scaled sampling allocation (the multilingual "
+    "data-mixing primitive: share_l ~ p_l^alpha flattens the head so "
+    "low-resource languages survive, mT5/XLM-R style): alpha = 1/4 "
+    "computed as sqrt(sqrt(p)) — two correctly-rounded IEEE sqrts, "
+    "bit-identical cross-engine, where a pow(p, 0.3) would be "
+    "libm-dependent — weights snapped to the 1e-9 integer grid, and "
+    "the 1000-doc budget apportioned by exact-integer largest-"
+    "remainder (Hamilton) rounding: base = floor(B*w/S), the B - "
+    "sum(base) leftover units go to the largest remainders with full "
+    "(rem DESC, lang) tie-break, so sum(alloc) == B exactly. Plan: "
+    "one #langs-row aggregate plus three broadcast scalar rows — the "
+    "corpus is touched once.",
+    survey_ids=("M7-C25",),
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("nt"))
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        N.cents(
+            F.sqrt(F.sqrt(F.col("n").cast("double") / F.col("nt"))), 10**9
+        ).alias("w9"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    sw = w.agg(F.sum(dec(F.col("w9"))).alias("s"))
+    q = w.crossJoin(F.broadcast(sw)).select(
+        "lang",
+        "n",
+        "w9",
+        F.expr(
+            f"CAST({_MIX_BUDGET} AS DECIMAL(38,0)) * w9 div s"
+        ).alias("base"),
+        F.expr(f"CAST({_MIX_BUDGET} AS DECIMAL(38,0)) * w9 % s").alias("rem"),
+    )
+    fl = q.agg(F.sum("base").cast("bigint").alias("fsum"))
+    r = q.crossJoin(F.broadcast(fl)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(F.desc("rem"), "lang")
+        ),
+    )
+    return r.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        N.rnd(F.col("w9").cast("double") / F.lit(1e9), 6).alias("weight"),
+        (
+            F.col("base")
+            + F.when(
+                F.col("rk") <= F.lit(_MIX_BUDGET) - F.col("fsum"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

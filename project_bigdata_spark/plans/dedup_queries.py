@@ -688,3 +688,74 @@ def shingle_granularity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         res = res.unionByName(a)
     return res
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs (round 7)
+# ---------------------------------------------------------------------------
+
+_SH60_VOTES = ", ".join(
+    f"sum(((strpos('0123456789abcdef', substring(md5(word), {1 + b // 4}, 1))"
+    f" - 1) >> {3 - b % 4} & 1) * 2 - 1) AS v{b}"
+    for b in range(60)
+)
+_SH60_PACK = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << (59 - b)} ELSE 0 END)" for b in range(60)
+)
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 31 = 0
+), w AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS word FROM corpus
+), votes AS (
+  SELECT doc_id, {_SH60_VOTES} FROM w GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, CAST({_SH60_PACK} AS BIGINT) AS sh FROM votes
+), banded AS (
+  SELECT doc_id, sh, b.band, (sh >> (15 * b.band)) & 32767 AS bv
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) b
+), capped AS (
+  SELECT * FROM (
+    SELECT banded.*, count(*) OVER (PARTITION BY band, bv) AS c FROM banded
+  ) WHERE c <= 1000
+), p AS (
+  SELECT DISTINCT a.doc_id AS ida, a.sh AS sha, x.doc_id AS idb, x.sh AS shb
+  FROM capped a JOIN capped x ON a.band = x.band AND a.bv = x.bv
+   AND a.doc_id < x.doc_id
+)
+SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM p WHERE bit_count(xor(sha, shb)) <= 3""",
+    doc="SimHash near-dup pairs by pigeonhole banding (the Charikar/"
+    "Manku web-dedup construction): a 60-bit fingerprint split into 4 "
+    "x 15-bit bands — any pair within Hamming distance 3 agrees exactly "
+    "on >= 1 band — candidates from per-band equi-joins (never n^2), "
+    "hot band-buckets dropped whole at 1000 (the LSH degenerate-bucket "
+    "guard), then bit_count(xor) verification. 60 bits (not 64) keeps "
+    "the packed fingerprint positive in a signed BIGINT on both "
+    "engines, so band shiftright never sign-extends. The fixture's "
+    "random docs sit ~30 bits apart, so the corpus is seeded in-query "
+    "with exact copies of every 31st doc (the embedding_near_dups "
+    "discipline) — attested output non-empty at every SF, distance-0 "
+    "pairs by construction.",
+    survey_ids=("M7-D23",),
+)
+def simhash_hamming_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = DD.fan_out(d.unionByName(seeds))
+    pairs = DD.simhash_hamming_pairs(corpus)
+    return pairs.select(
+        N.big("id_a").alias("id_a"),
+        N.big("id_b").alias("id_b"),
+        N.big("hamming").alias("hamming"),
+    )

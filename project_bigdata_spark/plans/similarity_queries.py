@@ -1061,3 +1061,150 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("energy_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_audit (round 7)
+# ---------------------------------------------------------------------------
+
+_PROBE_FLIP_SQL = (
+    "CASE WHEN p = 0 THEN qb"
+    " ELSE substring(qb, 1, p - 1)"
+    " || (CASE WHEN substring(qb, p, 1) = '1' THEN '0' ELSE '1' END)"
+    " || substring(qb, p + 1, 8 - p) END"
+)
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qvec, bucket AS qb
+  FROM corpus WHERE vec_id < 8
+), probes AS (
+  SELECT qid, qvec, {_PROBE_FLIP_SQL} AS bucket
+  FROM q, (SELECT unnest(range(0, 9)) AS p) pp
+), cand AS (
+  SELECT p.qid, c.vec_id,
+         {N.sql_cents(_cos_sql('c.embedding', 'p.qvec'), 10**6)} AS cos6
+  FROM probes p JOIN corpus c ON p.bucket = c.bucket
+  WHERE c.vec_id <> p.qid
+), ann AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, vec_id) AS rk
+  FROM cand
+), nc AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY qid
+), gt0 AS (
+  SELECT q.qid, c.vec_id,
+         {N.sql_cents(_cos_sql('c.embedding', 'q.qvec'), 10**6)} AS cos6
+  FROM q, corpus c WHERE c.vec_id <> q.qid
+), gt AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, vec_id) AS rk
+  FROM gt0
+), hits AS (
+  SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ann a JOIN gt g ON a.qid = g.qid AND a.vec_id = g.vec_id
+  WHERE a.rk <= 10 AND g.rk <= 10
+  GROUP BY a.qid
+)
+SELECT CAST(q.qid AS BIGINT) AS query_id,
+       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(hits.n_hits, 0) / 10.0, 4) AS recall_at_10
+FROM q LEFT JOIN nc ON q.qid = nc.qid
+       LEFT JOIN hits ON q.qid = hits.qid""",
+    doc="ANN recall@10 audit: multiprobe sign-hyperplane LSH (query "
+    "bucket + all 8 Hamming-1 neighbor buckets — multiprobe buys the "
+    "recall extra hash tables would, without extra index memory) "
+    "scored against the brute-force exact top-10 per query, both "
+    "rankings on the shared 1e-6 cosine grid with full (cos DESC, "
+    "vec_id) tie-break. THE quality gate an ANN index ships with: "
+    "recall, not latency, is what parameter changes silently spend. "
+    "Reports per-query candidate count, hits, recall. Plan: the 8 "
+    "query rows broadcast against the corpus for ground truth (8n "
+    "scores, one pass); candidates come from the bucket equi-join "
+    "only — the corpus is never self-joined.",
+    survey_ids=("M7-S17",),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        SIM.as_double(F.col("embedding")).alias("v"),
+        SIM.lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    qs = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    qb = F.col("qb")
+    probes = [qb] + [
+        F.concat(
+            F.substring(qb, 1, p - 1),
+            F.when(F.substring(qb, p, 1) == F.lit("1"), F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(qb, p + 1, 8 - p),
+        )
+        for p in range(1, 9)
+    ]
+    qp = qs.select(
+        "qid", "qv", F.explode(F.array(*probes)).alias("bucket")
+    )
+    cand = (
+        corpus.join(F.broadcast(qp), on="bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            N.cents(SIM.cosine(F.col("v"), F.col("qv")), 10**6).alias("cos6"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos6"), "vec_id")
+    ann = cand.withColumn("rk", F.row_number().over(wq)).filter(
+        F.col("rk") <= 10
+    )
+    nc = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    gt = (
+        corpus.join(
+            F.broadcast(qs.select("qid", "qv")),
+            corpus["vec_id"] != F.col("qid"),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            N.cents(SIM.cosine(F.col("v"), F.col("qv")), 10**6).alias("cos6"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+    )
+    hits = (
+        ann.join(gt.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(nc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            N.big("qid").alias("query_id"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            N.rnd(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(10.0), 4
+            ).alias("recall_at_10"),
+        )
+    )

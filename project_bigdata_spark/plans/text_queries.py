@@ -823,3 +823,213 @@ def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# readability_scores / luhn_pii_audit (round 7)
+# ---------------------------------------------------------------------------
+
+_SYL_RE = "[aeiouy]+"
+_SENT_RE = "[.!?]+"
+
+
+@query(
+    "readability_scores",
+    oracle=f"""
+WITH per AS (
+  SELECT lang,
+         greatest(1, len({WORDS_SQL})) AS wn,
+         greatest(1, len(regexp_extract_all(text, '{_SENT_RE}'))) AS sn,
+         len(regexp_extract_all(lower(text), '{_SYL_RE}')) AS yn
+  FROM documents
+), sc AS (
+  SELECT lang,
+         {N.sql_cents("206.835 - 1.015 * (CAST(wn AS DOUBLE) / sn)"
+                      " - 84.6 * (CAST(yn AS DOUBLE) / wn)", 10**6)} AS fl6,
+         {N.sql_cents("0.39 * (CAST(wn AS DOUBLE) / sn)"
+                      " + 11.8 * (CAST(yn AS DOUBLE) / wn) - 15.59",
+                      10**6)} AS fk6
+  FROM per
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(fl6 AS HUGEINT)) AS DOUBLE) / count(*) / 1e6, 4)
+         AS avg_flesch,
+       round(CAST(sum(CAST(fk6 AS HUGEINT)) AS DOUBLE) / count(*) / 1e6, 4)
+         AS avg_fk_grade,
+       round(CAST(min(fl6) AS DOUBLE) / 1e6, 6) AS min_flesch,
+       round(CAST(max(fl6) AS DOUBLE) / 1e6, 6) AS max_flesch
+FROM sc GROUP BY lang""",
+    doc="Flesch reading-ease + Flesch-Kincaid grade per language — the "
+    "classic text-quality curation features (syllables via the "
+    "vowel-group heuristic len(regexp('[aeiouy]+')), sentences via "
+    "terminal-punctuation runs, both denominators floored at 1). "
+    "Per-doc scores snap to the 1e-6 grid before the per-language "
+    "mean, so the cross-row sum is an exact integer (snap-then-sum) "
+    "and the averages render identically cross-engine. Plan: one "
+    "narrow regex pass over the corpus, one #langs-row aggregate; "
+    "zero UDFs.",
+    survey_ids=("M7-T20",),
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    wn = F.greatest(F.lit(1), F.size(words_col(F.col("text"))))
+    sn = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_SENT_RE), F.lit(0))),
+    )
+    yn = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SYL_RE), F.lit(0))
+    )
+    wps = wn.cast("double") / sn
+    ypw = yn.cast("double") / wn
+    fl6 = N.cents(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 10**6
+    )
+    fk6 = N.cents(
+        F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 10**6
+    )
+    sc = d.select("lang", fl6.alias("fl6"), fk6.alias("fk6"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return sc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        N.rnd(
+            F.sum(dec(F.col("fl6"))).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6),
+            4,
+        ).alias("avg_flesch"),
+        N.rnd(
+            F.sum(dec(F.col("fk6"))).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6),
+            4,
+        ).alias("avg_fk_grade"),
+        N.rnd(F.min("fl6").cast("double") / F.lit(1e6), 6).alias("min_flesch"),
+        N.rnd(F.max("fl6").cast("double") / F.lit(1e6), 6).alias("max_flesch"),
+    )
+
+
+_PAN_RE = "[0-9]{13,16}"
+# Luhn double-with-cap term over a reversed digit list; ``odd`` picks which
+# 0-based reversed index doubles (pan-without-check: even; full PAN: odd)
+_LUHN_SQL = (
+    "list_sum(list_transform(list_reverse(regexp_extract_all({s}, '[0-9]')),"
+    " (x, i) -> CASE WHEN (i - 1) % 2 = {dbl}"
+    " THEN CASE WHEN CAST(x AS INT) * 2 > 9 THEN CAST(x AS INT) * 2 - 9"
+    " ELSE CAST(x AS INT) * 2 END"
+    " ELSE CAST(x AS INT) END))"
+)
+
+
+@query(
+    "luhn_pii_audit",
+    oracle=f"""
+WITH seeded AS (
+  SELECT lang,
+         text || ' card ' || pan15 ||
+         CAST(CASE WHEN doc_id % 2 = 0 THEN chk
+                   ELSE (chk + 1) % 10 END AS VARCHAR) AS t
+  FROM (
+    SELECT doc_id, lang, text, pan15,
+           (10 - ({_LUHN_SQL.format(s="pan15", dbl=0)} % 10)) % 10 AS chk
+    FROM (SELECT doc_id, lang, text,
+                 lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR),
+                      15, '0') AS pan15
+          FROM documents)
+  )
+), per AS (
+  SELECT lang,
+         len(regexp_extract_all(t, '{_PAN_RE}')) AS n_cand,
+         list_sum(list_transform(regexp_extract_all(t, '{_PAN_RE}'),
+           c -> CASE WHEN {_LUHN_SQL.format(s="c", dbl=1)} % 10 = 0
+                     THEN 1 ELSE 0 END)) AS n_valid,
+         len(regexp_extract_all(
+               regexp_replace(t, '{_PAN_RE}', '[PAN]', 'g'),
+               '{_PAN_RE}')) AS n_resid
+  FROM seeded
+)
+SELECT lang,
+       CAST(sum(n_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(n_valid) AS BIGINT) AS n_luhn_valid,
+       CAST(sum(n_cand - n_valid) AS BIGINT) AS n_luhn_invalid,
+       CAST(sum(n_resid) AS BIGINT) AS n_residual_after_scrub
+FROM per GROUP BY lang""",
+    doc="Luhn-checksum payment-card PII audit — the checksum-validated "
+    "tier above pii_redact's pattern tier (a 13-16 digit run is only "
+    "reportable PII if its Luhn check passes; raw digit-run counts "
+    "over-report). The fixture has no card numbers, so each doc is "
+    "seeded in-query with a deterministic 16-digit PAN whose check "
+    "digit is made VALID for even doc_ids and broken for odd ones "
+    "(the csv_malformed_audit discipline) — the audit must recover "
+    "exactly that split per language, plus prove the scrub regex "
+    "leaves zero residual candidates. The Luhn fold is a "
+    "higher-order-function reduce over the reversed digit list "
+    "(double-and-cap at odd reversed positions) on BOTH engines — "
+    "zero UDFs, zero explodes; counts per doc stay in-array via "
+    "nested lambdas. Plan: one regex+fold pass, one #langs-row "
+    "aggregate.",
+    survey_ids=("M7-T19",),
+)
+def luhn_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+    def luhn_sum(s: F.Column, dbl: int) -> F.Column:
+        rev = F.reverse(F.regexp_extract_all(s, F.lit("[0-9]"), F.lit(0)))
+        terms = F.transform(
+            rev,
+            lambda x, i: F.when(
+                i % 2 == F.lit(dbl),
+                F.when(
+                    x.cast("int") * 2 > 9, x.cast("int") * 2 - 9
+                ).otherwise(x.cast("int") * 2),
+            ).otherwise(x.cast("int")),
+        )
+        return F.aggregate(terms, F.lit(0), lambda a, b: a + b)
+
+    pan15 = F.lpad(
+        ((F.col("doc_id") * 7919) % F.lit(10**14)).cast("string"), 15, "0"
+    )
+    chk = (F.lit(10) - (luhn_sum(pan15, 0) % 10)) % 10
+    digit = F.when(F.col("doc_id") % 2 == 0, chk).otherwise((chk + 1) % 10)
+    seeded = F.concat(
+        F.col("text"), F.lit(" card "), pan15, digit.cast("string")
+    )
+    cands = F.regexp_extract_all(seeded, F.lit(_PAN_RE), F.lit(0))
+    n_valid = F.aggregate(
+        F.transform(
+            cands,
+            lambda c: F.when(luhn_sum(c, 1) % 10 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    n_resid = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(seeded, _PAN_RE, "[PAN]"),
+            F.lit(_PAN_RE),
+            F.lit(0),
+        )
+    )
+    per = d.select(
+        "lang",
+        F.size(cands).alias("n_cand"),
+        n_valid.alias("n_valid"),
+        n_resid.alias("n_resid"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n_cand").cast("bigint").alias("n_candidates"),
+        F.sum("n_valid").cast("bigint").alias("n_luhn_valid"),
+        F.sum(F.col("n_cand") - F.col("n_valid"))
+        .cast("bigint")
+        .alias("n_luhn_invalid"),
+        F.sum("n_resid").cast("bigint").alias("n_residual_after_scrub"),
+    )
