@@ -1279,7 +1279,7 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH arr AS (
   SELECT event_type, user_id,
          epoch_us(ts) AS ts_us,
-         epoch_us(ts) + 1000000 * (CAST(('0x' ||
+         epoch_us(ts) + 3600000000 * (CAST(('0x' ||
            substring(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) % 8)
            AS arr_us,
          event_id
@@ -1309,8 +1309,8 @@ FROM lagged GROUP BY event_type""",
     "SIZES a streaming watermark (T1's delay threshold is exactly "
     "'max tolerated lateness'; picking it without this profile is "
     "guessing). The fixture arrives perfectly ordered, so a "
-    "deterministic md5-derived network jitter of 0-7 s is added "
-    "in-query to form the ARRIVAL order (the csv_malformed_audit "
+    "deterministic md5-derived delivery delay of 0-7 HOURS is added "
+    "in-query to form the ARRIVAL order — hour-scale, matching the fixture's hour-scale inter-event gaps, so real inversions exist at every SF (the csv_malformed_audit "
     "seeding discipline — oracle-replayable, non-vacuous at every "
     "SF); events are then walked per user in (arrival, event_id) "
     "order and every event-time regression against the previous "
@@ -1332,7 +1332,7 @@ def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         ts_us.alias("ts_us"),
-        (ts_us + F.lit(1000000) * jit).alias("arr_us"),
+        (ts_us + F.lit(3_600_000_000) * jit).alias("arr_us"),
         "event_id",
     )
     w = Window.partitionBy("user_id").orderBy("arr_us", "event_id")

@@ -103,11 +103,14 @@ def query(
 #  1-16  the 16 never-attested round-6 additions (nonparametric
 #        monitoring, IR evaluation, graph mining, naive Bayes, embedding
 #        and dedup diagnostics, IO robustness) in registration order;
-# 17-25  the 9 entries whose plans/oracles were re-planned in round 6
+# 17-25  the 9 round-7 additions (SimHash Hamming banding, HLL audit,
+#        corpus estimators, Luhn PII, readability, mixing allocation,
+#        ANN recall, out-of-orderness) — never attested;
+# 26-34  the 9 entries whose plans/oracles were re-planned in round 6
 #        AFTER their last green driver row (adaptive scale guards, fan-out
 #        fixes, CTE materialization) — their old attestations are stale
 #        against the current code, so they re-attest;
-# 26-50  25 regression probes re-attesting the oldest (round-1 vintage)
+# 35-50  16 regression probes re-attesting the oldest (round-1 vintage)
 #        green rows: the medallion core, the AQI pipeline, the TPC-H
 #        subset, the join/window primitives.
 # tests/test_sql_catalog.py enforces freshness: while entries without a
@@ -132,7 +135,17 @@ _ATTESTATION_PRIORITY = [
     "csv_malformed_audit",
     "mutual_information_profile",
     "zipf_slope_fit",
-    # -- positions 17-25: re-planned after last green row (stale) ------
+    # -- positions 17-25: round-7 additions, no row yet ----------------
+    "simhash_hamming_pairs",
+    "hll_distinct_audit",
+    "chao1_vocab_richness",
+    "heaps_law_fit",
+    "luhn_pii_audit",
+    "readability_scores",
+    "temperature_mix_allocation",
+    "ann_recall_audit",
+    "event_order_inversions",
+    # -- positions 26-34: re-planned after last green row (stale) ------
     "semantic_dedup",
     "edit_distance_linkage",
     "ngram_jaccard_block",
@@ -142,7 +155,7 @@ _ATTESTATION_PRIORITY = [
     "poisson_bootstrap_ci",
     "ngram_novelty",
     "wordpiece_apply",
-    # -- positions 26-50: oldest-green (r1) regression probes ----------
+    # -- positions 35-50: oldest-green (r1) regression probes ----------
     "bronze_ingest",
     "silver_clean",
     "gold_hourly",
@@ -154,19 +167,10 @@ _ATTESTATION_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q4_order_priority",
     "q10_top_customers",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
     "broadcast_dim_join",
     "semi_join_customers",
-    "anti_join_customers",
     "orders_running_total",
-    "orders_lag_lead",
-    "top3_per_group",
     "exact_percentiles",
     # -- round-6 window (all green r6); order preserved ----------------
     "temperature_mix",

@@ -1,0 +1,354 @@
+"""Semantic invariants for the round-7 operators — third-implementation
+differentials in plain Python, so a shared Spark/DuckDB bug cannot hide
+behind engine agreement."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from project_bigdata_spark.plans.catalog import load_all
+
+
+def _q(name):
+    return load_all()[name].builder
+
+
+def _snap(x: float, s: float) -> int:
+    return math.floor(x * s + 0.5) if x >= 0 else -math.floor(-x * s + 0.5)
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text.lower()) if w != ""]
+
+
+def _docs(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    ).collect()
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs
+# ---------------------------------------------------------------------------
+
+def _simhash60(text: str) -> int:
+    votes = [0] * 60
+    for w in _words(text):
+        h = hashlib.md5(w.encode()).hexdigest()
+        for b in range(60):
+            nibble = int(h[b // 4], 16)
+            bit = (nibble >> (3 - b % 4)) & 1
+            votes[b] += 2 * bit - 1
+    total = 0
+    for b in range(60):
+        if votes[b] > 0:
+            total |= 1 << (59 - b)
+    return total
+
+
+def test_simhash_hamming_pairs_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = [(r.doc_id, r.text) for r in docs] + [
+        (r.doc_id + 10_000_000, r.text) for r in docs if r.doc_id % 31 == 0
+    ]
+    sh = {i: _simhash60(t) for i, t in corpus}
+    buckets = defaultdict(list)
+    for i, s in sh.items():
+        for band in range(4):
+            buckets[(band, (s >> (15 * band)) & 32767)].append(i)
+    expect = {}
+    for _, ids in buckets.items():
+        if len(ids) > 1000:
+            continue
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    h = bin(sh[a] ^ sh[b]).count("1")
+                    if h <= 3:
+                        expect[(a, b)] = h
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in _q("simhash_hamming_pairs")(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the seeded exact copies must be present at distance 0
+    seeded = {(r.doc_id, r.doc_id + 10_000_000) for r in docs if r.doc_id % 31 == 0}
+    assert seeded <= set(got) and all(got[p] == 0 for p in seeded)
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_audit
+# ---------------------------------------------------------------------------
+
+def test_hll_distinct_audit_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    regs: dict[str, list[int]] = defaultdict(lambda: [0] * 16)
+    exact: dict[str, set] = defaultdict(set)
+    for r in rows:
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        reg = int(h[0], 16)
+        w = int(h[1:9], 16)
+        rho = 33 if w == 0 else 32 - w.bit_length() + 1
+        regs[r.event_type][reg] = max(regs[r.event_type][reg], rho)
+        exact[r.event_type].add(r.user_id)
+    got = {r.event_type: r for r in _q("hll_distinct_audit")(spark, sf_dir).collect()}
+    assert set(got) == set(regs)
+    for et, ms in regs.items():
+        t = sum(1 << (33 - m) for m in ms)
+        v = sum(1 for m in ms if m == 0)
+        raw = (0.673 * 256.0 * 2.0**33) / t
+        if raw <= 40.0 and v > 0:
+            est = 16.0 * (_snap(math.log(16.0 / v), 1e9) / 1e9)
+        else:
+            est = raw
+        assert got[et].exact_distinct == len(exact[et])
+        assert abs(got[et].hll_estimate - est) < 1e-3
+        # the estimator must actually be in the right ballpark
+        assert abs(got[et].rel_err) < 0.6
+
+
+# ---------------------------------------------------------------------------
+# chao1_vocab_richness
+# ---------------------------------------------------------------------------
+
+def test_chao1_matches_python(spark, sf_dir):
+    counts: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    for r in _docs(spark, sf_dir):
+        for w in _words(r.text):
+            counts[r.lang][w] += 1
+    got = {r.lang: r for r in _q("chao1_vocab_richness")(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for lang, wc in counts.items():
+        v = len(wc)
+        f1 = sum(1 for c in wc.values() if c == 1)
+        f2 = sum(1 for c in wc.values() if c == 2)
+        n = sum(wc.values())
+        row = got[lang]
+        assert (row.vocab, row.f1, row.f2, row.n_tokens) == (v, f1, f2, n)
+        assert abs(row.chao1_richness - (v + f1 * (f1 - 1) / (2.0 * (f2 + 1)))) < 1e-3
+        assert abs(row.gt_unseen_mass - f1 / n) < 1e-5
+        assert row.chao1_richness >= row.vocab  # richness never below observed
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_fit
+# ---------------------------------------------------------------------------
+
+def test_heaps_law_fit_matches_python(spark, sf_dir):
+    slices: dict[tuple, list[str]] = defaultdict(list)
+    for r in _docs(spark, sf_dir):
+        slices[(r.lang, r.source)].extend(_words(r.text))
+    pts = [
+        (_snap(math.log(len(ws)), 1e9), _snap(math.log(len(set(ws))), 1e9))
+        for ws in slices.values()
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    syy = sum(p[1] * p[1] for p in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    row = _q("heaps_law_fit")(spark, sf_dir).collect()[0]
+    assert row.n_slices == n
+    assert abs(row.heaps_beta - beta) < 1e-4
+    assert abs(row.r_squared - r2) < 1e-4
+    assert 0.0 < row.heaps_beta < 1.0  # sub-linear vocabulary growth
+
+
+# ---------------------------------------------------------------------------
+# luhn_pii_audit
+# ---------------------------------------------------------------------------
+
+def _luhn_ok(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_pii_audit_matches_python(spark, sf_dir):
+    per = defaultdict(lambda: [0, 0])  # lang -> [n_even, n_odd]
+    for r in _docs(spark, sf_dir):
+        per[r.lang][r.doc_id % 2] += 1
+        # the seeded PAN must itself satisfy the operator's claim
+        pan15 = str((r.doc_id * 7919) % 10**14).zfill(15)
+        for chk in range(10):
+            if _luhn_ok(pan15 + str(chk)):
+                break
+        assert _luhn_ok(pan15 + str(chk))
+    got = {r.lang: r for r in _q("luhn_pii_audit")(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for lang, (n_even, n_odd) in per.items():
+        row = got[lang]
+        assert row.n_candidates == n_even + n_odd
+        assert row.n_luhn_valid == n_even      # even doc_ids seeded valid
+        assert row.n_luhn_invalid == n_odd     # odd doc_ids seeded broken
+        assert row.n_residual_after_scrub == 0
+
+
+# ---------------------------------------------------------------------------
+# readability_scores
+# ---------------------------------------------------------------------------
+
+def test_readability_matches_python(spark, sf_dir):
+    sums = defaultdict(lambda: [0, 0, 0])  # lang -> [n, sum_fl6, sum_fk6]
+    for r in _docs(spark, sf_dir):
+        wn = max(1, len(_words(r.text)))
+        sn = max(1, len(re.findall(r"[.!?]+", r.text)))
+        yn = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        fl = 206.835 - 1.015 * (wn / sn) - 84.6 * (yn / wn)
+        fk = 0.39 * (wn / sn) + 11.8 * (yn / wn) - 15.59
+        s = sums[r.lang]
+        s[0] += 1
+        s[1] += _snap(fl, 1e6)
+        s[2] += _snap(fk, 1e6)
+    got = {r.lang: r for r in _q("readability_scores")(spark, sf_dir).collect()}
+    assert set(got) == set(sums)
+    for lang, (n, sfl, sfk) in sums.items():
+        row = got[lang]
+        assert row.n_docs == n
+        assert abs(row.avg_flesch - sfl / n / 1e6) < 1e-3
+        assert abs(row.avg_fk_grade - sfk / n / 1e6) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_allocation
+# ---------------------------------------------------------------------------
+
+def test_temperature_mix_allocation_matches_python(spark, sf_dir):
+    langs = defaultdict(int)
+    for r in _docs(spark, sf_dir):
+        langs[r.lang] += 1
+    nt = sum(langs.values())
+    w9 = {l: _snap(math.sqrt(math.sqrt(n / nt)), 1e9) for l, n in langs.items()}
+    s = sum(w9.values())
+    base = {l: (1000 * w) // s for l, w in w9.items()}
+    rem = {l: (1000 * w) % s for l, w in w9.items()}
+    extras = 1000 - sum(base.values())
+    order = sorted(langs, key=lambda l: (-rem[l], l))
+    alloc = {
+        l: base[l] + (1 if order.index(l) < extras else 0) for l in langs
+    }
+    got = {r.lang: r for r in _q("temperature_mix_allocation")(spark, sf_dir).collect()}
+    assert {l: r.alloc for l, r in got.items()} == alloc
+    assert sum(r.alloc for r in got.values()) == 1000  # exact apportionment
+    # temperature flattening: every language's share sits between its raw
+    # share and the uniform share (the point of the exponent)
+    uni = 1000 / len(langs)
+    for l, n in langs.items():
+        raw = 1000 * n / nt
+        lo, hi = min(raw, uni) - 1, max(raw, uni) + 1
+        assert lo <= got[l].alloc <= hi
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_audit
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_audit_matches_python(spark, sf_dir):
+    from project_bigdata_spark.operators import similarity as SIM
+    from project_bigdata_spark.sources import load_table
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    signs = [SIM.plane_signs(p) for p in range(SIM.N_PLANES)]
+
+    def bucket(v):
+        return "".join(
+            "1" if sum(a * b for a, b in zip(v, sg)) > 0 else "0"
+            for sg in signs
+        )
+
+    def cos6(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return _snap(num / den, 1e6)
+
+    bk = {i: bucket(v) for i, v in vecs.items()}
+    got = {r.query_id: r for r in _q("ann_recall_audit")(spark, sf_dir).collect()}
+    for qid in range(8):
+        qv = vecs[qid]
+        probes = {bk[qid]} | {
+            bk[qid][:p] + ("0" if bk[qid][p] == "1" else "1") + bk[qid][p + 1:]
+            for p in range(8)
+        }
+        cand = [i for i, b in bk.items() if b in probes and i != qid]
+        rank = lambda ids: sorted(ids, key=lambda i: (-cos6(vecs[i], qv), i))
+        ann10 = set(rank(cand)[:10])
+        gt10 = set(rank([i for i in vecs if i != qid])[:10])
+        row = got[qid]
+        assert row.n_candidates == len(cand)
+        assert row.n_hits == len(ann10 & gt10)
+        assert abs(row.recall_at_10 - len(ann10 & gt10) / 10.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# event_order_inversions
+# ---------------------------------------------------------------------------
+
+def test_event_order_inversions_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        jit = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:2], 16) % 8
+        per_user[r.user_id].append(
+            (r.ts_us + 3_600_000_000 * jit, r.event_id, r.ts_us, r.event_type)
+        )
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # type -> [n, late, max, sum]
+    n_late_total = 0
+    for evs in per_user.values():
+        evs.sort()
+        prev = None
+        for _, _, ts_us, et in evs:
+            s = stats[et]
+            s[0] += 1
+            if prev is not None and prev > ts_us:
+                s[1] += 1
+                s[2] = max(s[2], prev - ts_us)
+                s[3] += prev - ts_us
+                n_late_total += 1
+            prev = ts_us
+    assert n_late_total > 0  # the seeded jitter must create real lateness
+    got = {r.event_type: r for r in _q("event_order_inversions")(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for et, (n, late, mx, tot) in stats.items():
+        row = got[et]
+        assert (row.n_events, row.n_late, row.max_lateness_us) == (n, late, mx)
+        assert abs(row.avg_lateness_us - tot / max(1, late)) < 1e-2

@@ -197,6 +197,16 @@ EXTRA = [
     "csv_malformed_audit",
     "mutual_information_profile",
     "zipf_slope_fit",
+    # round-7 additions
+    "simhash_hamming_pairs",
+    "hll_distinct_audit",
+    "chao1_vocab_richness",
+    "heaps_law_fit",
+    "luhn_pii_audit",
+    "readability_scores",
+    "temperature_mix_allocation",
+    "ann_recall_audit",
+    "event_order_inversions",
 ]
 
 

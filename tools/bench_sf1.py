@@ -153,6 +153,16 @@ QUERIES = [
     "csv_malformed_audit",
     "mutual_information_profile",
     "zipf_slope_fit",
+    # round-7 additions
+    "simhash_hamming_pairs",
+    "hll_distinct_audit",
+    "chao1_vocab_richness",
+    "heaps_law_fit",
+    "luhn_pii_audit",
+    "readability_scores",
+    "temperature_mix_allocation",
+    "ann_recall_audit",
+    "event_order_inversions",
     "edit_distance_linkage",
     "ngram_jaccard_block",
     "embedding_near_dups",

@@ -64,6 +64,11 @@ SIDE_EFFECTFUL = {
 # scalar / few-row reduction, never fact-scale rows.
 SINGLE_PARTITION_OK = {
     # global scalar aggregates (one output row)
+    "heaps_law_fit": "OLS moments reduced over the #(lang,source)-slice "
+    "frame (~100 rows at any SF) -> one scalar row",
+    "temperature_mix_allocation": "largest-remainder rank window over the "
+    "#langs-row weight frame (vocabulary-bounded); corpus touched once "
+    "upstream",
     "welch_ttest": "2-row variant pivot -> one scalar row",
     "key_skew_profile": "cumsum over DISTINCT count values (cardinality-bounded)",
     "embedding_drift": "64-row per-dim means packed into one row",
