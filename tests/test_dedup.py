@@ -237,3 +237,31 @@ def test_minhash_eval_identical_docs_and_error_range(spark):
     for r in out.values():
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert 0.0 <= r["abs_err"] <= 1.0
+
+
+def test_simhash_bits_agrees_with_simhash16_and_pairs_find_copies(docs, spark):
+    # simhash_bits(·, 16) must reproduce simhash16 exactly — same md5
+    # nibble votes, same packing — so the HOF (column-level) and the
+    # explode-aggregate (frame-level, used by simhash_hamming_pairs)
+    # constructions are interchangeable
+    out = docs.select(
+        DD.simhash16(F.col("text")).alias("a"),
+        DD.simhash_bits(F.col("text"), 16).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in out)
+    # pigeonhole banding finds the exact copy at Hamming 0 and bounds
+    # every reported pair by max_dist
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in DD.simhash_hamming_pairs(docs).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical texts
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_hamming_hot_bucket_capped(spark):
+    # a band value shared by > max_bucket docs must be dropped whole
+    hot = [(i, "identical boilerplate row") for i in range(12)]
+    df = spark.createDataFrame(hot, ["doc_id", "text"])
+    assert DD.simhash_hamming_pairs(df, max_bucket=10).count() == 0
+    assert DD.simhash_hamming_pairs(df, max_bucket=12).count() == 66
