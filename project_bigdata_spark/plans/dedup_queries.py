@@ -263,9 +263,11 @@ WHERE a.doc_id < b.doc_id
     "Round-6 re-plan (the edit_distance_linkage discipline): the "
     "metadata key's block count is a vocabulary constant, so blocks "
     "denser than 128 members sub-block on the text's first 8 chars "
-    "(mirrored in the oracle; a no-op at the driver-attested sf0.01 "
-    "where blocks hold ~25 docs, active from sf0.1 up where they "
-    "hold 250+ — exact near-copies share prefixes, so true dup "
+    "(mirrored in the oracle; a no-op at every attested SF — the max "
+    "(lang, source) block holds 112 docs at sf0.1 — active on the "
+    "synthetic sf1's ~1120-doc blocks, and guard-active parity is "
+    "attested by tests/test_guard_active.py on x15-replicated blocks "
+    "of 240 — exact near-copies share prefixes, so true dup "
     "groups stay together), and the gram sets materialize AFTER the "
     "size filter so dropped blocks never pay the shingle cost. "
     "Synthetic-decade soak: 26.3s -> 3.7s while emitting the 225k "

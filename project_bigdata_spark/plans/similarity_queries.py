@@ -252,7 +252,8 @@ WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
     "— with the fixed 8-plane bucketing the bucket count was a "
     "constant 256, so bucket occupancy and the verify join grew "
     "quadratically (the synthetic-decade soak measured 7.4x; adaptive "
-    "planes hold expected occupancy ~8 and the soak at 1.3x). The "
+    "planes hold expected occupancy ~8 and the soak at 1.7x with the "
+    "seeded pairs included). The "
     "fixture's random embeddings contain no genuine near-dups (max "
     "in-bucket cosine 0.46 at sf0.01), which made the old attestation "
     "vacuous (0 = 0 rows); the corpus is therefore seeded in-query "
