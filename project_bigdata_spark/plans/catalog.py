@@ -103,14 +103,15 @@ def query(
 #  1-16  the 16 never-attested round-6 additions (nonparametric
 #        monitoring, IR evaluation, graph mining, naive Bayes, embedding
 #        and dedup diagnostics, IO robustness) in registration order;
-# 17-25  the 9 round-7 additions (SimHash Hamming banding, HLL audit,
+# 17-29  the 13 round-7 additions (SimHash Hamming banding, HLL audit,
 #        corpus estimators, Luhn PII, readability, mixing allocation,
-#        ANN recall, out-of-orderness) — never attested;
-# 26-34  the 9 entries whose plans/oracles were re-planned in round 6
+#        ANN recall, out-of-orderness, Gumbel top-k, winnowing, sparse
+#        TF-IDF join, k-center seeding) — never attested;
+# 30-38  the 9 entries whose plans/oracles were re-planned in round 6
 #        AFTER their last green driver row (adaptive scale guards, fan-out
 #        fixes, CTE materialization) — their old attestations are stale
 #        against the current code, so they re-attest;
-# 35-50  16 regression probes re-attesting the oldest (round-1 vintage)
+# 39-50  12 regression probes re-attesting the oldest (round-1 vintage)
 #        green rows: the medallion core, the AQI pipeline, the TPC-H
 #        subset, the join/window primitives.
 # tests/test_sql_catalog.py enforces freshness: while entries without a
@@ -145,7 +146,11 @@ _ATTESTATION_PRIORITY = [
     "temperature_mix_allocation",
     "ann_recall_audit",
     "event_order_inversions",
-    # -- positions 26-34: re-planned after last green row (stale) ------
+    "gumbel_topk_sample",
+    "winnowing_fingerprints",
+    "tfidf_cosine_pairs",
+    "kcenter_maximin_init",
+    # -- positions 30-38: re-planned after last green row (stale) ------
     "semantic_dedup",
     "edit_distance_linkage",
     "ngram_jaccard_block",
@@ -155,7 +160,7 @@ _ATTESTATION_PRIORITY = [
     "poisson_bootstrap_ci",
     "ngram_novelty",
     "wordpiece_apply",
-    # -- positions 35-50: oldest-green (r1) regression probes ----------
+    # -- positions 39-50: oldest-green (r1) regression probes ----------
     "bronze_ingest",
     "silver_clean",
     "gold_hourly",
@@ -166,11 +171,7 @@ _ATTESTATION_PRIORITY = [
     "aqi_category_rollup",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
-    "q10_top_customers",
     "broadcast_dim_join",
-    "semi_join_customers",
-    "orders_running_total",
     "exact_percentiles",
     # -- round-6 window (all green r6); order preserved ----------------
     "temperature_mix",

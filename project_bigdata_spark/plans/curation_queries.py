@@ -2167,3 +2167,70 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gumbel_topk_sample (round 7)
+# ---------------------------------------------------------------------------
+
+_GUMBEL_K = 100
+
+
+@query(
+    "gumbel_topk_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0 AS u
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, n_chars,
+         {N.sql_cents("ln(CAST(n_chars AS DOUBLE))", 10**9)}
+         + {N.sql_cents("-ln(-ln(u))", 10**9)} AS key9
+  FROM keyed
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(key9 AS DOUBLE) / 1e9, 6) AS gumbel_key
+FROM scored
+ORDER BY key9 DESC, doc_id LIMIT {_GUMBEL_K}""",
+    doc="Weighted sampling WITHOUT replacement via the Gumbel-top-k "
+    "trick (the exact distributed form of weight-proportional "
+    "sampling: key = ln(w) + Gumbel noise, take the global top-k — "
+    "equivalent in distribution to sequential draws, but "
+    "embarrassingly parallel): per-doc weight = n_chars "
+    "(token-budget-proportional corpus sampling), noise from the "
+    "md5 uniform (u32 + 0.5)/2^32 — an exact dyadic double, "
+    "identical cross-engine — through -ln(-ln(u)), both log terms "
+    "snapped to the 1e-9 integer grid before the sum so the ranking "
+    "key is an exact integer. Fully deterministic and "
+    "oracle-replayable, like every sampler in this catalog. Plan: "
+    "one narrow scan, TakeOrderedAndProject distributed partial "
+    "top-k — no global sort, no shuffle of the corpus.",
+    survey_ids=("M7-P5",),
+)
+def gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    key9 = N.cents(F.log(F.col("n_chars").cast("double")), 10**9) + N.cents(
+        -F.log(-F.log(u)), 10**9
+    )
+    scored = d.select(
+        "doc_id", "lang", "n_chars", key9.alias("key9")
+    )
+    return (
+        scored.orderBy(F.desc("key9"), "doc_id")
+        .limit(_GUMBEL_K)
+        .select(
+            N.big("doc_id").alias("doc_id"),
+            "lang",
+            N.big("n_chars").alias("n_chars"),
+            N.rnd(F.col("key9").cast("double") / F.lit(1e9), 6).alias(
+                "gumbel_key"
+            ),
+        )
+    )

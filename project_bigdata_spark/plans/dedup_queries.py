@@ -761,3 +761,216 @@ def simhash_hamming_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("id_b").alias("id_b"),
         N.big("hamming").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints (round 7)
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4          # winnowing window (consecutive shingle hashes)
+_WIN_HOT_FP = 64    # boilerplate fingerprint guard
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 31 = 0
+), hs AS (
+  SELECT doc_id,
+         list_transform({SHINGLES_SQL},
+           s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS h
+  FROM corpus
+), fps AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(h) >= {_WIN_W}
+           THEN list_transform(range(0, len(h) - {_WIN_W} + 1),
+                  i -> list_min(h[i + 1 : i + {_WIN_W}]))
+           ELSE [list_min(h)] END) AS fp
+  FROM hs
+), e AS (
+  SELECT doc_id, unnest(fp) AS f FROM fps
+), capped AS (
+  SELECT * FROM (
+    SELECT e.*, count(*) OVER (PARTITION BY f) AS c FROM e
+  ) WHERE c <= {_WIN_HOT_FP}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2""",
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — "
+    "the MOSS local fingerprinting scheme): per doc, the minimum "
+    "shingle hash of every 4-hash sliding window is selected, which "
+    "GUARANTEES any shared run of >= w+k-1 words produces a shared "
+    "fingerprint (the coverage property MinHash sampling cannot "
+    "give), then docs are paired by shared fingerprints (>= 2) "
+    "through the inverted fingerprint index. Hot fingerprints "
+    "(boilerplate shingles winnowed to the same min) are dropped "
+    "whole at 64 — the standard hot-postings guard. Corpus seeded "
+    "in-query with exact copies of every 31st doc (the "
+    "simhash_hamming_pairs discipline) so the attested output is "
+    "non-empty at every SF. Plan: hashes and window minima are "
+    "per-row array work (no explode until the fingerprint set, "
+    "already deduplicated and ~|doc|/w sized); only (doc_id, "
+    "fingerprint) pairs shuffle.",
+    survey_ids=("M7-D24",),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from project_bigdata_spark.operators.dedup import fan_out, shingles_col
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = fan_out(d.unionByName(seeds))
+    h = F.transform(
+        shingles_col(F.col("text")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+    hs = corpus.select("doc_id", h.alias("h"))
+    wins = F.when(
+        F.size("h") >= _WIN_W,
+        F.transform(
+            F.sequence(F.lit(0), F.size("h") - _WIN_W),
+            lambda i: F.array_min(F.slice(F.col("h"), i + 1, _WIN_W)),
+        ),
+    ).otherwise(F.array(F.array_min("h")))
+    fps = hs.select("doc_id", F.explode(F.array_distinct(wins)).alias("f"))
+    wcap = Window.partitionBy("f")
+    capped = fps.withColumn("c", F.count(F.lit(1)).over(wcap)).filter(
+        F.col("c") <= _WIN_HOT_FP
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "f")
+    b = capped.select(F.col("doc_id").alias("id_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select(N.big("id_a").alias("id_a"), N.big("id_b").alias("id_b"), "n_shared")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs (round 7)
+# ---------------------------------------------------------------------------
+
+_TFIDF_DF_CAP = 16      # discriminative-term cap: bounds per-term fanout
+_TFIDF_T = 0.3
+
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 31 = 0
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS w FROM corpus)
+  GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+wt AS (
+  SELECT tf.doc_id, tf.w,
+         tf.tf * {N.sql_cents("ln(CAST(n AS DOUBLE) / df)", 10**9)} AS wgt
+  FROM tf JOIN df USING (w), nd
+  WHERE df.df <= {_TFIDF_DF_CAP}
+), nrm AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(wgt AS HUGEINT) * wgt) AS DOUBLE)) AS nrm
+  FROM wt GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         sum(CAST(a.wgt AS HUGEINT) * b.wgt) AS dot
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
+       round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots JOIN nrm na ON ida = na.doc_id
+          JOIN nrm nb ON idb = nb.doc_id
+WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= {_TFIDF_T}""",
+    doc="Sparse lexical near-dup via a TF-IDF cosine SIMILARITY JOIN "
+    "over the inverted index — the sparse complement of "
+    "embedding_near_dups (no dense encoder needed, catches lexical "
+    "overlap embeddings can miss). Terms are 3-word SHINGLES, not "
+    "words: the fixture's (and any template corpus's) word "
+    "vocabulary is tiny and universally common — no word is "
+    "discriminative — while the shingle vocabulary is combinatorial "
+    "(16k+ types, max df 7 at sf0.01), which is exactly why "
+    "production sparse dedup blocks on rare n-grams. Vectors are "
+    f"restricted to discriminative terms (df <= {_TFIDF_DF_CAP} — common terms carry "
+    "~zero idf weight and quadratic postings, so the cap is both the "
+    "semantic and the scale dial: per-term candidate fanout is "
+    "bounded by cap^2 and total work is linear in vocabulary), "
+    "weights tf*snap(ln(N/df)) kept as EXACT integers so partial dot "
+    "products sum order-free in HUGEINT/DECIMAL(38,0); only the "
+    "final cosine division is floating point. Term-partitioned "
+    "partial products ARE the distributed sparse dot product — the "
+    "corpus is never self-joined. Seeded with exact copies of every "
+    "31st doc for non-vacuous attestation.",
+    survey_ids=("M7-D25",),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, shingles_col
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = fan_out(d.unionByName(seeds))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tf = (
+        corpus.select(
+            "doc_id", F.explode(shingles_col(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    idf9 = N.cents(
+        F.log(F.col("n").cast("double") / F.col("df")), 10**9
+    )
+    wt = (
+        tf.join(df, "w")
+        .filter(F.col("df") <= _TFIDF_DF_CAP)
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "w", (F.col("tf") * idf9).alias("wgt"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(dec(F.col("wgt")) * F.col("wgt")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    a = wt.select(F.col("doc_id").alias("ida"), "w", F.col("wgt").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("idb"), "w", F.col("wgt").alias("wb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(dec(F.col("wa")) * F.col("wb")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(nrm.select(F.col("doc_id").alias("ida"), F.col("nrm").alias("na")), "ida")
+        .join(nrm.select(F.col("doc_id").alias("idb"), F.col("nrm").alias("nb")), "idb")
+        .select(
+            N.big("ida").alias("id_a"),
+            N.big("idb").alias("id_b"),
+            N.rnd(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _TFIDF_T)
+    )

@@ -1209,3 +1209,152 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kcenter_maximin_init (round 7)
+# ---------------------------------------------------------------------------
+
+def _kcenter_oracle() -> str:
+    body = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+d1 AS (
+  SELECT e.vec_id, e.v,
+         1000000 - {CENTS_COS('e.v', 'c0.v')} AS dmin
+  FROM e, c0 WHERE e.vec_id <> c0.vec_id),
+p1 AS (
+  SELECT vec_id, v, dmin FROM d1
+  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d2 AS (
+  SELECT d1.vec_id, d1.v,
+         least(d1.dmin, 1000000 - {CENTS_COS('d1.v', 'p1.v')}) AS dmin
+  FROM d1, p1 WHERE d1.vec_id <> p1.vec_id),
+p2 AS (
+  SELECT vec_id, v, dmin FROM d2
+  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d3 AS (
+  SELECT d2.vec_id, d2.v,
+         least(d2.dmin, 1000000 - {CENTS_COS('d2.v', 'p2.v')}) AS dmin
+  FROM d2, p2 WHERE d2.vec_id <> p2.vec_id),
+p3 AS (
+  SELECT vec_id, v, dmin FROM d3
+  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d4 AS (
+  SELECT d3.vec_id, d3.v,
+         least(d3.dmin, 1000000 - {CENTS_COS('d3.v', 'p3.v')}) AS dmin
+  FROM d3, p3 WHERE d3.vec_id <> p3.vec_id),
+p4 AS (
+  SELECT vec_id, v, dmin FROM d4
+  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d5 AS (
+  SELECT d4.vec_id, d4.v,
+         least(d4.dmin, 1000000 - {CENTS_COS('d4.v', 'p4.v')}) AS dmin
+  FROM d4, p4 WHERE d4.vec_id <> p4.vec_id),
+p5 AS (
+  SELECT vec_id, v, dmin FROM d5
+  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d6 AS (
+  SELECT d5.vec_id, d5.v,
+         least(d5.dmin, 1000000 - {CENTS_COS('d5.v', 'p5.v')}) AS dmin
+  FROM d5, p5 WHERE d5.vec_id <> p5.vec_id),
+p6 AS (
+  SELECT vec_id, v, dmin FROM d6
+  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+d7 AS (
+  SELECT d6.vec_id, d6.v,
+         least(d6.dmin, 1000000 - {CENTS_COS('d6.v', 'p6.v')}) AS dmin
+  FROM d6, p6 WHERE d6.vec_id <> p6.vec_id),
+p7 AS (
+  SELECT vec_id, v, dmin FROM d7
+  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1)
+SELECT 0 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, CAST(NULL AS DOUBLE) AS radius FROM c0
+UNION ALL
+SELECT 1 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, round(dmin / 1e6, 6) AS radius FROM p1
+UNION ALL
+SELECT 2 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, round(dmin / 1e6, 6) AS radius FROM p2
+UNION ALL
+SELECT 3 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, round(dmin / 1e6, 6) AS radius FROM p3
+UNION ALL
+SELECT 4 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, round(dmin / 1e6, 6) AS radius FROM p4
+UNION ALL
+SELECT 5 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, round(dmin / 1e6, 6) AS radius FROM p5
+UNION ALL
+SELECT 6 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, round(dmin / 1e6, 6) AS radius FROM p6
+UNION ALL
+SELECT 7 AS sel_round, CAST(vec_id AS BIGINT) AS center_id, round(dmin / 1e6, 6) AS radius FROM p7"""
+    import re as _re
+
+    def sub(m):
+        a, b = m.group(1), m.group(2)
+        return N.sql_cents(_cos_sql(a, b), 10**6)
+
+    return _re.sub(r"\{CENTS_COS\('([^']+)', '([^']+)'\)\}", sub, body)
+
+
+@query(
+    "kcenter_maximin_init",
+    oracle=_kcenter_oracle(),
+    doc="Maximin (farthest-point) k-center seeding, k=8 — the "
+    "2-approximation k-center traversal and the deterministic "
+    "alternative to k-means++ sampling (the seeding step kmeans_lloyd "
+    "assumes): start at vec_id 0, then 7 unrolled rounds each pick "
+    "the vector FARTHEST (max over corpus of min cosine-distance to "
+    "the chosen set, 1e-6 integer grid, full (dist DESC, vec_id) "
+    "tie-break). The per-round min-distance column is CARRIED and "
+    "least()-folded — each round costs ONE distance evaluation per "
+    "vector, not |centers|, so the full seeding is k corpus passes "
+    "with a 1-row broadcast each (the classic distributed k-center "
+    "shape). Reports each center with its selection radius — the "
+    "decreasing radius curve is the coverage diagnostic. Spark side "
+    "localCheckpoints the 1-row argmax per round to keep the "
+    "unrolled lineage flat (the kmeans_lloyd discipline).",
+    survey_ids=("M7-ML20",),
+)
+def kcenter_maximin_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double(F.col("embedding")).alias("v")
+    )
+    d6 = lambda a, b: F.lit(1000000) - N.cents(SIM.cosine(a, b), 10**6)  # noqa: E731
+    c0 = e.filter(F.col("vec_id") == 0)
+    d = (
+        e.crossJoin(
+            F.broadcast(
+                c0.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            )
+        )
+        .filter(F.col("vec_id") != F.col("cid"))
+        .select("vec_id", "v", d6(F.col("v"), F.col("cv")).alias("dmin"))
+    )
+    out = c0.select(
+        F.lit(0).alias("sel_round"),
+        N.big("vec_id").alias("center_id"),
+        F.lit(None).cast("double").alias("radius"),
+    )
+    for r in range(1, 8):
+        p = (
+            d.orderBy(F.desc("dmin"), "vec_id").limit(1).localCheckpoint()
+        )
+        out = out.unionByName(
+            p.select(
+                F.lit(r).alias("sel_round"),
+                N.big("vec_id").alias("center_id"),
+                N.rnd(F.col("dmin") / F.lit(1e6), 6).alias("radius"),
+            )
+        )
+        if r < 7:
+            pc = F.broadcast(
+                p.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            )
+            d = (
+                d.crossJoin(pc)
+                .filter(F.col("vec_id") != F.col("cid"))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        F.col("dmin"), d6(F.col("v"), F.col("cv"))
+                    ).alias("dmin"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return out

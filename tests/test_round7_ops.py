@@ -352,3 +352,189 @@ def test_event_order_inversions_matches_python(spark, sf_dir):
         row = got[et]
         assert (row.n_events, row.n_late, row.max_lateness_us) == (n, late, mx)
         assert abs(row.avg_lateness_us - tot / max(1, late)) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# gumbel_topk_sample
+# ---------------------------------------------------------------------------
+
+def test_gumbel_topk_sample_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from project_bigdata_spark.sources import load_table
+
+    nchars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    keys = {}
+    for i, nc in nchars.items():
+        u32 = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 4294967296.0
+        keys[i] = _snap(math.log(nc), 1e9) + _snap(-math.log(-math.log(u)), 1e9)
+    expect = sorted(keys, key=lambda i: (-keys[i], i))[:100]
+    got = [r.doc_id for r in sorted(
+        _q("gumbel_topk_sample")(spark, sf_dir).collect(),
+        key=lambda r: (-r.gumbel_key, r.doc_id),
+    )]
+    assert got == expect[: len(got)]
+    assert len(got) == min(100, len(nchars))
+    # weight-proportionality sanity: the sampled docs skew long
+    if len(nchars) > 150:
+        samp = sum(nchars[i] for i in got) / len(got)
+        pop = sum(nchars.values()) / len(nchars)
+        assert samp > pop
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints
+# ---------------------------------------------------------------------------
+
+def _shingles(text):
+    ws = _words(text)
+    if len(ws) >= 3:
+        return [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+    return [text.lower()]
+
+
+def test_winnowing_fingerprints_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = [(r.doc_id, r.text) for r in docs] + [
+        (r.doc_id + 10_000_000, r.text) for r in docs if r.doc_id % 31 == 0
+    ]
+    fps = {}
+    for i, t in corpus:
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for s in _shingles(t)
+        ]
+        if len(hs) >= 4:
+            wins = [min(hs[j:j + 4]) for j in range(len(hs) - 3)]
+        else:
+            wins = [min(hs)]
+        fps[i] = set(wins)
+    postings = defaultdict(set)
+    for i, s in fps.items():
+        for f in s:
+            postings[f].add(i)
+    shared = defaultdict(int)
+    for f, ids in postings.items():
+        if len(ids) > 64:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                shared[(ids[x], ids[y])] += 1
+    expect = {p: c for p, c in shared.items() if c >= 2}
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in _q("winnowing_fingerprints")(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # winnowing coverage: every seeded exact copy shares ALL fingerprints
+    for i, t in corpus:
+        if i >= 10_000_000:
+            assert got.get((i - 10_000_000, i)) == len(fps[i])
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+def test_tfidf_cosine_pairs_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = [(r.doc_id, r.text) for r in docs] + [
+        (r.doc_id + 10_000_000, r.text) for r in docs if r.doc_id % 31 == 0
+    ]
+    tf = {i: defaultdict(int) for i, _ in corpus}
+    for i, t in corpus:
+        for s in _shingles(t):
+            tf[i][s] += 1
+    df = defaultdict(int)
+    for i in tf:
+        for s in tf[i]:
+            df[s] += 1
+    n = len(corpus)
+    wt = {
+        i: {
+            s: c * _snap(math.log(n / df[s]), 1e9)
+            for s, c in tf[i].items()
+            if df[s] <= 16
+        }
+        for i in tf
+    }
+    nrm = {
+        i: math.sqrt(sum(w * w for w in v.values()))
+        for i, v in wt.items()
+        if v
+    }
+    expect = {}
+    ids = sorted(nrm)
+    postings = defaultdict(list)
+    for i in ids:
+        for s in wt[i]:
+            postings[s].append(i)
+    dots = defaultdict(int)
+    for s, ps in postings.items():
+        for x in range(len(ps)):
+            for y in range(x + 1, len(ps)):
+                dots[(ps[x], ps[y])] += wt[ps[x]][s] * wt[ps[y]][s]
+    for (a, b), dot in dots.items():
+        cos = _snap(dot / (nrm[a] * nrm[b]), 1e6) / 1e6
+        if cos >= 0.3:
+            expect[(a, b)] = cos
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in _q("tfidf_cosine_pairs")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for p, c in expect.items():
+        assert abs(got[p] - c) < 2e-6
+    # every seeded exact copy pairs with its original at cosine 1.0
+    for i, _ in corpus:
+        if i >= 10_000_000 and (i - 10_000_000) in nrm and i in nrm:
+            assert got.get((i - 10_000_000, i)) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# kcenter_maximin_init
+# ---------------------------------------------------------------------------
+
+def test_kcenter_maximin_matches_python(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def d6(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return 1000000 - _snap(num / den, 1e6)
+
+    centers = [0]
+    dmin = {i: d6(v, vecs[0]) for i, v in vecs.items() if i != 0}
+    expect = [(0, 0, None)]
+    for r in range(1, 8):
+        nxt = min(dmin, key=lambda i: (-dmin[i], i))
+        expect.append((r, nxt, dmin[nxt] / 1e6))
+        centers.append(nxt)
+        del dmin[nxt]
+        for i in dmin:
+            dmin[i] = min(dmin[i], d6(vecs[i], vecs[nxt]))
+    got = sorted(
+        (r.sel_round, r.center_id, r.radius)
+        for r in _q("kcenter_maximin_init")(spark, sf_dir).collect()
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, rg), (_, _, re_) in zip(got[1:], expect[1:]):
+        assert abs(rg - re_) < 2e-6
+    # maximin property: selection radii are non-increasing
+    radii = [x for _, _, x in got[1:]]
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))

@@ -207,6 +207,10 @@ EXTRA = [
     "temperature_mix_allocation",
     "ann_recall_audit",
     "event_order_inversions",
+    "gumbel_topk_sample",
+    "winnowing_fingerprints",
+    "tfidf_cosine_pairs",
+    "kcenter_maximin_init",
 ]
 
 

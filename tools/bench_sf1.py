@@ -163,6 +163,10 @@ QUERIES = [
     "temperature_mix_allocation",
     "ann_recall_audit",
     "event_order_inversions",
+    "gumbel_topk_sample",
+    "winnowing_fingerprints",
+    "tfidf_cosine_pairs",
+    "kcenter_maximin_init",
     "edit_distance_linkage",
     "ngram_jaccard_block",
     "embedding_near_dups",

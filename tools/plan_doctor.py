@@ -69,6 +69,8 @@ SINGLE_PARTITION_OK = {
     "temperature_mix_allocation": "largest-remainder rank window over the "
     "#langs-row weight frame (vocabulary-bounded); corpus touched once "
     "upstream",
+    "tfidf_cosine_pairs": "broadcast one-row n_docs scalar feeding the idf "
+    "literal; the postings joins themselves are term-partitioned",
     "welch_ttest": "2-row variant pivot -> one scalar row",
     "key_skew_profile": "cumsum over DISTINCT count values (cardinality-bounded)",
     "embedding_drift": "64-row per-dim means packed into one row",
