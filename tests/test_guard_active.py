@@ -99,6 +99,28 @@ def test_thresholds_actually_crossed(guard_duck):
     n_emb = guard_duck.execute("SELECT count(*) FROM embeddings").fetchone()[0]
     assert n_emb > ADAPTIVE_N, "adaptive LSH plane count not activated"
     assert n_emb > CODEBOOK_N, "semantic_dedup codebook scaling not activated"
+    # round-7 caps: the tfidf discriminative-term cap (df <= 16) must have
+    # terms to exclude on this frame — the x15 replication pushes ~40% of
+    # the shingle vocabulary past it
+    over_cap = guard_duck.execute(
+        """WITH corpus AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 10000000, text FROM documents
+             WHERE doc_id % 31 = 0
+           ), w AS (
+             SELECT doc_id, list_filter(string_split_regex(lower(text),
+               '\\s+'), x -> x <> '') AS ws FROM corpus
+           ), s AS (
+             SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+               ELSE [''] END) AS sh FROM w
+           )
+           SELECT count(*) FROM (
+             SELECT sh FROM s GROUP BY sh HAVING count(*) > 16)"""
+    ).fetchone()[0]
+    assert over_cap > 0, "tfidf df-cap not activated"
 
 
 def _branch_checks(name: str, cols: list[str], rows: list[tuple]) -> None:
@@ -112,11 +134,22 @@ def _branch_checks(name: str, cols: list[str], rows: list[tuple]) -> None:
         # centroid_id 8 must be live in the assignment
         ci = cols.index("centroid_id")
         assert max(r[ci] for r in rows) == 8
-    else:
+    elif name in ("edit_distance_linkage", "ngram_jaccard_block"):
         # sub-blocking: with x15 replication every original doc yields 15
         # exact copies sharing (block, prefix) -> >= C(15,2) * n_docs true
         # pairs survive the refinement
         assert len(rows) >= 105 * 400
+    elif name == "simhash_hamming_pairs":
+        # every replicated/seeded exact-copy pair must report distance 0
+        hi = cols.index("hamming")
+        assert any(r[hi] == 0 for r in rows)
+    elif name == "tfidf_cosine_pairs":
+        # exact copies pair at cosine 1.0 THROUGH the active df-cap (their
+        # below-cap discriminative terms still align perfectly)
+        ci = cols.index("cosine")
+        assert any(r[ci] == 1.0 for r in rows)
+    # winnowing_fingerprints: non-empty suffices — the hot-fingerprint cap
+    # and the shared-fp counts are both value-checked by the oracle compare
 
 
 @pytest.mark.parametrize(
@@ -126,6 +159,9 @@ def _branch_checks(name: str, cols: list[str], rows: list[tuple]) -> None:
         "semantic_dedup",
         "edit_distance_linkage",
         "ngram_jaccard_block",
+        "simhash_hamming_pairs",
+        "winnowing_fingerprints",
+        "tfidf_cosine_pairs",
     ],
 )
 def test_guard_active_parity(name, spark, guard_dir, guard_duck):
