@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 DIM = 64
 N_PLANES = 8
+WIDE_PLANES = 24  # adaptive-LSH signature width (see lsh_near_dup_pairs)
 
 
 def plane_signs(plane: int, dim: int = DIM) -> list[int]:
@@ -118,12 +119,16 @@ def lsh_near_dup_pairs(
     ``adaptive_planes``: with a FIXED plane count the bucket count is a
     constant (2^N_PLANES), so bucket size — and the verify join,
     quadratically — grows with the corpus (the round-6 synthetic-decade
-    soak measured 7.4x). When enabled, a 16-plane signature is computed
-    and truncated to k = the smallest k in [N_PLANES, 16] with
-    8·2^k >= n (equivalently clamp(ceil(log2(n/8)), N_PLANES, 16)), so
-    expected bucket occupancy stays ~8 and the pair count grows linearly;
-    at n <= 2^(N_PLANES+3) the truncation reproduces the fixed-plane
-    bucketing bit-for-bit (the first k planes are the same literals).
+    soak measured 7.4x). When enabled, a WIDE_PLANES-bit signature is
+    computed and truncated to k = the smallest k in [N_PLANES,
+    WIDE_PLANES] with 8·2^k >= n (equivalently clamp(ceil(log2(n/8)),
+    N_PLANES, WIDE_PLANES)), so expected bucket occupancy stays ~8 and
+    the pair count grows linearly; at n <= 2^(N_PLANES+3) the truncation
+    reproduces the fixed-plane bucketing bit-for-bit (the first k planes
+    are the same literals). WIDE_PLANES = 24 holds occupancy ~8 up to
+    n = 2^27 (~134M vectors); past that the ``max_bucket`` guard is the
+    documented route (round 7 widened the ceiling from 16, whose
+    occupancy re-grew unboundedly past n = 2^19).
     k is derived by an integer comparison ladder on the row count — never
     a floating-point log, whose 1-ulp divergence between engines at exact
     boundary counts (n = 8·2^j) would flip ceil and rewrite every bucket
@@ -132,18 +137,20 @@ def lsh_near_dup_pairs(
     if adaptive_planes:
         from project_bigdata_spark.operators.dedup import fan_out
 
-        df = fan_out(df)  # 16 interpreted plane folds per row
+        df = fan_out(df)  # WIDE_PLANES interpreted plane folds per row
         n = F.count(F.lit(1))
         ladder = F.when(n <= F.lit(8 * 2**N_PLANES), F.lit(N_PLANES))
-        for j in range(N_PLANES + 1, 16):
+        for j in range(N_PLANES + 1, WIDE_PLANES):
             ladder = ladder.when(n <= F.lit(8 * 2**j), F.lit(j))
-        kcol = df.agg(ladder.otherwise(F.lit(16)).cast("bigint").alias("_k"))
+        kcol = df.agg(
+            ladder.otherwise(F.lit(WIDE_PLANES)).cast("bigint").alias("_k")
+        )
         withb = (
             df.crossJoin(F.broadcast(kcol))
             .select(
                 F.col(id_col),
                 as_double(F.col(vec_col)).alias("_v"),
-                lsh_bucket(F.col(vec_col), n_planes=16)
+                lsh_bucket(F.col(vec_col), n_planes=WIDE_PLANES)
                 .substr(F.lit(1), F.col("_k").cast("int"))
                 .alias("bucket"),
             )

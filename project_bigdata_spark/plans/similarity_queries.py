@@ -200,9 +200,11 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket16_sql(vec: str) -> str:
+    """Wide adaptive-LSH signature (name kept from the 16-plane round-6
+    original; width now tracks SIM.WIDE_PLANES)."""
     bits = [
         f"CASE WHEN {_dot_sql(vec, _signs_sql(p))} > 0 THEN '1' ELSE '0' END"
-        for p in range(16)
+        for p in range(SIM.WIDE_PLANES)
     ]
     return "concat(" + ", ".join(bits) + ")"
 
@@ -211,9 +213,9 @@ _K_LADDER_SQL = (
     "CASE "
     + " ".join(
         f"WHEN count(*) <= {8 * 2**j} THEN {j}"
-        for j in range(SIM.N_PLANES, 16)
+        for j in range(SIM.N_PLANES, SIM.WIDE_PLANES)
     )
-    + " ELSE 16 END"
+    + f" ELSE {SIM.WIDE_PLANES} END"
 )
 
 _NEAR_DUP_SEED_STRIDE = 31
@@ -245,8 +247,10 @@ FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
 WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
     doc="Embedding near-dup dedup: exact cosine verification restricted "
     "to LSH-bucket cohabitants. The plane count ADAPTS to the corpus "
-    "(round-6 re-plan: the smallest k in [8, 16] with 8*2^k >= n bits "
-    "of a 16-plane signature — an integer comparison ladder on the row "
+    "(round-6 re-plan, ceiling widened 16 -> 24 in round 7 so bucket "
+    "occupancy holds ~8 up to n = 2^27: the smallest k in [8, 24] with "
+    "8*2^k >= n bits of a 24-plane signature — an integer comparison "
+    "ladder on the row "
     "count, identical in the oracle, never a float log whose 1-ulp "
     "engine divergence at boundary counts would rewrite every bucket) "
     "— with the fixed 8-plane bucketing the bucket count was a "
@@ -491,7 +495,7 @@ _SEMDEDUP_T = 0.4
     "semantic_dedup",
     oracle=f"""
 WITH k AS (
-  SELECT greatest(8, count(*) // 256) AS k FROM embeddings
+  SELECT least(greatest(8, count(*) // 256), 4096) AS k FROM embeddings
 ), c AS (
   SELECT vec_id AS cid, embedding AS cvec
   FROM embeddings, k WHERE vec_id < k.k
@@ -514,24 +518,35 @@ FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
 WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_T}""",
     doc="Semantic dedup (SemDeDup-shaped): coarse cluster assignment via "
     "the broadcast-centroid fold, then exact pairwise cosine ONLY within "
-    "clusters. The codebook SCALES with the corpus — k = max(8, n/256) "
-    "centroids (the first k vec_ids stand in for sampled k-means, as in "
-    "ivf_assign) — so expected cluster size stays ~256 and the "
-    "within-cluster pair count grows LINEARLY with n, not "
+    "clusters. The codebook SCALES with the corpus — k = clamp(n/256, "
+    "8, 4096) centroids (the first k vec_ids stand in for sampled "
+    "k-means, as in ivf_assign) — so expected cluster size stays ~256 "
+    "and the within-cluster pair count grows LINEARLY with n, not "
     "quadratically: the round-6 synthetic-decade soak measured the "
     "fixed-8-centroid variant at 18x per decade (every cluster 10x "
-    "denser -> 100x pairs) and this re-plan at ~2x. max_cluster=1000 "
-    "(MinHash's max_bucket guard, now mirrored in the oracle) still "
-    "drops degenerate mega-clusters. At every attested SF n/256 < 8, "
-    "so the codebook — and the attested output — is unchanged.",
+    "denser -> 100x pairs) and this re-plan at ~2x. The round-7 4096 "
+    "CEILING closes the third-decade hole the unbounded codebook "
+    "opened: assignment costs n*k = n^2/256 once k tracks n, itself "
+    "quadratic past ~1M vectors — capped, assignment stays linear "
+    "(4096 broadcast centroids is ~1 MB), clusters re-grow past "
+    "n=1M, and oversized ones hit the max_cluster=1000 guard and "
+    "route to the LSH path, exactly as documented for MinHash "
+    "buckets. max_cluster (mirrored in the oracle) still drops "
+    "degenerate mega-clusters. At every attested SF n/256 < 8, so "
+    "the codebook — and the attested output — is unchanged; "
+    "codebook-scaling correctness past the lower threshold is "
+    "attested by tests/test_guard_active.py.",
     survey_ids=("M7-D12",),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     k = e.agg(
-        F.greatest(
-            F.lit(8).cast("bigint"),
-            (F.count(F.lit(1)) / 256).cast("bigint"),
+        F.least(
+            F.greatest(
+                F.lit(8).cast("bigint"),
+                (F.count(F.lit(1)) / 256).cast("bigint"),
+            ),
+            F.lit(4096).cast("bigint"),
         ).alias("k")
     )
     cents = (
