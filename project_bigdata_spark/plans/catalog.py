@@ -103,15 +103,16 @@ def query(
 #  1-16  the 16 never-attested round-6 additions (nonparametric
 #        monitoring, IR evaluation, graph mining, naive Bayes, embedding
 #        and dedup diagnostics, IO robustness) in registration order;
-# 17-29  the 13 round-7 additions (SimHash Hamming banding, HLL audit,
+# 17-31  the 15 round-7 additions (SimHash Hamming banding, HLL audit,
 #        corpus estimators, Luhn PII, readability, mixing allocation,
 #        ANN recall, out-of-orderness, Gumbel top-k, winnowing, sparse
-#        TF-IDF join, k-center seeding) — never attested;
-# 30-38  the 9 entries whose plans/oracles were re-planned in round 6
+#        TF-IDF join, k-center seeding, Fellegi-Sunter linkage,
+#        blocking-quality audit) — never attested;
+# 32-40  the 9 entries whose plans/oracles were re-planned in round 6
 #        AFTER their last green driver row (adaptive scale guards, fan-out
 #        fixes, CTE materialization) — their old attestations are stale
 #        against the current code, so they re-attest;
-# 39-50  12 regression probes re-attesting the oldest (round-1 vintage)
+# 41-50  10 regression probes re-attesting the oldest (round-1 vintage)
 #        green rows: the medallion core, the AQI pipeline, the TPC-H
 #        subset, the join/window primitives.
 # tests/test_sql_catalog.py enforces freshness: while entries without a
@@ -136,7 +137,7 @@ _ATTESTATION_PRIORITY = [
     "csv_malformed_audit",
     "mutual_information_profile",
     "zipf_slope_fit",
-    # -- positions 17-25: round-7 additions, no row yet ----------------
+    # -- positions 17-31: round-7 additions, no row yet ----------------
     "simhash_hamming_pairs",
     "hll_distinct_audit",
     "chao1_vocab_richness",
@@ -150,7 +151,9 @@ _ATTESTATION_PRIORITY = [
     "winnowing_fingerprints",
     "tfidf_cosine_pairs",
     "kcenter_maximin_init",
-    # -- positions 30-38: re-planned after last green row (stale) ------
+    "fellegi_sunter_linkage",
+    "blocking_quality_audit",
+    # -- re-planned after last green row (stale) -----------------------
     "semantic_dedup",
     "edit_distance_linkage",
     "ngram_jaccard_block",
@@ -160,17 +163,15 @@ _ATTESTATION_PRIORITY = [
     "poisson_bootstrap_ci",
     "ngram_novelty",
     "wordpiece_apply",
-    # -- positions 39-50: oldest-green (r1) regression probes ----------
+    # -- oldest-green (r1) regression probes ---------------------------
     "bronze_ingest",
     "silver_clean",
     "gold_hourly",
     "gold_cohort_stats",
-    "gold_unpivot",
     "aqi_pm25",
     "aqi_full_pipeline",
     "aqi_category_rollup",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "broadcast_dim_join",
     "exact_percentiles",
     # -- round-6 window (all green r6); order preserved ----------------

@@ -974,3 +974,173 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _TFIDF_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality_audit (round 7)
+# ---------------------------------------------------------------------------
+
+# seed text variants: exact copy / prefix edit / truncation — the three
+# edit classes blocking schemes differ on
+_BQ_SEED_SQL = """CASE doc_id % 3
+  WHEN 0 THEN text
+  WHEN 1 THEN 'zz ' || text
+  ELSE substring(text, 1, greatest(20, (length(text) * 3) // 5)) END"""
+
+_BQ_KEYS_SQL = f"""
+  SELECT doc_id,
+         concat_ws('|', lang, {WORDS_SQL}[1]) AS k_lang_fw,
+         concat_ws('|', lang, source) AS k_lang_source,
+         substring(lower(text), 1, 8) AS k_prefix8,
+         concat_ws('|', lang, CAST(length(text) // 50 AS VARCHAR))
+           AS k_lenbucket"""
+
+_BQ_SCHEMES = ["lang_fw", "lang_source", "prefix8", "lenbucket"]
+
+
+def _bq_scheme_sql(s: str) -> str:
+    return f"""
+SELECT '{s}' AS scheme,
+       (SELECT CAST(count(DISTINCT k_{s}) AS BIGINT) FROM keyed) AS n_blocks,
+       (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+        FROM (SELECT count(*) AS c FROM keyed GROUP BY k_{s}))
+         AS candidate_pairs,
+       round(1.0e0 - (SELECT sum(c * (c - 1) / 2.0)
+                      FROM (SELECT count(*) AS c FROM keyed GROUP BY k_{s}))
+             / (SELECT count(*) * (count(*) - 1) / 2.0 FROM keyed), 6)
+         AS reduction_ratio,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+       (SELECT CAST(sum(CASE WHEN o.k_{s} = se.k_{s} THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM truth t JOIN keyed o ON t.oid = o.doc_id
+                     JOIN keyed se ON t.sid = se.doc_id) AS truth_found,
+       round((SELECT sum(CASE WHEN o.k_{s} = se.k_{s} THEN 1.0 ELSE 0 END)
+              FROM truth t JOIN keyed o ON t.oid = o.doc_id
+                           JOIN keyed se ON t.sid = se.doc_id)
+             / (SELECT count(*) FROM truth), 6) AS pairs_completeness"""
+
+
+@query(
+    "blocking_quality_audit",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, lang, source,
+         {_BQ_SEED_SQL} AS text
+  FROM documents WHERE doc_id % 31 = 0
+), keyed AS ({_BQ_KEYS_SQL} FROM corpus),
+truth AS (
+  SELECT doc_id AS oid, doc_id + 10000000 AS sid
+  FROM documents WHERE doc_id % 31 = 0
+)
+{" UNION ALL ".join(_bq_scheme_sql(s) for s in _BQ_SCHEMES)}""",
+    doc="Blocking-strategy quality audit — the two numbers every "
+    "record-linkage/dedup blocking decision runs on (Christen's "
+    "textbook metrics): REDUCTION RATIO (share of the n^2 pair space "
+    "a scheme prunes, from per-block counts c*(c-1)/2 — no pair is "
+    "ever materialized) and PAIRS COMPLETENESS (share of true "
+    "duplicate pairs the scheme keeps co-blocked), measured for four "
+    "schemes — (lang, first word), (lang, source), 8-char text "
+    "prefix, (lang, 50-char length bucket) — against an in-query "
+    "seeded truth set whose copies rotate through the three edit "
+    "classes blocking differs on: exact copy, prefix edit ('zz ' "
+    "prepend — kills first-word and prefix blocking), truncation "
+    "(kills length blocking). This is the measurement that justifies "
+    "the catalog's own (lang, source)/prefix choices. Plan: one "
+    "keyed projection, per-scheme count aggregates (block-cardinality "
+    "frames), and a |truth|-row key-equality join — no blocking "
+    "scheme is ever executed as a pair join.",
+    survey_ids=("M7-D27",),
+)
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    seed_text = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("zz "), F.col("text")))
+        .otherwise(
+            F.substring(
+                F.col("text"),
+                1,
+                F.greatest(
+                    F.lit(20),
+                    F.expr("(length(text) * 3) div 5").cast("int"),
+                ),
+            )
+        )
+    )
+    seeds = d.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "lang",
+        "source",
+        seed_text.alias("text"),
+    )
+    corpus = d.unionByName(seeds)
+    keyed = corpus.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("lang"), F.element_at(words_col(F.col("text")), 1)
+        ).alias("k_lang_fw"),
+        F.concat_ws("|", "lang", "source").alias("k_lang_source"),
+        F.substring(F.lower(F.col("text")), 1, 8).alias("k_prefix8"),
+        F.concat_ws(
+            "|",
+            F.col("lang"),
+            F.expr("length(text) div 50").cast("string"),
+        ).alias("k_lenbucket"),
+    )
+    truth = d.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("oid"),
+        (F.col("doc_id") + F.lit(10_000_000)).alias("sid"),
+    )
+    o = keyed.select(
+        F.col("doc_id").alias("oid"),
+        *[F.col(f"k_{s}").alias(f"o_{s}") for s in _BQ_SCHEMES],
+    )
+    se = keyed.select(
+        F.col("doc_id").alias("sid"),
+        *[F.col(f"k_{s}").alias(f"s_{s}") for s in _BQ_SCHEMES],
+    )
+    tk = truth.join(o, "oid").join(se, "sid")
+    n_total = keyed.count()
+    total_pairs = n_total * (n_total - 1) / 2.0
+    arms = []
+    for s in _BQ_SCHEMES:
+        blocks = keyed.groupBy(f"k_{s}").agg(F.count(F.lit(1)).alias("c"))
+        cand = blocks.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias(
+                "candidate_pairs"
+            ),
+        )
+        tr = tk.agg(
+            F.count(F.lit(1)).cast("bigint").alias("truth_pairs"),
+            F.sum((F.col(f"o_{s}") == F.col(f"s_{s}")).cast("int"))
+            .cast("bigint")
+            .alias("truth_found"),
+        )
+        arms.append(
+            cand.crossJoin(F.broadcast(tr)).select(
+                F.lit(s).alias("scheme"),
+                "n_blocks",
+                "candidate_pairs",
+                N.rnd(
+                    F.lit(1.0)
+                    - F.col("candidate_pairs") / F.lit(total_pairs),
+                    6,
+                ).alias("reduction_ratio"),
+                "truth_pairs",
+                "truth_found",
+                N.rnd(
+                    F.col("truth_found") / F.col("truth_pairs"), 6
+                ).alias("pairs_completeness"),
+            )
+        )
+    res = arms[0]
+    for a in arms[1:]:
+        res = res.unionByName(a)
+    return res

@@ -538,3 +538,130 @@ def test_kcenter_maximin_matches_python(spark, sf_dir):
     # maximin property: selection radii are non-increasing
     radii = [x for _, _, x in got[1:]]
     assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+
+
+# ---------------------------------------------------------------------------
+# fellegi_sunter_linkage
+# ---------------------------------------------------------------------------
+
+def test_fellegi_sunter_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from project_bigdata_spark.sources import load_table
+
+    nchars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    recs = {}
+    for r in docs:
+        recs[r.doc_id] = (r.lang, r.source, r.text, nchars[r.doc_id])
+        if r.doc_id % 31 == 0:
+            recs[r.doc_id + 10_000_000] = (
+                r.lang, r.source, r.text, nchars[r.doc_id],
+            )
+    keyed = {}
+    for i, (lang, src, text, nc) in recs.items():
+        ws = _words(text)
+        keyed[i] = (lang, ws[0], text.lower()[:16], nc // 50, src)
+    blocks = defaultdict(list)
+    for i, k in keyed.items():
+        blocks[(k[0], k[1])].append(i)
+    cand = []
+    for ids in blocks.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                ka, kb = keyed[a], keyed[b]
+                cand.append((
+                    int(ka[2] == kb[2]), int(ka[3] == kb[3]),
+                    int(ka[4] == kb[4]),
+                    int(b - a == 10_000_000 and a % 31 == 0),
+                ))
+    nm = sum(c[3] for c in cand)
+    nu = len(cand) - nm
+    ms = [sum(c[f] * c[3] for c in cand) for f in range(3)]
+    us = [sum(c[f] * (1 - c[3]) for c in cand) for f in range(3)]
+
+    def w9(agree, f):
+        if agree:
+            return _snap(math.log(((ms[f] + 1.0) / (nm + 2))
+                                  / ((us[f] + 1.0) / (nu + 2))), 1e9)
+        return _snap(math.log(((nm - ms[f] + 1.0) / (nm + 2))
+                              / ((nu - us[f] + 1.0) / (nu + 2))), 1e9)
+
+    cells = defaultdict(lambda: [0, 0])
+    for c in cand:
+        w = sum(w9(c[f], f) for f in range(3))
+        key = (1 if w >= 0 else 0, c[3])
+        cells[key][0] += 1
+        cells[key][1] += w
+    got = {
+        (r.pred_match, r.true_match): r
+        for r in _q("fellegi_sunter_linkage")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for k, (n, wsum) in cells.items():
+        assert got[k].n_pairs == n
+        assert abs(got[k].avg_weight - wsum / n / 1e9) < 1e-3
+    # every seeded true match must be classified as a match
+    assert (0, 1) not in cells or cells[(0, 1)][0] == 0
+    assert cells[(1, 1)][0] == sum(1 for r in docs if r.doc_id % 31 == 0)
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality_audit
+# ---------------------------------------------------------------------------
+
+def test_blocking_quality_audit_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    recs = {r.doc_id: (r.lang, r.source, r.text) for r in docs}
+    truth = []
+    for r in docs:
+        if r.doc_id % 31 != 0:
+            continue
+        if r.doc_id % 3 == 0:
+            t = r.text
+        elif r.doc_id % 3 == 1:
+            t = "zz " + r.text
+        else:
+            t = r.text[: max(20, (len(r.text) * 3) // 5)]
+        recs[r.doc_id + 10_000_000] = (r.lang, r.source, t)
+        truth.append((r.doc_id, r.doc_id + 10_000_000))
+
+    def keys(lang, src, text):
+        ws = _words(text)
+        return {
+            "lang_fw": (lang, ws[0]),
+            "lang_source": (lang, src),
+            "prefix8": text.lower()[:8],
+            "lenbucket": (lang, len(text) // 50),
+        }
+
+    keyed = {i: keys(*v) for i, v in recs.items()}
+    n = len(keyed)
+    total = n * (n - 1) / 2.0
+    got = {
+        r.scheme: r
+        for r in _q("blocking_quality_audit")(spark, sf_dir).collect()
+    }
+    for s in ("lang_fw", "lang_source", "prefix8", "lenbucket"):
+        blocks = defaultdict(int)
+        for k in keyed.values():
+            blocks[k[s]] += 1
+        cand = sum(c * (c - 1) // 2 for c in blocks.values())
+        found = sum(1 for o, se in truth if keyed[o][s] == keyed[se][s])
+        row = got[s]
+        assert row.n_blocks == len(blocks)
+        assert row.candidate_pairs == cand
+        assert abs(row.reduction_ratio - (1.0 - cand / total)) < 1e-5
+        assert row.truth_pairs == len(truth)
+        assert row.truth_found == found
+        assert abs(row.pairs_completeness - found / len(truth)) < 1e-5
+    # the edit-class seeding must actually differentiate the schemes:
+    # metadata blocking keeps everything, content blocking loses edits
+    assert got["lang_source"].pairs_completeness == 1.0
+    if len(truth) >= 3:
+        assert got["lang_fw"].pairs_completeness < 1.0

@@ -211,6 +211,8 @@ EXTRA = [
     "winnowing_fingerprints",
     "tfidf_cosine_pairs",
     "kcenter_maximin_init",
+    "fellegi_sunter_linkage",
+    "blocking_quality_audit",
 ]
 
 

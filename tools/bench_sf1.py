@@ -167,6 +167,8 @@ QUERIES = [
     "winnowing_fingerprints",
     "tfidf_cosine_pairs",
     "kcenter_maximin_init",
+    "fellegi_sunter_linkage",
+    "blocking_quality_audit",
     "edit_distance_linkage",
     "ngram_jaccard_block",
     "embedding_near_dups",

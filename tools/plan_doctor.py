@@ -71,6 +71,12 @@ SINGLE_PARTITION_OK = {
     "upstream",
     "tfidf_cosine_pairs": "broadcast one-row n_docs scalar feeding the idf "
     "literal; the postings joins themselves are term-partitioned",
+    "fellegi_sunter_linkage": "one-row m/u sufficient-statistics scalar "
+    "broadcast back over the candidate frame; candidates come from the "
+    "blocked (lang, first-word) self-join",
+    "blocking_quality_audit": "per-scheme census rows (4 schemes x one "
+    "row) + |truth|-row key-equality joins — block-cardinality frames, "
+    "pairs never materialized",
     "welch_ttest": "2-row variant pivot -> one scalar row",
     "key_skew_profile": "cumsum over DISTINCT count values (cardinality-bounded)",
     "embedding_drift": "64-row per-dim means packed into one row",
