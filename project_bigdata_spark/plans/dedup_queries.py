@@ -237,7 +237,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH keyed AS (
   SELECT doc_id, lang, source, lower(text) AS lt,
          CASE WHEN count(*) OVER (PARTITION BY lang, source) > 128
-              THEN substring(lower(text), 1, 8)
+              THEN coalesce(substring(list_min(list_transform(
+                     CASE WHEN len({WORDS_SQL}) >= 2
+                       THEN list_transform(range(1, len({WORDS_SQL})),
+                              i -> concat_ws(' ', {WORDS_SQL}[i],
+                                             {WORDS_SQL}[i+1]))
+                       ELSE [lower(text)] END,
+                     g -> md5(g))), 1, 16), '')
               ELSE '' END AS sfx
   FROM documents
 ), g0 AS (
@@ -262,13 +268,21 @@ WHERE a.doc_id < b.doc_id
     "blocks — the sub-quadratic blocking pattern for n-gram dedup. "
     "Round-6 re-plan (the edit_distance_linkage discipline): the "
     "metadata key's block count is a vocabulary constant, so blocks "
-    "denser than 128 members sub-block on the text's first 8 chars "
-    "(mirrored in the oracle; a no-op at every attested SF — the max "
-    "(lang, source) block holds 112 docs at sf0.1 — active on the "
-    "synthetic sf1's ~1120-doc blocks, and guard-active parity is "
-    "attested by tests/test_guard_active.py on x15-replicated blocks "
-    "of 240 — exact near-copies share prefixes, so true dup "
-    "groups stay together), and the gram sets materialize AFTER the "
+    "denser than 128 members sub-block on a MinHash band over the "
+    "SAME bigram shingles the operator measures — min(md5(gram)), the "
+    "exact LSH family for the measured Jaccard (round-8 re-plan: "
+    "order-insensitive where it matters — a reordered near-dup shares "
+    "almost its whole gram set, hence w.h.p. the same minimum and the "
+    "same sub-block, where the earlier 8-char-prefix key "
+    "deterministically separated every reordering touching the text "
+    "head; in-block recall for a pair is now exactly its gram-Jaccard "
+    "j instead of 0/1 on an uncorrelated axis; mirrored in the "
+    "oracle; a no-op at every attested SF — the max (lang, source) "
+    "block holds 112 docs at sf0.1 — active on the synthetic sf1's "
+    "~1120-doc blocks, and guard-active parity incl. a "
+    "reordered-duplicate fixture the old prefix key provably missed "
+    "is attested by tests/test_guard_active.py on x15-replicated "
+    "blocks of 240), and the gram sets materialize AFTER the "
     "size filter so dropped blocks never pay the shingle cost. "
     "Synthetic-decade soak: 26.3s -> 3.7s while emitting the 225k "
     "true copy pairs the stress data contains.",
@@ -1106,8 +1120,11 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"k_{s}").alias(f"s_{s}") for s in _BQ_SCHEMES],
     )
     tk = truth.join(o, "oid").join(se, "sid")
-    n_total = keyed.count()
-    total_pairs = n_total * (n_total - 1) / 2.0
+    # corpus size as a ONE-ROW in-plan aggregate (the oracle's scalar
+    # subquery shape) rather than a driver-side .count(): an eager count
+    # here would execute a full Spark job merely to CONSTRUCT the plan
+    # (plan doctor, explain, dry runs), unlike every other lazy entry.
+    tot = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     arms = []
     for s in _BQ_SCHEMES:
         blocks = keyed.groupBy(f"k_{s}").agg(F.count(F.lit(1)).alias("c"))
@@ -1124,13 +1141,16 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("truth_found"),
         )
         arms.append(
-            cand.crossJoin(F.broadcast(tr)).select(
+            cand.crossJoin(F.broadcast(tr))
+            .crossJoin(F.broadcast(tot))
+            .select(
                 F.lit(s).alias("scheme"),
                 "n_blocks",
                 "candidate_pairs",
                 N.rnd(
                     F.lit(1.0)
-                    - F.col("candidate_pairs") / F.lit(total_pairs),
+                    - F.col("candidate_pairs")
+                    / (F.col("_n") * (F.col("_n") - F.lit(1)) / F.lit(2.0)),
                     6,
                 ).alias("reduction_ratio"),
                 "truth_pairs",

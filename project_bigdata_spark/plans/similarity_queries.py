@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from project_bigdata_spark.operators import similarity as SIM
 from project_bigdata_spark.plans import _norm as N
@@ -220,6 +221,16 @@ _K_LADDER_SQL = (
 
 _NEAR_DUP_SEED_STRIDE = 31
 _NEAR_DUP_SEED_BASE = 10_000_000
+# per-vector output cap (round-8 verdict ask #3): a pair LISTING is
+# rarely the 100-TB product — dedup_apply (pairs -> clusters -> canonical
+# corpus) is the scale-safe composition — so the standalone query bounds
+# its own output at the top-K strongest matches per left vector. The cap
+# changes COVERAGE only, never a kept row's correctness: every emitted
+# pair still carries its exact verified cosine. A no-op at every attested
+# SF (max pairs per vector there is 1); binding on replicated stress
+# corpora (sf10 repeats each vector 100x -> ~100 pairs/vec), where it
+# turns the 10.5M-row listing into <= 16 rows per vector.
+_NEAR_DUP_MAX_PAIRS_PER_VEC = 16
 
 
 @query(
@@ -244,7 +255,11 @@ SELECT a.bucket,
        CAST(a.vec_id AS BIGINT) AS id_a, CAST(x.vec_id AS BIGINT) AS id_b,
        round({_cos_sql('a.embedding', 'x.embedding')}, 6) AS cosine
 FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
-WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
+WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85
+QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY round({_cos_sql('a.embedding', 'x.embedding')}, 6) DESC,
+             x.vec_id) <= {_NEAR_DUP_MAX_PAIRS_PER_VEC}""",
     doc="Embedding near-dup dedup: exact cosine verification restricted "
     "to LSH-bucket cohabitants. The plane count ADAPTS to the corpus "
     "(round-6 re-plan, ceiling widened 16 -> 24 in round 7 so bucket "
@@ -264,7 +279,14 @@ WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85""",
     "with scale-1.05 copies of every 31st vector (round-7 verdict ask "
     "#3) — positive scaling preserves every hyperplane sign, so each "
     "seed shares its original's bucket and verifies at cosine 1.0, "
-    "making the attested output non-empty at every SF.",
+    "making the attested output non-empty at every SF. Round-8 re-plan: "
+    "output bounded at the 16 strongest matches per left vector "
+    "(row_number over the rounded-cosine grid, id_b tie-break, mirrored "
+    "in the oracle's QUALIFY) — the last unbounded pair listing in the "
+    "catalog; a no-op at attested SFs (max 1 pair/vec), binding on "
+    "replicated stress corpora where true-pair count grows "
+    "quadratically in the replication factor; the full pair set "
+    "remains reachable via dedup_apply's cluster composition.",
     survey_ids=("M7-D8",),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +304,14 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pairs.withColumn("cosine", N.rnd("cosine", 6)).filter(
         F.col("cosine") >= 0.85
+    )
+    # rank on the ROUNDED cosine (both engines see identical grid keys)
+    # with id_b as the deterministic tie-break
+    wk = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    out = (
+        out.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= _NEAR_DUP_MAX_PAIRS_PER_VEC)
+        .drop("_rk")
     )
     return out.select(
         "bucket",
