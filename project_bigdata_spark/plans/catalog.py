@@ -94,33 +94,77 @@ def query(
 
 
 # The driver attests only the first 50 ``queries()`` entries per round, so
-# catalog order is the attestation schedule. Rounds 1-6 attested 289 of the
-# 305 entries across six disjoint windows (CORRECTNESS_r01 ∪ ... ∪ r06),
-# all green at latest status; 16 round-6 additions were registered behind
-# the round-6 window and have no driver row yet.
-#
-# ROUND-7 WINDOW (positions 1-50), per the round-6 verdict ask #1:
-#  1-16  the 16 never-attested round-6 additions (nonparametric
-#        monitoring, IR evaluation, graph mining, naive Bayes, embedding
-#        and dedup diagnostics, IO robustness) in registration order;
-# 17-31  the 15 round-7 additions (SimHash Hamming banding, HLL audit,
-#        corpus estimators, Luhn PII, readability, mixing allocation,
-#        ANN recall, out-of-orderness, Gumbel top-k, winnowing, sparse
-#        TF-IDF join, k-center seeding, Fellegi-Sunter linkage,
-#        blocking-quality audit) — never attested;
-# 32-40  the 9 entries whose plans/oracles were re-planned in round 6
-#        AFTER their last green driver row (adaptive scale guards, fan-out
-#        fixes, CTE materialization) — their old attestations are stale
-#        against the current code, so they re-attest;
-# 41-50  10 regression probes re-attesting the oldest (round-1 vintage)
-#        green rows: the medallion core, the AQI pipeline, the TPC-H
-#        subset, the join/window primitives.
+# catalog order is the attestation schedule. Rounds 1-7 attested all 320
+# then-registered entries across seven disjoint windows (CORRECTNESS_r01
+# ∪ ... ∪ r07), all green at latest status.
 # tests/test_sql_catalog.py enforces freshness: while entries without a
 # GREEN driver row exist, the window must be spent on them (a RED row
 # counts as needing attestation, so re-attesting repaired entries
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
-    # -- round-7 window, positions 1-16: round-6 additions, no row yet -
+    # -- ROUND-8 WINDOW (positions 1-50), per the round-7 verdict ask #1 --
+    # 1-3   the 3 round-8 additions (DSIR resampling, unrolled BPE
+    #       trainer, anchored exact-substring spans) — never attested;
+    # 4-8   the 5 entries whose plans changed in round 8 AFTER their last
+    #       green driver row (gram-MinHash sub-block key, per-vector
+    #       near-dup cap, lazy blocking-audit census, simhash API split)
+    #       — their old attestations are stale against the current code;
+    # 9-50  42 regression probes re-attesting the OLDEST green rows
+    #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
+    #       suite, sampling, ANN bucketing, as-of join).
+    "dsir_resample",
+    "bpe_train_merges",
+    "anchor_substring_spans",
+    # -- round-8 re-planned entries (stale green rows) ------------------
+    "ngram_jaccard_block",
+    "embedding_near_dups",
+    "blocking_quality_audit",
+    "simhash_hamming_pairs",
+    "simhash_fingerprints",
+    # -- oldest-green regression probes (r1/r2 vintage) -----------------
+    "anti_join_customers",
+    "dataset_profile_5v",
+    "date_range_filter",
+    "deterministic_sample",
+    "distinct_entities",
+    "dq_check_suite",
+    "dq_conditional_counts",
+    "dq_referential_integrity",
+    "entity_activity_profile",
+    "event_transitions",
+    "event_type_distribution",
+    "funnel_conversion",
+    "gold_unpivot",
+    "iso_parsing",
+    "latest_per_entity",
+    "layer_stats",
+    "null_fill",
+    "orders_lag_lead",
+    "orders_running_total",
+    "pivot_type_avg",
+    "q10_top_customers",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "scalar_misc",
+    "semi_join_customers",
+    "stratified_sample",
+    "time_bucketed_counts",
+    "top3_per_group",
+    "top_k_latest",
+    "union_distinct_keys",
+    "value_histogram",
+    "value_outliers",
+    "weekly_retention",
+    "ann_lsh_buckets",
+    "ann_lsh_query",
+    "asof_join_events",
+    # -- behind the window: prior rounds' order preserved ---------------
     "kendall_tau_hourly",
     "pacf_profile",
     "friedman_daily_types",
@@ -137,8 +181,6 @@ _ATTESTATION_PRIORITY = [
     "csv_malformed_audit",
     "mutual_information_profile",
     "zipf_slope_fit",
-    # -- positions 17-31: round-7 additions, no row yet ----------------
-    "simhash_hamming_pairs",
     "hll_distinct_audit",
     "chao1_vocab_richness",
     "heaps_law_fit",
@@ -152,18 +194,13 @@ _ATTESTATION_PRIORITY = [
     "tfidf_cosine_pairs",
     "kcenter_maximin_init",
     "fellegi_sunter_linkage",
-    "blocking_quality_audit",
-    # -- re-planned after last green row (stale) -----------------------
     "semantic_dedup",
     "edit_distance_linkage",
-    "ngram_jaccard_block",
-    "embedding_near_dups",
     "recursive_reachability",
     "knn_classifier_eval",
     "poisson_bootstrap_ci",
     "ngram_novelty",
     "wordpiece_apply",
-    # -- oldest-green (r1) regression probes ---------------------------
     "bronze_ingest",
     "silver_clean",
     "gold_hourly",
@@ -174,7 +211,6 @@ _ATTESTATION_PRIORITY = [
     "q1_pricing_summary",
     "broadcast_dim_join",
     "exact_percentiles",
-    # -- round-6 window (all green r6); order preserved ----------------
     "temperature_mix",
     "period_over_period",
     "conversion_ci",
@@ -223,7 +259,6 @@ _ATTESTATION_PRIORITY = [
     "cuped_adjustment",
     "raking_ipf",
     "power_analysis",
-    # -- attested green r1-r5 (disjoint windows); order preserved ------
     "csv_roundtrip",
     "partitioned_parquet_roundtrip",
     "streaming_hourly_attested",

@@ -729,3 +729,184 @@ def prf_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big("n_terms_hit").alias("n_terms_hit"),
         "query_terms",
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor_substring_spans (round 8)
+# ---------------------------------------------------------------------------
+
+_ASS_WIN = 50          # duplicated-substring length threshold (Lee et al.)
+_ASS_PROBE = 8         # content-defined anchor probe width
+_ASS_RATE = 16         # expected 1-in-16 positions anchor
+_ASS_MAX_DIGESTS = 65536
+_ASS_SEED_BASE = 9_000_000
+_ASS_SEED_STRIDE = 29
+
+
+@query(
+    "anchor_substring_spans",
+    oracle=f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_ASS_SEED_BASE} AS doc_id,
+         'dup-seed ' || substring(text, 17, 140) AS text
+  FROM documents
+  WHERE doc_id % {_ASS_SEED_STRIDE} = 0 AND length(text) >= 160
+), base AS MATERIALIZED (
+  SELECT doc_id, text, length(text) AS n FROM corpus
+), anch AS MATERIALIZED (
+  SELECT doc_id, n, i, md5(substring(text, i, {_ASS_WIN})) AS digest
+  FROM (SELECT doc_id, n, text, unnest(range(1, n - {_ASS_WIN - 2})) AS i
+        FROM base WHERE n >= {_ASS_WIN})
+  WHERE ('0x' || substring(md5(substring(text, i, {_ASS_PROBE})), 1, 8))::BIGINT
+        % {_ASS_RATE} = 0
+), freq AS (
+  SELECT digest, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, digest FROM anch)
+  GROUP BY digest
+), rep AS (
+  SELECT digest FROM freq WHERE n_docs >= 2
+  ORDER BY n_docs DESC, digest LIMIT {_ASS_MAX_DIGESTS}
+), hits AS (
+  SELECT a.doc_id, a.i, a.i + {_ASS_WIN - 1} AS e
+  FROM anch a JOIN rep USING (digest)
+), isl AS (
+  SELECT doc_id, i, e,
+         CASE WHEN i > coalesce(
+                max(e) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+), isl2 AS (
+  SELECT doc_id, i, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, min(i) AS s, max(e) AS st
+  FROM isl2 GROUP BY 1, 2
+), prof AS (
+  SELECT doc_id, count(*) AS n_spans, sum(st - s + 1) AS cc
+  FROM spans GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n AS BIGINT) AS total_chars,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.cc, 0) AS BIGINT) AS covered_chars,
+       round(coalesce(p.cc, 0) / greatest(b.n, 1), 4) AS coverage
+FROM base b LEFT JOIN prof p USING (doc_id)""",
+    doc="Exact-substring dedup at character level (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better' — the "
+    f"suffix-array {_ASS_WIN}-char criterion), re-expressed for Spark as "
+    "a two-level anchored scheme: level 1 picks content-defined anchor "
+    f"positions (md5 of the {_ASS_PROBE}-char probe window ≡ 0 mod "
+    f"{_ASS_RATE} — the rsync/CDC chunking trick, so the SAME content "
+    "anchors at the SAME spots whatever its byte offset, which fixed-"
+    "stride k-grams cannot guarantee); level 2 groups the md5 digest of "
+    f"the {_ASS_WIN}-char window at each anchor, keeps digests seen in "
+    ">= 2 distinct docs (most-frequent-first cap), and merges per-doc "
+    "hits into maximal spans via gaps-and-islands — the character-level "
+    "upgrade of repeated_ngram_spans' fixed word-5-gram islands. The "
+    "fixture corpus has no 50-char cross-doc repeats, so the corpus is "
+    "seeded in-query (embedding_near_dups discipline) with truncated "
+    "copies under a 9-char header: the shared region sits at a SHIFTED "
+    "offset in the seed, which attests exactly the alignment-robustness "
+    "the anchors exist for. Explode + codegen'd md5 columns (the simhash "
+    "lesson: never an interpreted HOF fold on the hot path); only "
+    "(doc_id, pos, 16-byte digest) triples shuffle — the payload text "
+    "never leaves the scan stage, at 100 TB as here.",
+    survey_ids=("M7-D28",),
+)
+def anchor_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(
+        (F.col("doc_id") % _ASS_SEED_STRIDE == 0) & (F.length("text") >= 160)
+    ).select(
+        (F.col("doc_id") + F.lit(_ASS_SEED_BASE)).alias("doc_id"),
+        F.concat(F.lit("dup-seed "), F.expr("substring(text, 17, 140)")).alias(
+            "text"
+        ),
+    )
+    base = fan_out(
+        d.unionByName(seeds).withColumn("n", F.length("text"))
+    ).localCheckpoint(eager=False)
+
+    anch = (
+        base.filter(F.col("n") >= _ASS_WIN)
+        .select(
+            "doc_id",
+            "n",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.col("n") - _ASS_WIN + 1)).alias("i"),
+        )
+        .filter(
+            F.expr(
+                f"CAST(conv(substring(md5(substring(text, i, {_ASS_PROBE})), 1, 8), "
+                f"16, 10) AS BIGINT) % {_ASS_RATE} = 0"
+            )
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr(f"md5(substring(text, i, {_ASS_WIN}))").alias("digest"),
+        )
+    )
+    freq = (
+        anch.select("doc_id", "digest")
+        .distinct()
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rep = (
+        freq.filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "digest")
+        .limit(_ASS_MAX_DIGESTS)
+        .select("digest")
+    )
+    hits = anch.join(F.broadcast(rep), "digest").select(
+        "doc_id", "i", (F.col("i") + F.lit(_ASS_WIN - 1)).alias("e")
+    )
+    from pyspark.sql import Window
+
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcur = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn(
+        "ni",
+        F.when(
+            F.col("i")
+            > F.coalesce(F.max("e").over(wprev), F.lit(-1)) + F.lit(1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("ni").over(wcur))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), F.max("e").alias("st")
+    )
+    prof = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("st") - F.col("s") + 1).alias("cc"),
+    )
+    return (
+        base.select("doc_id", "n")
+        .join(prof, "doc_id", "left")
+        .select(
+            N.big("doc_id").alias("doc_id"),
+            N.big("n").alias("total_chars"),
+            N.big(F.coalesce("n_spans", F.lit(0))).alias("n_spans"),
+            N.big(F.coalesce("cc", F.lit(0))).alias("covered_chars"),
+            N.rnd(
+                F.coalesce("cc", F.lit(0)) / F.greatest("n", F.lit(1)), 4
+            ).alias("coverage"),
+        )
+    )

@@ -1265,3 +1265,225 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges (round 8)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE training round as chained CTEs (the
+    kcenter_maximin_init generated-CTE discipline): count weighted
+    adjacent token pairs of ``tok_{r-1}``, pick the argmax merge, apply
+    it left-to-right greedy via the parity-within-match-runs identity
+    (a pair at position p merges iff p's maximal run of consecutive
+    matching positions starts an EVEN distance before it — exactly the
+    sequential left-to-right scan, but expressed with two plain window
+    functions so both engines replay identical decisions)."""
+    p = r - 1
+    return f"""
+pairs_{r} AS (
+  SELECT toks[pos] AS lhs, toks[pos + 1] AS rhs, sum(cnt) AS total
+  FROM (SELECT cnt, toks, unnest(range(1, len(toks))) AS pos FROM tok_{p})
+  GROUP BY 1, 2
+), win_{r} AS (
+  SELECT lhs, rhs, total FROM pairs_{r}
+  ORDER BY total DESC, lhs, rhs LIMIT 1
+), pe_{r} AS (
+  SELECT w, cnt, pos, toks[pos] AS tok,
+         coalesce(toks[pos] = (SELECT lhs FROM win_{r})
+                  AND pos < len(toks)
+                  AND toks[pos + 1] = (SELECT rhs FROM win_{r}), false) AS m,
+         CASE WHEN pos < len(toks) THEN toks[pos + 1] END AS ntok
+  FROM (SELECT w, cnt, toks, unnest(range(1, len(toks) + 1)) AS pos
+        FROM tok_{p})
+), ma_{r} AS (
+  SELECT w, cnt, pos, tok, ntok, m,
+         (m AND (pos - coalesce(
+             max(CASE WHEN NOT m THEN pos END) OVER (
+               PARTITION BY w ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) % 2 = 1)
+           AS merge_at
+  FROM pe_{r}
+), keep_{r} AS (
+  SELECT w, cnt, pos,
+         CASE WHEN merge_at THEN tok || ntok ELSE tok END AS tok,
+         coalesce(lag(merge_at) OVER (PARTITION BY w ORDER BY pos), false)
+           AS consumed
+  FROM ma_{r}
+), tok_{r} AS (
+  SELECT w, max(cnt) AS cnt, list(tok ORDER BY pos) AS toks
+  FROM keep_{r} WHERE NOT consumed GROUP BY w
+)"""
+
+
+_BPE_ORACLE = (
+    f"""
+WITH tok_0 AS MATERIALIZED (
+  SELECT w, cnt,
+         list_transform(range(1, length(w) + 1), i -> w[i]) AS toks
+  FROM (SELECT w, count(*) AS cnt
+        FROM (SELECT unnest({WORDS_SQL}) AS w FROM documents)
+        GROUP BY w)
+), """
+    + ", ".join(_bpe_round_sql(r).strip() for r in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"CAST(total AS BIGINT) AS pair_count FROM win_{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_BPE_ORACLE,
+    doc=f"BPE trainer, {_BPE_ROUNDS} merge rounds unrolled (Sennrich et al. "
+    "2016): completes the trainer face begun by bpe_pair_counts (one "
+    "iteration's candidates) into an actual merge SEQUENCE — each round "
+    "re-tokenizes with the winning pair applied before recounting, the "
+    "decision the single-pass form cannot see. Everything runs on the "
+    "word-FREQUENCY table (groupBy word -> cnt), the classic trainer "
+    "trick that makes corpus size irrelevant: one corpus pass builds the "
+    "vocab-bounded frame (localCheckpoint'ed, the kmeans_lloyd unrolled-"
+    "rounds discipline), and every merge round is windows + hash-aggs "
+    "over ~|vocab| rows. Left-to-right greedy application is the parity-"
+    "within-match-runs identity (merge at p iff p minus the last non-"
+    "matching position is odd) — two window functions, no recursion, "
+    "byte-identical decisions in both engines; ties on pair count break "
+    "(count DESC, lhs, rhs). At 100 TB the corpus contributes exactly "
+    "one groupBy; the training loop never touches it again.",
+    survey_ids=("M7-T21",),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    from project_bigdata_spark.operators.dedup import words_col
+
+    wf = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    toks = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    tok = wf.select("w", "cnt", toks.alias("toks")).localCheckpoint(eager=True)
+
+    winners = []
+    for _ in range(_BPE_ROUNDS):
+        # weighted adjacent-pair counts -> 1-row argmax merge decision
+        pairs = (
+            tok.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(toks) >= 2 THEN "
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> struct(element_at(toks, i) AS lhs, "
+                        "element_at(toks, i + 1) AS rhs)) "
+                        "ELSE CAST(array() AS ARRAY<STRUCT<lhs: STRING, rhs: STRING>>) END"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        win = (
+            pairs.orderBy(F.desc("total"), "lhs", "rhs")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        winners.append(win)
+
+        # apply the merge left-to-right greedy (parity within match runs)
+        pe = (
+            tok.crossJoin(
+                F.broadcast(
+                    win.select(F.col("lhs").alias("_L"), F.col("rhs").alias("_R"))
+                )
+            )
+            .select(
+                "w",
+                "cnt",
+                "_L",
+                "_R",
+                F.posexplode("toks").alias("pos0", "tok"),
+                F.col("toks").alias("_toks"),
+            )
+            .select(
+                "w",
+                "cnt",
+                (F.col("pos0") + 1).alias("pos"),
+                "tok",
+                F.try_element_at("_toks", F.col("pos0") + F.lit(2)).alias("ntok"),
+                F.coalesce(
+                    (F.col("tok") == F.col("_L"))
+                    & (
+                        F.try_element_at("_toks", F.col("pos0") + F.lit(2))
+                        == F.col("_R")
+                    ),
+                    F.lit(False),
+                ).alias("m"),
+            )
+        )
+        wprev = (
+            Window.partitionBy("w")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ma = pe.withColumn(
+            "merge_at",
+            F.col("m")
+            & (
+                (
+                    F.col("pos")
+                    - F.coalesce(
+                        F.max(F.when(~F.col("m"), F.col("pos"))).over(wprev),
+                        F.lit(0),
+                    )
+                )
+                % 2
+                == 1
+            ),
+        )
+        wlag = Window.partitionBy("w").orderBy("pos")
+        keep = ma.withColumn(
+            "consumed", F.coalesce(F.lag("merge_at").over(wlag), F.lit(False))
+        ).filter(~F.col("consumed"))
+        tok = (
+            keep.withColumn(
+                "tok2",
+                F.when(F.col("merge_at"), F.concat("tok", "ntok")).otherwise(
+                    F.col("tok")
+                ),
+            )
+            .groupBy("w", "cnt")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok2"))),
+                    lambda s: s["tok2"],
+                ).alias("toks")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = winners[0].select(
+        F.lit(1).cast("bigint").alias("merge_rank"),
+        "lhs",
+        "rhs",
+        N.big("total").alias("pair_count"),
+    )
+    for r, win in enumerate(winners[1:], start=2):
+        out = out.unionByName(
+            win.select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                "lhs",
+                "rhs",
+                N.big("total").alias("pair_count"),
+            )
+        )
+    return out

@@ -2234,3 +2234,153 @@ def gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dsir_resample (round 8)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_K = 100
+# unigrams + adjacent word bigrams, the DSIR paper's feature set
+_DSIR_GRAMS_SQL = (
+    "list_concat({WS}, CASE WHEN len({WS}) >= 2 THEN "
+    "list_transform(range(1, len({WS})), i -> {WS}[i] || ' ' || {WS}[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END)"
+)
+
+
+@query(
+    "dsir_resample",
+    oracle=f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang, {WORDS_SQL} AS ws FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(g), 1, 8))::BIGINT
+              % {_DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, lang, unnest({_DSIR_GRAMS_SQL.replace("{WS}", "ws")}) AS g
+        FROM d)
+), docb AS MATERIALIZED (
+  SELECT doc_id, lang, bucket, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+), rb AS MATERIALIZED (
+  SELECT bucket, sum(cnt) AS cr,
+         sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct
+  FROM docb GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt FROM rb
+), rt AS MATERIALIZED (
+  SELECT bucket,
+         {N.sql_cents(f"ln((ct + 1) / ((SELECT tt FROM tot) + {_DSIR_BUCKETS}))", 10**9)}
+         - {N.sql_cents(f"ln((cr + 1) / ((SELECT tr FROM tot) + {_DSIR_BUCKETS}))", 10**9)}
+           AS lr9
+  FROM rb
+), doclog AS (
+  SELECT b.doc_id, b.lang, sum(b.cnt * rt.lr9) AS logw9
+  FROM docb b JOIN rt USING (bucket)
+  GROUP BY 1, 2
+), keyed AS (
+  SELECT doc_id, lang, logw9,
+         logw9 + {N.sql_cents(
+             "-ln(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0))",
+             10**9)} AS key9
+  FROM doclog
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       round(CAST(logw9 AS DOUBLE) / 1e9, 6) AS log_weight,
+       round(CAST(key9 AS DOUBLE) / 1e9, 6) AS gumbel_key
+FROM keyed
+ORDER BY key9 DESC, doc_id LIMIT {_DSIR_K}""",
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling', public): hashed-n-gram "
+    "importance weights target-vs-raw, then sampling WITHOUT replacement "
+    "via the catalog's Gumbel-top-k machinery. Features = unigrams + "
+    f"adjacent word bigrams hashed into {_DSIR_BUCKETS} fixed buckets "
+    "(the feature_hashing trick — the model width is independent of "
+    "vocabulary, so the two 'LM' distributions are 1024-row tables "
+    "however large the corpus). Target distribution = the lang='en' "
+    "slice; raw = the whole corpus; per-bucket Laplace-smoothed "
+    "log-likelihood ratios are snapped to the 1e-9 grid (ONE ln per "
+    "bucket per side, absorbed by the snap), so the per-doc importance "
+    "log-weight sum(cnt * lr9) is exact integer arithmetic — order-free "
+    "and engine-identical. Selection key = log-weight + the md5-dyadic "
+    "Gumbel term from gumbel_topk_sample; global top-100 is a "
+    "TakeOrderedAndProject partial top-k. Plan: the ratio table is a "
+    "1024-row broadcast join onto integer (doc_id, bucket, cnt) triples; "
+    "the corpus text never shuffles — at 100 TB only hashed-gram counts "
+    "and one 1024-row model move.",
+    survey_ids=("M7-P6",),
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = DD.fan_out(
+        d.select("doc_id", "lang", DD.words_col(F.col("text")).alias("_ws"))
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("_ws"),
+                F.expr(
+                    "CASE WHEN size(_ws) >= 2 THEN "
+                    "transform(sequence(1, size(_ws) - 1), "
+                    "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1))) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                ),
+            )
+        ).alias("g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    docb = (
+        grams.withColumn("bucket", bucket)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rb = docb.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+    )
+    tot = rb.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
+    rt = rb.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            N.cents(
+                F.log((F.col("ct") + 1) / (F.col("tt") + F.lit(float(_DSIR_BUCKETS)))),
+                10**9,
+            )
+            - N.cents(
+                F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(float(_DSIR_BUCKETS)))),
+                10**9,
+            )
+        ).alias("lr9"),
+    )
+    doclog = (
+        docb.join(F.broadcast(rt), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("lr9")).alias("logw9"))
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = doclog.withColumn(
+        "key9", F.col("logw9") + N.cents(-F.log(-F.log(u)), 10**9)
+    )
+    return (
+        keyed.orderBy(F.desc("key9"), "doc_id")
+        .limit(_DSIR_K)
+        .select(
+            N.big("doc_id").alias("doc_id"),
+            "lang",
+            N.rnd(F.col("logw9").cast("double") / F.lit(1e9), 6).alias("log_weight"),
+            N.rnd(F.col("key9").cast("double") / F.lit(1e9), 6).alias("gumbel_key"),
+        )
+    )

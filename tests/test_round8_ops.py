@@ -1,0 +1,247 @@
+"""Semantic invariants for the round-8 operators — third-implementation
+differentials in plain Python, so a shared Spark/DuckDB bug cannot hide
+behind engine agreement."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+from project_bigdata_spark.plans.catalog import load_all
+
+
+def _q(name):
+    return load_all()[name].builder
+
+
+def _snap(x: float, s: float = 1e9) -> int:
+    return math.floor(x * s + 0.5) if x >= 0 else -math.floor(-x * s + 0.5)
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text.lower()) if w != ""]
+
+
+def _md5u32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _docs(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+
+# ---------------------------------------------------------------------------
+# dsir_resample
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_resample_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    B = 1024
+    docb: dict[int, Counter] = {}
+    lang = {}
+    for r in docs:
+        ws = _words(r.text)
+        grams = list(ws)
+        grams += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        docb[r.doc_id] = Counter(_md5u32(g) % B for g in grams)
+        lang[r.doc_id] = r.lang
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    for i, c in docb.items():
+        cr.update(c)
+        if lang[i] == "en":
+            ct.update(c)
+    tr, tt = float(sum(cr.values())), float(sum(ct.values()))
+    lr9 = {
+        b: _snap(math.log((ct.get(b, 0) + 1) / (tt + B)))
+        - _snap(math.log((cr[b] + 1) / (tr + B)))
+        for b in cr
+    }
+    keyed = []
+    for i, c in docb.items():
+        logw9 = sum(n * lr9[b] for b, n in c.items())
+        u = (_md5u32(str(i)) + 0.5) / 4294967296.0
+        key9 = logw9 + _snap(-math.log(-math.log(u)))
+        keyed.append((key9, i, logw9))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expect = {
+        i: (lang[i], round(logw9 / 1e9, 6), round(k9 / 1e9, 6))
+        for k9, i, logw9 in keyed[:100]
+    }
+    got = {
+        r.doc_id: (r.lang, r.log_weight, r.gumbel_key)
+        for r in _q("dsir_resample")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i][0] == expect[i][0]
+        assert math.isclose(got[i][1], expect[i][1], abs_tol=2e-6)
+        assert math.isclose(got[i][2], expect[i][2], abs_tol=2e-6)
+
+
+def test_dsir_target_docs_rank_higher(spark, sf_dir):
+    # the importance weight must, on average, favor the target slice
+    rows = _q("dsir_resample")(spark, sf_dir).collect()
+    en = sum(1 for r in rows if r.lang == "en")
+    assert en > len(rows) // 2  # target share of the corpus is ~44%
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(word_freq: dict[str, int], rounds: int):
+    """Textbook sequential BPE trainer: true left-to-right greedy merge
+    application (the catalog expresses this as parity-within-match-runs;
+    here it is the literal scan, so the identity itself is under test)."""
+    toks = {w: list(w) for w in word_freq}
+    out = []
+    for _ in range(rounds):
+        counts: Counter = Counter()
+        for w, ts in toks.items():
+            for a, b in zip(ts, ts[1:]):
+                counts[(a, b)] += word_freq[w]
+        (lhs, rhs), total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((lhs, rhs, total))
+        for w, ts in toks.items():
+            nts, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == lhs and ts[i + 1] == rhs:
+                    nts.append(lhs + rhs)
+                    i += 2
+                else:
+                    nts.append(ts[i])
+                    i += 1
+            toks[w] = nts
+    return out
+
+
+def test_bpe_train_merges_matches_sequential_reference(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    wf: Counter = Counter()
+    for r in docs:
+        wf.update(_words(r.text))
+    expect = _bpe_reference(dict(wf), 4)
+    got = sorted(
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in _q("bpe_train_merges")(spark, sf_dir).collect()
+    )
+    assert got == [
+        (i + 1, lhs, rhs, total) for i, (lhs, rhs, total) in enumerate(expect)
+    ]
+
+
+def test_bpe_parity_identity_on_runs():
+    # the parity-within-match-runs identity vs the sequential scan on the
+    # adversarial shapes the fixture lacks: runs, overlaps, repeats
+    for word in ["aaaa", "aaaaa", "ababab", "aabaa", "abba", "aaabaaa"]:
+        freq = {word: 1}  # the merge decision comes from the run word itself
+        seq = _bpe_reference(freq, 1)
+        # parity identity applied by hand to the same decision
+        lhs, rhs, _ = seq[0]
+        ts = list(word)
+        n = len(ts)
+        # m[p] (1-based p) = pair (ts[p], ts[p+1]) equals the merge
+        m = {p: ts[p - 1] == lhs and ts[p] == rhs for p in range(1, n)}
+        m[n] = False
+        merge_at = {}
+        last_nf = 0  # most recent non-matching position BEFORE p
+        for p in range(1, n + 1):
+            merge_at[p] = m[p] and (p - last_nf) % 2 == 1
+            if not m[p]:
+                last_nf = p
+        merged = []
+        consumed_prev = False
+        for p in range(1, n + 1):
+            if consumed_prev:  # token eaten by the previous merge
+                consumed_prev = False
+                continue
+            if merge_at[p]:
+                merged.append(ts[p - 1] + ts[p])
+                consumed_prev = True
+            else:
+                merged.append(ts[p - 1])
+        # sequential apply
+        nts, i = [], 0
+        while i < len(ts):
+            if i + 1 < len(ts) and ts[i] == lhs and ts[i + 1] == rhs:
+                nts.append(lhs + rhs)
+                i += 2
+            else:
+                nts.append(ts[i])
+                i += 1
+        assert merged == nts, word
+
+
+# ---------------------------------------------------------------------------
+# anchor_substring_spans
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_substring_spans_matches_bruteforce(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = [(r.doc_id, r.text) for r in docs] + [
+        (r.doc_id + 9_000_000, "dup-seed " + r.text[16 : 16 + 140])
+        for r in docs
+        if r.doc_id % 29 == 0 and len(r.text) >= 160
+    ]
+    WIN, PROBE, RATE = 50, 8, 16
+    anch = defaultdict(list)  # doc -> [(i, digest)]
+    by_digest = defaultdict(set)
+    for doc_id, text in corpus:
+        n = len(text)
+        for i in range(1, n - WIN + 2):
+            probe = text[i - 1 : i - 1 + PROBE]
+            if _md5u32(probe) % RATE == 0:
+                dg = hashlib.md5(text[i - 1 : i - 1 + WIN].encode()).hexdigest()
+                anch[doc_id].append((i, dg))
+                by_digest[dg].add(doc_id)
+    rep = {d for d, s in by_digest.items() if len(s) >= 2}
+    expect = {}
+    for doc_id, text in corpus:
+        hits = sorted(i for i, dg in anch.get(doc_id, []) if dg in rep)
+        spans, cur_s, cur_e = [], None, None
+        for i in hits:
+            e = i + WIN - 1
+            if cur_e is None or i > cur_e + 1:
+                if cur_e is not None:
+                    spans.append((cur_s, cur_e))
+                cur_s, cur_e = i, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            spans.append((cur_s, cur_e))
+        covered = sum(e - s + 1 for s, e in spans)
+        expect[doc_id] = (
+            len(text),
+            len(spans),
+            covered,
+            round(covered / max(len(text), 1), 4),
+        )
+    got = {
+        r.doc_id: (r.total_chars, r.n_spans, r.covered_chars, r.coverage)
+        for r in _q("anchor_substring_spans")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i][:3] == expect[i][:3], i
+        assert math.isclose(got[i][3], expect[i][3], abs_tol=1e-9), i
+
+
+def test_anchor_spans_seeded_docs_are_covered(spark, sf_dir):
+    rows = _q("anchor_substring_spans")(spark, sf_dir).collect()
+    seeded = [r for r in rows if r.doc_id >= 9_000_000]
+    if seeded:  # sf0.001 may have no qualifying seed docs
+        # every synthetic near-copy must be detected with real coverage
+        assert all(r.n_spans >= 1 for r in seeded)
+        assert all(r.coverage > 0.3 for r in seeded)

@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "blocking_quality_audit": "per-scheme census rows (4 schemes x one "
     "row) + |truth|-row key-equality joins — block-cardinality frames, "
     "pairs never materialized",
+    "dsir_resample": "one-row target/raw total-mass scalar crossed into "
+    "the 1024-bucket ratio table (model-width-bounded, never corpus "
+    "rows); the corpus side is hash-partitioned (doc_id, bucket) counts",
     "welch_ttest": "2-row variant pivot -> one scalar row",
     "key_skew_profile": "cumsum over DISTINCT count values (cardinality-bounded)",
     "embedding_drift": "64-row per-dim means packed into one row",
