@@ -2384,3 +2384,196 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.rnd(F.col("key9").cast("double") / F.lit(1e9), 6).alias("gumbel_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# contamination_audit (round 8)
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 13       # the GPT-3 appendix-C decontamination gram width
+_CONTAM_STRIDE = 41  # every 41st doc contributes its grams as "benchmark"
+
+
+@query(
+    "contamination_audit",
+    oracle=f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id,
+         md5(list_aggregate(ws[i:i+{_CONTAM_K - 1}], 'string_agg', ' '))
+           AS g
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_CONTAM_K - 2})) AS i
+        FROM d WHERE len(ws) >= {_CONTAM_K})
+), bench AS MATERIALIZED (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_CONTAM_STRIDE} = 0
+), hits AS (
+  SELECT doc_id, count(DISTINCT g.g) AS n_hits
+  FROM grams g JOIN bench USING (g)
+  GROUP BY doc_id
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_bench_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM per_doc p LEFT JOIN hits h USING (doc_id)""",
+    doc="Benchmark-contamination audit (the GPT-3 appendix-C / PaLM "
+    f"decontamination rule, public): a training document is contaminated "
+    f"if it shares any word {_CONTAM_K}-gram with the evaluation set. "
+    "The 'benchmark' is drawn deterministically in-query (the grams of "
+    f"every {_CONTAM_STRIDE}st doc — the realistic worst case, since "
+    "leaked benchmarks ARE corpus members); per-doc output = total "
+    f"{_CONTAM_K}-grams, distinct benchmark grams hit, and the "
+    "contaminated flag that a decontamination filter would act on. "
+    "Plan shape is the one that matters at 100 TB: benchmark digests "
+    "are a bounded broadcast set (real eval suites are ~1e4-1e6 items), "
+    "so the corpus side never shuffles its grams — md5 digests stream "
+    "through a broadcast-hash semi-join and collapse map-side into "
+    "per-doc counts. Only (doc_id, count) pairs reach the exchange; "
+    "the text never leaves the scan.",
+    survey_ids=("M7-D29",),
+)
+def contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = DD.fan_out(
+        d.select("doc_id", DD.words_col(F.col("text")).alias("_ws"))
+    ).filter(F.size("_ws") >= _CONTAM_K)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_ws) - {_CONTAM_K - 1}), "
+                f"i -> md5(array_join(slice(_ws, i, {_CONTAM_K}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _CONTAM_STRIDE == 0)
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return per_doc.join(hits, "doc_id", "left").select(
+        N.big("doc_id").alias("doc_id"),
+        N.big("n_grams").alias("n_grams"),
+        N.big(F.coalesce("n_hits", F.lit(0))).alias("n_bench_hits"),
+        N.big(
+            F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1).otherwise(0)
+        ).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split (round 8)
+# ---------------------------------------------------------------------------
+
+_LSS_SEED_BASE = 8_000_000
+_LSS_SEED_STRIDE = 37
+_LSS_U32 = "('0x' || substring(md5({X}), 1, 8))::BIGINT"
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_LSS_SEED_BASE} AS doc_id, text
+  FROM documents WHERE doc_id % {_LSS_SEED_STRIDE} = 0
+), keyed AS MATERIALIZED (
+  SELECT doc_id, md5(lower(text)) AS ckey FROM corpus
+), schemes AS MATERIALIZED (
+  SELECT doc_id, ckey, 'doc_hash' AS scheme,
+         {_LSS_U32.format(X="CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+  FROM keyed
+  UNION ALL
+  SELECT doc_id, ckey, 'cluster_hash' AS scheme,
+         {_LSS_U32.format(X="ckey")} % 10 AS bucket
+  FROM keyed
+), assigned AS (
+  SELECT scheme, ckey,
+         CASE WHEN bucket <= 7 THEN 'train'
+              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+  FROM schemes
+), cluster_audit AS (
+  SELECT scheme, ckey, count(DISTINCT split) AS n_splits
+  FROM assigned GROUP BY 1, 2
+)
+SELECT a.scheme,
+       CAST(count(*) FILTER (a.split = 'train') AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (a.split = 'val') AS BIGINT) AS n_val,
+       CAST(count(*) FILTER (a.split = 'test') AS BIGINT) AS n_test,
+       CAST(count(DISTINCT a.ckey) AS BIGINT) AS n_clusters,
+       CAST(count(DISTINCT CASE WHEN c.n_splits > 1 THEN a.ckey END)
+            AS BIGINT) AS n_leaky_clusters
+FROM assigned a JOIN cluster_audit c USING (scheme, ckey)
+GROUP BY a.scheme""",
+    doc="Leakage-safe train/val/test splitting, audited: the eval-split "
+    "hygiene rule every dedup paper ends on — if near-identical docs "
+    "land in different splits, val/test scores are memorization, not "
+    "generalization. Two schemes assigned side by side on the same "
+    "corpus (seeded in-query with verbatim copies under fresh ids, the "
+    "embedding_near_dups discipline): naive doc_id-hash (the default "
+    "everyone writes first) vs cluster-hash (bucket by the duplicate-"
+    "cluster key — here the exact-dup md5 of normalized text; the "
+    "minhash cluster id slots in identically via dedup_apply). Output "
+    "per scheme: split sizes, cluster count, and the number of LEAKY "
+    "clusters (members straddling >1 split) — 0 by construction for "
+    "cluster-hash, provably nonzero for doc-hash on the seeded corpus. "
+    "All aggregates are (scheme, ckey)-grained digests; 80/10/10 comes "
+    "from bucket = md5-u32 %% 10, deterministic and engine-identical.",
+    survey_ids=("M7-P7",),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = d.filter(F.col("doc_id") % _LSS_SEED_STRIDE == 0).select(
+        (F.col("doc_id") + F.lit(_LSS_SEED_BASE)).alias("doc_id"), "text"
+    )
+    keyed = d.unionByName(seeds).select(
+        "doc_id", F.md5(F.lower("text")).alias("ckey")
+    )
+
+    def u32(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+    schemes = keyed.select(
+        "doc_id", "ckey", F.lit("doc_hash").alias("scheme"),
+        (u32(F.col("doc_id").cast("string")) % 10).alias("bucket"),
+    ).unionByName(
+        keyed.select(
+            "doc_id", "ckey", F.lit("cluster_hash").alias("scheme"),
+            (u32(F.col("ckey")) % 10).alias("bucket"),
+        )
+    )
+    assigned = schemes.select(
+        "scheme",
+        "ckey",
+        F.when(F.col("bucket") <= 7, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cluster_audit = assigned.groupBy("scheme", "ckey").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    return (
+        assigned.join(cluster_audit, ["scheme", "ckey"])
+        .groupBy("scheme")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1)).cast("bigint").alias("n_train"),
+            F.count(F.when(F.col("split") == "val", 1)).cast("bigint").alias("n_val"),
+            F.count(F.when(F.col("split") == "test", 1)).cast("bigint").alias("n_test"),
+            F.count_distinct("ckey").cast("bigint").alias("n_clusters"),
+            F.count_distinct(
+                F.when(F.col("n_splits") > 1, F.col("ckey"))
+            ).cast("bigint").alias("n_leaky_clusters"),
+        )
+    )

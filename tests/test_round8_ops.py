@@ -245,3 +245,82 @@ def test_anchor_spans_seeded_docs_are_covered(spark, sf_dir):
         # every synthetic near-copy must be detected with real coverage
         assert all(r.n_spans >= 1 for r in seeded)
         assert all(r.coverage > 0.3 for r in seeded)
+
+
+# ---------------------------------------------------------------------------
+# contamination_audit
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_audit_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    K, STRIDE = 13, 41
+    grams = {}
+    for r in docs:
+        ws = _words(r.text)
+        if len(ws) >= K:
+            grams[r.doc_id] = [
+                " ".join(ws[i : i + K]) for i in range(len(ws) - K + 1)
+            ]
+    bench = set()
+    for i, gs in grams.items():
+        if i % STRIDE == 0:
+            bench.update(gs)
+    expect = {
+        i: (len(gs), len(set(gs) & bench), int(bool(set(gs) & bench)))
+        for i, gs in grams.items()
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.n_bench_hits, r.contaminated)
+        for r in _q("contamination_audit")(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_contamination_benchmark_donors_flagged(spark, sf_dir):
+    rows = _q("contamination_audit")(spark, sf_dir).collect()
+    donors = [r for r in rows if r.doc_id % 41 == 0]
+    assert donors and all(r.contaminated == 1 for r in donors)
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = [(r.doc_id, r.text) for r in docs] + [
+        (r.doc_id + 8_000_000, r.text) for r in docs if r.doc_id % 37 == 0
+    ]
+    expect = {}
+    for scheme in ("doc_hash", "cluster_hash"):
+        splits = defaultdict(set)  # ckey -> set of splits
+        sizes = Counter()
+        for doc_id, text in corpus:
+            ckey = hashlib.md5(text.lower().encode()).hexdigest()
+            b = (
+                _md5u32(str(doc_id)) if scheme == "doc_hash" else _md5u32(ckey)
+            ) % 10
+            split = "train" if b <= 7 else ("val" if b == 8 else "test")
+            splits[ckey].add(split)
+            sizes[split] += 1
+        expect[scheme] = (
+            sizes["train"],
+            sizes["val"],
+            sizes["test"],
+            len(splits),
+            sum(1 for s in splits.values() if len(s) > 1),
+        )
+    got = {
+        r.scheme: (r.n_train, r.n_val, r.n_test, r.n_clusters, r.n_leaky_clusters)
+        for r in _q("leakage_safe_split")(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_cluster_hash_never_leaks(spark, sf_dir):
+    rows = {r.scheme: r for r in _q("leakage_safe_split")(spark, sf_dir).collect()}
+    # the audited invariant: bucketing by cluster key CANNOT split a
+    # cluster, whatever the data (exactness vs python is tested above)
+    assert rows["cluster_hash"].n_leaky_clusters == 0
