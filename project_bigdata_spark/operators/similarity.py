@@ -112,6 +112,7 @@ def lsh_near_dup_pairs(
     threshold: float = 0.9,
     max_bucket: int = 2000,
     adaptive_planes: bool = False,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: exact cosine verification restricted to vectors
     sharing an LSH bucket — the sub-quadratic embedding-dedup pattern.
@@ -164,7 +165,25 @@ def lsh_near_dup_pairs(
     bounded = withb.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
         F.col("_bsz") <= max_bucket
     )
-    a = bounded.select(
+    a_src = bounded
+    if max_candidates is not None:
+        # Candidate-side cap (round-8): bound the verify join itself, not
+        # just the output — only the ``max_candidates`` LOWEST-id members
+        # of each bucket act as the id_a (anchor) side, so per-bucket
+        # verify cost is occupancy x cap instead of occupancy^2. The
+        # LEFT side is the one capped so every vector still appears as
+        # id_b and links to a canonical low-id representative — exactly
+        # the survivor orientation dedup_apply consumes. A no-op while
+        # bucket occupancy <= cap (all attested SFs); binding on
+        # replicated stress corpora where copy-groups pile into one
+        # bucket (the sf10 regime measured 24.9x without it).
+        wc = Window.partitionBy("bucket").orderBy(id_col)
+        a_src = (
+            bounded.withColumn("_crk", F.row_number().over(wc))
+            .filter(F.col("_crk") <= max_candidates)
+            .drop("_crk")
+        )
+    a = a_src.select(
         "bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("va")
     )
     b = bounded.select(

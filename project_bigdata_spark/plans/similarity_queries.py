@@ -231,6 +231,12 @@ _NEAR_DUP_SEED_BASE = 10_000_000
 # corpora (sf10 repeats each vector 100x -> ~100 pairs/vec), where it
 # turns the 10.5M-row listing into <= 16 rows per vector.
 _NEAR_DUP_MAX_PAIRS_PER_VEC = 16
+# candidate-side cap: only the 32 lowest-id members of a bucket anchor the
+# verify join (id_a side) — a no-op at every attested SF (max measured
+# occupancy: 10 at sf0.01, 25 at sf0.1) and the bound that keeps the
+# verify COST linear on copy-heavy stress corpora (sf10 measured 24.9x
+# with only the output cap; see operators/similarity.py)
+_NEAR_DUP_MAX_CANDIDATES = 32
 
 
 @query(
@@ -250,11 +256,16 @@ WITH corpus AS (
          substring({_bucket16_sql('embedding')}, 1, CAST(k.k AS INT))
            AS bucket
   FROM corpus, k
+), bc AS (
+  SELECT bucket, vec_id, embedding FROM (
+    SELECT bucket, vec_id, embedding,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS crk
+    FROM b) WHERE crk <= {_NEAR_DUP_MAX_CANDIDATES}
 )
 SELECT a.bucket,
        CAST(a.vec_id AS BIGINT) AS id_a, CAST(x.vec_id AS BIGINT) AS id_b,
        round({_cos_sql('a.embedding', 'x.embedding')}, 6) AS cosine
-FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+FROM bc a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
 WHERE round({_cos_sql('a.embedding', 'x.embedding')}, 6) >= 0.85
 QUALIFY row_number() OVER (
     PARTITION BY a.vec_id
@@ -286,7 +297,16 @@ QUALIFY row_number() OVER (
     "catalog; a no-op at attested SFs (max 1 pair/vec), binding on "
     "replicated stress corpora where true-pair count grows "
     "quadratically in the replication factor; the full pair set "
-    "remains reachable via dedup_apply's cluster composition.",
+    "remains reachable via dedup_apply's cluster composition. The "
+    "output cap alone left the verify JOIN quadratic on copy-heavy "
+    "corpora (sf10 measured 24.9x: every in-bucket pair was "
+    "cosine-scored before ranking), so a CANDIDATE cap joined it: only "
+    "the 32 lowest-id members of a bucket anchor the join (id_a side — "
+    "every vector still links to a canonical low-id representative as "
+    "id_b, the orientation dedup_apply consumes), making per-bucket "
+    "verify cost occupancy x 32 instead of occupancy^2. No-op at "
+    "attested SFs (max occupancy 10 / 25); both caps "
+    "guard-active-tested on the x20 fixture.",
     survey_ids=("M7-D8",),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +320,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(seeds)
     pairs = SIM.lsh_near_dup_pairs(
-        corpus, threshold=0.0, max_bucket=100000, adaptive_planes=True
+        corpus,
+        threshold=0.0,
+        max_bucket=100000,
+        adaptive_planes=True,
+        max_candidates=_NEAR_DUP_MAX_CANDIDATES,
     )
     out = pairs.withColumn("cosine", N.rnd("cosine", 6)).filter(
         F.col("cosine") >= 0.85

@@ -1033,3 +1033,194 @@ def luhn_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_luhn_invalid"),
         F.sum("n_resid").cast("bigint").alias("n_residual_after_scrub"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_gates (round 8)
+# ---------------------------------------------------------------------------
+
+# Gopher's 8 required stopwords plus "a" (the Dolma/RedPajama-style
+# variant of the same gate) — with the paper's exact list this corpus
+# contains only one member ("the"), so the >=2-distinct rule would be
+# vacuously false everywhere; the widened list keeps it a real gate.
+_GOPHER_STOP = ["the", "a", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
+
+
+@query(
+    "gopher_quality_gates",
+    oracle=f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text, {WORDS_SQL} AS ws FROM documents
+), w AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         sum(length(w)) AS sum_len,
+         count(*) FILTER (regexp_matches(w, '[a-z]')) AS n_alpha,
+         count(DISTINCT CASE WHEN w IN ({_GOPHER_STOP_SQL}) THEN w END)
+           AS n_stop
+  FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+  GROUP BY doc_id
+), t AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellip,
+         string_split(text, chr(10)) AS lines
+  FROM d
+), l AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%'))
+           AS n_bullet,
+         len(list_filter(lines, x -> x LIKE '%...')) AS n_ellip_end
+  FROM t
+), bits AS (
+  SELECT w.doc_id,
+         CASE WHEN w.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+           AS r_word_count,
+         CASE WHEN 3 * w.n_words <= w.sum_len
+                   AND w.sum_len <= 10 * w.n_words THEN 1 ELSE 0 END
+           AS r_mean_word_len,
+         CASE WHEN 10 * (t.n_hash + t.n_ellip) < w.n_words THEN 1 ELSE 0 END
+           AS r_symbol_ratio,
+         CASE WHEN 10 * l.n_bullet <= 9 * l.n_lines THEN 1 ELSE 0 END
+           AS r_bullet_lines,
+         CASE WHEN 10 * l.n_ellip_end < 3 * l.n_lines THEN 1 ELSE 0 END
+           AS r_ellipsis_lines,
+         CASE WHEN 5 * w.n_alpha >= 4 * w.n_words THEN 1 ELSE 0 END
+           AS r_alpha_words,
+         CASE WHEN w.n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords
+  FROM w JOIN t USING (doc_id) JOIN l USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(r_word_count AS BIGINT) AS r_word_count,
+       CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len,
+       CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio,
+       CAST(r_bullet_lines AS BIGINT) AS r_bullet_lines,
+       CAST(r_ellipsis_lines AS BIGINT) AS r_ellipsis_lines,
+       CAST(r_alpha_words AS BIGINT) AS r_alpha_words,
+       CAST(r_stopwords AS BIGINT) AS r_stopwords,
+       CAST(r_word_count + r_mean_word_len + r_symbol_ratio + r_bullet_lines
+            + r_ellipsis_lines + r_alpha_words + r_stopwords AS BIGINT)
+         AS n_rules_passed,
+       CAST(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio
+                      + r_bullet_lines + r_ellipsis_lines + r_alpha_words
+                      + r_stopwords = 7 THEN 1 ELSE 0 END AS BIGINT)
+         AS pass_all
+FROM bits""",
+    doc="The Gopher quality gates (Rae et al. 2021 §A1.1, public — the "
+    "hard pass/fail filter bundle most later corpora reuse), per doc: "
+    "word count in [50, 1e5]; mean word length in [3, 10]; symbol-to-"
+    "word ratio (# / ellipsis) < 0.1; <= 90% bullet-start lines; < 30% "
+    "ellipsis-end lines; >= 80% words containing an alphabetic char; "
+    ">= 2 distinct required stopwords. The hard-gate complement of the "
+    "composite quality_scores ranker — the paper applies these as "
+    "binary REMOVE decisions before any scoring. Every threshold is an "
+    "exact integer cross-multiplication (3n <= sumlen <= 10n, "
+    "5*alpha >= 4*n, ...) — no float ratio ever materializes, so the "
+    "bits are engine-identical by construction. One explode + one "
+    "map-side-combining groupBy for the word stats; doc-level string "
+    "census stays in the scan projection; the join back is "
+    "doc_id-keyed. At 100 TB: two narrow passes, zero UDFs, zero "
+    "floats.",
+    survey_ids=("M7-T22",),
+)
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", words_col(F.col("text")).alias("_ws")
+        )
+    )
+    w = (
+        d.select("doc_id", F.explode("_ws").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("sum_len"),
+            F.count(F.when(F.col("w").rlike("[a-z]"), 1)).alias("n_alpha"),
+            F.count_distinct(
+                F.when(F.col("w").isin(_GOPHER_STOP), F.col("w"))
+            ).alias("n_stop"),
+        )
+    )
+    t = d.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))).alias(
+            "n_hash"
+        ),
+        (
+            (F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit(""))))
+            / 3
+        )
+        .cast("bigint")
+        .alias("n_ellip"),
+        F.split("text", "\n", -1).alias("lines"),
+    ).select(
+        "doc_id",
+        "n_hash",
+        "n_ellip",
+        F.size("lines").alias("n_lines"),
+        F.size(
+            F.filter(
+                F.col("lines"),
+                lambda x: x.startswith("-") | x.startswith("*"),
+            )
+        ).alias("n_bullet"),
+        F.size(F.filter(F.col("lines"), lambda x: x.endswith("..."))).alias(
+            "n_ellip_end"
+        ),
+    )
+    bits = w.join(t, "doc_id").select(
+        "doc_id",
+        F.when(F.col("n_words").between(50, 100000), 1).otherwise(0).alias(
+            "r_word_count"
+        ),
+        F.when(
+            (3 * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= 10 * F.col("n_words")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_mean_word_len"),
+        F.when(10 * (F.col("n_hash") + F.col("n_ellip")) < F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("r_symbol_ratio"),
+        F.when(10 * F.col("n_bullet") <= 9 * F.col("n_lines"), 1)
+        .otherwise(0)
+        .alias("r_bullet_lines"),
+        F.when(10 * F.col("n_ellip_end") < 3 * F.col("n_lines"), 1)
+        .otherwise(0)
+        .alias("r_ellipsis_lines"),
+        F.when(5 * F.col("n_alpha") >= 4 * F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("r_alpha_words"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r_stopwords"),
+    )
+    total = (
+        F.col("r_word_count")
+        + F.col("r_mean_word_len")
+        + F.col("r_symbol_ratio")
+        + F.col("r_bullet_lines")
+        + F.col("r_ellipsis_lines")
+        + F.col("r_alpha_words")
+        + F.col("r_stopwords")
+    )
+    return bits.select(
+        N.big("doc_id").alias("doc_id"),
+        *[
+            N.big(c).alias(c)
+            for c in [
+                "r_word_count",
+                "r_mean_word_len",
+                "r_symbol_ratio",
+                "r_bullet_lines",
+                "r_ellipsis_lines",
+                "r_alpha_words",
+                "r_stopwords",
+            ]
+        ],
+        N.big(total).alias("n_rules_passed"),
+        N.big(F.when(total == 7, 1).otherwise(0)).alias("pass_all"),
+    )

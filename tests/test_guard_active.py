@@ -387,3 +387,50 @@ def test_embedding_near_dups_pair_cap_binds_and_preserves_correctness(
         "fixture defect: uncapped pair count never exceeded the cap"
     )
     assert len(urows) > len(duck_rows)
+
+
+def test_embedding_near_dups_candidate_cap_binds_and_is_coverage_only(
+    spark, cap_dir
+):
+    """Round-8: the CANDIDATE-side cap (only the 32 lowest-id bucket
+    members anchor the verify join) must (a) BIND on the x20 fixture
+    (some bucket holds two 20-copy groups -> occupancy > 32), (b) change
+    only which anchors emit — every capped pair exists verbatim in the
+    anchor-uncapped pair set — and (c) never orphan a vector: every
+    bucket member above the cap still appears as id_b of some pair
+    (links to a canonical low-id representative, the orientation
+    dedup_apply consumes)."""
+    spec = load_all()["embedding_near_dups"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{cap_dir}/embeddings.parquet'"
+    )
+    capped = con.execute(spec.oracle).fetchall()
+    cols = [c[0] for c in con.execute(spec.oracle).description]
+    # anchor-uncapped variant: anchors come straight from b, output cap
+    # (the final QUALIFY) stripped so we see the raw pair universe
+    raw_sql = spec.oracle.replace("FROM bc a JOIN", "FROM b a JOIN").split(
+        "\nQUALIFY"
+    )[0]
+    raw = con.execute(raw_sql).fetchall()
+    # and the capped-anchors-but-unranked set for the subset check
+    cand_sql = spec.oracle.split("\nQUALIFY")[0]
+    cand = con.execute(cand_sql).fetchall()
+    con.close()
+    ia, ib = cols.index("id_a"), cols.index("id_b")
+    # (a) binding: some anchors were excluded, shrinking the pair universe
+    assert len(cand) < len(raw), "candidate cap did not bind on x20 fixture"
+    # (b) coverage-only: candidate-capped pairs are a subset of raw pairs
+    raw_set = {(r[ia], r[ib]) for r in raw}
+    assert all((r[ia], r[ib]) in raw_set for r in cand)
+    # (c) no orphans: every vector that had any raw partner still links
+    # to at least one canonical representative after BOTH caps
+    linked = {r[ia] for r in capped} | {r[ib] for r in capped}
+    raw_linked = {r[ia] for r in raw} | {r[ib] for r in raw}
+    # (fixture-calibrated: 20-copy groups mean no bucket runs deeper than
+    # anchor-32 + top-16 = 48 members, so both caps together cannot
+    # orphan anyone here; at pathological depth the listing hands off to
+    # dedup_apply, per the documented contract)
+    orphans = raw_linked - linked
+    assert not orphans, f"{len(orphans)} vectors lost all linkage"

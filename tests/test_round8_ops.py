@@ -324,3 +324,44 @@ def test_cluster_hash_never_leaks(spark, sf_dir):
     # the audited invariant: bucketing by cluster key CANNOT split a
     # cluster, whatever the data (exactness vs python is tested above)
     assert rows["cluster_hash"].n_leaky_clusters == 0
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_gates
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_gates_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    stop = {"the", "a", "be", "to", "of", "and", "that", "have", "with"}
+    expect = {}
+    for r in docs:
+        ws = _words(r.text)
+        n = len(ws)
+        sum_len = sum(len(w) for w in ws)
+        n_alpha = sum(1 for w in ws if re.search(r"[a-z]", w))
+        n_stop = len({w for w in ws if w in stop})
+        n_hash = r.text.count("#")
+        n_ellip = (len(r.text) - len(r.text.replace("...", ""))) // 3
+        lines = r.text.split("\n")
+        n_bullet = sum(1 for x in lines if x.startswith(("-", "*")))
+        n_ellip_end = sum(1 for x in lines if x.endswith("..."))
+        bits = (
+            int(50 <= n <= 100000),
+            int(3 * n <= sum_len <= 10 * n),
+            int(10 * (n_hash + n_ellip) < n),
+            int(10 * n_bullet <= 9 * len(lines)),
+            int(10 * n_ellip_end < 3 * len(lines)),
+            int(5 * n_alpha >= 4 * n),
+            int(n_stop >= 2),
+        )
+        expect[r.doc_id] = bits + (sum(bits), int(sum(bits) == 7))
+    got = {
+        r.doc_id: (
+            r.r_word_count, r.r_mean_word_len, r.r_symbol_ratio,
+            r.r_bullet_lines, r.r_ellipsis_lines, r.r_alpha_words,
+            r.r_stopwords, r.n_rules_passed, r.pass_all,
+        )
+        for r in _q("gopher_quality_gates")(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -213,6 +213,13 @@ EXTRA = [
     "kcenter_maximin_init",
     "fellegi_sunter_linkage",
     "blocking_quality_audit",
+    # round-8 additions
+    "dsir_resample",
+    "bpe_train_merges",
+    "anchor_substring_spans",
+    "contamination_audit",
+    "leakage_safe_split",
+    "gopher_quality_gates",
 ]
 
 
