@@ -103,15 +103,16 @@ def query(
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
     # -- ROUND-8 WINDOW (positions 1-50), per the round-7 verdict ask #1 --
-    # 1-6   the 6 round-8 additions (DSIR resampling, unrolled BPE
+    # 1-7   the 7 round-8 additions (DSIR resampling, unrolled BPE
     #       trainer, anchored exact-substring spans, contamination
-    #       audit, leakage-safe split audit, Gopher hard quality gates)
-    #       — never attested;
-    # 7-11  the 5 entries whose plans changed in round 8 AFTER their last
-    #       green driver row (gram-MinHash sub-block key, per-vector
-    #       near-dup cap, lazy blocking-audit census, simhash API split)
-    #       — their old attestations are stale against the current code;
-    # 12-50 39 regression probes re-attesting the OLDEST green rows
+    #       audit, leakage-safe split audit, Gopher hard quality gates,
+    #       tokenizer fertility) — never attested;
+    # 8-12  the 5 entries whose plans changed in round 8 AFTER their last
+    #       green driver row (gram-MinHash sub-block key, per-vector +
+    #       candidate near-dup caps, lazy blocking-audit census, simhash
+    #       API split) — their old attestations are stale against the
+    #       current code;
+    # 13-50 38 regression probes re-attesting the OLDEST green rows
     #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
     #       suite, sampling, ANN bucketing, as-of join).
     "dsir_resample",
@@ -120,6 +121,7 @@ _ATTESTATION_PRIORITY = [
     "contamination_audit",
     "leakage_safe_split",
     "gopher_quality_gates",
+    "tokenizer_fertility",
     # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",

@@ -1360,6 +1360,30 @@ WITH tok_0 AS MATERIALIZED (
     survey_ids=("M7-T21",),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    winners, _tok = _bpe_train(spark, sf_dir)
+    out = winners[0].select(
+        F.lit(1).cast("bigint").alias("merge_rank"),
+        "lhs",
+        "rhs",
+        N.big("total").alias("pair_count"),
+    )
+    for r, win in enumerate(winners[1:], start=2):
+        out = out.unionByName(
+            win.select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                "lhs",
+                "rhs",
+                N.big("total").alias("pair_count"),
+            )
+        )
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer core: returns ([winner_df x rounds], tok_df)
+    where tok_df = (w, cnt, toks) holds the final per-word token arrays
+    after all ``_BPE_ROUNDS`` merges — consumed by bpe_train_merges (the
+    merge sequence) and tokenizer_fertility (the segmentation)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1471,19 +1495,68 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    out = winners[0].select(
-        F.lit(1).cast("bigint").alias("merge_rank"),
-        "lhs",
-        "rhs",
-        N.big("total").alias("pair_count"),
+    return winners, tok
+
+
+_FERTILITY_FINAL_SQL = f"""
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+       CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+       round(CAST(sum(len(t.toks)) AS DOUBLE) / count(*), 6) AS fertility,
+       round(CAST(sum(length(d.w)) AS DOUBLE) / sum(len(t.toks)), 6)
+         AS chars_per_token
+FROM (SELECT lang, unnest({WORDS_SQL}) AS w FROM documents) d
+JOIN tok_{_BPE_ROUNDS} t ON d.w = t.w
+GROUP BY d.lang"""
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=(
+        _BPE_ORACLE.split("\nSELECT CAST(1 AS BIGINT)")[0]
+        + _FERTILITY_FINAL_SQL
+    ),
+    doc=f"Tokenizer fertility by language under the {_BPE_ROUNDS}-merge BPE "
+    "model just trained by bpe_train_merges (shared trainer core): "
+    "tokens-per-word and chars-per-token per lang — the standard "
+    "multilingual tokenizer-quality diagnostic (languages the merge "
+    "table underserves read high fertility, the effect the temperature-"
+    "mix allocation exists to correct). The corpus contributes one "
+    "words pass; segmentation is a broadcast join of (lang, word) "
+    "tokens onto the vocab-bounded final token table, so the metric "
+    "costs one map-side-combining groupBy however large the corpus. "
+    "Sums are exact integers; each ratio is ONE IEEE division rounded "
+    "to 6dp — engine-identical.",
+    survey_ids=("M7-T23",),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import words_col
+
+    _winners, tok = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(words_col(F.col("text"))).alias("w")
     )
-    for r, win in enumerate(winners[1:], start=2):
-        out = out.unionByName(
-            win.select(
-                F.lit(r).cast("bigint").alias("merge_rank"),
-                "lhs",
-                "rhs",
-                N.big("total").alias("pair_count"),
-            )
+    joined = d.join(
+        F.broadcast(tok.select("w", F.size("toks").alias("ntok"))), "w"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok").alias("n_tokens"),
+            F.sum(F.length("w")).alias("n_chars"),
         )
-    return out
+        .select(
+            "lang",
+            N.big("n_words").alias("n_words"),
+            N.big("n_tokens").alias("n_tokens"),
+            N.big("n_chars").alias("n_chars"),
+            N.rnd(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            N.rnd(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -365,3 +365,48 @@ def test_gopher_quality_gates_matches_python(spark, sf_dir):
         for r in _q("gopher_quality_gates")(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    wf: Counter = Counter()
+    for r in docs:
+        wf.update(_words(r.text))
+    # replay the trainer, then segment-count per language
+    toks = {w: list(w) for w in wf}
+    for lhs, rhs, _ in _bpe_reference(dict(wf), 4):
+        for w, ts in toks.items():
+            nts, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == lhs and ts[i + 1] == rhs:
+                    nts.append(lhs + rhs)
+                    i += 2
+                else:
+                    nts.append(ts[i])
+                    i += 1
+            toks[w] = nts
+    stats = defaultdict(lambda: [0, 0, 0])  # lang -> [words, tokens, chars]
+    for r in docs:
+        for w in _words(r.text):
+            s = stats[r.lang]
+            s[0] += 1
+            s[1] += len(toks[w])
+            s[2] += len(w)
+    expect = {
+        lang: (nw, nt, nc, round(nt / nw, 6), round(nc / nt, 6))
+        for lang, (nw, nt, nc) in stats.items()
+    }
+    got = {
+        r.lang: (r.n_words, r.n_tokens, r.n_chars, r.fertility, r.chars_per_token)
+        for r in _q("tokenizer_fertility")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for lang in expect:
+        assert got[lang][:3] == expect[lang][:3], lang
+        assert math.isclose(got[lang][3], expect[lang][3], abs_tol=2e-6)
+        assert math.isclose(got[lang][4], expect[lang][4], abs_tol=2e-6)

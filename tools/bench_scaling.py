@@ -220,6 +220,7 @@ EXTRA = [
     "contamination_audit",
     "leakage_safe_split",
     "gopher_quality_gates",
+    "tokenizer_fertility",
 ]
 
 
