@@ -172,6 +172,14 @@ QUERIES = [
     "edit_distance_linkage",
     "ngram_jaccard_block",
     "embedding_near_dups",
+    # round-8 additions
+    "dsir_resample",
+    "bpe_train_merges",
+    "anchor_substring_spans",
+    "contamination_audit",
+    "leakage_safe_split",
+    "gopher_quality_gates",
+    "tokenizer_fertility",
 ]
 
 
