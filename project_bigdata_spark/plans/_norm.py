@@ -94,6 +94,24 @@ def sql_cents(expr: str, scale: int = 100) -> str:
     )
 
 
+def sql_rnd(expr: str, n: int = 4) -> str:
+    """Dialect-neutral mirror of :func:`rnd` as a SQL string — the
+    sign-aware floor form, valid verbatim in BOTH Spark SQL (via
+    ``F.expr``) and DuckDB. Use this instead of ``round()`` inside
+    shared algebra strings: Spark's ``round`` (HALF_UP on the decimal
+    string repr) and DuckDB's (C ``round`` on the binary value) disagree
+    on repr-boundary doubles, while this form is identical IEEE
+    arithmetic on both engines."""
+    # e-notation literals parse as DOUBLE in BOTH dialects ("1000000.0"
+    # would be DECIMAL in Spark SQL and poison the whole expression type)
+    s = f"1.0e{n}"
+    return (
+        f"(CASE WHEN ({expr}) >= 0 "
+        f"THEN floor(({expr}) * {s} + 0.5) / {s} "
+        f"ELSE -(floor(-({expr}) * {s} + 0.5) / {s}) END)"
+    )
+
+
 def sql_sum_cents2(expr: str) -> str:
     """DuckDB mirror of :func:`sum_cents2` (sum(BIGINT) is HUGEINT in
     DuckDB — exact — so no inner widening cast is needed)."""

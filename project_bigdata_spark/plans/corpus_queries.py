@@ -10,7 +10,7 @@ dump" (the reference re-ingests full dumps with no delta accounting —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_bigdata_spark.operators import snapshot as SN
@@ -909,4 +909,125 @@ def anchor_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("cc", F.lit(0)) / F.greatest("n", F.lit(1)), 4
             ).alias("coverage"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# query_likelihood_retrieval (round 8, second window) — Dirichlet-smoothed
+# query-likelihood language-model retrieval (Zhai & Lafferty 2001), the
+# third classical lexical scorer next to tfidf_top_terms and bm25_retrieval
+# ---------------------------------------------------------------------------
+
+_QL_MU = 100.0
+
+
+@query(
+    "query_likelihood_retrieval",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+), lens AS (
+  SELECT doc_id, len(ws) AS dl FROM base WHERE ws IS NOT NULL
+), toks AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS w FROM base
+), corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM toks
+), q(term) AS (VALUES ('spark'), ('window'), ('join')),
+cf AS (
+  SELECT q.term, CAST(count(toks.w) AS DOUBLE) AS cf
+  FROM q LEFT JOIN toks ON toks.w = q.term
+  GROUP BY q.term
+), tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf FROM toks
+  GROUP BY doc_id, w HAVING w IN {_BM25_TERMS_SQL}
+), contrib AS (
+  SELECT lens.doc_id,
+         {N.sql_cents(
+             "ln((coalesce(tf.tf, 0) + " + repr(_QL_MU) + " * cf.cf / corpus.t)"
+             " / (lens.dl + " + repr(_QL_MU) + "))", 10**9)} AS c9,
+         CASE WHEN tf.tf IS NOT NULL THEN 1 ELSE 0 END AS hitc
+  FROM lens CROSS JOIN cf CROSS JOIN corpus
+  LEFT JOIN tf ON tf.doc_id = lens.doc_id AND tf.term = cf.term
+), scored AS (
+  SELECT doc_id, sum(c9) AS s9, CAST(sum(hitc) AS BIGINT) AS n_terms_hit
+  FROM contrib GROUP BY doc_id
+  ORDER BY s9 DESC, doc_id LIMIT 10
+)
+SELECT CAST(row_number() OVER (ORDER BY s9 DESC, doc_id) AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       round(CAST(s9 AS DOUBLE) / 1e9, 6) AS ql_score,
+       n_terms_hit
+FROM scored""",
+    doc="Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty "
+    "2001, mu = 100): top-10 documents by sum over the 3 query terms of "
+    "ln((tf + mu * P(w|C)) / (dl + mu)) — the language-modeling scorer "
+    "that completes the classical lexical trio (TF-IDF, BM25, QL LM). "
+    "Every per-term contribution is snapped to the 1e-9 grid and "
+    "integer-summed, and the top-10 cut orders by the exact integer "
+    "sum (never the rendered double), so ranking and scores replay "
+    "bit-identically. Plan: one explode feeding three tiny aggregates "
+    "(corpus total = 1 row, collection frequencies = |q| rows "
+    "broadcast, per-doc tf only for query terms); the doc-length frame "
+    "is crossed with the 3-row term table (a constant |q|x explode) "
+    "and left-joined to the sparse tf side; TakeOrderedAndProject "
+    "top-10. At 100 TB: payload text never shuffles — only "
+    "(doc_id, term, tf) triples for the query terms do.",
+    survey_ids=("M7-R10",),
+)
+def query_likelihood_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    base = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", words_col(F.col("text")).alias("_ws")
+        )
+    ).localCheckpoint()
+    lens = base.filter(F.col("_ws").isNotNull()).select(
+        "doc_id", F.size("_ws").alias("dl")
+    )
+    toks = base.select("doc_id", F.explode("_ws").alias("w"))
+    corpus = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    cf = (
+        F.broadcast(qterms)
+        .join(toks, toks.w == qterms.term, "left")
+        .groupBy("term")
+        .agg(F.count("w").cast("double").alias("cf"))
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    mu = F.lit(_QL_MU)
+    contrib = (
+        lens.crossJoin(F.broadcast(cf.crossJoin(corpus)))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            N.cents(
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0)) + mu * F.col("cf") / F.col("t"))
+                    / (F.col("dl") + mu)
+                ),
+                10**9,
+            ).alias("c9"),
+            F.col("tf").isNotNull().cast("bigint").alias("hitc"),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c9").alias("s9"),
+            F.sum("hitc").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("s9"), "doc_id")
+        .limit(10)
+    )
+    w1 = Window.partitionBy(F.lit(1)).orderBy(F.desc("s9"), "doc_id")
+    return scored.select(
+        F.row_number().over(w1).cast("bigint").alias("rank"),
+        N.big("doc_id").alias("doc_id"),
+        N.rnd(F.col("s9").cast("double") / 1e9, 6).alias("ql_score"),
+        "n_terms_hit",
     )

@@ -417,3 +417,104 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mrr_map_eval (round 8, second window) — MRR + MAP@100 of the dense
+# ranking: the rank-position companions of precision_recall_at_k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mrr_map_eval",
+    oracle=f"""
+WITH {_SCORED_SQL},
+top AS (
+  SELECT CASE WHEN rel >= 2 THEN 1 ELSE 0 END AS hit,
+         row_number() OVER (ORDER BY c6 DESC, doc_id) AS rk
+  FROM scored QUALIFY rk <= 100
+), tot AS (
+  SELECT CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM scored
+), cum AS (
+  SELECT rk, hit,
+         sum(hit) OVER (ORDER BY rk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS h
+  FROM top
+), ap AS (
+  SELECT sum(CASE WHEN hit = 1
+                  THEN {N.sql_cents('CAST(h AS DOUBLE) / rk', 10**9)}
+                  ELSE 0 END) AS ap9,
+         min(CASE WHEN hit = 1 THEN rk END) AS first_rk
+  FROM cum
+)
+SELECT CAST(100 AS BIGINT) AS k,
+       tot.n_rel,
+       CAST(ap.first_rk AS BIGINT) AS first_hit_rank,
+       CASE WHEN ap.first_rk IS NULL THEN NULL
+            ELSE round(1.0 / ap.first_rk, 6) END AS mrr,
+       CASE WHEN tot.n_rel = 0 THEN NULL
+            ELSE round(CAST(ap.ap9 AS DOUBLE) / 1e9
+                       / least(tot.n_rel, 100), 6)
+       END AS map_at_k
+FROM ap, tot""",
+    doc="Reciprocal rank of the first relevant document and average "
+    "precision at k=100 (MAP@100) of the dense stub-encoder ranking "
+    "against binary lexical relevance (>= 2 of the 3 query terms) — "
+    "the single-number rank-position summaries that complete the IR "
+    "evaluation tier (ndcg_eval grades the top profile, "
+    "precision_recall_at_k the operating points; MRR/MAP are the "
+    "leaderboard standards, Voorhees TREC-8). Every AP term is "
+    "hits_so_far/rank over the fully tie-broken (1e-6-grid cosine, "
+    "doc_id) rank, snapped to the 1e-9 grid and integer-summed "
+    "(snap-then-sum), so both metrics replay bit-identically. Plan: "
+    "one fanned-out scoring pass; one TakeOrdered top-100 cut (the "
+    "windows after it run on 100 rows — bounded by construction, not "
+    "by data); one scalar relevant-total reduce.",
+    survey_ids=("M7-R9",),
+)
+def mrr_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir).localCheckpoint()
+    hit = (F.col("rel") >= 2).cast("bigint")
+    order = [F.desc("c6"), F.col("doc_id")]
+    w1 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    top = (
+        scored.orderBy(*order)
+        .limit(100)
+        .select(hit.alias("hit"), F.row_number().over(w1).alias("rk"))
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = top.select("rk", "hit", F.sum("hit").over(wcum).alias("h"))
+    ap = cum.agg(
+        F.sum(
+            F.when(
+                F.col("hit") == 1,
+                N.cents(F.col("h").cast("double") / F.col("rk"), 10**9),
+            ).otherwise(F.lit(0))
+        ).alias("ap9"),
+        F.min(F.when(F.col("hit") == 1, F.col("rk"))).alias("first_rk"),
+    )
+    tot = scored.agg(F.sum(hit).cast("bigint").alias("n_rel"))
+    return ap.crossJoin(F.broadcast(tot)).select(
+        F.lit(100).cast("bigint").alias("k"),
+        "n_rel",
+        F.col("first_rk").cast("bigint").alias("first_hit_rank"),
+        F.when(F.col("first_rk").isNull(), F.lit(None).cast("double"))
+        .otherwise(N.rnd(F.lit(1.0) / F.col("first_rk"), 6))
+        .alias("mrr"),
+        F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            N.rnd(
+                F.col("ap9").cast("double")
+                / 1e9
+                / F.least(F.col("n_rel"), F.lit(100)),
+                6,
+            )
+        )
+        .alias("map_at_k"),
+    )

@@ -885,3 +885,508 @@ def naive_bayes_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang_true", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# ridge_normal_equations (round 8, second window) — closed-form distributed
+# ridge regression via one sufficient-statistics pass (the exact-solve
+# complement of the iterative trainers kmeans_lloyd / logistic_gd_classifier)
+# ---------------------------------------------------------------------------
+
+_RIDGE_L = 1000.0  # lambda on the integer-grid units (enters as n*lambda in
+#                    the n-scaled centered system below)
+
+_RIDGE_STATS = [  # (name, a, b) second moments over the grid columns
+    ("sqq", "q", "q"), ("sdd", "d", "d"), ("stt", "t", "t"),
+    ("spp", "p", "p"), ("sqd", "q", "d"), ("sqt", "q", "t"),
+    ("sdt", "d", "t"), ("sqp", "q", "p"), ("sdp", "d", "p"),
+    ("stp", "t", "p"),
+]
+
+
+def _ridge_alg() -> tuple[list[str], list[str], list[str]]:
+    """The closed-form algebra as THREE layers of engine-neutral SQL
+    strings (centered moments -> Cramer solve -> rendered outputs), each
+    layer naming its sub-expressions so no layer's text blows past the
+    JVM codegen method limit. Compiled by ``selectExpr`` on the Spark
+    side and chained as CTEs in the DuckDB oracle — both engines execute
+    the structurally identical double expressions over the same
+    exact-integer sufficient statistics."""
+    pairs = [("q", "q"), ("d", "d"), ("t", "t"), ("p", "p"), ("q", "d"),
+             ("q", "t"), ("d", "t"), ("q", "p"), ("d", "p"), ("t", "p")]
+    # layer 1: n-scaled centered moments (+ carry the raw first moments)
+    layer1 = ["n", "sq", "sd", "st", "sp"] + [
+        f"(n * s{a}{b} - s{a} * s{b}) AS c{a}{b}" for a, b in pairs
+    ]
+    # layer 2: ridge system A = C + n*lambda*I (e-notation literal: DOUBLE
+    # in both dialects), Cramer determinant and solution
+    lam = f"(1.0e0 * {_RIDGE_L:g} * n)"
+    a = [[f"(cqq + {lam})", "cqd", "cqt"],
+         ["cqd", f"(cdd + {lam})", "cdt"],
+         ["cqt", "cdt", f"(ctt + {lam})"]]
+    b = ["cqp", "cdp", "ctp"]
+
+    def det3(m: list[list[str]]) -> str:
+        return (
+            f"({m[0][0]} * ({m[1][1]} * {m[2][2]} - {m[1][2]} * {m[2][1]})"
+            f" - {m[0][1]} * ({m[1][0]} * {m[2][2]} - {m[1][2]} * {m[2][0]})"
+            f" + {m[0][2]} * ({m[1][0]} * {m[2][1]} - {m[1][1]} * {m[2][0]}))"
+        )
+
+    def repl(col: int) -> list[list[str]]:
+        return [[b[i] if j == col else a[i][j] for j in range(3)]
+                for i in range(3)]
+
+    layer2 = (
+        ["n", "sq", "sd", "st", "sp",
+         "cqq", "cdd", "ctt", "cpp", "cqd", "cqt", "cdt",
+         "cqp", "cdp", "ctp", f"{det3(a)} AS det"]
+        + [f"{det3(repl(j))} AS dw{j + 1}" for j in range(3)]
+    )
+    # layer 3: weights w_j = dw_j / det, SSE from the unpenalized Gram,
+    # rendered outputs (dialect-neutral floor-form rounding)
+    w = [f"(dw{j + 1} / det)" for j in range(3)]
+    a0 = [["cqq", "cqd", "cqt"], ["cqd", "cdd", "cdt"], ["cqt", "cdt", "ctt"]]
+    waw = " + ".join(
+        f"({w[i]} * {w[j]} * {a0[i][j]})" for i in range(3) for j in range(3)
+    )
+    wb = " + ".join(f"({w[j]} * {b[j]})" for j in range(3))
+    sse = f"(cpp - 2 * ({wb}) + ({waw}))"
+    guard = "CASE WHEN det = 0 THEN NULL ELSE"
+    layer3 = [
+        "CAST(n AS BIGINT) AS n_rows",
+        f"{guard} {N.sql_rnd(w[0], 6)} END AS w_quantity",
+        f"{guard} {N.sql_rnd(w[1], 6)} END AS w_discount",
+        f"{guard} {N.sql_rnd(w[2], 6)} END AS w_tax",
+        f"{guard} "
+        + N.sql_rnd(
+            f"(sp - ({w[0]} * sq + {w[1]} * sd + {w[2]} * st)) / n / 100", 4
+        )
+        + " END AS intercept_usd",
+        f"{guard} " + N.sql_rnd(f"1 - {sse} / cpp", 6) + " END AS r2",
+    ]
+    return layer1, layer2, layer3
+
+
+_RIDGE_L1, _RIDGE_L2, _RIDGE_L3 = _ridge_alg()
+_RIDGE_G_SQL = f"""
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         {N.sql_cents('l_discount')} AS d,
+         {N.sql_cents('l_tax')} AS t,
+         {N.sql_cents('l_extendedprice')} AS p
+  FROM lineitem"""
+_RIDGE_S_SQL = (
+    "SELECT CAST(count(*) AS DOUBLE) AS n, "
+    + ", ".join(f"CAST(sum({v}) AS DOUBLE) AS s{v}" for v in "qdtp")
+    + ", "
+    + ", ".join(
+        f"CAST(sum(CAST({a} AS HUGEINT) * {b}) AS DOUBLE) AS {nm}"
+        for nm, a, b in _RIDGE_STATS
+    )
+    + " FROM g"
+)
+
+
+@query(
+    "ridge_normal_equations",
+    oracle=f"""
+WITH g AS ({_RIDGE_G_SQL}),
+s AS ({_RIDGE_S_SQL}),
+c AS (SELECT {", ".join(_RIDGE_L1)} FROM s),
+w AS (SELECT {", ".join(_RIDGE_L2)} FROM c)
+SELECT {", ".join(_RIDGE_L3)} FROM w""",
+    doc="Closed-form ridge regression (Hoerl & Kennard 1970) of lineitem "
+    "extended price on (quantity, discount, tax), lambda = 1000 on the "
+    "integer-grid units: ONE sufficient-statistics aggregation builds "
+    "the 3x3 centered normal equations, Cramer's rule solves them in "
+    "the final one-row projection — the exact-solve pattern every "
+    "distributed linear model with small feature count should use "
+    "(never an iterative shuffle). All 15 sufficient statistics are "
+    "exact integers (inputs live on cents grids; Spark widens the "
+    "second-moment sums to DECIMAL(38,0), DuckDB to HUGEINT) cast once "
+    "to double; the solve algebra is the SAME generated SQL text on "
+    "both engines (three selectExpr layers on Spark = three chained "
+    "CTEs in the oracle, each layer naming its sub-expressions so "
+    "whole-stage codegen never hits the JVM method limit), so every "
+    "double operation is structurally identical and the weights, "
+    "intercept and R^2 replay bit-identically. Weights are in grid "
+    "units (cents of price per quantity unit / per 0.01 discount / "
+    "per 0.01 tax). Plan: one map-side-combining aggregate to a single "
+    "row, scalar algebra after — zero joins, zero extra passes at any "
+    "scale.",
+    survey_ids=("M7-ML21",),
+)
+def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        N.cents("l_discount").alias("d"),
+        N.cents("l_tax").alias("t"),
+        N.cents("l_extendedprice").alias("p"),
+    )
+    stats = g.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.sum(v).cast("double").alias(f"s{v}") for v in "qdtp"],
+        *[
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(nm)
+            for nm, a, b in _RIDGE_STATS
+        ],
+    )
+    return (
+        stats.selectExpr(*_RIDGE_L1)
+        .selectExpr(*_RIDGE_L2)
+        .selectExpr(*_RIDGE_L3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# logistic_gd_classifier (round 8, second window) — unrolled full-batch
+# gradient-descent logistic regression on the embedding table (the
+# iterative-trainer face next to the closed-form ridge_normal_equations)
+# ---------------------------------------------------------------------------
+
+_LOGIT_STEPS = 3
+_LOGIT_LR = 10.0
+_LOGIT_DIMS = 4
+
+
+def _logit_margin(dims: int = _LOGIT_DIMS) -> str:
+    """Margin w.x as an engine-neutral string over the integer-grid
+    columns (weights on the 1e-9 grid, features on the 1e-6 grid) —
+    identical parenthesization on both engines."""
+    terms = ["(b9 / 1e9)"] + [
+        f"((w{j}_9 / 1e9) * (x{j}_6 / 1e6))" for j in range(1, dims + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_LOGIT_P = f"(1.0 / (1.0 + exp(-{_logit_margin()})))"
+
+
+def _logit_grad_exprs() -> list[str]:
+    """Per-step gradient aggregate expressions (snap-then-sum on the 1e-9
+    grid) plus the row count."""
+    out = [f"sum({N.sql_cents(f'(y - {_LOGIT_P})', 10**9)}) AS gb9",
+           "CAST(count(*) AS BIGINT) AS n"]
+    for j in range(1, _LOGIT_DIMS + 1):
+        out.append(
+            "sum("
+            + N.sql_cents(f"((y - {_LOGIT_P}) * (x{j}_6 / 1e6))", 10**9)
+            + f") AS g{j}9"
+        )
+    return out
+
+
+def _logit_update_exprs() -> list[str]:
+    """w' = w + snap_1e-9(lr * mean_gradient), kept on the integer grid."""
+    out = [f"(b9 + {N.sql_cents(f'({_LOGIT_LR!r} * gb9 / n)', 1)}) AS b9"]
+    for j in range(1, _LOGIT_DIMS + 1):
+        out.append(
+            f"(w{j}_9 + {N.sql_cents(f'({_LOGIT_LR!r} * g{j}9 / n)', 1)})"
+            f" AS w{j}_9"
+        )
+    return out
+
+
+def _logit_oracle() -> str:
+    base = (
+        "SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, "
+        + ", ".join(
+            N.sql_cents(f"CAST(embedding[{j}] AS DOUBLE)", 10**6)
+            + f" AS x{j}_6"
+            for j in range(1, _LOGIT_DIMS + 1)
+        )
+        + " FROM embeddings WHERE embedding IS NOT NULL"
+    )
+    w_cols = ["CAST(0 AS BIGINT) AS b9"] + [
+        f"CAST(0 AS BIGINT) AS w{j}_9" for j in range(1, _LOGIT_DIMS + 1)
+    ]
+    ctes = [f"base AS MATERIALIZED ({base})", f"w0 AS (SELECT {', '.join(w_cols)})"]
+    for s in range(1, _LOGIT_STEPS + 1):
+        ctes.append(
+            f"g{s} AS (SELECT {', '.join(_logit_grad_exprs())} "
+            f"FROM base, w{s - 1})"
+        )
+        ctes.append(
+            f"w{s} AS (SELECT {', '.join(_logit_update_exprs())} "
+            f"FROM w{s - 1}, g{s})"
+        )
+    wf = f"w{_LOGIT_STEPS}"
+    fit = (
+        f"fit AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(y) AS BIGINT) AS n_pos, "
+        f"CAST(sum(CASE WHEN ({_logit_margin()} >= 0) = (y = 1) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, "
+        f"sum({N.sql_cents(f'ln(CASE WHEN y = 1 THEN {_LOGIT_P} ELSE 1.0 - {_LOGIT_P} END)', 10**9)})"
+        f" AS ll9 FROM base, {wf})"
+    )
+    ctes.append(fit)
+    w_out = ", ".join(
+        [N.sql_rnd("b9 / 1e9", 6) + " AS w_bias"]
+        + [
+            N.sql_rnd(f"w{j}_9 / 1e9", 6) + f" AS w{j}"
+            for j in range(1, _LOGIT_DIMS + 1)
+        ]
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT CAST({steps} AS BIGINT) AS n_steps, fit.n, fit.n_pos,
+       {w_out},
+       {acc} AS train_acc,
+       {ll} AS log_loss
+FROM {wf}, fit""".format(
+            steps=_LOGIT_STEPS,
+            w_out=w_out,
+            wf=wf,
+            acc=N.sql_rnd("CAST(fit.n_correct AS DOUBLE) / fit.n", 6),
+            ll=N.sql_rnd("-CAST(fit.ll9 AS DOUBLE) / 1e9 / fit.n", 6),
+        )
+    )
+
+
+@query(
+    "logistic_gd_classifier",
+    oracle=_logit_oracle(),
+    doc=f"Logistic-regression trainer, {_LOGIT_STEPS} full-batch "
+    "gradient-descent steps unrolled (the kmeans_lloyd unrolled-rounds "
+    "discipline applied to a differentiable model): y = [label < 5] on "
+    f"the first {_LOGIT_DIMS} embedding dimensions + bias, lr = "
+    f"{_LOGIT_LR}. Each step is ONE map-side-combining aggregate of the "
+    "per-row gradient (y - sigmoid(w.x)) * x — snapped to the 1e-9 grid "
+    "and integer-summed — crossed with the 1-row broadcast weight "
+    "state; weights live on the 1e-9 integer grid between steps, and "
+    "every double kernel (margin, sigmoid, update) is the SAME "
+    "generated SQL string compiled by F.expr on Spark and inlined in "
+    "the oracle, so training replays bit-identically. Final pass "
+    "reports train accuracy and log-loss. Plan per step: one scan + "
+    "one scalar reduce; the model state is a single broadcast row — "
+    "at 100 TB the corpus never shuffles, exactly how full-batch "
+    "distributed GD should look (Bottou 2010's batch regime).",
+    survey_ids=("M7-ML22",),
+)
+def logistic_gd_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        (F.col("label") < 5).cast("int").alias("y"),
+        *[
+            N.cents(F.element_at("embedding", j).cast("double"), 10**6)
+            .alias(f"x{j}_6")
+            for j in range(1, _LOGIT_DIMS + 1)
+        ],
+    ).localCheckpoint()
+    w = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("b9"),
+        *[
+            F.lit(0).cast("bigint").alias(f"w{j}_9")
+            for j in range(1, _LOGIT_DIMS + 1)
+        ],
+    )
+    for _ in range(_LOGIT_STEPS):
+        g = base.crossJoin(F.broadcast(w)).agg(
+            *[F.expr(e) for e in _logit_grad_exprs()]
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            *[F.expr(e) for e in _logit_update_exprs()]
+        )
+    fit = base.crossJoin(F.broadcast(w)).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(y) AS BIGINT)").alias("n_pos"),
+        F.expr(
+            f"CAST(sum(CASE WHEN ({_logit_margin()} >= 0) = (y = 1) "
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_correct"),
+        F.expr(
+            "sum("
+            + N.sql_cents(
+                f"ln(CASE WHEN y = 1 THEN {_LOGIT_P} ELSE 1.0 - {_LOGIT_P} END)",
+                10**9,
+            )
+            + ")"
+        ).alias("ll9"),
+    )
+    return w.crossJoin(F.broadcast(fit)).select(
+        F.lit(_LOGIT_STEPS).cast("bigint").alias("n_steps"),
+        "n",
+        "n_pos",
+        F.expr(N.sql_rnd("b9 / 1e9", 6)).alias("w_bias"),
+        *[
+            F.expr(N.sql_rnd(f"w{j}_9 / 1e9", 6)).alias(f"w{j}")
+            for j in range(1, _LOGIT_DIMS + 1)
+        ],
+        F.expr(N.sql_rnd("CAST(n_correct AS DOUBLE) / n", 6)).alias(
+            "train_acc"
+        ),
+        F.expr(N.sql_rnd("-CAST(ll9 AS DOUBLE) / 1e9 / n", 6)).alias(
+            "log_loss"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gbm_residual_stumps (round 8, second window) — gradient-boosted depth-1
+# regression stumps, 3 rounds unrolled (the boosting trainer face next to
+# the single decision_stump classifier)
+# ---------------------------------------------------------------------------
+
+_GBM_ROUNDS = 3
+_GBM_ETA = "5.0e-1"  # shrinkage as an e-notation literal (DOUBLE in both)
+
+# shared engine-neutral strings over the per-threshold aggregate columns
+# (nl, sl, n, st, ss); the split score sl^2/nl + sr^2/nr is the standard
+# variance-reduction identity, computed as the identical double expression
+_GBM_F = (
+    "((sl / (nl * 1.0e0)) * sl"
+    " + ((st - sl) / ((n - nl) * 1.0e0)) * (st - sl))"
+)
+_GBM_GL = None  # built below via N.sql_cents (integer leaf on the 1e-6 grid)
+_GBM_GR = None
+
+
+def _gbm_leaf_exprs() -> tuple[str, str]:
+    gl = N.sql_cents(f"({_GBM_ETA} * sl / nl)", 1)
+    gr = N.sql_cents(f"({_GBM_ETA} * (st - sl) / (n - nl))", 1)
+    return gl, gr
+
+
+_GBM_SSE_AFTER = (
+    "(CAST(ss AS DOUBLE)"
+    " - 2 * ((gl6 * 1.0e0) * sl + (gr6 * 1.0e0) * (st - sl))"
+    " + (nl * 1.0e0) * gl6 * gl6 + ((n - nl) * 1.0e0) * gr6 * gr6)"
+)
+
+
+def _gbm_oracle() -> str:
+    gl, gr = _gbm_leaf_exprs()
+    ctes = [
+        "base0 AS MATERIALIZED (SELECT hour(ts) AS h, "
+        + N.sql_cents("value", 10**6)
+        + " AS res6 FROM events)",
+        "thetas AS (SELECT unnest(range(0, 23)) AS theta)",
+    ]
+    for r in range(1, _GBM_ROUNDS + 1):
+        ctes.append(
+            f"a{r} AS (SELECT t.theta, "
+            "CAST(sum(CASE WHEN h <= t.theta THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS nl, "
+            "CAST(sum(CASE WHEN h <= t.theta THEN res6 ELSE 0 END)"
+            " AS BIGINT) AS sl, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(res6) AS BIGINT) AS st, "
+            "sum(CAST(res6 AS HUGEINT) * res6) AS ss "
+            f"FROM base{r - 1}, thetas t GROUP BY t.theta)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT theta, nl, sl, n, st, ss, {_GBM_F} AS f, "
+            f"{gl} AS gl6, {gr} AS gr6 "
+            f"FROM a{r} WHERE nl > 0 AND nl < n "
+            "ORDER BY f DESC, theta LIMIT 1)"
+        )
+        ctes.append(
+            f"base{r} AS (SELECT p.h, p.res6 - CASE WHEN p.h <= b.theta "
+            f"THEN b.gl6 ELSE b.gr6 END AS res6 FROM base{r - 1} p, b{r} b)"
+        )
+    outs = [
+        f"SELECT CAST({r} AS BIGINT) AS step, "
+        "CAST(theta AS BIGINT) AS theta_hour, nl AS n_left, "
+        "(n - nl) AS n_right, "
+        + N.sql_rnd("gl6 / 1.0e6", 6)
+        + " AS leaf_left, "
+        + N.sql_rnd("gr6 / 1.0e6", 6)
+        + " AS leaf_right, "
+        + N.sql_rnd("CAST(ss AS DOUBLE) / 1.0e12", 4)
+        + " AS sse_before, "
+        + N.sql_rnd(f"{_GBM_SSE_AFTER} / 1.0e12", 4)
+        + f" AS sse_after FROM b{r}"
+        for r in range(1, _GBM_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@query(
+    "gbm_residual_stumps",
+    oracle=_gbm_oracle(),
+    doc=f"Gradient-boosted regression stumps (Friedman 2001), "
+    f"{_GBM_ROUNDS} rounds unrolled with shrinkage eta = 0.5: each round "
+    "fits the best hour-of-day split of the current residuals (23 "
+    "literal candidate thresholds, variance-reduction score "
+    "sl^2/nl + sr^2/nr), subtracts the shrunk leaf means, and "
+    "re-scores. Residuals live on the 1e-6 integer grid THROUGHOUT — "
+    "leaf values snap to the grid before subtraction, so every round's "
+    "residual frame is exact integers and the whole trainer replays "
+    "bit-identically (the bpe_train_merges unrolled-rounds discipline "
+    "applied to boosting); only the split score and the reported SSEs "
+    "are doubles, from shared engine-neutral strings. Emits one row "
+    "per round: threshold, child sizes, leaf values, SSE before/after "
+    "— the training curve. Plan per round: one broadcast 23-way "
+    "conditional aggregate (map-side combined, the "
+    "XGBoost/LightGBM-style histogram split search), a 1-row argmax, "
+    "one broadcast residual update — the volume never shuffles.",
+    survey_ids=("M7-ML23",),
+)
+def gbm_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gl, gr = _gbm_leaf_exprs()
+    base = ev.select(
+        F.hour("ts").alias("h"), N.cents("value", 10**6).alias("res6")
+    )
+    thetas = spark.range(0, 23).select(F.col("id").cast("int").alias("theta"))
+    rows = []
+    for r in range(1, _GBM_ROUNDS + 1):
+        agg = (
+            base.crossJoin(F.broadcast(thetas))
+            .groupBy("theta")
+            .agg(
+                F.expr(
+                    "CAST(sum(CASE WHEN h <= theta THEN 1 ELSE 0 END)"
+                    " AS BIGINT)"
+                ).alias("nl"),
+                F.expr(
+                    "CAST(sum(CASE WHEN h <= theta THEN res6 ELSE 0 END)"
+                    " AS BIGINT)"
+                ).alias("sl"),
+                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(res6) AS BIGINT)").alias("st"),
+                F.sum(F.col("res6").cast("decimal(38,0)") * F.col("res6"))
+                .alias("ss"),
+            )
+        )
+        best = (
+            agg.filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+            .withColumn("f", F.expr(_GBM_F))
+            .withColumn("gl6", F.expr(gl))
+            .withColumn("gr6", F.expr(gr))
+            .orderBy(F.desc("f"), "theta")
+            .limit(1)
+            .localCheckpoint()
+        )
+        rows.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("step"),
+                F.col("theta").cast("bigint").alias("theta_hour"),
+                F.col("nl").alias("n_left"),
+                (F.col("n") - F.col("nl")).alias("n_right"),
+                F.expr(N.sql_rnd("gl6 / 1.0e6", 6)).alias("leaf_left"),
+                F.expr(N.sql_rnd("gr6 / 1.0e6", 6)).alias("leaf_right"),
+                F.expr(N.sql_rnd("CAST(ss AS DOUBLE) / 1.0e12", 4)).alias(
+                    "sse_before"
+                ),
+                F.expr(N.sql_rnd(f"{_GBM_SSE_AFTER} / 1.0e12", 4)).alias(
+                    "sse_after"
+                ),
+            )
+        )
+        base = base.crossJoin(F.broadcast(best.select("theta", "gl6", "gr6"))).select(
+            "h",
+            (
+                F.col("res6")
+                - F.when(F.col("h") <= F.col("theta"), F.col("gl6")).otherwise(
+                    F.col("gr6")
+                )
+            ).alias("res6"),
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionAll(df)
+    return out
