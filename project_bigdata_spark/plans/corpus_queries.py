@@ -1031,3 +1031,226 @@ def query_likelihood_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.col("s9").cast("double") / 1e9, 6).alias("ql_score"),
         "n_terms_hit",
     )
+
+
+# ---------------------------------------------------------------------------
+# word_burstiness (round 8, second window) — Church & Gale burstiness
+# statistics per high-frequency term (the term-level dispersion companion
+# of the doc-level repetition_scores / overdispersion_test)
+# ---------------------------------------------------------------------------
+
+_BURST_TOP = 50
+# shared engine-neutral double algebra over the exact integer stats
+# (stf = total tf, stf2 = sum tf^2, n = corpus doc count)
+_BURST_VMR = (
+    "((stf2 / (n * 1.0e0) - (stf / (n * 1.0e0)) * (stf / (n * 1.0e0)))"
+    " / (stf / (n * 1.0e0)))"
+)
+
+
+@query(
+    "word_burstiness",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+), tf AS (
+  SELECT w AS term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT term,
+         CAST(sum(tf) AS BIGINT) AS stf,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(tf * tf) AS BIGINT) AS stf2
+  FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), top AS (
+  SELECT * FROM stats ORDER BY stf DESC, term LIMIT {_BURST_TOP}
+)
+SELECT term, stf AS total_tf, df, df2,
+       {N.sql_rnd('df2 / (df * 1.0e0)', 6)} AS burstiness,
+       {N.sql_rnd('stf / (df * 1.0e0)', 6)} AS mean_tf_in_docs,
+       {N.sql_rnd(_BURST_VMR, 6)} AS vmr
+FROM top CROSS JOIN nd""",
+    doc=f"Word burstiness profile (Church & Gale 1995): for the top-"
+    f"{_BURST_TOP} corpus terms, P(tf >= 2 | tf >= 1) — the probability "
+    "a word recurs once it appears, the contagion statistic that "
+    "separates bursty content words from evenly-spread function words "
+    "— plus mean within-doc tf and the variance-to-mean ratio over ALL "
+    "documents (VMR > 1 = overdispersed vs Poisson). All sufficient "
+    "statistics (tf totals, doc frequencies, tf^2 sums) are exact "
+    "integers; the three rendered ratios are shared engine-neutral "
+    "double strings. Plan: one explode -> (doc, term) tf aggregate -> "
+    "term-level rollup (both map-side combined), TakeOrdered top-50, "
+    "one broadcast corpus-count row. At 100 TB the payload never "
+    "shuffles — only (doc_id, term, tf) triples do, and the second "
+    "aggregate is vocabulary-bounded.",
+    survey_ids=("M7-C26",),
+)
+def word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", words_col(F.col("text")).alias("_ws")
+        )
+    )
+    tf = (
+        d.select("doc_id", F.explode("_ws").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("stf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum((F.col("tf") >= 2).cast("bigint")).cast("bigint").alias("df2"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("stf2"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = stats.orderBy(F.desc("stf"), "term").limit(_BURST_TOP)
+    return top.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.col("stf").alias("total_tf"),
+        "df",
+        "df2",
+        F.expr(N.sql_rnd("df2 / (df * 1.0e0)", 6)).alias("burstiness"),
+        F.expr(N.sql_rnd("stf / (df * 1.0e0)", 6)).alias("mean_tf_in_docs"),
+        F.expr(N.sql_rnd(_BURST_VMR, 6)).alias("vmr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets (round 8, second window) — the CCNet
+# head/middle/tail corpus split by per-language LM perplexity
+# ---------------------------------------------------------------------------
+
+_PPLB_NAMES = "CASE bkt WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+), counts AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), total AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts
+), vocab AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {VOCAB_SIZE}
+), per_doc AS (
+  SELECT toks.doc_id,
+         CAST(sum({N.sql_cents(
+             'ln(coalesce(CAST(v.c AS DOUBLE), 5.0e-1) / total.t)',
+             10**9)}) AS BIGINT) AS s9,
+         CAST(count(*) AS BIGINT) AS nw
+  FROM toks LEFT JOIN vocab v ON toks.w = v.w CROSS JOIN total
+  GROUP BY toks.doc_id
+), scored AS (
+  SELECT d.lang, p.doc_id, p.s9, p.nw,
+         {N.sql_cents('exp(-(p.s9 / 1.0e9) / p.nw)', 10**4)} AS ppl4
+  FROM per_doc p JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT lang, ppl4,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY s9 * 1.0e0 / nw DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM scored
+)
+SELECT lang,
+       {_PPLB_NAMES} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(ppl4) AS DOUBLE) / count(*) / 1e4, 4) AS mean_ppl,
+       round(CAST(min(ppl4) AS DOUBLE) / 1e4, 4) AS min_ppl,
+       round(CAST(max(ppl4) AS DOUBLE) / 1e4, 4) AS max_ppl
+FROM (
+  SELECT lang, ppl4,
+         CAST(floor((3.0e0 * (rk - 1)) / cnt) AS BIGINT) AS bkt
+  FROM ranked
+) GROUP BY lang, bkt""",
+    doc="The CCNet corpus split (Wenzek et al. 2020): bucket every "
+    "document into head/middle/tail perplexity terciles PER LANGUAGE "
+    "under the corpus top-4096 unigram LM (OOV mass 0.5) — the "
+    "standard quality stratification LLM pretraining pipelines sample "
+    "from (head = fluent, tail = noisy). Per-token log-probabilities "
+    "snap to the 1e-9 grid and integer-sum per document "
+    "(snap-then-sum), documents rank on the exact (s9/nw, doc_id) "
+    "order, and tercile boundaries are the shared integer formula "
+    "floor(3(rk-1)/cnt) — never an engine ntile. Perplexities render "
+    "from the 1e-4 grid. Plan: one explode + broadcast vocab join + "
+    "per-doc aggregate; the tercile window partitions by language. At "
+    "100 TB the exact per-language rank would become per-language "
+    "approx-quantile thresholds (the quality_quantile_filter shape) — "
+    "the bucket semantics are identical, the rank form is the "
+    "oracle-exact choice at test scale.",
+    survey_ids=("M7-T26",),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(
+        d.select("doc_id", words_col(F.col("text")).alias("_ws"))
+    ).select("doc_id", F.explode("_ws").alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    vocab = counts.orderBy(F.desc("c"), "w").limit(VOCAB_SIZE)
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                N.cents(
+                    F.log(
+                        F.coalesce(F.col("c").cast("double"), F.lit(0.5))
+                        / F.col("t")
+                    ),
+                    10**9,
+                )
+            )
+            .cast("bigint")
+            .alias("s9"),
+            F.count(F.lit(1)).cast("bigint").alias("nw"),
+        )
+    )
+    scored = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "doc_id",
+        "s9",
+        "nw",
+        N.cents(
+            F.exp(-(F.col("s9") / F.lit(1.0e9)) / F.col("nw")), 10**4
+        ).alias("ppl4"),
+    )
+    wlang = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "ppl4",
+        F.row_number()
+        .over(wlang.orderBy(F.expr("s9 * 1.0e0 / nw").desc(), "doc_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wlang).alias("cnt"),
+    )
+    bucketed = ranked.select(
+        "lang",
+        "ppl4",
+        F.floor((F.lit(3.0) * (F.col("rk") - 1)) / F.col("cnt"))
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    return bucketed.groupBy("lang", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        N.rnd(F.sum("ppl4").cast("double") / F.count(F.lit(1)) / 1e4, 4).alias(
+            "mean_ppl"
+        ),
+        N.rnd(F.min("ppl4").cast("double") / 1e4, 4).alias("min_ppl"),
+        N.rnd(F.max("ppl4").cast("double") / 1e4, 4).alias("max_ppl"),
+    ).select(
+        "lang",
+        F.expr(_PPLB_NAMES).alias("bucket"),
+        "n_docs",
+        "mean_ppl",
+        "min_ppl",
+        "max_ppl",
+    )

@@ -1164,3 +1164,105 @@ def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         res = res.unionByName(a)
     return res
+
+
+# ---------------------------------------------------------------------------
+# soft_dedup_weights (round 8, second window) — duplication-aware sampling
+# weights: down-weight duplicates instead of dropping them (the soft
+# companion of dedup_apply's hard canonical-keep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "soft_dedup_weights",
+    oracle=f"""
+WITH seeded AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text, 'dup_mirror', n_chars
+  FROM documents WHERE doc_id % 17 = 3
+  UNION ALL
+  SELECT doc_id + 20000000, text, 'dup_mirror', n_chars
+  FROM documents WHERE doc_id % 34 = 3
+), digests AS MATERIALIZED (
+  SELECT doc_id, source, n_chars, md5(text) AS dg FROM seeded
+), ksize AS (
+  SELECT dg, CAST(count(*) AS BIGINT) AS k FROM digests GROUP BY dg
+), weighted AS (
+  SELECT d.source, d.n_chars, ks.k,
+         {N.sql_cents('1.0e0 / ks.k', 10**6)} AS w6
+  FROM digests d JOIN ksize ks USING (dg)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(CAST(sum(w6) AS DOUBLE) / 1e6, 6) AS effective_docs,
+       round(CAST(sum(n_chars * w6) AS DOUBLE) / 1e6, 2) AS effective_chars,
+       {N.sql_rnd('count(*) / (sum(w6) / 1.0e6)', 6)} AS redundancy
+FROM weighted GROUP BY source""",
+    doc="Soft deduplication: instead of dropping duplicates, give every "
+    "document the sampling weight 1/k where k is its exact-content "
+    "cluster size (He et al. 2024 'SoftDedup' — reweighting preserves "
+    "high-frequency content signal that hard dedup destroys, while "
+    "equalizing each distinct content's total mass). Per source: raw "
+    "vs effective (weighted) document and char counts and the "
+    "redundancy factor. The corpus carries no exact duplicates, so the "
+    "query seeds deterministic cross-source mirror copies in-plan "
+    "(doc_id%17==3 twice, doc_id%34==3 thrice — the anchor_substring_"
+    "spans seeding idiom), making clusters span sources and the "
+    "per-source weights genuinely fractional. Weights snap to the 1e-6 "
+    "grid and integer-sum (snap-then-sum). Plan: one digest aggregate "
+    "+ one digest-keyed join — 16-byte digests shuffle, payload text "
+    "never does; at 100 TB this is the same two-pass shape as "
+    "dedup_exact with a broadcast-sized weight table per cluster key.",
+    survey_ids=("M7-D31",),
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", "source", "n_chars")
+    m1 = (
+        d.filter(F.col("doc_id") % 17 == 3)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            "text",
+            F.lit("dup_mirror").alias("source"),
+            "n_chars",
+        )
+    )
+    m2 = (
+        d.filter(F.col("doc_id") % 34 == 3)
+        .select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            "text",
+            F.lit("dup_mirror").alias("source"),
+            "n_chars",
+        )
+    )
+    digests = (
+        base.unionAll(m1)
+        .unionAll(m2)
+        .select("source", "n_chars", F.md5("text").alias("dg"))
+    )
+    ksize = digests.groupBy("dg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    weighted = digests.join(ksize, "dg").select(
+        "source",
+        "n_chars",
+        "k",
+        N.cents(F.lit(1.0) / F.col("k"), 10**6).alias("w6"),
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("k") >= 2).cast("bigint")).cast("bigint").alias(
+            "n_dup_docs"
+        ),
+        N.rnd(F.sum("w6").cast("double") / 1e6, 6).alias("effective_docs"),
+        N.rnd(
+            F.sum(F.col("n_chars") * F.col("w6")).cast("double") / 1e6, 2
+        ).alias("effective_chars"),
+        F.expr(N.sql_rnd("count(*) / (sum(w6) / 1.0e6)", 6)).alias(
+            "redundancy"
+        ),
+    )

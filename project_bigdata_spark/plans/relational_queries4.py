@@ -1878,3 +1878,127 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# hits_hubs_authorities (round 8, second window) — Kleinberg HITS on the
+# directed customer -> supplier purchase graph, exact integer units
+# (the two-sided eigenvector companion of the one-sided pagerank_parts)
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3
+_HITS_UNITS = 1_000_000_000_000
+
+
+def _hits_oracle() -> str:
+    u = _HITS_UNITS
+    ctes = [
+        "edges AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS hub, "
+        "l.l_suppkey AS auth FROM orders o "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey)",
+        "hubs AS (SELECT hub FROM edges GROUP BY hub)",
+        "nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hubs FROM hubs)",
+        f"h0 AS (SELECT hub, CAST({u} // n_hubs AS BIGINT) AS units "
+        "FROM hubs CROSS JOIN nh)",
+    ]
+    for i in range(1, _HITS_ROUNDS + 1):
+        ctes += [
+            f"ar{i} AS (SELECT e.auth, CAST(sum(h.units) AS BIGINT) AS raw "
+            f"FROM edges e JOIN h{i - 1} h USING (hub) GROUP BY e.auth)",
+            f"at{i} AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar{i})",
+            f"a{i} AS (SELECT auth, CAST(raw // greatest(tot // {u}, 1) "
+            f"AS BIGINT) AS units FROM ar{i} CROSS JOIN at{i})",
+            f"hr{i} AS (SELECT e.hub, CAST(sum(a.units) AS BIGINT) AS raw "
+            f"FROM edges e JOIN a{i} a USING (auth) GROUP BY e.hub)",
+            f"ht{i} AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr{i})",
+            f"h{i} AS (SELECT hub, CAST(raw // greatest(tot // {u}, 1) "
+            f"AS BIGINT) AS units FROM hr{i} CROSS JOIN ht{i})",
+        ]
+    r = _HITS_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT 'hub' AS role, CAST(hub AS BIGINT) AS node_id,
+       units AS score_units, CAST(rk AS BIGINT) AS rank
+FROM (SELECT hub, units,
+             row_number() OVER (ORDER BY units DESC, hub) AS rk FROM h{r})
+WHERE rk <= 10
+UNION ALL
+SELECT 'authority' AS role, CAST(auth AS BIGINT) AS node_id,
+       units AS score_units, CAST(rk AS BIGINT) AS rank
+FROM (SELECT auth, units,
+             row_number() OVER (ORDER BY units DESC, auth) AS rk FROM a{r})
+WHERE rk <= 10"""
+    )
+
+
+@query(
+    "hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    doc=f"HITS hubs & authorities (Kleinberg 1999), {_HITS_ROUNDS} "
+    "mutual-reinforcement iterations unrolled over the directed "
+    "customer -> supplier purchase graph (hubs = broad buyers, "
+    "authorities = widely-bought-from suppliers) in EXACT INTEGER "
+    "arithmetic: scores live in integer units (10^12 total mass per "
+    "side) and each half-step is a BIGINT sum over in-edges followed "
+    "by integer renormalization units = raw // max(total // 10^12, 1) "
+    "— the pagerank_parts discipline, so the fixpoint replays "
+    "bit-identically with no float summation-order hazard. Per "
+    "half-iteration: one edges-to-scores join + one aggregation on "
+    "the opposite key — the canonical distributed power-step. Output: "
+    "top-10 of each side with deterministic (units, id) tie-break. At "
+    "100 TB the edge list shuffles once per half-step on bounded "
+    "integer keys; score tables are node-cardinality, never "
+    "edge-cardinality.",
+    survey_ids=("M7-G9",),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _HITS_UNITS
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("hub"), F.col("l_suppkey").alias("auth"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = edges.select("hub").distinct()
+    nh = hubs.agg(F.count(F.lit(1)).cast("bigint").alias("n_hubs"))
+    h = hubs.crossJoin(F.broadcast(nh)).select(
+        "hub", F.expr(f"CAST({u} div n_hubs AS BIGINT)").alias("units")
+    )
+
+    def half_step(scores: DataFrame, from_key: str, to_key: str) -> DataFrame:
+        raw = (
+            edges.join(scores, from_key)
+            .groupBy(to_key)
+            .agg(F.sum("units").cast("bigint").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").cast("bigint").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            to_key,
+            F.expr(f"CAST(raw div greatest(tot div {u}, 1) AS BIGINT)").alias(
+                "units"
+            ),
+        )
+
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        a = half_step(h, "hub", "auth")
+        h = half_step(a, "auth", "hub")
+
+    def topk(scores: DataFrame, key: str, role: str) -> DataFrame:
+        w = Window.partitionBy(F.lit(1)).orderBy(F.desc("units"), key)
+        return (
+            scores.orderBy(F.desc("units"), key)
+            .limit(10)
+            .select(
+                F.lit(role).alias("role"),
+                F.col(key).cast("bigint").alias("node_id"),
+                F.col("units").alias("score_units"),
+                F.row_number().over(w).cast("bigint").alias("rank"),
+            )
+        )
+
+    return topk(h, "hub", "hub").unionAll(topk(a, "auth", "authority"))
