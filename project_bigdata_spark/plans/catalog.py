@@ -103,16 +103,19 @@ def query(
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
     # -- ROUND-8 WINDOW (positions 1-50), per the round-7 verdict ask #1 --
-    # 1-7   the 7 round-8 additions (DSIR resampling, unrolled BPE
-    #       trainer, anchored exact-substring spans, contamination
+    # 1-7   the 7 first-wave round-8 additions (DSIR resampling, unrolled
+    #       BPE trainer, anchored exact-substring spans, contamination
     #       audit, leakage-safe split audit, Gopher hard quality gates,
     #       tokenizer fertility) — never attested;
-    # 8-12  the 5 entries whose plans changed in round 8 AFTER their last
+    # 8-16  the 9 second-wave round-8 additions (MRR/MAP, QL retrieval,
+    #       ridge, logistic-GD, boosted stumps, burstiness, soft-dedup
+    #       weights, perplexity buckets, HITS) — never attested;
+    # 17-21 the 5 entries whose plans changed in round 8 AFTER their last
     #       green driver row (gram-MinHash sub-block key, per-vector +
     #       candidate near-dup caps, lazy blocking-audit census, simhash
     #       API split) — their old attestations are stale against the
     #       current code;
-    # 13-50 38 regression probes re-attesting the OLDEST green rows
+    # 22-50 29 regression probes re-attesting the OLDEST green rows
     #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
     #       suite, sampling, ANN bucketing, as-of join).
     "dsir_resample",
@@ -122,6 +125,16 @@ _ATTESTATION_PRIORITY = [
     "leakage_safe_split",
     "gopher_quality_gates",
     "tokenizer_fertility",
+    # -- round-8 second-wave additions (never attested) -----------------
+    "mrr_map_eval",
+    "query_likelihood_retrieval",
+    "ridge_normal_equations",
+    "logistic_gd_classifier",
+    "gbm_residual_stumps",
+    "word_burstiness",
+    "soft_dedup_weights",
+    "ccnet_perplexity_buckets",
+    "hits_hubs_authorities",
     # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",

@@ -180,6 +180,16 @@ QUERIES = [
     "leakage_safe_split",
     "gopher_quality_gates",
     "tokenizer_fertility",
+    # round-8 second-wave additions
+    "mrr_map_eval",
+    "query_likelihood_retrieval",
+    "ridge_normal_equations",
+    "logistic_gd_classifier",
+    "gbm_residual_stumps",
+    "word_burstiness",
+    "soft_dedup_weights",
+    "ccnet_perplexity_buckets",
+    "hits_hubs_authorities",
 ]
 
 

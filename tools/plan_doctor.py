@@ -114,6 +114,25 @@ SINGLE_PARTITION_OK = {
     "friedman_daily_types": "k-row rank-sum frame reduced to the one "
     "Q-statistic row (k = type vocabulary) + one-row k scalar; the "
     "per-day rank windows partition on the day key",
+    "mrr_map_eval": "rank + cumulative-hit windows over the TakeOrdered "
+    "top-100 cut (100 rows by construction) + one-row relevant-total "
+    "scalar",
+    "query_likelihood_retrieval": "one-row corpus-token-total scalar and "
+    "|q|-row collection-frequency broadcast; final rank window over the "
+    "TakeOrdered top-10 (10 rows)",
+    "ridge_normal_equations": "ONE sufficient-statistics reduce to a "
+    "single scalar row; the Cramer solve is scalar projections after",
+    "logistic_gd_classifier": "per-step gradient reduce to one scalar "
+    "row crossed with the 1-row broadcast weight state — model-width-"
+    "bounded, never corpus rows",
+    "word_burstiness": "one-row corpus-doc-count scalar crossed into the "
+    "TakeOrdered top-50 term table",
+    "ccnet_perplexity_buckets": "one-row token-total scalar feeding the "
+    "broadcast vocab join; the tercile rank windows partition BY "
+    "LANGUAGE (the funneled frame is the scalar, not the ranking)",
+    "hits_hubs_authorities": "one-row mass-total scalar per half-step "
+    "(the integer renormalization divisor) + rank windows over the two "
+    "TakeOrdered top-10 cuts",
     "precision_recall_at_k": "rank window over the TakeOrdered top-20 "
     "cut (20 rows by construction) + one-row relevant-total scalar",
     "k_core_decomposition": "one census row per peeling round (3 rows "
