@@ -110,12 +110,16 @@ _ATTESTATION_PRIORITY = [
     # 8-16  the 9 second-wave round-8 additions (MRR/MAP, QL retrieval,
     #       ridge, logistic-GD, boosted stumps, burstiness, soft-dedup
     #       weights, perplexity buckets, HITS) — never attested;
-    # 17-21 the 5 entries whose plans changed in round 8 AFTER their last
+    # 17-20 the 4 third-wave round-8 additions (ARI clustering eval,
+    #       GMM EM, Wasserstein drift, Mann-Whitney U) — never attested;
+    # 21-23 the 3 fourth-wave round-8 additions (DoReMi domain weights,
+    #       char-entropy compression bound, self-BLEU) — never attested;
+    # 24-28 the 5 entries whose plans changed in round 8 AFTER their last
     #       green driver row (gram-MinHash sub-block key, per-vector +
     #       candidate near-dup caps, lazy blocking-audit census, simhash
     #       API split) — their old attestations are stale against the
     #       current code;
-    # 22-50 29 regression probes re-attesting the OLDEST green rows
+    # 29-50 22 regression probes re-attesting the OLDEST green rows
     #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
     #       suite, sampling, ANN bucketing, as-of join).
     "dsir_resample",
@@ -135,6 +139,15 @@ _ATTESTATION_PRIORITY = [
     "soft_dedup_weights",
     "ccnet_perplexity_buckets",
     "hits_hubs_authorities",
+    # -- round-8 third-wave additions (never attested) ------------------
+    "clustering_ari_eval",
+    "gmm_em_1d",
+    "wasserstein_drift",
+    "mann_whitney_u",
+    # -- round-8 fourth-wave additions (never attested) -----------------
+    "doremi_domain_weights",
+    "char_entropy_compression",
+    "corpus_self_bleu",
     # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",

@@ -1254,3 +1254,119 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_ppl",
         "max_ppl",
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_self_bleu (round 8, fourth wave) — corpus diversity audit: each
+# document's clipped n-gram precision against the REST of the corpus
+# (self-BLEU, Zhu et al. 2018)
+# ---------------------------------------------------------------------------
+
+_SB_SCORE = (
+    "CASE WHEN p1num = 0 OR p2num = 0 THEN 0.0e0 "
+    "ELSE exp(5.0e-1 * (ln(p1num / (p1den * 1.0e0))"
+    " + ln(p2num / (p2den * 1.0e0)))) END"
+)
+
+
+@query(
+    "corpus_self_bleu",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM documents WHERE len({WORDS_SQL}) >= 2
+), u AS MATERIALIZED (
+  SELECT doc_id, w AS g, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY 1, 2
+), b AS MATERIALIZED (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, concat(ws[i], ' ', ws[i + 1]) AS g
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM base)
+  ) GROUP BY 1, 2
+), uc AS (SELECT g, CAST(sum(tf) AS BIGINT) AS ctf FROM u GROUP BY g),
+bc AS (SELECT g, CAST(sum(tf) AS BIGINT) AS ctf FROM b GROUP BY g),
+p1 AS (
+  SELECT u.doc_id,
+         CAST(sum(least(u.tf, uc.ctf - u.tf)) AS BIGINT) AS p1num,
+         CAST(sum(u.tf) AS BIGINT) AS p1den
+  FROM u JOIN uc USING (g) GROUP BY u.doc_id
+), p2 AS (
+  SELECT b.doc_id,
+         CAST(sum(least(b.tf, bc.ctf - b.tf)) AS BIGINT) AS p2num,
+         CAST(sum(b.tf) AS BIGINT) AS p2den
+  FROM b JOIN bc USING (g) GROUP BY b.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       p1den AS n_unigrams,
+       {N.sql_rnd('p1num / (p1den * 1.0e0)', 6)} AS p1_clipped,
+       {N.sql_rnd('p2num / (p2den * 1.0e0)', 6)} AS p2_clipped,
+       {N.sql_rnd(_SB_SCORE, 6)} AS self_bleu
+FROM p1 JOIN p2 USING (doc_id)""",
+    doc="Self-BLEU corpus diversity audit (Zhu et al. 2018 Texygen): for "
+    "each document, the clipped 1- and 2-gram precision against the "
+    "REST of the corpus (clip = min(tf, corpus_tf - tf), i.e. the "
+    "document is excluded from its own reference) and their geometric "
+    "mean — high self-BLEU = the corpus repeats itself = low "
+    "diversity; the distribution of this score is the standard "
+    "mode-collapse probe for synthetic/generated training data. All "
+    "numerators and denominators are exact integers; the geometric "
+    "mean is ONE shared double expression with an integer zero-guard. "
+    "Plan: two gram-explode aggregates (per-doc tf and corpus tf), "
+    "two gram-keyed joins — only (doc_id, gram-digest, tf) triples "
+    "shuffle, and the corpus gram tables are vocabulary-bounded.",
+    survey_ids=("M7-C27",),
+)
+def corpus_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    base = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", words_col(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+    ).localCheckpoint()
+    u = (
+        base.select("doc_id", F.explode("ws").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    b = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    uc = u.groupBy("g").agg(F.sum("tf").cast("bigint").alias("ctf"))
+    bc = b.groupBy("g").agg(F.sum("tf").cast("bigint").alias("ctf"))
+    p1 = (
+        u.join(uc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least(F.col("tf"), F.col("ctf") - F.col("tf")))
+            .cast("bigint")
+            .alias("p1num"),
+            F.sum("tf").cast("bigint").alias("p1den"),
+        )
+    )
+    p2 = (
+        b.join(bc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least(F.col("tf"), F.col("ctf") - F.col("tf")))
+            .cast("bigint")
+            .alias("p2num"),
+            F.sum("tf").cast("bigint").alias("p2den"),
+        )
+    )
+    return p1.join(p2, "doc_id").select(
+        N.big("doc_id").alias("doc_id"),
+        F.col("p1den").alias("n_unigrams"),
+        F.expr(N.sql_rnd("p1num / (p1den * 1.0e0)", 6)).alias("p1_clipped"),
+        F.expr(N.sql_rnd("p2num / (p2den * 1.0e0)", 6)).alias("p2_clipped"),
+        F.expr(N.sql_rnd(_SB_SCORE, 6)).alias("self_bleu"),
+    )

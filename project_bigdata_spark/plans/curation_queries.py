@@ -2577,3 +2577,290 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_leaky_clusters"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# clustering_ari_eval (round 8, third wave) — external clustering quality:
+# (Adjusted) Rand Index of the kmeans_lloyd assignment against the true
+# embedding labels (Hubert & Arabie 1985)
+# ---------------------------------------------------------------------------
+
+# pair-counting ARI algebra as a shared engine-neutral double string over
+# the exact integer pair sums (sij, sa, sb) and C(n,2) = cn2
+_ARI_EXP = "((sa * 1.0e0) * sb / cn2)"
+_ARI_STR = (
+    f"((sij - {_ARI_EXP}) / (((sa + sb) / 2.0e0) - {_ARI_EXP}))"
+)
+_RI_STR = "(1.0e0 + (2.0e0 * sij - sa - sb) / cn2)"
+
+
+@query(
+    "clustering_ari_eval",
+    oracle=f"""
+WITH km AS MATERIALIZED (SELECT * FROM ({_KM_ORACLE})),
+ct AS (
+  SELECT km.cluster, e.label, CAST(count(*) AS BIGINT) AS nij
+  FROM km JOIN embeddings e USING (vec_id) GROUP BY 1, 2
+), pa AS (
+  SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS sa FROM (
+    SELECT sum(nij) AS ai FROM ct GROUP BY cluster)
+), pb AS (
+  SELECT CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS sb FROM (
+    SELECT sum(nij) AS bj FROM ct GROUP BY label)
+), ps AS (
+  SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sij,
+         CAST(sum(nij) AS BIGINT) AS n
+  FROM ct
+), s AS (
+  SELECT ps.n, ps.sij, pa.sa, pb.sb,
+         CAST((ps.n * (ps.n - 1)) // 2 AS BIGINT) AS cn2
+  FROM ps, pa, pb
+)
+SELECT n, sij AS pairs_same_both, sa AS pairs_same_cluster,
+       sb AS pairs_same_label,
+       {N.sql_rnd(_RI_STR, 6)} AS rand_index,
+       {N.sql_rnd(_ARI_STR, 6)} AS adjusted_rand_index
+FROM s""",
+    doc="External clustering evaluation: Rand Index and Adjusted Rand "
+    "Index (Hubert & Arabie 1985) of the kmeans_lloyd assignment "
+    "against the true embedding labels — the chance-corrected "
+    "agreement score that completes the trainer tier with its "
+    "evaluation face (a clustering catalog without ARI is a trainer "
+    "without a scoreboard). Reuses the attested kmeans_lloyd plan verb"
+    "atim on both engines; all pair counts C(nij,2)/C(ai,2)/C(bj,2) "
+    "are exact integers from the k x labels contingency table "
+    "(integer division by 2 is exact: n(n-1) is even), and the two "
+    "indices render from one shared double expression. Plan: the "
+    "kmeans assignment plus ONE contingency aggregate (k x 10 rows) "
+    "and three scalar reduces — evaluation adds no corpus-scale work.",
+    survey_ids=("M7-ML24",),
+)
+def clustering_ari_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    km = kmeans_lloyd(spark, sf_dir)
+    ct = (
+        km.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        .localCheckpoint()
+    )
+    pa = (
+        ct.groupBy("cluster")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(
+            F.sum(F.expr("(ai * (ai - 1)) div 2")).cast("bigint").alias("sa")
+        )
+    )
+    pb = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(
+            F.sum(F.expr("(bj * (bj - 1)) div 2")).cast("bigint").alias("sb")
+        )
+    )
+    ps = ct.agg(
+        F.sum(F.expr("(nij * (nij - 1)) div 2")).cast("bigint").alias("sij"),
+        F.sum("nij").cast("bigint").alias("n"),
+    )
+    s = (
+        ps.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .withColumn("cn2", F.expr("CAST((n * (n - 1)) div 2 AS BIGINT)"))
+    )
+    return s.select(
+        "n",
+        F.col("sij").alias("pairs_same_both"),
+        F.col("sa").alias("pairs_same_cluster"),
+        F.col("sb").alias("pairs_same_label"),
+        F.expr(N.sql_rnd(_RI_STR, 6)).alias("rand_index"),
+        F.expr(N.sql_rnd(_ARI_STR, 6)).alias("adjusted_rand_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doremi_domain_weights (round 8, fourth wave) — one DoReMi
+# exponentiated-gradient step of domain (source) mixture reweighting
+# from per-domain excess loss (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DRM_UNI_VOCAB = 4096
+_DRM_BI_VOCAB = 8192
+_DRM_ETA = "1.0e0"
+# per-doc excess loss: nll(proxy = unigram LM) - nll(reference = bigram
+# LM) = mean bigram logprob - mean unigram logprob, floored at 0
+_DRM_EXCESS = (
+    "greatest(0.0e0, (s9b / (nb * 1.0e0) - s9u / (nu * 1.0e0)) / 1.0e9)"
+)
+_DRM_EXP = f"exp({_DRM_ETA} * (se9 / (n * 1.0e0)) / 1.0e9)"
+
+
+@query(
+    "doremi_domain_weights",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i
+  FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents)
+  WHERE len(ws) >= 1
+), counts AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+uvocab AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w LIMIT {_DRM_UNI_VOCAB}
+), pairs AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), bvocab AS (
+  SELECT concat(w1, ' ', w2) AS bg, count(*) AS c
+  FROM pairs GROUP BY 1 ORDER BY c DESC, bg LIMIT {_DRM_BI_VOCAB}
+), uni AS (
+  SELECT toks.doc_id,
+         CAST(sum({N.sql_cents(
+             'ln(coalesce(CAST(v.c AS DOUBLE), 5.0e-1) / total.t)',
+             10**9)}) AS BIGINT) AS s9u,
+         CAST(count(*) AS BIGINT) AS nu
+  FROM toks LEFT JOIN uvocab v ON toks.w = v.w CROSS JOIN total
+  GROUP BY toks.doc_id
+), bi AS (
+  SELECT p.doc_id,
+         CAST(sum({N.sql_cents(
+             "ln(CASE WHEN bv.c IS NOT NULL THEN CAST(bv.c AS DOUBLE)"
+             " / coalesce(CAST(u1.c AS DOUBLE), 5.0e-1)"
+             " ELSE 4.0e-1 * coalesce(CAST(u2.c AS DOUBLE), 5.0e-1)"
+             " / total.t END)", 10**9)}) AS BIGINT) AS s9b,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM pairs p
+  LEFT JOIN bvocab bv ON concat(p.w1, ' ', p.w2) = bv.bg
+  LEFT JOIN uvocab u1 ON p.w1 = u1.w
+  LEFT JOIN uvocab u2 ON p.w2 = u2.w
+  CROSS JOIN total
+  GROUP BY p.doc_id
+), excess AS (
+  SELECT d.source, {N.sql_cents(_DRM_EXCESS, 10**9)} AS e9
+  FROM uni JOIN bi USING (doc_id) JOIN documents d USING (doc_id)
+), dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e9) AS BIGINT) AS se9
+  FROM excess GROUP BY source
+), expd AS (
+  SELECT source, n, se9, {N.sql_cents(_DRM_EXP, 10**9)} AS t9 FROM dom
+), z AS (SELECT CAST(sum(t9) AS BIGINT) AS zt FROM expd)
+SELECT source, n AS n_docs,
+       {N.sql_rnd('(se9 / (n * 1.0e0)) / 1.0e9', 6)} AS mean_excess_loss,
+       {N.sql_rnd('(t9 * 1.0e0) / zt', 6)} AS domain_weight
+FROM expd CROSS JOIN z""",
+    doc="One DoReMi step of pretraining-mixture domain reweighting (Xie "
+    "et al. 2023): per-source excess loss = mean(nll_proxy - nll_ref), "
+    "floored at 0, with the catalog's unigram LM standing in as the "
+    "weak proxy and the bigram stupid-backoff LM as the stronger "
+    "reference (the published method's proxy/reference pair, "
+    "instantiated on the two in-catalog LMs); new domain weights are "
+    "the exponentiated-gradient update w_i = exp(eta * excess_i) / Z "
+    "from the uniform prior (eta = 1). Per-token/pair logprobs snap to "
+    "the 1e-9 grid and integer-sum per doc; the per-domain exp terms "
+    "snap before the normalizing sum so Z is an exact integer "
+    "(snap-then-sum at every reduction). Plan: one token explode "
+    "feeding both capped vocab TakeOrdereds, the pair self-join on "
+    "(doc_id, position), two per-doc aggregates, one |sources|-row "
+    "reduce — model tables broadcast, payload text never shuffles.",
+    survey_ids=("M7-P8",),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = fan_out(
+        d.select("doc_id", words_col(F.col("text")).alias("_ws")).filter(
+            F.size("_ws") >= 1
+        )
+    )
+    toks = ws.select(
+        "doc_id", F.posexplode("_ws").alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w").localCheckpoint()
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    uvocab = counts.orderBy(F.desc("c"), "w").limit(_DRM_UNI_VOCAB)
+    a = toks.select("doc_id", "i", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
+    )
+    pairs = a.join(b, ["doc_id", "i"]).select("doc_id", "w1", "w2")
+    pairs = pairs.localCheckpoint()
+    bvocab = (
+        pairs.groupBy(
+            F.concat_ws(" ", "w1", "w2").alias("bg")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "bg")
+        .limit(_DRM_BI_VOCAB)
+    )
+    uni = (
+        toks.join(F.broadcast(uvocab.withColumnRenamed("c", "vc")), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                N.cents(
+                    F.log(
+                        F.coalesce(F.col("vc").cast("double"), F.lit(0.5))
+                        / F.col("t")
+                    ),
+                    10**9,
+                )
+            )
+            .cast("bigint")
+            .alias("s9u"),
+            F.count(F.lit(1)).cast("bigint").alias("nu"),
+        )
+    )
+    u1 = uvocab.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uvocab.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    bv = bvocab.select("bg", F.col("c").alias("cb"))
+    lp_bi = F.log(
+        F.when(
+            F.col("cb").isNotNull(),
+            F.col("cb").cast("double")
+            / F.coalesce(F.col("c1").cast("double"), F.lit(0.5)),
+        ).otherwise(
+            F.lit(0.4)
+            * F.coalesce(F.col("c2").cast("double"), F.lit(0.5))
+            / F.col("t")
+        )
+    )
+    bi = (
+        pairs.withColumn("bg", F.concat_ws(" ", "w1", "w2"))
+        .join(F.broadcast(bv), "bg", "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(N.cents(lp_bi, 10**9)).cast("bigint").alias("s9b"),
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+        )
+    )
+    excess = (
+        uni.join(bi, "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "source", F.expr(N.sql_cents(_DRM_EXCESS, 10**9)).alias("e9")
+        )
+    )
+    dom = excess.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("e9").cast("bigint").alias("se9"),
+    )
+    expd = dom.select(
+        "source",
+        "n",
+        "se9",
+        F.expr(N.sql_cents(_DRM_EXP, 10**9)).alias("t9"),
+    )
+    z = expd.agg(F.sum("t9").cast("bigint").alias("zt"))
+    return expd.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr(N.sql_rnd("(se9 / (n * 1.0e0)) / 1.0e9", 6)).alias(
+            "mean_excess_loss"
+        ),
+        F.expr(N.sql_rnd("(t9 * 1.0e0) / zt", 6)).alias("domain_weight"),
+    )

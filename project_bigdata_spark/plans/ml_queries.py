@@ -1390,3 +1390,176 @@ def gbm_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in rows[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# gmm_em_1d (round 8, third wave) — 2-component 1-D Gaussian-mixture EM,
+# 3 unrolled rounds (the soft-assignment trainer next to the hard-assign
+# kmeans_lloyd and the discriminative logistic_gd_classifier)
+# ---------------------------------------------------------------------------
+
+_GMM_ROUNDS = 3
+
+# shared engine-neutral kernels over (c = value cents, params row)
+_GMM_V1 = "greatest(v1, 1.0e-6)"
+_GMM_V2 = "greatest(v2, 1.0e-6)"
+_GMM_P1 = (
+    f"(w1 * exp(-((c / 1.0e2 - mu1) * (c / 1.0e2 - mu1)"
+    f" / (2.0e0 * {_GMM_V1}))) / sqrt({_GMM_V1}))"
+)
+_GMM_P2 = (
+    f"((1.0e0 - w1) * exp(-((c / 1.0e2 - mu2) * (c / 1.0e2 - mu2)"
+    f" / (2.0e0 * {_GMM_V2}))) / sqrt({_GMM_V2}))"
+)
+_GMM_R1 = f"({_GMM_P1} / ({_GMM_P1} + {_GMM_P2}))"
+# ln(2*pi)/2 as a shared literal for the log-likelihood render
+_GMM_LL = f"(ln({_GMM_P1} + {_GMM_P2}) - 9.189385332046727e-1)"
+
+# init from exact corpus scalars (quartile-spread means, pooled variance)
+_GMM_INIT = {
+    "w1": "5.0e-1",
+    "mu1": "((cmin + (cmax - cmin) / 4.0e0) / 1.0e2)",
+    "mu2": "((cmin + 3.0e0 * (cmax - cmin) / 4.0e0) / 1.0e2)",
+    "v1": "((sc2 / n - (sc / n) * (sc / n)) / 1.0e4)",
+    "v2": "((sc2 / n - (sc / n) * (sc / n)) / 1.0e4)",
+}
+
+# M-step from the snap-then-summed responsibility moments (all doubles
+# cast from exact integer sums; n9 = n * 1e9)
+_GMM_STEP = {
+    "w1": "(sr / n9)",
+    "mu1": "((srx / sr) / 1.0e2)",
+    "v1": "((srx2 / sr - (srx / sr) * (srx / sr)) / 1.0e4)",
+    "mu2": "(((sc * 1.0e9 - srx) / (n9 - sr)) / 1.0e2)",
+    "v2": (
+        "(((sc2 * 1.0e9 - srx2) / (n9 - sr)"
+        " - ((sc * 1.0e9 - srx) / (n9 - sr))"
+        " * ((sc * 1.0e9 - srx) / (n9 - sr))) / 1.0e4)"
+    ),
+}
+_GMM_CARRY = ["n", "n9", "sc", "sc2"]
+
+
+def _gmm_oracle() -> str:
+    r9 = N.sql_cents(_GMM_R1, 10**9)
+    ctes = [
+        f"base AS MATERIALIZED (SELECT {N.sql_cents('value')} AS c FROM events)",
+        "init AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "CAST(count(*) AS DOUBLE) * 1.0e9 AS n9, "
+        "CAST(min(c) AS DOUBLE) AS cmin, CAST(max(c) AS DOUBLE) AS cmax, "
+        "CAST(sum(c) AS DOUBLE) AS sc, "
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sc2 FROM base)",
+        "p0 AS (SELECT "
+        + ", ".join(f"{v} AS {k}" for k, v in _GMM_INIT.items())
+        + ", " + ", ".join(_GMM_CARRY) + " FROM init)",
+    ]
+    for r in range(1, _GMM_ROUNDS + 1):
+        ctes.append(
+            f"e{r} AS (SELECT base.c, {r9} AS r9 FROM base, p{r - 1})"
+        )
+        ctes.append(
+            f"g{r} AS (SELECT CAST(sum(r9) AS DOUBLE) AS sr, "
+            "CAST(sum(CAST(r9 AS HUGEINT) * c) AS DOUBLE) AS srx, "
+            "CAST(sum(CAST(r9 AS HUGEINT) * c * c) AS DOUBLE) AS srx2 "
+            f"FROM e{r})"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT "
+            + ", ".join(f"{v} AS {k}" for k, v in _GMM_STEP.items())
+            + ", " + ", ".join(_GMM_CARRY)
+            + f" FROM g{r}, init)"
+        )
+    pf = f"p{_GMM_ROUNDS}"
+    ctes.append(
+        "fin AS (SELECT "
+        f"CAST(sum(CASE WHEN {r9} >= 500000000 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_comp1, "
+        f"sum({N.sql_cents(_GMM_LL, 10**9)}) AS ll9 "
+        f"FROM base, {pf})"
+    )
+    outs = ", ".join(
+        N.sql_rnd(k, 6) + f" AS {k}" for k in ("w1", "mu1", "v1", "mu2", "v2")
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST({_GMM_ROUNDS} AS BIGINT) AS n_rounds,
+       CAST(n AS BIGINT) AS n, {outs},
+       fin.n_comp1,
+       {N.sql_rnd('CAST(fin.ll9 AS DOUBLE) / 1.0e9 / n', 6)} AS mean_loglik
+FROM {pf}, fin"""
+    )
+
+
+@query(
+    "gmm_em_1d",
+    oracle=_gmm_oracle(),
+    doc=f"Two-component 1-D Gaussian-mixture EM over event values, "
+    f"{_GMM_ROUNDS} expectation-maximization rounds unrolled (Dempster "
+    "et al. 1977): the SOFT-assignment trainer completing the cluster "
+    "family (kmeans_lloyd assigns hard, this one by responsibility). "
+    "Deterministic init from exact corpus scalars (means at the "
+    "quartile spread points, pooled variance); every E-step "
+    "responsibility snaps to the 1e-9 grid per row and the M-step "
+    "moments are exact integer sums r9*c / r9*c^2 (HUGEINT / "
+    "DECIMAL(38,0)), so parameters — shared generated SQL strings on "
+    "both engines, variance-floored at 1e-6 — replay bit-identically "
+    "through all rounds. Readout: mixing weight, means, variances, "
+    "component-1 membership count (r >= 0.5) and mean log-likelihood. "
+    "Plan per round: one scan + one 3-column scalar reduce crossed "
+    "with the 1-row parameter state — the model state never exceeds "
+    "one broadcast row, the corpus never shuffles (the logistic_gd "
+    "full-batch shape).",
+    survey_ids=("M7-ML25",),
+)
+def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(N.cents("value").alias("c")).localCheckpoint()
+    init = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.count(F.lit(1)).cast("double") * F.lit(1.0e9)).alias("n9"),
+        F.min("c").cast("double").alias("cmin"),
+        F.max("c").cast("double").alias("cmax"),
+        F.sum("c").cast("double").alias("sc"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sc2"),
+    )
+    p = init.selectExpr(
+        *[f"{v} AS {k}" for k, v in _GMM_INIT.items()], *_GMM_CARRY
+    )
+    r9 = N.sql_cents(_GMM_R1, 10**9)
+    for _ in range(_GMM_ROUNDS):
+        e = base.crossJoin(F.broadcast(p)).selectExpr("c", f"{r9} AS r9")
+        g = e.agg(
+            F.sum("r9").cast("double").alias("sr"),
+            F.sum((F.col("r9") * F.col("c")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("srx"),
+            F.sum(
+                (F.col("r9") * F.col("c") * F.col("c")).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("srx2"),
+        )
+        p = g.crossJoin(F.broadcast(init)).selectExpr(
+            *[f"{v} AS {k}" for k, v in _GMM_STEP.items()], *_GMM_CARRY
+        )
+    fin = base.crossJoin(F.broadcast(p)).agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN {r9} >= 500000000 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_comp1"),
+        F.expr(f"sum({N.sql_cents(_GMM_LL, 10**9)})").alias("ll9"),
+    )
+    return p.crossJoin(F.broadcast(fin)).select(
+        F.lit(_GMM_ROUNDS).cast("bigint").alias("n_rounds"),
+        F.col("n").cast("bigint").alias("n"),
+        *[
+            F.expr(N.sql_rnd(k, 6)).alias(k)
+            for k in ("w1", "mu1", "v1", "mu2", "v2")
+        ],
+        "n_comp1",
+        F.expr(N.sql_rnd("CAST(ll9 AS DOUBLE) / 1.0e9 / n", 6)).alias(
+            "mean_loglik"
+        ),
+    )

@@ -3684,3 +3684,254 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_ln"),
         N.rnd(num * num / (denx * deny), 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_drift (round 8, third wave) — exact 1-D earth-mover distance
+# per event type vs the pooled distribution (the transport-metric
+# companion of drift_psi / ks_drift_by_type)
+# ---------------------------------------------------------------------------
+
+_W1_RENDER = "(CAST(s AS DOUBLE) / ((na * 1.0e0) * nb)) / 1.0e2"
+_W1_MEANDIFF = "(sa / (na * 1.0e0) - sb / (nb * 1.0e0)) / 1.0e2"
+
+
+@query(
+    "wasserstein_drift",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+  SELECT event_type, {N.sql_cents('value')} AS c FROM events
+), grid AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS gb FROM c GROUP BY c
+), ta AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS ta
+  FROM c GROUP BY 1, 2
+), types AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS na,
+         CAST(sum(c) AS BIGINT) AS sa
+  FROM c GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(c) AS BIGINT) AS sb
+  FROM c
+), f AS (
+  SELECT t.event_type, g.c, g.gb, coalesce(ta.ta, 0) AS ta
+  FROM grid g CROSS JOIN (SELECT event_type FROM types) t
+  LEFT JOIN ta ON ta.event_type = t.event_type AND ta.c = g.c
+), cum AS (
+  SELECT event_type, c,
+         CAST(sum(ta) OVER w AS BIGINT) AS cuma,
+         CAST(sum(gb) OVER w AS BIGINT) AS cumb,
+         lead(c) OVER (PARTITION BY event_type ORDER BY c) AS nc
+  FROM f
+  WINDOW w AS (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), seg AS (
+  SELECT cum.event_type, ty.na, ty.sa,
+         sum(CASE WHEN cum.nc IS NULL THEN CAST(0 AS HUGEINT)
+                  ELSE CAST(abs(cum.cuma * tot.nb - cum.cumb * ty.na)
+                            AS HUGEINT) * (cum.nc - cum.c) END) AS s,
+         min(tot.nb) AS nb, min(tot.sb) AS sb
+  FROM cum JOIN types ty USING (event_type) CROSS JOIN tot
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, na AS n_type, nb AS n_pooled,
+       {N.sql_rnd(_W1_RENDER, 6)} AS w1_distance,
+       {N.sql_rnd(_W1_MEANDIFF, 4)} AS mean_diff
+FROM seg""",
+    doc="Exact 1-D Wasserstein-1 (earth-mover) distance between each "
+    "event type's value distribution and the pooled distribution — the "
+    "transport metric that reads in VALUE UNITS ('this segment's "
+    "values sit on average 1.37 higher'), where PSI reads in bits and "
+    "KS in probability; the three drift lenses disagree exactly when "
+    "monitoring needs all of them. W1 = integral |F_a - F_b| computed "
+    "segment-exactly on the cents grid: per grid value, "
+    "|cumA*nB - cumB*nA| * gap is an exact integer (HUGEINT/"
+    "DECIMAL(38,0) sums), and ONE double division renders the "
+    "distance, so it replays bit-identically. Plan: one cents "
+    "aggregate for the pooled grid (value-cardinality-bounded, NOT "
+    "row-bounded), a types x grid frame (|types| * |grid| rows by "
+    "construction), per-type ordered cumsum windows. At 100 TB the "
+    "frame stays bounded by the value grid regardless of row volume.",
+    survey_ids=("M7-A68",),
+)
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", N.cents("value").alias("c"))
+    grid = c.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("gb"))
+    ta = c.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ta")
+    )
+    types = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("na"),
+        F.sum("c").cast("bigint").alias("sa"),
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("c").cast("bigint").alias("sb"),
+    )
+    f = (
+        grid.crossJoin(F.broadcast(types.select("event_type")))
+        .join(ta, ["event_type", "c"], "left")
+        .select(
+            "event_type",
+            "c",
+            "gb",
+            F.coalesce("ta", F.lit(0)).alias("ta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = f.select(
+        "event_type",
+        "c",
+        F.sum("ta").over(w).cast("bigint").alias("cuma"),
+        F.sum("gb").over(w).cast("bigint").alias("cumb"),
+        F.lead("c").over(Window.partitionBy("event_type").orderBy("c")).alias(
+            "nc"
+        ),
+    )
+    seg = (
+        cum.join(F.broadcast(types), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "na", "sa")
+        .agg(
+            F.sum(
+                F.when(F.col("nc").isNull(), F.lit(0).cast("decimal(38,0)"))
+                .otherwise(
+                    F.abs(
+                        F.col("cuma") * F.col("nb")
+                        - F.col("cumb") * F.col("na")
+                    ).cast("decimal(38,0)")
+                    * (F.col("nc") - F.col("c"))
+                )
+            ).alias("s"),
+            F.min("nb").alias("nb"),
+            F.min("sb").alias("sb"),
+        )
+    )
+    return seg.select(
+        "event_type",
+        F.col("na").alias("n_type"),
+        F.col("nb").alias("n_pooled"),
+        F.expr(N.sql_rnd(_W1_RENDER, 6)).alias("w1_distance"),
+        F.expr(N.sql_rnd(_W1_MEANDIFF, 4)).alias("mean_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u (round 8, third wave) — the rank-sum two-sample test per
+# event type vs rest (the nonparametric companion of welch_ttest)
+# ---------------------------------------------------------------------------
+
+_MWU_U = "(u2 / 2.0e0)"
+_MWU_Z = (
+    "((u2 / 2.0e0 - (na * 1.0e0) * nbr / 2.0e0)"
+    " / sqrt(((na * 1.0e0) * nbr / 1.2e1)"
+    " * ((n + 1) - (tcorr * 1.0e0) / ((n * 1.0e0) * (n - 1)))))"
+)
+_MWU_RB = "(1.0e0 - (u2 * 1.0e0) / ((na * 1.0e0) * nbr))"
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+  SELECT event_type, {N.sql_cents('value')} AS c FROM events
+), g AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS t FROM c GROUP BY c
+), gc AS (
+  SELECT c, t,
+         CAST(sum(t) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+              AS BIGINT) AS cumlt
+  FROM g
+), ta AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS ta
+  FROM c GROUP BY 1, 2
+), scal AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+  FROM g
+), per AS (
+  SELECT ta.event_type,
+         CAST(sum(ta.ta) AS BIGINT) AS na,
+         CAST(sum(ta.ta * (2 * gc.cumlt + gc.t + 1)) AS BIGINT) AS r2
+  FROM ta JOIN gc USING (c) GROUP BY 1
+), s AS (
+  SELECT p.event_type, p.na, (scal.n - p.na) AS nbr, scal.n, scal.tcorr,
+         (p.r2 - p.na * (p.na + 1)) AS u2
+  FROM per p CROSS JOIN scal
+)
+SELECT event_type, na AS n_type, nbr AS n_rest,
+       {N.sql_rnd(_MWU_U, 1)} AS u_statistic,
+       {N.sql_rnd(_MWU_Z, 4)} AS z_score,
+       {N.sql_rnd(_MWU_RB, 6)} AS rank_biserial
+FROM s""",
+    doc="Mann-Whitney U rank-sum test per event type against the pooled "
+    "rest (Mann & Whitney 1947), tie-corrected: the nonparametric "
+    "location test welch_ttest's normality assumption falls back to. "
+    "Midranks live on the DOUBLED integer grid (2*rank is always an "
+    "integer under midrank ties), so U = sum of member midranks - "
+    "nA(nA+1)/2 is exact-integer arithmetic end to end; the normal "
+    "z (with the standard tie variance correction sum(t^3-t)) and the "
+    "rank-biserial effect size render from shared double strings. "
+    "p-values are deliberately omitted: neither engine ships a "
+    "portable erf. Plan: one cents aggregate (value-cardinality-"
+    "bounded), one ordered cumsum window over the grid, one "
+    "(type, cents) aggregate joined back grid-side — row volume never "
+    "enters a window; ties are resolved by counting, never sorting "
+    "the volume.",
+    survey_ids=("M7-A69",),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", N.cents("value").alias("c"))
+    g = c.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gc = g.select(
+        "c",
+        "t",
+        (F.sum("t").over(wcum) - F.col("t")).cast("bigint").alias("cumlt"),
+    )
+    ta = c.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ta")
+    )
+    scal = g.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tcorr"),
+    )
+    per = (
+        ta.join(gc, "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ta").cast("bigint").alias("na"),
+            F.sum(
+                F.col("ta") * (2 * F.col("cumlt") + F.col("t") + 1)
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    s = per.crossJoin(F.broadcast(scal)).select(
+        "event_type",
+        "na",
+        (F.col("n") - F.col("na")).alias("nbr"),
+        "n",
+        "tcorr",
+        (F.col("r2") - F.col("na") * (F.col("na") + 1)).alias("u2"),
+    )
+    return s.select(
+        "event_type",
+        F.col("na").alias("n_type"),
+        F.col("nbr").alias("n_rest"),
+        F.expr(N.sql_rnd(_MWU_U, 1)).alias("u_statistic"),
+        F.expr(N.sql_rnd(_MWU_Z, 4)).alias("z_score"),
+        F.expr(N.sql_rnd(_MWU_RB, 6)).alias("rank_biserial"),
+    )

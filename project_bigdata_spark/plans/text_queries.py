@@ -1224,3 +1224,95 @@ def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.big(total).alias("n_rules_passed"),
         N.big(F.when(total == 7, 1).otherwise(0)).alias("pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_compression (round 8, fourth wave) — order-0 character
+# entropy as the SQL-expressible analog of the zlib compression-ratio
+# quality filter (MassiveText/RefinedWeb practice)
+# ---------------------------------------------------------------------------
+
+_CEC_TERM = "-(c / (n * 1.0e0)) * log2(c / (n * 1.0e0))"
+
+
+@query(
+    "char_entropy_compression",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, ''),
+                                    x -> x <> '')) AS ch
+  FROM documents
+), cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2
+), per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM cc GROUP BY doc_id
+), h AS (
+  SELECT cc.doc_id,
+         CAST(sum({N.sql_cents(_CEC_TERM, 10**9)}) AS BIGINT) AS h9
+  FROM cc JOIN per USING (doc_id)
+  GROUP BY cc.doc_id
+)
+SELECT CAST(per.doc_id AS BIGINT) AS doc_id,
+       per.n AS n_chars_total,
+       per.n_distinct,
+       {N.sql_rnd('h.h9 / 1.0e9', 6)} AS entropy_bits,
+       {N.sql_rnd('h.h9 / 8.0e9', 6)} AS compression_bound,
+       CAST(CASE WHEN h.h9 < 3000000000 THEN 1 ELSE 0 END AS BIGINT)
+         AS low_entropy
+FROM per JOIN h USING (doc_id)""",
+    doc="Order-0 character entropy per document (bits/char) and the "
+    "implied best-case compression bound H/8 — the SQL-expressible "
+    "analog of the zlib compression-ratio filter MassiveText/"
+    "RefinedWeb-style pipelines use to drop repetitive or templated "
+    "text (a doc that compresses too well is usually boilerplate; one "
+    "that doesn't compress at all is usually binary junk). Each "
+    "entropy term -(p)log2(p) is computed from exact integer char "
+    "counts, snapped to the 1e-9 grid and integer-summed "
+    "(snap-then-sum), and the low-entropy flag is an integer "
+    "comparison on the grid (H < 3 bits). Plan: one char explode -> "
+    "(doc, char) counts -> per-doc rollup, all map-side combined; the "
+    "alphabet bounds the per-doc state (<= |charset| rows), so at "
+    "100 TB this is two narrow passes with no payload shuffle beyond "
+    "the (doc_id, char, count) triples.",
+    survey_ids=("M7-T27",),
+)
+def char_entropy_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", ""), lambda x: x != F.lit(""))
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    h = (
+        cc.join(per, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(N.sql_cents(_CEC_TERM, 10**9)))
+            .cast("bigint")
+            .alias("h9")
+        )
+    )
+    return per.join(h, "doc_id").select(
+        N.big("doc_id").alias("doc_id"),
+        F.col("n").alias("n_chars_total"),
+        "n_distinct",
+        F.expr(N.sql_rnd("h9 / 1.0e9", 6)).alias("entropy_bits"),
+        F.expr(N.sql_rnd("h9 / 8.0e9", 6)).alias("compression_bound"),
+        (F.col("h9") < 3000000000).cast("bigint").alias("low_entropy"),
+    )

@@ -504,3 +504,356 @@ def test_hits_matches_python(spark, sf_dir):
         for r in _q("hits_hubs_authorities")(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# clustering_ari_eval — ARI recomputed in Python from the attested
+# kmeans assignment and the true labels
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_ari_matches_python(spark, sf_dir):
+    from project_bigdata_spark.plans.curation_queries import kmeans_lloyd
+    from project_bigdata_spark.sources import load_table
+
+    km = {r.vec_id: r.cluster for r in kmeans_lloyd(spark, sf_dir).collect()}
+    lab = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    ct = Counter((km[v], lab[v]) for v in km)
+    a = Counter()
+    b = Counter()
+    for (c, l), n in ct.items():
+        a[c] += n
+        b[l] += n
+    comb = lambda x: x * (x - 1) // 2  # noqa: E731
+    sij = sum(comb(n) for n in ct.values())
+    sa = sum(comb(n) for n in a.values())
+    sb = sum(comb(n) for n in b.values())
+    n = sum(ct.values())
+    cn2 = comb(n)
+    exp = sa * sb / cn2
+    ari = (sij - exp) / ((sa + sb) / 2.0 - exp)
+    ri = 1.0 + (2.0 * sij - sa - sb) / cn2
+    row = _q("clustering_ari_eval")(spark, sf_dir).collect()[0]
+    assert (row.n, row.pairs_same_both, row.pairs_same_cluster,
+            row.pairs_same_label) == (n, sij, sa, sb)
+    assert row.rand_index == pytest.approx(ri, abs=2e-6)
+    assert row.adjusted_rand_index == pytest.approx(ari, abs=2e-6)
+    assert -1.0 <= row.adjusted_rand_index <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_drift — exact W1 recomputed in Python (and scipy-free)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, sf_dir):
+    from project_bigdata_spark.sources import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+
+
+def test_wasserstein_matches_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cents = [(r.event_type, _snap(r.value, 100)) for r in ev]
+    pooled = sorted(c for _, c in cents)
+    nb = len(pooled)
+    got = {
+        r.event_type: (r.n_type, r.n_pooled, r.w1_distance, r.mean_diff)
+        for r in _q("wasserstein_drift")(spark, sf_dir).collect()
+    }
+    types = {t for t, _ in cents}
+    assert set(got) == types
+    import bisect
+
+    for t in types:
+        mine = sorted(c for tt, c in cents if tt == t)
+        na = len(mine)
+        # exact segment integral over the pooled grid
+        grid = sorted(set(pooled))
+        s = 0
+        for i in range(len(grid) - 1):
+            ca = bisect.bisect_right(mine, grid[i])
+            cb = bisect.bisect_right(pooled, grid[i])
+            s += abs(ca * nb - cb * na) * (grid[i + 1] - grid[i])
+        w1 = (s / (na * nb)) / 100
+        md = (sum(mine) / na - sum(pooled) / nb) / 100
+        assert got[t][0] == na and got[t][1] == nb
+        assert got[t][2] == pytest.approx(w1, abs=2e-6), t
+        assert got[t][3] == pytest.approx(md, abs=2e-4), t
+    # W1 must dominate the mean shift (transport lower bound)
+    for t in types:
+        assert got[t][2] >= abs(got[t][3]) - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u — midrank replay in Python
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cents = [(r.event_type, _snap(r.value, 100)) for r in ev]
+    pooled = Counter(c for _, c in cents)
+    grid = sorted(pooled)
+    cumlt = {}
+    run = 0
+    for c in grid:
+        cumlt[c] = run
+        run += pooled[c]
+    n = len(cents)
+    tcorr = sum(t * t * t - t for t in pooled.values())
+    got = {
+        r.event_type: (
+            r.n_type,
+            r.n_rest,
+            r.u_statistic,
+            r.z_score,
+            r.rank_biserial,
+        )
+        for r in _q("mann_whitney_u")(spark, sf_dir).collect()
+    }
+    for t in {tt for tt, _ in cents}:
+        mine = [c for tt, c in cents if tt == t]
+        na = len(mine)
+        nbr = n - na
+        r2 = sum(2 * cumlt[c] + pooled[c] + 1 for c in mine)
+        u2 = r2 - na * (na + 1)
+        var = (na * nbr / 12.0) * ((n + 1) - tcorr / (n * (n - 1.0)))
+        z = (u2 / 2.0 - na * nbr / 2.0) / math.sqrt(var)
+        rb = 1.0 - u2 / (na * 1.0 * nbr)
+        g = got[t]
+        assert g[0] == na and g[1] == nbr, t
+        assert g[2] == pytest.approx(u2 / 2.0, abs=0.51), t
+        assert g[3] == pytest.approx(z, abs=2e-4), t
+        assert g[4] == pytest.approx(rb, abs=2e-6), t
+
+
+def test_mann_whitney_u_range(spark, sf_dir):
+    for r in _q("mann_whitney_u")(spark, sf_dir).collect():
+        assert 0 <= r.u_statistic <= r.n_type * r.n_rest
+        assert -1.0 <= r.rank_biserial <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# gmm_em_1d — exact grid replay in Python
+# ---------------------------------------------------------------------------
+
+
+def test_gmm_em_matches_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cs = [_snap(r.value, 100) for r in ev]
+    n = float(len(cs))
+    n9 = n * 1.0e9
+    cmin, cmax = float(min(cs)), float(max(cs))
+    sc = float(sum(cs))
+    sc2 = float(sum(c * c for c in cs))
+    w1 = 0.5
+    mu1 = (cmin + (cmax - cmin) / 4.0) / 1.0e2
+    mu2 = (cmin + 3.0 * (cmax - cmin) / 4.0) / 1.0e2
+    v1 = v2 = (sc2 / n - (sc / n) * (sc / n)) / 1.0e4
+
+    def dens(c, w, mu, v):
+        v = max(v, 1.0e-6)
+        x = c / 1.0e2
+        return w * math.exp(-((x - mu) * (x - mu) / (2.0 * v))) / math.sqrt(v)
+
+    for _ in range(3):
+        sr = srx = srx2 = 0
+        for c in cs:
+            p1 = dens(c, w1, mu1, v1)
+            p2 = dens(c, 1.0 - w1, mu2, v2)
+            r9 = _snap(p1 / (p1 + p2))
+            sr += r9
+            srx += r9 * c
+            srx2 += r9 * c * c
+        sr, srx, srx2 = float(sr), float(srx), float(srx2)
+        w1 = sr / n9
+        mu1_n = (srx / sr) / 1.0e2
+        v1 = (srx2 / sr - (srx / sr) * (srx / sr)) / 1.0e4
+        mu2_n = ((sc * 1.0e9 - srx) / (n9 - sr)) / 1.0e2
+        v2 = (
+            (sc2 * 1.0e9 - srx2) / (n9 - sr)
+            - ((sc * 1.0e9 - srx) / (n9 - sr))
+            * ((sc * 1.0e9 - srx) / (n9 - sr))
+        ) / 1.0e4
+        mu1, mu2 = mu1_n, mu2_n
+    n1 = 0
+    ll9 = 0
+    for c in cs:
+        p1 = dens(c, w1, mu1, v1)
+        p2 = dens(c, 1.0 - w1, mu2, v2)
+        n1 += int(_snap(p1 / (p1 + p2)) >= 500000000)
+        ll9 += _snap(math.log(p1 + p2) - 9.189385332046727e-1)
+    row = _q("gmm_em_1d")(spark, sf_dir).collect()[0]
+    assert row.n_rounds == 3 and row.n == int(n)
+    assert row.w1 == pytest.approx(_rnd(w1), abs=2e-6)
+    assert row.mu1 == pytest.approx(_rnd(mu1), abs=2e-6)
+    assert row.v1 == pytest.approx(_rnd(v1), abs=2e-4)
+    assert row.mu2 == pytest.approx(_rnd(mu2), abs=2e-6)
+    assert row.v2 == pytest.approx(_rnd(v2), abs=2e-4)
+    assert row.n_comp1 == n1
+    assert row.mean_loglik == pytest.approx(_rnd(ll9 / 1e9 / n), abs=2e-6)
+    # the mixture must actually separate: distinct means, valid weight
+    assert 0.0 < row.w1 < 1.0 and row.mu1 != row.mu2
+
+
+# ---------------------------------------------------------------------------
+# doremi_domain_weights
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = {r.doc_id: _words(r.text) for r in docs if _words(r.text)}
+    src = {r.doc_id: r.source for r in docs}
+    counts = Counter()
+    for ws in toks.values():
+        counts.update(ws)
+    total = float(sum(counts.values()))
+    uvocab = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4096]
+    )
+    bcounts = Counter()
+    for ws in toks.values():
+        bcounts.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    bvocab = dict(
+        sorted(bcounts.items(), key=lambda kv: (-kv[1], kv[0]))[:8192]
+    )
+    dom = defaultdict(lambda: [0, 0])  # n, sum e9
+    for doc_id, ws in toks.items():
+        s9u = sum(
+            _snap(math.log(uvocab.get(w, 0.5) / total)) for w in ws
+        )
+        nu = len(ws)
+        prs = list(zip(ws, ws[1:]))
+        if not prs:
+            continue
+        s9b = 0
+        for a, b in prs:
+            bg = f"{a} {b}"
+            if bg in bvocab:
+                v = bvocab[bg] / uvocab.get(a, 0.5)
+            else:
+                v = 0.4 * uvocab.get(b, 0.5) / total
+            s9b += _snap(math.log(v))
+        nb = len(prs)
+        e = max(0.0, (s9b / (nb * 1.0) - s9u / (nu * 1.0)) / 1.0e9)
+        d = dom[src[doc_id]]
+        d[0] += 1
+        d[1] += _snap(e)
+    t9 = {
+        s: _snap(math.exp(1.0 * (se9 / (n * 1.0)) / 1.0e9))
+        for s, (n, se9) in dom.items()
+    }
+    zt = sum(t9.values())
+    got = {
+        r.source: (r.n_docs, r.mean_excess_loss, r.domain_weight)
+        for r in _q("doremi_domain_weights")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(dom)
+    wsum = 0.0
+    for s, (n, se9) in dom.items():
+        g = got[s]
+        assert g[0] == n, s
+        assert g[1] == pytest.approx(
+            _rnd((se9 / (n * 1.0)) / 1.0e9), abs=2e-6
+        ), s
+        assert g[2] == pytest.approx(_rnd(t9[s] / zt), abs=2e-6), s
+        wsum += g[2]
+    assert wsum == pytest.approx(1.0, abs=1e-3)
+    # higher excess loss must never get a lower weight
+    rows = sorted(got.values(), key=lambda t: t[1])
+    for x, y in zip(rows, rows[1:]):
+        assert y[2] >= x[2] - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# char_entropy_compression
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {
+        r.doc_id: (
+            r.n_chars_total,
+            r.n_distinct,
+            r.entropy_bits,
+            r.compression_bound,
+            r.low_entropy,
+        )
+        for r in _q("char_entropy_compression")(spark, sf_dir).collect()
+    }
+    for r in docs:
+        chars = [ch for ch in r.text if ch != ""]
+        if not chars:
+            assert r.doc_id not in got
+            continue
+        cc = Counter(chars)
+        n = len(chars)
+        h9 = sum(
+            _snap(-(c / (n * 1.0)) * math.log2(c / (n * 1.0)))
+            for c in cc.values()
+        )
+        g = got[r.doc_id]
+        assert g[0] == n and g[1] == len(cc), r.doc_id
+        assert g[2] == pytest.approx(_rnd(h9 / 1e9), abs=2e-6), r.doc_id
+        assert g[3] == pytest.approx(_rnd(h9 / 8e9), abs=2e-6), r.doc_id
+        assert g[4] == int(h9 < 3000000000), r.doc_id
+        # order-0 entropy can never exceed log2(alphabet)
+        assert g[2] <= math.log2(len(cc)) + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# corpus_self_bleu
+# ---------------------------------------------------------------------------
+
+
+def test_self_bleu_matches_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    uni = {}
+    bi = {}
+    for r in docs:
+        ws = _words(r.text)
+        if len(ws) < 2:
+            continue
+        uni[r.doc_id] = Counter(ws)
+        bi[r.doc_id] = Counter(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    cu = Counter()
+    cb = Counter()
+    for c in uni.values():
+        cu.update(c)
+    for c in bi.values():
+        cb.update(c)
+    got = {
+        r.doc_id: (r.n_unigrams, r.p1_clipped, r.p2_clipped, r.self_bleu)
+        for r in _q("corpus_self_bleu")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(uni)
+    for doc_id in uni:
+        p1n = sum(min(tf, cu[g] - tf) for g, tf in uni[doc_id].items())
+        p1d = sum(uni[doc_id].values())
+        p2n = sum(min(tf, cb[g] - tf) for g, tf in bi[doc_id].items())
+        p2d = sum(bi[doc_id].values())
+        if p1n == 0 or p2n == 0:
+            sb = 0.0
+        else:
+            sb = math.exp(
+                0.5 * (math.log(p1n / (p1d * 1.0)) + math.log(p2n / (p2d * 1.0)))
+            )
+        g = got[doc_id]
+        assert g[0] == p1d, doc_id
+        assert g[1] == pytest.approx(_rnd(p1n / (p1d * 1.0)), abs=2e-6)
+        assert g[2] == pytest.approx(_rnd(p2n / (p2d * 1.0)), abs=2e-6)
+        assert g[3] == pytest.approx(_rnd(sb), abs=2e-6)
+        # geometric mean is bounded by the factors
+        assert min(g[1], g[2]) - 1e-6 <= g[3] <= max(g[1], g[2]) + 1e-6

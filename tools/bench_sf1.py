@@ -190,6 +190,15 @@ QUERIES = [
     "soft_dedup_weights",
     "ccnet_perplexity_buckets",
     "hits_hubs_authorities",
+    # round-8 third-wave additions
+    "clustering_ari_eval",
+    "gmm_em_1d",
+    "wasserstein_drift",
+    "mann_whitney_u",
+    # round-8 fourth-wave additions
+    "doremi_domain_weights",
+    "char_entropy_compression",
+    "corpus_self_bleu",
 ]
 
 

@@ -114,6 +114,21 @@ SINGLE_PARTITION_OK = {
     "friedman_daily_types": "k-row rank-sum frame reduced to the one "
     "Q-statistic row (k = type vocabulary) + one-row k scalar; the "
     "per-day rank windows partition on the day key",
+    "doremi_domain_weights": "one-row corpus token-total scalar feeding "
+    "both LM vocab TakeOrdereds + the |sources|-row normalizing reduce "
+    "— model tables and domain frame are vocabulary/source-bounded",
+    "clustering_ari_eval": "k x labels contingency aggregate reduced to "
+    "three scalar pair-count rows; the kmeans assignment underneath is "
+    "the already-audited kmeans_lloyd plan",
+    "gmm_em_1d": "per-round responsibility-moment reduce to one scalar "
+    "row crossed with the 1-row broadcast parameter state — model "
+    "state never exceeds one row",
+    "wasserstein_drift": "one-row pooled-total scalar; the cumsum "
+    "windows partition BY EVENT TYPE over the value-grid-bounded "
+    "frame (|types| x |grid| rows by construction)",
+    "mann_whitney_u": "ordered cumsum over the VALUE-GRID frame "
+    "(cents-cardinality-bounded, never row volume) + one-row "
+    "tie-correction scalar",
     "mrr_map_eval": "rank + cumulative-hit windows over the TakeOrdered "
     "top-100 cut (100 rows by construction) + one-row relevant-total "
     "scalar",
