@@ -1358,3 +1358,140 @@ def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_lateness_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# item_cooccurrence_recs (round 8, fifth wave) — item-item collaborative
+# filtering from user co-occurrence (Sarwar et al. 2001 / Linden et al.
+# 2003 "people who touched X also touched Y"), cosine-normalized
+# ---------------------------------------------------------------------------
+
+_CO_MAX_BASKET = 50  # hyper-user degree cap: a user interacting with
+# everything carries no signal and costs O(degree²) pairs (the DIMSUM /
+# Linden engineering guard); mirrored in the oracle so the cap is part
+# of the attested semantics.
+_CO_TOPK = 3
+
+
+@query(
+    "item_cooccurrence_recs",
+    oracle=f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events WHERE props IS NOT NULL
+), deg AS (
+  SELECT user_id FROM items GROUP BY user_id
+  HAVING count(*) <= {_CO_MAX_BASKET}
+), kept AS MATERIALIZED (
+  SELECT items.user_id, items.k FROM items JOIN deg USING (user_id)
+), cnt AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS nu FROM kept GROUP BY k
+), cooc AS (
+  SELECT a.k AS ka, b.k AS kb, CAST(count(*) AS BIGINT) AS c
+  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.k < b.k
+  GROUP BY 1, 2
+), sym AS (
+  SELECT ka AS item, kb AS rec_item, c FROM cooc
+  UNION ALL
+  SELECT kb AS item, ka AS rec_item, c FROM cooc
+), scored AS (
+  SELECT sym.item, sym.rec_item, sym.c,
+         {N.sql_cents("sym.c / sqrt((1.0e0 * ca.nu) * cb.nu)", 10**6)}
+           AS cos6
+  FROM sym
+  JOIN cnt ca ON ca.k = sym.item
+  JOIN cnt cb ON cb.k = sym.rec_item
+), ranked AS (
+  SELECT item, rec_item, c, cos6,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY cos6 DESC, c DESC, rec_item)
+           AS rk
+  FROM scored
+)
+SELECT CAST(item AS BIGINT) AS item,
+       CAST(rec_item AS BIGINT) AS rec_item,
+       c AS cooc,
+       round(cos6 / 1e6, 6) AS cosine,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_CO_TOPK}""",
+    doc="Item-item collaborative-filtering recommendations from the "
+    "events stream: items are the props.k product ids, a user's basket "
+    "is their DISTINCT item set, co-occurrence counts come from the "
+    "per-user pair expansion (k_a < k_b once, mirrored symmetric "
+    f"after), cosine = c/√(n_a·n_b), top-{_CO_TOPK} per item by the "
+    "1e-6-snapped cosine with count/id tie-breaks so ranks are exact "
+    f"integer comparisons. Hyper-users (> {_CO_MAX_BASKET} distinct "
+    "items) are dropped BEFORE pairing — the degree cap that keeps the "
+    "pair expansion O(n·cap²) instead of quadratic in the hottest "
+    "user (the DIMSUM/Amazon guard), mirrored in the oracle. Scale: "
+    "facts collapse to distinct (user, item) once; the co-occurrence "
+    "matrix is item-vocabulary-bounded and the top-k window runs on "
+    "it, never on facts — the 100 TB cost is one distinct pass plus "
+    "a capped self-join.",
+    survey_ids=("M7-B24",),
+)
+def item_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    items = (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .distinct()
+    )
+    deg = items.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_deg")
+    ).filter(F.col("_deg") <= _CO_MAX_BASKET).select("user_id")
+    kept = items.join(deg, "user_id")
+    cnt = kept.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    a = kept.select("user_id", F.col("k").alias("ka"))
+    b = kept.select("user_id", F.col("k").alias("kb"))
+    cooc = (
+        a.join(b, "user_id")
+        .filter(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sym = cooc.select(
+        F.col("ka").alias("item"), F.col("kb").alias("rec_item"), "c"
+    ).unionAll(
+        cooc.select(
+            F.col("kb").alias("item"), F.col("ka").alias("rec_item"), "c"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(cnt.select(F.col("k").alias("item"),
+                                   F.col("nu").alias("_na"))),
+            "item",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("k").alias("rec_item"),
+                                   F.col("nu").alias("_nb"))),
+            "rec_item",
+        )
+        .select(
+            "item",
+            "rec_item",
+            "c",
+            F.expr(
+                N.sql_cents("c / sqrt((1.0e0 * _na) * _nb)", 10**6)
+            ).alias("cos6"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cos6"), F.desc("c"), F.asc("rec_item")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CO_TOPK)
+        .select(
+            F.col("item").cast("bigint").alias("item"),
+            F.col("rec_item").cast("bigint").alias("rec_item"),
+            F.col("c").alias("cooc"),
+            N.rnd(F.col("cos6") / 1e6, 6).alias("cosine"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

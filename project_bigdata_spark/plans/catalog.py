@@ -114,14 +114,17 @@ _ATTESTATION_PRIORITY = [
     #       GMM EM, Wasserstein drift, Mann-Whitney U) — never attested;
     # 21-23 the 3 fourth-wave round-8 additions (DoReMi domain weights,
     #       char-entropy compression bound, self-BLEU) — never attested;
-    # 24-28 the 5 entries whose plans changed in round 8 AFTER their last
+    # 24-29 the 6 fifth-wave round-8 additions (lagged cross-correlation,
+    #       HLL intersection, Kneser-Ney bigram LM, hinge-loss SVM,
+    #       embedding isotropy, item co-occurrence recs) — never attested;
+    # 30-34 the 5 entries whose plans changed in round 8 AFTER their last
     #       green driver row (gram-MinHash sub-block key, per-vector +
     #       candidate near-dup caps, lazy blocking-audit census, simhash
     #       API split) — their old attestations are stale against the
     #       current code;
-    # 29-50 22 regression probes re-attesting the OLDEST green rows
+    # 35-50 16 regression probes re-attesting the OLDEST green rows
     #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
-    #       suite, sampling, ANN bucketing, as-of join).
+    #       suite, sampling).
     "dsir_resample",
     "bpe_train_merges",
     "anchor_substring_spans",
@@ -148,6 +151,13 @@ _ATTESTATION_PRIORITY = [
     "doremi_domain_weights",
     "char_entropy_compression",
     "corpus_self_bleu",
+    # -- round-8 fifth-wave additions (never attested) ------------------
+    "lagged_crosscorr",
+    "hll_intersection",
+    "kneser_ney_bigram",
+    "svm_hinge_gd",
+    "embedding_isotropy",
+    "item_cooccurrence_recs",
     # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",

@@ -1370,3 +1370,126 @@ def corpus_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(N.sql_rnd("p2num / (p2den * 1.0e0)", 6)).alias("p2_clipped"),
         F.expr(N.sql_rnd(_SB_SCORE, 6)).alias("self_bleu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kneser_ney_bigram (round 8, fifth wave) — interpolated Kneser-Ney
+# bigram LM per-document scoring (Kneser & Ney 1995; Chen & Goodman 1999
+# empirically the strongest n-gram smoother — the LM behind KenLM-style
+# quality filtering at CCNet/RefinedWeb scale)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount, the Chen-Goodman fixed-D variant
+
+# P_KN(w|v) = max(c(v,w) - D, 0)/c(v) + (D * N1+(v,·)/c(v)) * P_cont(w)
+# with P_cont(w) = N1+(·,w)/N1+(·,·) — continuation probability, the
+# Kneser-Ney insight: the backoff weight of w is how many CONTEXTS it
+# completes, not how often it occurs. Dialect-neutral over the count
+# columns (all exact integers from two group passes).
+_KN_LOGP = (
+    f"ln(greatest(c_vw - {_KN_D!r}, 0.0e0) / c_v"
+    f" + ({_KN_D!r} * n1p_fwd / c_v) * (n1p_bwd / (1.0e0 * n1p_all)))"
+)
+
+
+@query(
+    "kneser_ney_bigram",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+  WHERE len({WORDS_SQL}) >= 2
+), db AS MATERIALIZED (
+  SELECT doc_id, ws[i] AS v, ws[i + 1] AS w,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM base)
+  GROUP BY 1, 2, 3
+), bg AS MATERIALIZED (
+  SELECT v, w, CAST(sum(tf) AS BIGINT) AS c_vw FROM db GROUP BY 1, 2
+), ctx AS (
+  SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+         CAST(count(*) AS BIGINT) AS n1p_fwd
+  FROM bg GROUP BY v
+), cont AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n1p_bwd FROM bg GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM bg
+)
+SELECT db.doc_id,
+       CAST(sum(db.tf) AS BIGINT) AS n_bigrams,
+       round(sum(db.tf * {N.sql_cents(_KN_LOGP, 10**9)}) / 1e9
+             / sum(db.tf), 4) AS kn_logprob,
+       round(exp(-(sum(db.tf * {N.sql_cents(_KN_LOGP, 10**9)}) / 1e9
+                   / sum(db.tf))), 4) AS kn_ppl
+FROM db
+JOIN bg ON db.v = bg.v AND db.w = bg.w
+JOIN ctx ON db.v = ctx.v
+JOIN cont ON db.w = cont.w
+CROSS JOIN tot
+GROUP BY db.doc_id""",
+    doc="Interpolated Kneser-Ney bigram language model scored per "
+    "document against the corpus it was estimated on (the KenLM-style "
+    "perplexity filter face next to the unigram unigram_logprob / "
+    "ccnet_perplexity_buckets): absolute discount D=0.75, backoff mass "
+    "D·N1+(v,·)/c(v), and the continuation probability "
+    "N1+(·,w)/N1+(·,·) — distinct-context counts, the KN signature. "
+    "Every count is an exact integer from two vocabulary-bounded group "
+    "passes; the per-bigram log-probability is snapped to the 1e-9 "
+    "grid and integer-weighted by term frequency so both engines sum "
+    "identical integers in any order. Plan: one token shuffle to build "
+    "the bigram table; the model tables (bigram, context, continuation "
+    "counts) are vocabulary-bounded and join back onto the per-doc "
+    "bigram frame — at 100 TB the model state is broadcast-sized and "
+    "document text shuffles zero times.",
+    survey_ids=("M7-T28",),
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    base = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", words_col(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    db = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS v, ws[i] AS w))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.v", "bg.w")
+        .groupBy("doc_id", "v", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    bg = db.groupBy("v", "w").agg(F.sum("tf").cast("bigint").alias("c_vw"))
+    ctx = bg.groupBy("v").agg(
+        F.sum("c_vw").cast("bigint").alias("c_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
+    )
+    cont = bg.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
+    )
+    tot = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n1p_all"))
+    scored = (
+        db.join(F.broadcast(bg), ["v", "w"])
+        .join(F.broadcast(ctx), "v")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(N.sql_cents(_KN_LOGP, 10**9)).alias("lp9"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.expr(
+            N.sql_rnd("sum(tf * lp9) / 1e9 / sum(tf)", 4)
+        ).alias("kn_logprob"),
+        F.expr(
+            N.sql_rnd("exp(-(sum(tf * lp9) / 1e9 / sum(tf)))", 4)
+        ).alias("kn_ppl"),
+    )

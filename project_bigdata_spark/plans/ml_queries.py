@@ -1563,3 +1563,347 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_loglik"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# svm_hinge_gd (round 8, fifth wave) — linear SVM by unrolled full-batch
+# subgradient descent on the regularized hinge loss (Pegasos regime,
+# Shalev-Shwartz et al. 2011, full-batch variant) — the max-margin
+# trainer face next to logistic_gd_classifier's likelihood face
+# ---------------------------------------------------------------------------
+
+_SVM_STEPS = 3
+_SVM_LR = 0.5
+_SVM_LAM = 0.1   # L2 strength; weights decay by (1 - lr*lam) per step
+_SVM_DIMS = 4
+
+
+def _svm_margin(dims: int = _SVM_DIMS) -> str:
+    terms = ["(b9 / 1e9)"] + [
+        f"((w{j}_9 / 1e9) * (x{j}_6 / 1e6))" for j in range(1, dims + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# Hinge subgradient indicator: rows inside the margin (y*m < 1) push.
+_SVM_ACT = f"(CASE WHEN y * {_svm_margin()} < 1.0e0 THEN 1 ELSE 0 END)"
+
+
+def _svm_grad_exprs() -> list[str]:
+    out = [
+        f"sum({N.sql_cents(f'(1.0e0 * {_SVM_ACT} * y)', 10**9)}) AS gb9",
+        "CAST(count(*) AS BIGINT) AS n",
+    ]
+    for j in range(1, _SVM_DIMS + 1):
+        out.append(
+            "sum("
+            + N.sql_cents(f"({_SVM_ACT} * y * (x{j}_6 / 1e6))", 10**9)
+            + f") AS g{j}9"
+        )
+    return out
+
+
+def _svm_update_exprs() -> list[str]:
+    decay = 1.0 - _SVM_LR * _SVM_LAM
+    out = [
+        f"(b9 + {N.sql_cents(f'({_SVM_LR!r} * gb9 / 1e9 / n)', 10**9)}) AS b9"
+    ]
+    for j in range(1, _SVM_DIMS + 1):
+        out.append(
+            N.sql_cents(
+                f"((w{j}_9 / 1e9) * {decay!r}"
+                f" + {_SVM_LR!r} * g{j}9 / 1e9 / n)",
+                10**9,
+            )
+            + f" AS w{j}_9"
+        )
+    return out
+
+
+_SVM_HINGE = f"greatest(0.0e0, 1.0e0 - y * {_svm_margin()})"
+
+
+def _svm_oracle() -> str:
+    base = (
+        "SELECT CASE WHEN label < 5 THEN 1 ELSE -1 END AS y, "
+        + ", ".join(
+            N.sql_cents(f"CAST(embedding[{j}] AS DOUBLE)", 10**6)
+            + f" AS x{j}_6"
+            for j in range(1, _SVM_DIMS + 1)
+        )
+        + " FROM embeddings WHERE embedding IS NOT NULL"
+    )
+    w_cols = ["CAST(0 AS BIGINT) AS b9"] + [
+        f"CAST(0 AS BIGINT) AS w{j}_9" for j in range(1, _SVM_DIMS + 1)
+    ]
+    ctes = [
+        f"base AS MATERIALIZED ({base})",
+        f"w0 AS (SELECT {', '.join(w_cols)})",
+    ]
+    for s in range(1, _SVM_STEPS + 1):
+        ctes.append(
+            f"g{s} AS (SELECT {', '.join(_svm_grad_exprs())} "
+            f"FROM base, w{s - 1})"
+        )
+        ctes.append(
+            f"w{s} AS (SELECT {', '.join(_svm_update_exprs())} "
+            f"FROM w{s - 1}, g{s})"
+        )
+    wf = f"w{_SVM_STEPS}"
+    fit = (
+        f"fit AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+        f"CAST(sum(CASE WHEN ({_svm_margin()} >= 0) = (y = 1) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, "
+        f"sum({N.sql_cents(_SVM_HINGE, 10**9)}) AS hl9 "
+        f"FROM base, {wf})"
+    )
+    ctes.append(fit)
+    w_out = ", ".join(
+        [N.sql_rnd("b9 / 1e9", 6) + " AS w_bias"]
+        + [
+            N.sql_rnd(f"w{j}_9 / 1e9", 6) + f" AS w{j}"
+            for j in range(1, _SVM_DIMS + 1)
+        ]
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST({_SVM_STEPS} AS BIGINT) AS n_steps, fit.n, fit.n_pos,
+       {w_out},
+       {N.sql_rnd('CAST(fit.n_correct AS DOUBLE) / fit.n', 6)} AS train_acc,
+       {N.sql_rnd('CAST(fit.hl9 AS DOUBLE) / 1e9 / fit.n', 6)} AS hinge_loss
+FROM {wf}, fit"""
+    )
+
+
+@query(
+    "svm_hinge_gd",
+    oracle=_svm_oracle(),
+    doc=f"Linear SVM trainer: {_SVM_STEPS} full-batch subgradient steps "
+    "on the L2-regularized hinge loss (the Pegasos objective "
+    f"lam/2*|w|^2 + mean hinge, lr={_SVM_LR}, lam={_SVM_LAM}), "
+    f"y = ±1 from [label < 5] on the first {_SVM_DIMS} embedding "
+    "dimensions + unregularized bias. Each step is ONE map-side "
+    "combining aggregate of the indicator-gated subgradient "
+    "1[y·m < 1]·y·x — snapped to the 1e-9 grid and integer-summed — "
+    "crossed with the broadcast weight row; the weight decay "
+    "(1 − lr·lam) applies in the same shared update kernel, so both "
+    "engines replay the identical trajectory. Readout: accuracy + "
+    "mean hinge loss. Plan per step: one scan + one scalar reduce, "
+    "model state a single broadcast row — the same 100 TB shape as "
+    "logistic_gd_classifier, completing the likelihood/max-margin "
+    "trainer pair.",
+    survey_ids=("M7-ML26",),
+)
+def svm_hinge_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            F.when(F.col("label") < 5, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("y"),
+            *[
+                N.cents(F.element_at("embedding", j).cast("double"), 10**6)
+                .alias(f"x{j}_6")
+                for j in range(1, _SVM_DIMS + 1)
+            ],
+        )
+        .localCheckpoint()
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("b9"),
+        *[
+            F.lit(0).cast("bigint").alias(f"w{j}_9")
+            for j in range(1, _SVM_DIMS + 1)
+        ],
+    )
+    for _ in range(_SVM_STEPS):
+        g = base.crossJoin(F.broadcast(w)).agg(
+            *[F.expr(e) for e in _svm_grad_exprs()]
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            *[F.expr(e) for e in _svm_update_exprs()]
+        )
+    fit = base.crossJoin(F.broadcast(w)).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_pos"),
+        F.expr(
+            f"CAST(sum(CASE WHEN ({_svm_margin()} >= 0) = (y = 1) "
+            "THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_correct"),
+        F.expr(f"sum({N.sql_cents(_SVM_HINGE, 10**9)})").alias("hl9"),
+    )
+    return w.crossJoin(F.broadcast(fit)).select(
+        F.lit(_SVM_STEPS).cast("bigint").alias("n_steps"),
+        "n",
+        "n_pos",
+        F.expr(N.sql_rnd("b9 / 1e9", 6)).alias("w_bias"),
+        *[
+            F.expr(N.sql_rnd(f"w{j}_9 / 1e9", 6)).alias(f"w{j}")
+            for j in range(1, _SVM_DIMS + 1)
+        ],
+        F.expr(N.sql_rnd("CAST(n_correct AS DOUBLE) / n", 6)).alias(
+            "train_acc"
+        ),
+        F.expr(N.sql_rnd("CAST(hl9 AS DOUBLE) / 1e9 / n", 6)).alias(
+            "hinge_loss"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_isotropy (round 8, fifth wave) — embedding-space geometry
+# audit: mean pairwise cosine WITHOUT a pair join (sum-vector identity)
+# + diagonal participation ratio (Ethayarajh 2019 / Mu & Viswanath 2018
+# isotropy diagnostics for representation collapse)
+# ---------------------------------------------------------------------------
+
+# Per-row squared norm on the 1e-12 grid: an integer HOF fold, so the
+# sum is order-free and identical across engines.
+_ISO_N2 = N.sql_cents("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)", 10**12)
+# Unit-vector component on the 1e-9 grid given the snapped squared norm.
+_ISO_U9 = N.sql_cents("CAST(x AS DOUBLE) / sqrt(n2_12 / 1.0e12)", 10**9)
+
+
+@query(
+    "embedding_isotropy",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT label, embedding,
+         CAST(list_sum(list_transform(embedding,
+              x -> {_ISO_N2})) AS BIGINT) AS n2_12
+  FROM embeddings WHERE embedding IS NOT NULL
+), ex AS MATERIALIZED (
+  SELECT label, i AS d, {_ISO_U9.replace('x', '(embedding[i])')} AS u9
+  FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
+  WHERE n2_12 > 0
+), cells AS MATERIALIZED (
+  SELECT label, d,
+         CAST(sum(u9) AS HUGEINT) AS sd9,
+         CAST(sum(CAST(u9 AS HUGEINT) * u9) AS HUGEINT) AS q18
+  FROM ex GROUP BY 1, 2
+), ncnt AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n
+  FROM base WHERE n2_12 > 0 GROUP BY label
+), scoped AS (
+  SELECT CAST(label AS VARCHAR) AS scope, d, sd9, q18 FROM cells
+  UNION ALL
+  SELECT 'ALL', d, sum(sd9), sum(q18) FROM cells GROUP BY d
+), nsc AS (
+  SELECT CAST(label AS VARCHAR) AS scope, n FROM ncnt
+  UNION ALL
+  SELECT 'ALL', CAST(sum(n) AS BIGINT) FROM ncnt
+), agg AS (
+  SELECT scope,
+         sum({N.sql_cents("(CAST(sd9 AS DOUBLE) / 1e9)"
+                          " * (CAST(sd9 AS DOUBLE) / 1e9)", 10**6)}) AS s6,
+         CAST(sum(q18) AS HUGEINT) AS t18,
+         sum({N.sql_cents("(CAST(q18 AS DOUBLE) / 1e18)"
+                          " * (CAST(q18 AS DOUBLE) / 1e18)", 10**6)}) AS qq6
+  FROM scoped GROUP BY scope
+)
+SELECT agg.scope, nsc.n AS n_vecs,
+       {N.sql_rnd("(s6 / 1e6 - CAST(t18 AS DOUBLE) / 1e18)"
+                  " / (nsc.n * (nsc.n - 1.0e0))", 6)} AS mean_cosine,
+       {N.sql_rnd("(CAST(t18 AS DOUBLE) / 1e18)"
+                  " * (CAST(t18 AS DOUBLE) / 1e18) / (qq6 / 1e6)",
+                  4)} AS participation_ratio
+FROM agg JOIN nsc ON agg.scope = nsc.scope""",
+    doc="Embedding-geometry audit per label and overall: mean pairwise "
+    "cosine of the UNIT-normalized vectors computed by the sum-vector "
+    "identity mean_cos = (|Σu|² − Σ|u|²) / (n(n−1)) — the n² pair "
+    "join collapses to one pass of per-dimension sums — plus the "
+    "diagonal participation ratio (Σm_d)²/Σm_d² of the per-dimension "
+    "second moments (d = effective dimensionality; ≈1 means rank "
+    "collapse, the anisotropy failure mode of learned embeddings). "
+    "Unit components are snapped to the 1e-9 grid so every statistic "
+    "is an exact integer sum (squared-norm fold on the 1e-12 grid, "
+    "per-dim squares in HUGEINT/DECIMAL(38,0)); one double render per "
+    "scope. Plan: one explode keyed by (label, dim) — 64·L cells — "
+    "NO pair join anywhere; at 100 TB this is a single linear pass "
+    "where the naive mean-cosine is quadratic.",
+    survey_ids=("M7-ML27",),
+)
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "label",
+        "embedding",
+        F.expr(
+            "aggregate(embedding, CAST(0 AS BIGINT),"
+            f" (a, x) -> a + {_ISO_N2})"
+        ).alias("n2_12"),
+    ).filter(F.col("n2_12") > 0)
+    ex = base.select(
+        "label",
+        F.posexplode("embedding").alias("p", "x"),
+        "n2_12",
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("d"),
+        F.expr(_ISO_U9).alias("u9"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = ex.groupBy("label", "d").agg(
+        F.sum(dec(F.col("u9"))).alias("sd9"),
+        F.sum(dec(F.col("u9")) * F.col("u9")).alias("q18"),
+    )
+    ncnt = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    scoped = cells.select(
+        F.col("label").cast("string").alias("scope"), "d", "sd9", "q18"
+    ).unionAll(
+        cells.groupBy("d").agg(
+            F.sum("sd9").alias("sd9"), F.sum("q18").alias("q18")
+        ).select(F.lit("ALL").alias("scope"), "d", "sd9", "q18")
+    )
+    nsc = ncnt.select(
+        F.col("label").cast("string").alias("scope"), "n"
+    ).unionAll(
+        ncnt.agg(F.sum("n").cast("bigint").alias("n")).select(
+            F.lit("ALL").alias("scope"), "n"
+        )
+    )
+    agg = scoped.groupBy("scope").agg(
+        F.sum(
+            F.expr(
+                N.sql_cents(
+                    "(CAST(sd9 AS DOUBLE) / 1e9)"
+                    " * (CAST(sd9 AS DOUBLE) / 1e9)",
+                    10**6,
+                )
+            )
+        ).alias("s6"),
+        F.sum("q18").alias("t18"),
+        F.sum(
+            F.expr(
+                N.sql_cents(
+                    "(CAST(q18 AS DOUBLE) / 1e18)"
+                    " * (CAST(q18 AS DOUBLE) / 1e18)",
+                    10**6,
+                )
+            )
+        ).alias("qq6"),
+    )
+    return agg.join(F.broadcast(nsc), "scope").select(
+        "scope",
+        F.col("n").alias("n_vecs"),
+        F.expr(
+            N.sql_rnd(
+                "(s6 / 1e6 - CAST(t18 AS DOUBLE) / 1e18)"
+                " / (n * (n - 1.0e0))",
+                6,
+            )
+        ).alias("mean_cosine"),
+        F.expr(
+            N.sql_rnd(
+                "(CAST(t18 AS DOUBLE) / 1e18)"
+                " * (CAST(t18 AS DOUBLE) / 1e18) / (qq6 / 1e6)",
+                4,
+            )
+        ).alias("participation_ratio"),
+    )

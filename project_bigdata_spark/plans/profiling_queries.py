@@ -312,3 +312,176 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hll_intersection (round 8, fifth wave) — inclusion-exclusion set-overlap
+# estimation from MERGED HyperLogLog registers (the audience-overlap /
+# cross-dataset-user-overlap primitive; Flajolet et al. 2007 merge
+# property + |A∩B| = |A| + |B| − |A∪B|)
+# ---------------------------------------------------------------------------
+
+# Estimator from the dyadic register sum t = Σ 2^(33-M_j) and the
+# zero-register count v — the IDENTICAL kernel hll_distinct_audit uses,
+# dialect-neutral over columns (t, v).
+_HLL_EST = (
+    f"CASE WHEN CAST({_HLL_ALPHA_M2_SCALE!r} AS DOUBLE) / CAST(t AS DOUBLE)"
+    " <= 40.0 AND v > 0"
+    f" THEN 16.0 * (CAST({N.sql_cents('ln(16.0 / v)', 10**9)} AS DOUBLE) / 1e9)"
+    f" ELSE CAST({_HLL_ALPHA_M2_SCALE!r} AS DOUBLE) / CAST(t AS DOUBLE) END"
+)
+
+
+@query(
+    "hll_intersection",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1))
+              AS INT) AS reg,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 2, 8))
+              AS BIGINT) AS w
+  FROM events
+), r AS (
+  SELECT event_type, reg, max(CASE {_RHO_CASES} ELSE 33 END) AS m
+  FROM h GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.reg
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(16)) AS reg) g
+), filled AS (
+  SELECT grid.event_type, grid.reg, coalesce(r.m, 0) AS m
+  FROM grid LEFT JOIN r ON grid.event_type = r.event_type
+                       AND grid.reg = r.reg
+), s1 AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << (33 - m)) AS t,
+         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+  FROM filled GROUP BY event_type
+), e1 AS (
+  SELECT event_type, {_HLL_EST} AS e FROM s1
+), su AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         sum(CAST(1 AS BIGINT) << (33 - greatest(a.m, b.m))) AS t,
+         sum(CASE WHEN greatest(a.m, b.m) = 0 THEN 1 ELSE 0 END) AS v
+  FROM filled a JOIN filled b
+    ON a.reg = b.reg AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), eu AS (
+  SELECT type_a, type_b, {_HLL_EST} AS e_ab FROM su
+), ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_overlap
+  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ex.type_a, ex.type_b, ex.exact_overlap,
+       {N.sql_rnd("ea.e + eb.e - eu.e_ab", 4)} AS hll_intersect,
+       {N.sql_rnd("(ea.e + eb.e - eu.e_ab - ex.exact_overlap)"
+                  " / ex.exact_overlap", 4)} AS rel_err
+FROM ex
+JOIN eu ON eu.type_a = ex.type_a AND eu.type_b = ex.type_b
+JOIN e1 ea ON ea.event_type = ex.type_a
+JOIN e1 eb ON eb.event_type = ex.type_b""",
+    doc="Set-overlap estimation between every event-type pair's user "
+    "audience from MERGED HyperLogLog registers: per-type 16-register "
+    "sketches (identical construction to hll_distinct_audit), the "
+    "union sketch by the HLL merge property (register-wise max — the "
+    "reason HLL states are mergeable across partitions and days), and "
+    "|A∩B| = |A| + |B| − |A∪B| by inclusion-exclusion, attested "
+    "against the exact distinct-user overlap. Scale: the fact table "
+    "collapses to types × 16 register rows in ONE group pass; all "
+    "pairing happens on that byte-sized state, so estimating overlap "
+    "between two 100 TB datasets' key sets costs two register scans — "
+    "the exact join the oracle runs is precisely what the sketch makes "
+    "unnecessary at scale.",
+    survey_ids=("M7-A71",),
+)
+def hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    md5c = F.md5(F.col("user_id").cast("string"))
+    reg = F.conv(F.substring(md5c, 1, 1), 16, 10).cast("int").alias("reg")
+    wc = F.conv(F.substring(md5c, 2, 8), 16, 10).cast("bigint")
+    rho = F.when(wc >= F.lit(1 << 31), F.lit(1))
+    for j in range(1, 32):
+        rho = rho.when(wc >= F.lit(1 << (31 - j)), F.lit(j + 1))
+    rho = rho.otherwise(F.lit(33)).alias("rho")
+    r = (
+        e.select("event_type", reg, rho)
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(16).select(F.col("id").cast("int").alias("reg"))
+            )
+        )
+    )
+    filled = grid.join(r, ["event_type", "reg"], "left").select(
+        "event_type", "reg", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    t_of = lambda m: F.sum(  # noqa: E731
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), 33 - {m})")
+    ).alias("t")
+    v_of = lambda m: F.sum(  # noqa: E731
+        F.expr(f"CASE WHEN {m} = 0 THEN 1 ELSE 0 END")
+    ).alias("v")
+    e1 = (
+        filled.groupBy("event_type")
+        .agg(t_of("m"), v_of("m"))
+        .select("event_type", F.expr(_HLL_EST).alias("e"))
+    )
+    fa = filled.select(
+        F.col("event_type").alias("type_a"), "reg", F.col("m").alias("ma")
+    )
+    fb = filled.select(
+        F.col("event_type").alias("type_b"), "reg", F.col("m").alias("mb")
+    )
+    eu = (
+        fa.join(F.broadcast(fb), "reg")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(t_of("greatest(ma, mb)"), v_of("greatest(ma, mb)"))
+        .select("type_a", "type_b", F.expr(_HLL_EST).alias("e_ab"))
+    )
+    du = e.select("event_type", "user_id").distinct()
+    ex = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            F.broadcast(
+                du.select(F.col("event_type").alias("type_b"), "user_id")
+            ),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    return (
+        ex.join(F.broadcast(eu), ["type_a", "type_b"])
+        .join(
+            F.broadcast(e1.select(F.col("event_type").alias("type_a"),
+                                  F.col("e").alias("_ea"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(e1.select(F.col("event_type").alias("type_b"),
+                                  F.col("e").alias("_eb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            F.expr(N.sql_rnd("_ea + _eb - e_ab", 4)).alias("hll_intersect"),
+            F.expr(
+                N.sql_rnd("(_ea + _eb - e_ab - exact_overlap)"
+                          " / exact_overlap", 4)
+            ).alias("rel_err"),
+        )
+    )

@@ -3935,3 +3935,120 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(N.sql_rnd(_MWU_Z, 4)).alias("z_score"),
         F.expr(N.sql_rnd(_MWU_RB, 6)).alias("rank_biserial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lagged_crosscorr (round 8, fifth wave) — lead/lag cross-correlation
+# between two hourly event-count series (does `click` activity lead
+# `purchase` activity, and by how many hours?)
+# ---------------------------------------------------------------------------
+
+_XC_A = "click"
+_XC_B = "purchase"
+_XC_MAXLAG = 6
+
+# Pearson r over the matched (x_t, y_{t+lag}) pairs from EXACT integer
+# sufficient statistics (hourly counts are integers, so n, Sx, Sy, Sxy,
+# Sxx, Syy are exact and order-free); one double render at the end.
+# Dialect-neutral: shared verbatim by F.expr and the oracle.
+_XC_R = (
+    "(1.0e0 * (n * sxy - sx * sy))"
+    " / (sqrt(1.0e0 * (n * sxx - sx * sx))"
+    " * sqrt(1.0e0 * (n * syy - sy * sy)))"
+)
+
+
+@query(
+    "lagged_crosscorr",
+    oracle=f"""
+WITH {HOURLY_SQL},
+bounds AS (
+  SELECT CAST(min(t) AS BIGINT) AS lo, CAST(max(t) AS BIGINT) AS hi
+  FROM hourly WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+), grid AS (
+  SELECT unnest(range(lo, hi + 1)) AS t FROM bounds
+), xs AS (
+  SELECT grid.t, CAST(coalesce(h.n_events, 0) AS BIGINT) AS x
+  FROM grid LEFT JOIN (SELECT t, n_events FROM hourly
+                       WHERE event_type = '{_XC_A}') h USING (t)
+), ys AS (
+  SELECT grid.t, CAST(coalesce(h.n_events, 0) AS BIGINT) AS y
+  FROM grid LEFT JOIN (SELECT t, n_events FROM hourly
+                       WHERE event_type = '{_XC_B}') h USING (t)
+), lags AS (
+  SELECT CAST(unnest(range(-{_XC_MAXLAG}, {_XC_MAXLAG} + 1)) AS BIGINT) AS lag
+), m AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM lags, xs, ys WHERE ys.t = xs.t + lags.lag
+  GROUP BY lag
+)
+SELECT lag, n AS n_hours, {N.sql_rnd(_XC_R, 6)} AS xcorr
+FROM m""",
+    doc=f"Lead/lag cross-correlation of the hourly '{_XC_A}' count series "
+    f"against the hourly '{_XC_B}' series at every lag in "
+    f"[-{_XC_MAXLAG}, +{_XC_MAXLAG}] (the classic does-X-lead-Y "
+    "monitoring diagnostic; Box & Jenkins ch. 11 sample CCF). Both "
+    "series are zero-filled onto the dense shared hour grid (a missing "
+    "hour IS a zero count, exactly like pacf_profile), then each lag's "
+    "Pearson r comes from exact integer sufficient statistics over the "
+    "aligned pairs — one IEEE division per lag at render, so both "
+    "engines produce the identical double. Plan: ONE hourly aggregate "
+    "of the fact table; everything after is series-length-bounded "
+    "(720 hours x 13 lags), with the lag dimension and the y-series "
+    "broadcast — at 100 TB the events table is touched once and the "
+    "CCF costs the same as today.",
+    survey_ids=("M7-A70",),
+)
+def lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        _hourly(spark, sf_dir)
+        .filter(F.col("event_type").isin(_XC_A, _XC_B))
+        .select("event_type", "t", "n_events")
+    )
+    bounds = h.agg(
+        F.min("t").cast("bigint").alias("lo"),
+        F.max("t").cast("bigint").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("t")
+    )
+    xs = grid.join(
+        h.filter(F.col("event_type") == _XC_A).select("t", "n_events"),
+        "t",
+        "left",
+    ).select("t", F.coalesce("n_events", F.lit(0)).cast("bigint").alias("x"))
+    ys = grid.join(
+        h.filter(F.col("event_type") == _XC_B).select("t", "n_events"),
+        "t",
+        "left",
+    ).select(
+        F.col("t").alias("ty"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("y"),
+    )
+    lags = spark.range(-_XC_MAXLAG, _XC_MAXLAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    m = (
+        xs.crossJoin(F.broadcast(lags))
+        .withColumn("tt", F.col("t") + F.col("lag"))
+        .join(F.broadcast(ys), F.col("tt") == F.col("ty"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    return m.select(
+        "lag",
+        F.col("n").alias("n_hours"),
+        F.expr(N.sql_rnd(_XC_R, 6)).alias("xcorr"),
+    )

@@ -199,6 +199,13 @@ QUERIES = [
     "doremi_domain_weights",
     "char_entropy_compression",
     "corpus_self_bleu",
+    # round-8 fifth-wave additions
+    "lagged_crosscorr",
+    "hll_intersection",
+    "kneser_ney_bigram",
+    "svm_hinge_gd",
+    "embedding_isotropy",
+    "item_cooccurrence_recs",
 ]
 
 

@@ -140,6 +140,18 @@ SINGLE_PARTITION_OK = {
     "logistic_gd_classifier": "per-step gradient reduce to one scalar "
     "row crossed with the 1-row broadcast weight state — model-width-"
     "bounded, never corpus rows",
+    "svm_hinge_gd": "per-step subgradient reduce to one scalar row "
+    "crossed with the 1-row broadcast weight state — the "
+    "logistic_gd_classifier shape with a hinge kernel",
+    "lagged_crosscorr": "one-row min/max bounds scalar seeding the "
+    "dense hour grid; the per-lag Pearson reduce runs over the "
+    "series-length-bounded (720×13) aligned frame, never facts",
+    "kneser_ney_bigram": "one-row bigram-type-total scalar (N1+(·,·), "
+    "the continuation denominator) crossed into the broadcast model "
+    "join; counts tables are vocabulary-bounded",
+    "embedding_isotropy": "the ALL-scope branch reduces the 64·L "
+    "per-dimension cells (bounded by dims × labels, never vectors) "
+    "and the label-count side is a labels-cardinality scalar frame",
     "word_burstiness": "one-row corpus-doc-count scalar crossed into the "
     "TakeOrdered top-50 term table",
     "ccnet_perplexity_buckets": "one-row token-total scalar feeding the "
