@@ -1495,3 +1495,267 @@ def item_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# user_sequence_anomaly (round 8, sixth wave) — per-user behavioral
+# anomaly score: mean negative log-likelihood of the user's event-type
+# transitions under the corpus Markov chain (the sequence-model lens on
+# "which users behave unlike everyone else")
+# ---------------------------------------------------------------------------
+
+_SEQ_TOPK = 20
+
+# Laplace-smoothed transition probability over the exact integer counts
+# (c_ab, c_a) and the type-cardinality scalar tt.
+_SEQ_NLL = "(-ln((c_ab + 1) / (1.0e0 * (c_a + tt))))"
+
+
+@query(
+    "user_sequence_anomaly",
+    oracle=f"""
+WITH tr AS MATERIALIZED (
+  SELECT user_id, prev, event_type AS cur FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NOT NULL
+), cab AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_ab
+  FROM tr GROUP BY 1, 2
+), ca AS (
+  SELECT prev, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY prev
+), tcnt AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS tt FROM events
+), peru AS (
+  SELECT tr.user_id,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         sum({N.sql_cents(_SEQ_NLL, 10**9)}) AS s9
+  FROM tr
+  JOIN cab ON tr.prev = cab.prev AND tr.cur = cab.cur
+  JOIN ca ON tr.prev = ca.prev
+  CROSS JOIN tcnt
+  GROUP BY tr.user_id
+), ranked AS (
+  SELECT user_id, n_transitions, s9,
+         row_number() OVER (
+           ORDER BY s9 * 1.0e0 / n_transitions DESC, user_id) AS rk
+  FROM peru
+)
+SELECT CAST(rk AS BIGINT) AS rk,
+       CAST(user_id AS BIGINT) AS user_id,
+       n_transitions,
+       {N.sql_rnd("CAST(s9 AS DOUBLE) / 1e9 / n_transitions", 6)}
+         AS mean_nll
+FROM ranked WHERE rk <= {_SEQ_TOPK}""",
+    doc="Per-user sequence-anomaly scoring: each user's event stream is "
+    "reduced to (prev → cur) type transitions (lag window per user, "
+    "deterministic ts/event_id order), the corpus-level Markov chain "
+    "is estimated with Laplace smoothing P(b|a) = (c_ab+1)/(c_a+T), "
+    "and the user's anomaly score is the mean NLL of their own "
+    f"transitions under it; top-{_SEQ_TOPK} most anomalous users "
+    "reported. Per-transition NLL is snapped to the 1e-9 grid and "
+    "integer-summed; the ranking compares the exact integer sum over "
+    "the integer count. Plan: one user-partitioned lag window, then "
+    "everything joins against the types²-bounded broadcast transition "
+    "matrix; the top-k cut is a TakeOrdered over users — facts "
+    "shuffle once, at 100 TB unchanged.",
+    survey_ids=("M7-B25",),
+)
+def user_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lag("event_type").over(wlag).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    cab = tr.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    ca = cab.groupBy("prev").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    tcnt = e.agg(
+        F.countDistinct("event_type").cast("bigint").alias("tt")
+    )
+    peru = (
+        tr.join(F.broadcast(cab), ["prev", "cur"])
+        .join(F.broadcast(ca), "prev")
+        .crossJoin(F.broadcast(tcnt))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(F.expr(N.sql_cents(_SEQ_NLL, 10**9))).alias("s9"),
+        )
+    )
+    ranked = peru.select(
+        "user_id",
+        "n_transitions",
+        "s9",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.expr("s9 * 1.0e0 / n_transitions").desc(), "user_id"
+            )
+        )
+        .cast("bigint")
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= _SEQ_TOPK).select(
+        "rk",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_transitions",
+        F.expr(
+            N.sql_rnd("CAST(s9 AS DOUBLE) / 1e9 / n_transitions", 6)
+        ).alias("mean_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# markov_backtest (round 8, sixth wave) — temporal backtest of the
+# Markov next-event predictor: train the transition matrix on the first
+# weeks, measure top-1 next-type accuracy on the held-out tail (the
+# time-split evaluation discipline applied to the sequence model)
+# ---------------------------------------------------------------------------
+
+_MB_SPLIT = "2024-01-24 00:00:00"
+
+
+@query(
+    "markov_backtest",
+    oracle=f"""
+WITH tr AS MATERIALIZED (
+  SELECT user_id, prev, event_type AS cur, ts FROM (
+    SELECT user_id, event_type, ts,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NOT NULL
+), train AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+  FROM tr WHERE ts < TIMESTAMP '{_MB_SPLIT}' GROUP BY 1, 2
+), pred AS (
+  SELECT prev, cur AS pred_next FROM (
+    SELECT prev, cur,
+           row_number() OVER (
+             PARTITION BY prev ORDER BY c DESC, cur) AS rk
+    FROM train) WHERE rk = 1
+), gmaj AS (
+  SELECT cur AS maj FROM (
+    SELECT cur, sum(c) AS s FROM train GROUP BY cur
+    ORDER BY s DESC, cur LIMIT 1)
+), test AS (
+  SELECT prev, cur FROM tr WHERE ts >= TIMESTAMP '{_MB_SPLIT}'
+), scored AS (
+  SELECT test.prev, test.cur,
+         CASE WHEN test.cur = coalesce(pred.pred_next, gmaj.maj)
+              THEN 1 ELSE 0 END AS hit,
+         CASE WHEN test.cur = gmaj.maj THEN 1 ELSE 0 END AS bhit
+  FROM test LEFT JOIN pred ON test.prev = pred.prev CROSS JOIN gmaj
+), per AS (
+  SELECT prev AS scope,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(hit) AS BIGINT) AS n_correct,
+         CAST(sum(bhit) AS BIGINT) AS n_baseline
+  FROM scored GROUP BY prev
+  UNION ALL
+  SELECT 'ALL', CAST(count(*) AS BIGINT), CAST(sum(hit) AS BIGINT),
+         CAST(sum(bhit) AS BIGINT)
+  FROM scored
+)
+SELECT scope, n_test, n_correct,
+       {N.sql_rnd("CAST(n_correct AS DOUBLE) / n_test", 6)} AS top1_acc,
+       {N.sql_rnd("CAST(n_baseline AS DOUBLE) / n_test", 6)}
+         AS baseline_acc
+FROM per""",
+    doc="Temporal backtest of the Markov next-event predictor: the "
+    f"transition matrix trains on transitions before {_MB_SPLIT} and "
+    "predicts argmax_b c(a,b) (count-desc, type-asc tie-break — an "
+    "exact integer decision) for each held-out transition after it; "
+    "unseen contexts fall back to the global majority next type. "
+    "Reports per-context and overall top-1 accuracy against the "
+    "always-predict-majority baseline — the lift readout that tells "
+    "you whether sequence context carries signal at all. Plan: one "
+    "user-partitioned lag window; train/test split is a predicate on "
+    "the same frame; the model is a types²-bounded broadcast and the "
+    "readout one aggregate — facts shuffle once at any scale.",
+    survey_ids=("M7-B26",),
+)
+def markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            "ts",
+            F.lag("event_type").over(wlag).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    split = F.lit(_MB_SPLIT).cast("timestamp")
+    train = (
+        tr.filter(F.col("ts") < split)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pred = (
+        train.select(
+            "prev",
+            F.col("cur").alias("pred_next"),
+            F.row_number()
+            .over(
+                Window.partitionBy("prev").orderBy(F.desc("c"), "cur")
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    gmaj = (
+        train.groupBy("cur")
+        .agg(F.sum("c").alias("s"))
+        .orderBy(F.desc("s"), "cur")
+        .limit(1)
+        .select(F.col("cur").alias("maj"))
+    )
+    test = tr.filter(F.col("ts") >= split).select("prev", "cur")
+    scored = (
+        test.join(F.broadcast(pred), "prev", "left")
+        .crossJoin(F.broadcast(gmaj))
+        .select(
+            "prev",
+            (
+                F.col("cur")
+                == F.coalesce("pred_next", "maj")
+            ).cast("int").alias("hit"),
+            (F.col("cur") == F.col("maj")).cast("int").alias("bhit"),
+        )
+    )
+    per = scored.groupBy(F.col("prev").alias("scope")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("hit").cast("bigint").alias("n_correct"),
+        F.sum("bhit").cast("bigint").alias("n_baseline"),
+    ).unionAll(
+        scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("hit").cast("bigint").alias("n_correct"),
+            F.sum("bhit").cast("bigint").alias("n_baseline"),
+        ).select(
+            F.lit("ALL").alias("scope"), "n_test", "n_correct", "n_baseline"
+        )
+    )
+    return per.select(
+        "scope",
+        "n_test",
+        "n_correct",
+        F.expr(N.sql_rnd("CAST(n_correct AS DOUBLE) / n_test", 6)).alias(
+            "top1_acc"
+        ),
+        F.expr(
+            N.sql_rnd("CAST(n_baseline AS DOUBLE) / n_test", 6)
+        ).alias("baseline_acc"),
+    )

@@ -117,14 +117,17 @@ _ATTESTATION_PRIORITY = [
     # 24-29 the 6 fifth-wave round-8 additions (lagged cross-correlation,
     #       HLL intersection, Kneser-Ney bigram LM, hinge-loss SVM,
     #       embedding isotropy, item co-occurrence recs) — never attested;
-    # 30-34 the 5 entries whose plans changed in round 8 AFTER their last
+    # 30-35 the 6 sixth-wave round-8 additions (inter-arrival fit,
+    #       user-sequence anomaly, Markov backtest, McNemar filter
+    #       agreement, Brier decomposition, RBO) — never attested;
+    # 36-40 the 5 entries whose plans changed in round 8 AFTER their last
     #       green driver row (gram-MinHash sub-block key, per-vector +
     #       candidate near-dup caps, lazy blocking-audit census, simhash
     #       API split) — their old attestations are stale against the
     #       current code;
-    # 35-50 16 regression probes re-attesting the OLDEST green rows
+    # 41-50 10 regression probes re-attesting the OLDEST green rows
     #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
-    #       suite, sampling).
+    #       suite).
     "dsir_resample",
     "bpe_train_merges",
     "anchor_substring_spans",
@@ -158,6 +161,13 @@ _ATTESTATION_PRIORITY = [
     "svm_hinge_gd",
     "embedding_isotropy",
     "item_cooccurrence_recs",
+    # -- round-8 sixth-wave additions (never attested) ------------------
+    "interarrival_fit",
+    "user_sequence_anomaly",
+    "markov_backtest",
+    "mcnemar_filter_agreement",
+    "brier_decomposition",
+    "rbo_rankings",
     # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",

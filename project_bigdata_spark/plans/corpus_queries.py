@@ -1493,3 +1493,123 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.sql_rnd("exp(-(sum(tf * lp9) / 1e9 / sum(tf)))", 4)
         ).alias("kn_ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rbo_rankings (round 8, sixth wave) — Rank-Biased Overlap (Webber et
+# al. 2010) between the BM25 and query-likelihood top-10 rankings for
+# the same query: the ranking-similarity meta-eval that tells you how
+# interchangeable two retrieval scorers actually are
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_DEPTH = 10
+# (1-p)*p^(d-1) weights as shared literals (exact same doubles in both
+# engines — no pow() at runtime).
+_RBO_W = "CASE " + " ".join(
+    f"WHEN d = {dd} THEN {(1.0 - _RBO_P) * _RBO_P ** (dd - 1)!r}"
+    for dd in range(1, _RBO_DEPTH + 1)
+) + " END"
+
+
+def _rbo_oracle() -> str:
+    from project_bigdata_spark.plans.catalog import QUERIES
+
+    bm25 = QUERIES["bm25_retrieval"].oracle
+    ql = QUERIES["query_likelihood_retrieval"].oracle
+    return f"""
+WITH a0 AS ({bm25}),
+a AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rka
+  FROM a0
+), b0 AS ({ql}),
+b AS (SELECT doc_id, rank AS rkb FROM b0),
+ab AS (
+  SELECT greatest(a.rka, b.rkb) AS m FROM a JOIN b USING (doc_id)
+), depths AS (
+  SELECT CAST(unnest(range(1, {_RBO_DEPTH} + 1)) AS BIGINT) AS d
+), ov AS (
+  SELECT d,
+         CAST(coalesce(sum(CASE WHEN ab.m <= d THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS overlap
+  FROM depths LEFT JOIN ab ON true GROUP BY d
+), terms AS (
+  SELECT d, overlap,
+         {N.sql_cents(f"({_RBO_W}) * overlap / (1.0e0 * d)", 10**9)}
+           AS t9
+  FROM ov
+)
+SELECT d AS depth, overlap,
+       {N.sql_rnd("overlap / (1.0e0 * d)", 6)} AS agreement,
+       {N.sql_rnd(
+           "sum(t9) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING"
+           " AND CURRENT ROW) / 1e9", 6)} AS rbo_cum
+FROM terms"""
+
+
+@query(
+    "rbo_rankings",
+    oracle=_rbo_oracle(),
+    doc="Rank-Biased Overlap (Webber et al. 2010, p = 0.9, truncated at "
+    f"depth {_RBO_DEPTH}) between the BM25 and the Dirichlet "
+    "query-likelihood top-10 rankings for the SAME 3-term query — both "
+    "rankings reuse the attested retrieval plans verbatim. Per depth "
+    "d: overlap |A_1..d ∩ B_1..d| (an exact integer from the joined "
+    "rank pairs' max-rank), agreement overlap/d, and the cumulative "
+    "RBO partial sum Σ (1−p)p^(d−1)·agreement with the geometric "
+    "weights inlined as shared literals and each term snapped to the "
+    "1e-9 grid before the cumulative window. The final row is the "
+    "truncated RBO — the number that says whether swapping scorers "
+    "would change what users actually see (top-weighted, unlike "
+    "Kendall). Plan: two TakeOrdered top-10 frames, a 10-row join, a "
+    "10-row window — everything after the retrieval passes is "
+    "constant-size at any corpus scale.",
+    survey_ids=("M7-R12",),
+)
+def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.plans.catalog import QUERIES
+
+    a0 = QUERIES["bm25_retrieval"].builder(spark, sf_dir)
+    a = a0.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("rka"),
+    )
+    b = QUERIES["query_likelihood_retrieval"].builder(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rkb")
+    )
+    ab = a.join(b, "doc_id").select(
+        F.greatest("rka", "rkb").alias("m")
+    )
+    depths = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").cast("bigint").alias("d")
+    )
+    ov = (
+        depths.crossJoin(F.broadcast(ab))
+        .groupBy("d")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("m") <= F.col("d")).cast("int")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    terms = ov.select(
+        "d",
+        "overlap",
+        F.expr(
+            N.sql_cents(f"({_RBO_W}) * overlap / (1.0e0 * d)", 10**9)
+        ).alias("t9"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        F.col("d").alias("depth"),
+        "overlap",
+        F.expr(N.sql_rnd("overlap / (1.0e0 * d)", 6)).alias("agreement"),
+        N.rnd(F.sum("t9").over(wcum) / 1e9, 6).alias("rbo_cum"),
+    )

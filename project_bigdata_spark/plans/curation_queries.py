@@ -2864,3 +2864,105 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(N.sql_rnd("(t9 * 1.0e0) / zt", 6)).alias("domain_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_filter_agreement (round 8, sixth wave) — paired-decision audit
+# of two quality filters on the SAME documents: agreement census,
+# Cohen's kappa, McNemar's test (the filter-governance meta-audit: do
+# two gates disagree more than chance, and asymmetrically?)
+# ---------------------------------------------------------------------------
+
+_MCN_MIN_WORDS = 30   # gate A: document length
+_MCN_TTR_PCT = 55     # gate B: type-token ratio >= 0.55, as the exact
+#                       integer cross-multiplication 100*distinct >= 55*total
+
+# Cohen's kappa from the exact 2x2 integers: (N*agree - X) / (N*N - X)
+# with X = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — one double render.
+_MCN_KAPPA = (
+    "((1.0e0 * nn * (n11 + n00)) - ((n11 + n10) * (n11 + n01)"
+    " + (n01 + n00) * (n10 + n00)))"
+    " / ((1.0e0 * nn * nn) - ((n11 + n10) * (n11 + n01)"
+    " + (n01 + n00) * (n10 + n00)))"
+)
+_MCN_CHI2 = (
+    "CASE WHEN (n10 + n01) = 0 THEN 0.0e0"
+    " ELSE ((n10 - n01) * (n10 - n01)) / (1.0e0 * (n10 + n01)) END"
+)
+
+
+@query(
+    "mcnemar_filter_agreement",
+    oracle=f"""
+WITH flags AS (
+  SELECT CASE WHEN len({WORDS_SQL}) >= {_MCN_MIN_WORDS}
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN 100 * len(list_distinct({WORDS_SQL}))
+                   >= {_MCN_TTR_PCT} * len({WORDS_SQL})
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM flags
+)
+SELECT nn AS n_docs, n11 AS both_keep, n10 AS a_only, n01 AS b_only,
+       n00 AS both_drop,
+       {N.sql_rnd("(n11 + n00) / (1.0e0 * nn)", 6)} AS agreement,
+       {N.sql_rnd(_MCN_KAPPA, 6)} AS kappa,
+       {N.sql_rnd(_MCN_CHI2, 6)} AS mcnemar_chi2
+FROM m""",
+    doc="Paired-decision audit of two document quality gates evaluated "
+    f"on the same corpus — A: word count ≥ {_MCN_MIN_WORDS}; B: "
+    f"type-token ratio ≥ 0.{_MCN_TTR_PCT} as the exact integer "
+    "cross-multiplication 100·distinct ≥ 55·total (no float "
+    "thresholds anywhere). Reports the 2×2 agreement census, Cohen's "
+    "kappa (chance-corrected agreement, computed as one double render "
+    "of exact integer cross-products), and McNemar's chi² "
+    "(n10−n01)²/(n10+n01) on the discordant cells — the test that "
+    "detects ASYMMETRIC disagreement between filters, which raw "
+    "agreement hides. This is the governance meta-audit you run "
+    "before swapping one curation gate for another. Plan: one "
+    "scan-side flag computation, one scalar reduce — no joins, no "
+    "shuffle of payloads; identical cost at 100 TB per pass.",
+    survey_ids=("M7-P9",),
+)
+def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = DD.fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            DD.words_col(F.col("text")).alias("_ws")
+        )
+    )
+    flags = d.select(
+        (F.size("_ws") >= _MCN_MIN_WORDS).cast("int").alias("a"),
+        (
+            F.lit(100) * F.size(F.array_distinct("_ws"))
+            >= F.lit(_MCN_TTR_PCT) * F.size("_ws")
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    m = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    return m.select(
+        F.col("nn").alias("n_docs"),
+        F.col("n11").alias("both_keep"),
+        F.col("n10").alias("a_only"),
+        F.col("n01").alias("b_only"),
+        F.col("n00").alias("both_drop"),
+        F.expr(N.sql_rnd("(n11 + n00) / (1.0e0 * nn)", 6)).alias(
+            "agreement"
+        ),
+        F.expr(N.sql_rnd(_MCN_KAPPA, 6)).alias("kappa"),
+        F.expr(N.sql_rnd(_MCN_CHI2, 6)).alias("mcnemar_chi2"),
+    )

@@ -518,3 +518,137 @@ def mrr_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("map_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition (round 8, sixth wave) — Murphy (1973) decomposition
+# of the Brier score into reliability / resolution / uncertainty over
+# the 10 calibration bins (the additive view behind calibration_bins'
+# per-bin gaps: WHY is the score what it is?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brier_decomposition",
+    oracle=f"""
+WITH {{qscored}},
+facts AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         CAST(sum(pos) AS BIGINT) AS pp,
+         sum({N.sql_cents("(s6 / 1e6 - pos) * (s6 / 1e6 - pos)", 10**9)})
+           AS br9
+  FROM qscored
+), bins AS (
+  SELECT least(CAST(floor(s6 / 100000) AS BIGINT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(s6) AS BIGINT) AS ss,
+         CAST(sum(pos) AS BIGINT) AS pk
+  FROM qscored GROUP BY 1
+), comp AS (
+  SELECT
+    sum({N.sql_cents(
+        "nk * ((ss / (1.0e0 * nk) / 1e6) - (pk / (1.0e0 * nk)))"
+        " * ((ss / (1.0e0 * nk) / 1e6) - (pk / (1.0e0 * nk)))",
+        10**9)}) AS rel9,
+    sum({N.sql_cents(
+        "nk * ((pk / (1.0e0 * nk)) - (facts.pp / (1.0e0 * facts.nn)))"
+        " * ((pk / (1.0e0 * nk)) - (facts.pp / (1.0e0 * facts.nn)))",
+        10**9)}) AS res9
+  FROM bins CROSS JOIN facts
+)
+SELECT facts.nn AS n_docs,
+       {N.sql_rnd("CAST(br9 AS DOUBLE) / 1e9 / nn", 6)} AS brier,
+       {N.sql_rnd("CAST(rel9 AS DOUBLE) / 1e9 / nn", 6)} AS reliability,
+       {N.sql_rnd("CAST(res9 AS DOUBLE) / 1e9 / nn", 6)} AS resolution,
+       {N.sql_rnd("(pp / (1.0e0 * nn)) * (1.0e0 - pp / (1.0e0 * nn))",
+                  6)} AS uncertainty,
+       {N.sql_rnd(
+           "CAST(br9 AS DOUBLE) / 1e9 / nn"
+           " - (CAST(rel9 AS DOUBLE) / 1e9 / nn"
+           "    - CAST(res9 AS DOUBLE) / 1e9 / nn"
+           "    + (pp / (1.0e0 * nn)) * (1.0e0 - pp / (1.0e0 * nn)))",
+           6)} AS within_bin
+FROM facts CROSS JOIN comp""".format(qscored=_qscored_sql()),
+    doc="Murphy (1973) decomposition of the Brier score of the "
+    "composite quality score as an English-document forecaster, over "
+    "the same 10 probability bins as calibration_bins: BS ≈ REL − RES "
+    "+ UNC, with REL = Σ n_k(f̄_k−ō_k)²/N (calibration error — "
+    "punishes miscalibrated bins), RES = Σ n_k(ō_k−ō)²/N (how much "
+    "the forecast separates outcomes), UNC = ō(1−ō) (irreducible base-"
+    "rate variance), and the residual reported as within_bin — the "
+    "within-bin forecast variance the binned identity absorbs "
+    "(Stephenson et al. 2008's generalized terms), so the row is "
+    "self-auditing: brier − (rel − res + unc) = within_bin exactly. "
+    "Raw Brier terms and each bin's contribution are snapped to the "
+    "1e-9 grid and integer-summed from exact integer inputs. Plan: "
+    "two aggregates over the scoring pass (scalar + 10 bins); the "
+    "component reduce runs over 10 rows — scale-invariant.",
+    survey_ids=("M7-R11",),
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _qscored(spark, sf_dir).localCheckpoint()
+    facts = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("pp"),
+        F.sum(
+            F.expr(
+                N.sql_cents(
+                    "(s6 / 1e6 - pos) * (s6 / 1e6 - pos)", 10**9
+                )
+            )
+        ).alias("br9"),
+    )
+    bins = q.groupBy(
+        F.least(F.floor(F.col("s6") / 100000).cast("bigint"), F.lit(9))
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("s6").cast("bigint").alias("ss"),
+        F.sum("pos").cast("bigint").alias("pk"),
+    )
+    comp = bins.crossJoin(F.broadcast(facts)).agg(
+        F.sum(
+            F.expr(
+                N.sql_cents(
+                    "nk * ((ss / (1.0e0 * nk) / 1e6) - (pk / (1.0e0 * nk)))"
+                    " * ((ss / (1.0e0 * nk) / 1e6) - (pk / (1.0e0 * nk)))",
+                    10**9,
+                )
+            )
+        ).alias("rel9"),
+        F.sum(
+            F.expr(
+                N.sql_cents(
+                    "nk * ((pk / (1.0e0 * nk)) - (pp / (1.0e0 * nn)))"
+                    " * ((pk / (1.0e0 * nk)) - (pp / (1.0e0 * nn)))",
+                    10**9,
+                )
+            )
+        ).alias("res9"),
+    )
+    return facts.crossJoin(F.broadcast(comp)).select(
+        F.col("nn").alias("n_docs"),
+        F.expr(N.sql_rnd("CAST(br9 AS DOUBLE) / 1e9 / nn", 6)).alias(
+            "brier"
+        ),
+        F.expr(N.sql_rnd("CAST(rel9 AS DOUBLE) / 1e9 / nn", 6)).alias(
+            "reliability"
+        ),
+        F.expr(N.sql_rnd("CAST(res9 AS DOUBLE) / 1e9 / nn", 6)).alias(
+            "resolution"
+        ),
+        F.expr(
+            N.sql_rnd(
+                "(pp / (1.0e0 * nn)) * (1.0e0 - pp / (1.0e0 * nn))", 6
+            )
+        ).alias("uncertainty"),
+        F.expr(
+            N.sql_rnd(
+                "CAST(br9 AS DOUBLE) / 1e9 / nn"
+                " - (CAST(rel9 AS DOUBLE) / 1e9 / nn"
+                "    - CAST(res9 AS DOUBLE) / 1e9 / nn"
+                "    + (pp / (1.0e0 * nn)) * (1.0e0 - pp / (1.0e0 * nn)))",
+                6,
+            )
+        ).alias("within_bin"),
+    )

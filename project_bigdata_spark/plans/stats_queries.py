@@ -4052,3 +4052,112 @@ def lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_hours"),
         F.expr(N.sql_rnd(_XC_R, 6)).alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interarrival_fit (round 8, sixth wave) — exponential MLE on per-type
+# inter-arrival gaps + one-sample Kolmogorov-Smirnov goodness-of-fit
+# (is the arrival process Poisson? the companion question to
+# overdispersion_test's count-side answer)
+# ---------------------------------------------------------------------------
+
+# F(g) under the fitted Exp(lambda = n/tot): engine-neutral over the
+# exact integer columns g (gap micros), n (gap count), tot (gap sum).
+_IA_F = "(1.0e0 - exp(-((g * n) / (1.0e0 * tot))))"
+_IA_D = (
+    f"greatest((i / (1.0e0 * n)) - {_IA_F},"
+    f" {_IA_F} - ((i - 1) / (1.0e0 * n)))"
+)
+
+
+@query(
+    "interarrival_fit",
+    oracle=f"""
+WITH gaps AS MATERIALIZED (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS g
+  FROM events
+), gg AS MATERIALIZED (
+  SELECT event_type, g FROM gaps WHERE g IS NOT NULL
+), st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS tot
+  FROM gg GROUP BY event_type
+), rk AS (
+  SELECT event_type, g,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY g) AS BIGINT) AS i
+  FROM gg
+), d AS (
+  SELECT rk.event_type, max({_IA_D}) AS ks
+  FROM rk JOIN st ON rk.event_type = st.event_type
+  GROUP BY rk.event_type
+)
+SELECT st.event_type,
+       st.n AS n_gaps,
+       {N.sql_rnd("(tot / (1.0e0 * n)) / 1e6", 4)} AS mean_gap_s,
+       {N.sql_rnd("n * 3.6e9 / (1.0e0 * tot)", 4)} AS lambda_per_hour,
+       {N.sql_rnd("ks", 6)} AS ks_stat,
+       CAST(CASE WHEN ks > 1.36 / sqrt(1.0e0 * n)
+            THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM st JOIN d ON st.event_type = d.event_type""",
+    doc="Per event type: exponential MLE on the inter-arrival gaps "
+    "(lambda = n/Σgap on the exact integer microsecond grid) and the "
+    "one-sample Kolmogorov-Smirnov statistic against the fitted "
+    "Exp(lambda) — D = max_i max(i/n − F(g_(i)), F(g_(i)) − (i−1)/n), "
+    "with the 95% Smirnov threshold 1.36/√n as an integer decision "
+    "flag. If arrivals were Poisson the gaps are exponential; this is "
+    "the gap-side lens that pairs with overdispersion_test's "
+    "count-side VMR. All inputs to every double kernel are exact "
+    "integers (gap micros, n, Σ) so both engines compute identical "
+    "doubles; ties in the sorted gaps contribute a contiguous "
+    "row-number range whose max/min terms are order-independent. "
+    "Plan: one window per type for the lag, one per-type sort for the "
+    "ranks — both bounded by facts-per-type, no cross-type shuffle; "
+    "at 100 TB each type's series sorts inside its own partition "
+    "range, never globally.",
+    survey_ids=("M7-A72",),
+)
+def interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gg = (
+        e.select(
+            "event_type", (us - F.lag(us).over(wlag)).alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    st = gg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("tot"),
+    )
+    rk = gg.select(
+        "event_type",
+        "g",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("g"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    d = (
+        rk.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(F.max(F.expr(_IA_D)).alias("ks"))
+    )
+    return st.join(F.broadcast(d), "event_type").select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.expr(N.sql_rnd("(tot / (1.0e0 * n)) / 1e6", 4)).alias(
+            "mean_gap_s"
+        ),
+        F.expr(N.sql_rnd("n * 3.6e9 / (1.0e0 * tot)", 4)).alias(
+            "lambda_per_hour"
+        ),
+        F.expr(N.sql_rnd("ks", 6)).alias("ks_stat"),
+        F.expr(
+            "CAST(CASE WHEN ks > 1.36 / sqrt(1.0e0 * n)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_95"),
+    )

@@ -247,6 +247,13 @@ EXTRA = [
     "svm_hinge_gd",
     "embedding_isotropy",
     "item_cooccurrence_recs",
+    # round-8 sixth-wave additions
+    "interarrival_fit",
+    "user_sequence_anomaly",
+    "markov_backtest",
+    "mcnemar_filter_agreement",
+    "brier_decomposition",
+    "rbo_rankings",
 ]
 
 

@@ -143,6 +143,20 @@ SINGLE_PARTITION_OK = {
     "svm_hinge_gd": "per-step subgradient reduce to one scalar row "
     "crossed with the 1-row broadcast weight state — the "
     "logistic_gd_classifier shape with a hinge kernel",
+    "user_sequence_anomaly": "top-20 rank filter compiles to "
+    "WindowGroupLimit (per-partition partial top-k before the single-"
+    "partition final, the tfidf_top_terms discipline) + one-row "
+    "type-cardinality scalar",
+    "markov_backtest": "LIMIT 1 global-majority cut over the "
+    "types-cardinality count frame + the overall-accuracy scalar "
+    "reduce union branch",
+    "mcnemar_filter_agreement": "ONE 2x2-census scalar reduce — the "
+    "whole output is a single row of exact integer counts",
+    "brier_decomposition": "scalar Brier reduce + the component reduce "
+    "over the 10-bin frame crossed with the 1-row totals",
+    "rbo_rankings": "both inputs are TakeOrdered top-10 cuts; the "
+    "depth join, overlap aggregate and cumulative window all run on "
+    "10-row frames by construction",
     "lagged_crosscorr": "one-row min/max bounds scalar seeding the "
     "dense hour grid; the per-lag Pearson reduce runs over the "
     "series-length-bounded (720×13) aligned frame, never facts",
