@@ -120,12 +120,14 @@ _ATTESTATION_PRIORITY = [
     # 30-35 the 6 sixth-wave round-8 additions (inter-arrival fit,
     #       user-sequence anomaly, Markov backtest, McNemar filter
     #       agreement, Brier decomposition, RBO) — never attested;
-    # 36-40 the 5 entries whose plans changed in round 8 AFTER their last
+    # 36-37 the 2 seventh-wave round-8 additions (Wilson proportion CI,
+    #       hour-of-day uniformity test) — never attested;
+    # 38-42 the 5 entries whose plans changed in round 8 AFTER their last
     #       green driver row (gram-MinHash sub-block key, per-vector +
     #       candidate near-dup caps, lazy blocking-audit census, simhash
     #       API split) — their old attestations are stale against the
     #       current code;
-    # 41-50 10 regression probes re-attesting the OLDEST green rows
+    # 43-50 8 regression probes re-attesting the OLDEST green rows
     #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
     #       suite).
     "dsir_resample",
@@ -168,6 +170,9 @@ _ATTESTATION_PRIORITY = [
     "mcnemar_filter_agreement",
     "brier_decomposition",
     "rbo_rankings",
+    # -- round-8 seventh-wave additions (never attested) ----------------
+    "wilson_proportion_ci",
+    "hod_uniformity_test",
     # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",

@@ -4161,3 +4161,157 @@ def interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wilson_proportion_ci (round 8, seventh wave) — Wilson score interval
+# vs the Wald interval for a per-type event proportion (Brown, Cai &
+# DasGupta 2001: Wald is broken near the boundary; Wilson is the
+# monitoring-grade default)
+# ---------------------------------------------------------------------------
+
+_WP_Z = 1.959963984540054  # norm.ppf(0.975), shared literal
+_WP_CENTS = 5000           # success = value >= 50.00 on the cents grid
+
+# Wilson bounds from exact integers k (successes), n (trials):
+# (p + z²/2n ± z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+_WP_PHAT = "(k / (1.0e0 * n))"
+_WP_HALF = (
+    f"({_WP_Z!r} * sqrt({_WP_PHAT} * (1.0e0 - {_WP_PHAT}) / n"
+    f" + {_WP_Z!r} * {_WP_Z!r} / (4.0e0 * n * n)))"
+)
+_WP_DEN = f"(1.0e0 + {_WP_Z!r} * {_WP_Z!r} / n)"
+_WP_MID = f"({_WP_PHAT} + {_WP_Z!r} * {_WP_Z!r} / (2.0e0 * n))"
+_WP_LO = f"(({_WP_MID} - {_WP_HALF}) / {_WP_DEN})"
+_WP_HI = f"(({_WP_MID} + {_WP_HALF}) / {_WP_DEN})"
+_WP_WALD = f"({_WP_Z!r} * sqrt({_WP_PHAT} * (1.0e0 - {_WP_PHAT}) / n))"
+
+
+@query(
+    "wilson_proportion_ci",
+    oracle=f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN {N.sql_cents("value")} >= {_WP_CENTS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n AS n_events, k AS n_success,
+       {N.sql_rnd(_WP_PHAT, 6)} AS p_hat,
+       {N.sql_rnd(_WP_LO, 6)} AS wilson_lo,
+       {N.sql_rnd(_WP_HI, 6)} AS wilson_hi,
+       {N.sql_rnd(f"greatest({_WP_PHAT} - {_WP_WALD}, 0.0e0)", 6)}
+         AS wald_lo,
+       {N.sql_rnd(f"least({_WP_PHAT} + {_WP_WALD}, 1.0e0)", 6)}
+         AS wald_hi
+FROM m""",
+    doc="95% confidence intervals for the per-type share of high-value "
+    "events (value ≥ 50.00 as the exact integer cents comparison): the "
+    "Wilson score interval next to the clamped Wald interval it should "
+    "replace (Brown-Cai-DasGupta 2001 — Wald's coverage collapses near "
+    "0/1 and small n; Wilson's center shrinks toward 1/2). Inputs are "
+    "exact integer (k, n) per type and the z literal is shared, so "
+    "both engines render identical doubles through the identical "
+    "algebra strings. Plan: ONE map-side-combining aggregate of the "
+    "fact table to types-cardinality rows; every interval is "
+    "per-group scalar math — the 100 TB cost is the single scan.",
+    survey_ids=("M7-A73",),
+)
+def wilson_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (N.cents("value") >= _WP_CENTS).cast("int")
+        ).cast("bigint").alias("k"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_success"),
+        F.expr(N.sql_rnd(_WP_PHAT, 6)).alias("p_hat"),
+        F.expr(N.sql_rnd(_WP_LO, 6)).alias("wilson_lo"),
+        F.expr(N.sql_rnd(_WP_HI, 6)).alias("wilson_hi"),
+        F.expr(
+            N.sql_rnd(f"greatest({_WP_PHAT} - {_WP_WALD}, 0.0e0)", 6)
+        ).alias("wald_lo"),
+        F.expr(
+            N.sql_rnd(f"least({_WP_PHAT} + {_WP_WALD}, 1.0e0)", 6)
+        ).alias("wald_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hod_uniformity_test (round 8, seventh wave) — chi-square uniformity
+# test of each type's hour-of-day profile (is traffic diurnal or flat?
+# the seasonality-detection gate in front of seasonal models)
+# ---------------------------------------------------------------------------
+
+_HOD_CRIT_95 = 35.17246162690805  # chi2.ppf(0.95, df=23), shared literal
+
+# chi2 = sum_h (o_h - n/24)^2 / (n/24) = (24 * sum o^2 - n^2) / n — an
+# EXACT integer ratio rendered with one division.
+_HOD_CHI2 = "((24.0e0 * q - 1.0e0 * n * n) / n)"
+
+
+@query(
+    "hod_uniformity_test",
+    oracle=f"""
+WITH hod AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(sum(o) AS BIGINT) AS n,
+         CAST(sum(o * o) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n_hours_seen,
+         CAST(max(o) AS BIGINT) AS peak,
+         CAST(min(o) AS BIGINT) AS trough
+  FROM hod GROUP BY event_type
+)
+SELECT event_type, n AS n_events, n_hours_seen, peak, trough,
+       {N.sql_rnd(_HOD_CHI2, 6)} AS chi2,
+       CAST(CASE WHEN {_HOD_CHI2} > {_HOD_CRIT_95!r}
+            THEN 1 ELSE 0 END AS BIGINT) AS nonuniform_95
+FROM m WHERE n_hours_seen = 24""",
+    doc="Chi-square uniformity test of each event type's hour-of-day "
+    "histogram against the flat 24-bin null: chi² = Σ(o_h − n/24)²/"
+    "(n/24), algebraically collapsed to the EXACT integer ratio "
+    "(24·Σo² − n²)/n so no per-bin float ever exists, compared to the "
+    "df=23 95% critical value as a shared literal (the df is fixed by "
+    "construction, so no approximation is needed — unlike "
+    "overdispersion_test's data-dependent df). Reports peak/trough "
+    "hour loads as the effect-size context. This is the gate you run "
+    "before fitting seasonal models: flat profiles don't need them. "
+    "Plan: facts collapse to types×24 cells in ONE group pass; the "
+    "test is a types-cardinality reduce — scan-bound at any scale.",
+    survey_ids=("M7-A74",),
+)
+def hod_uniformity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hod = e.groupBy(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    m = hod.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("bigint").alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours_seen"),
+        F.max("o").cast("bigint").alias("peak"),
+        F.min("o").cast("bigint").alias("trough"),
+    )
+    return m.filter(F.col("n_hours_seen") == 24).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "n_hours_seen",
+        "peak",
+        "trough",
+        F.expr(N.sql_rnd(_HOD_CHI2, 6)).alias("chi2"),
+        F.expr(
+            f"CAST(CASE WHEN {_HOD_CHI2} > {_HOD_CRIT_95!r}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("nonuniform_95"),
+    )

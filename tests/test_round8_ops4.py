@@ -335,3 +335,101 @@ def test_rbo_rankings_matches_python(spark, sf_dir):
     # RBO is bounded by 1 and the cumulative sum is monotone
     cums = [got[d][2] for d in range(1, 11)]
     assert cums == sorted(cums) and cums[-1] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# wilson_proportion_ci — interval algebra replayed from exact (k, n)
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_proportion_ci_matches_python(spark, sf_dir):
+    z = 1.959963984540054
+    kn: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for r in _events_us(sf_dir):
+        c = kn[r["event_type"]]
+        c[1] += 1
+        v = r["value"]
+        cents = (
+            math.floor(v * 100 + 0.5)
+            if v >= 0
+            else -math.floor(-v * 100 + 0.5)
+        )
+        c[0] += 1 if cents >= 5000 else 0
+    expect = {}
+    for et, (k, n) in kn.items():
+        p = k / (1.0 * n)
+        half = z * math.sqrt(
+            p * (1.0 - p) / n + z * z / (4.0 * n * n)
+        )
+        den = 1.0 + z * z / n
+        mid = p + z * z / (2.0 * n)
+        wald = z * math.sqrt(p * (1.0 - p) / n)
+        expect[et] = (
+            n,
+            k,
+            _rnd(p, 6),
+            _rnd((mid - half) / den, 6),
+            _rnd((mid + half) / den, 6),
+            _rnd(max(p - wald, 0.0), 6),
+            _rnd(min(p + wald, 1.0), 6),
+        )
+    got = {
+        r.event_type: (
+            r.n_events,
+            r.n_success,
+            r.p_hat,
+            r.wilson_lo,
+            r.wilson_hi,
+            r.wald_lo,
+            r.wald_hi,
+        )
+        for r in _q("wilson_proportion_ci")(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # Wilson stays inside [0,1] and contains p_hat
+    for (_, _, p, lo, hi, _, _) in got.values():
+        assert 0.0 <= lo <= p <= hi <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# hod_uniformity_test — the collapsed integer chi2 replayed
+# ---------------------------------------------------------------------------
+
+
+def test_hod_uniformity_matches_python(spark, sf_dir):
+    crit = 35.17246162690805
+    hod: dict[str, Counter] = defaultdict(Counter)
+    for r in _events_us(sf_dir):
+        h = (r["us"] // 3_600_000_000) % 24
+        hod[r["event_type"]][h] += 1
+    expect = {}
+    for et, c in hod.items():
+        if len(c) != 24:
+            continue
+        n = sum(c.values())
+        q = sum(o * o for o in c.values())
+        chi2 = (24.0 * q - 1.0 * n * n) / n
+        # identity: the collapsed form equals the textbook per-bin sum
+        e = n / 24.0
+        textbook = sum((o - e) ** 2 / e for o in c.values())
+        assert abs(chi2 - textbook) < 1e-6
+        expect[et] = (
+            n,
+            24,
+            max(c.values()),
+            min(c.values()),
+            _rnd(chi2, 6),
+            1 if chi2 > crit else 0,
+        )
+    got = {
+        r.event_type: (
+            r.n_events,
+            r.n_hours_seen,
+            r.peak,
+            r.trough,
+            r.chi2,
+            r.nonuniform_95,
+        )
+        for r in _q("hod_uniformity_test")(spark, sf_dir).collect()
+    }
+    assert got == expect

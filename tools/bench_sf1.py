@@ -213,6 +213,9 @@ QUERIES = [
     "mcnemar_filter_agreement",
     "brier_decomposition",
     "rbo_rankings",
+    # round-8 seventh-wave additions
+    "wilson_proportion_ci",
+    "hod_uniformity_test",
 ]
 
 
