@@ -1759,3 +1759,108 @@ def markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.sql_rnd("CAST(n_baseline AS DOUBLE) / n_test", 6)
         ).alias("baseline_acc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rec_coverage_audit (round 8, eighth wave) — catalog coverage and
+# exposure concentration of the item_cooccurrence_recs output (the
+# RecSys aggregate-diversity audit: a recommender that only ever shows
+# 10 popular items has high accuracy and no catalog value)
+# ---------------------------------------------------------------------------
+
+# Gini over the per-item exposure counts (rank-weighted exact integer
+# form on the ascending-sorted counts): (2*sum(i*c_i))/(n*T) - (n+1)/n
+_RCA_GINI = (
+    "((2.0e0 * swc) / (1.0e0 * nrec * t) - (nrec + 1.0e0) / nrec)"
+)
+
+
+def _rca_oracle() -> str:
+    from project_bigdata_spark.plans.catalog import QUERIES
+
+    recs = QUERIES["item_cooccurrence_recs"].oracle
+    return f"""
+WITH recs AS MATERIALIZED (
+  SELECT * FROM ({recs})
+), catalog AS (
+  SELECT CAST(count(DISTINCT CAST(json_extract_string(props, '$.k')
+              AS INT)) AS BIGINT) AS n_catalog
+  FROM events WHERE props IS NOT NULL
+), expo AS (
+  SELECT rec_item, CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY 1
+), ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, rec_item) AS BIGINT)
+           AS i
+  FROM expo
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS nrec,
+         CAST(sum(c) AS BIGINT) AS t,
+         CAST(sum(i * c) AS BIGINT) AS swc,
+         CAST(max(c) AS BIGINT) AS max_expo
+  FROM ranked
+)
+SELECT catalog.n_catalog AS catalog_items,
+       g.nrec AS recommended_items,
+       g.t AS n_rec_rows,
+       {N.sql_rnd("(1.0e0 * nrec) / n_catalog", 6)} AS coverage,
+       {N.sql_rnd(_RCA_GINI, 6)} AS exposure_gini,
+       g.max_expo AS max_exposure
+FROM g CROSS JOIN catalog"""
+
+
+@query(
+    "rec_coverage_audit",
+    oracle=_rca_oracle(),
+    doc="Aggregate-diversity audit of the co-occurrence recommender "
+    "(Adomavicius & Kwon 2012's coverage lens): catalog coverage = "
+    "distinct items that appear in anyone's top-3 over the full item "
+    "catalog, and the exposure Gini over per-item recommendation "
+    "counts (0 = every recommended item shown equally, →1 = exposure "
+    "concentrated on a few popular items — the popularity-bias "
+    "failure accuracy metrics can't see). Reuses the attested "
+    "item_cooccurrence_recs plan verbatim; the Gini uses the exact "
+    "integer rank-weighted form on the deterministically tie-broken "
+    "ascending counts. Plan: the recs plan + one vocabulary-bounded "
+    "exposure aggregate + a rank window over ≤|items| rows — audit "
+    "cost is catalog-sized, never fact-sized.",
+    survey_ids=("M7-B27",),
+)
+def rec_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.plans.catalog import QUERIES
+
+    recs = QUERIES["item_cooccurrence_recs"].builder(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    catalog = (
+        e.filter(F.col("props").isNotNull())
+        .agg(
+            F.countDistinct(
+                F.get_json_object("props", "$.k").cast("int")
+            ).cast("bigint").alias("n_catalog")
+        )
+    )
+    expo = recs.groupBy("rec_item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ranked = expo.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "rec_item"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nrec"),
+        F.sum("c").cast("bigint").alias("t"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("swc"),
+        F.max("c").cast("bigint").alias("max_expo"),
+    )
+    return g.crossJoin(F.broadcast(catalog)).select(
+        F.col("n_catalog").alias("catalog_items"),
+        F.col("nrec").alias("recommended_items"),
+        F.col("t").alias("n_rec_rows"),
+        F.expr(N.sql_rnd("(1.0e0 * nrec) / n_catalog", 6)).alias(
+            "coverage"
+        ),
+        F.expr(N.sql_rnd(_RCA_GINI, 6)).alias("exposure_gini"),
+        F.col("max_expo").alias("max_exposure"),
+    )

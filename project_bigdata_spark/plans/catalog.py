@@ -122,14 +122,16 @@ _ATTESTATION_PRIORITY = [
     #       agreement, Brier decomposition, RBO) — never attested;
     # 36-37 the 2 seventh-wave round-8 additions (Wilson proportion CI,
     #       hour-of-day uniformity test) — never attested;
-    # 38-42 the 5 entries whose plans changed in round 8 AFTER their last
+    # 38-42 the 5 eighth-wave round-8 additions (cluster quality
+    #       indices, ERR, Cochran's Q, Yule's K, rec coverage audit) —
+    #       never attested;
+    # 43-47 the 5 entries whose plans changed in round 8 AFTER their last
     #       green driver row (gram-MinHash sub-block key, per-vector +
     #       candidate near-dup caps, lazy blocking-audit census, simhash
     #       API split) — their old attestations are stale against the
     #       current code;
-    # 43-50 8 regression probes re-attesting the OLDEST green rows
-    #       (round-1/round-2 vintage: the relational/TPC-H subset, DQ
-    #       suite).
+    # 48-50 3 regression probes re-attesting the OLDEST green rows
+    #       (round-1 vintage).
     "dsir_resample",
     "bpe_train_merges",
     "anchor_substring_spans",
@@ -173,6 +175,12 @@ _ATTESTATION_PRIORITY = [
     # -- round-8 seventh-wave additions (never attested) ----------------
     "wilson_proportion_ci",
     "hod_uniformity_test",
+    # -- round-8 eighth-wave additions (never attested) -----------------
+    "cluster_quality_indices",
+    "err_eval",
+    "cochran_q_gates",
+    "yule_k_richness",
+    "rec_coverage_audit",
     # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",

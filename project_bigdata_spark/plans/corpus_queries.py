@@ -1613,3 +1613,78 @@ def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(N.sql_rnd("overlap / (1.0e0 * d)", 6)).alias("agreement"),
         N.rnd(F.sum("t9").over(wcum) / 1e9, 6).alias("rbo_cum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# yule_k_richness (round 8, eighth wave) — Yule's characteristic K and
+# the lexical repeat rate per language (Yule 1944): the length-robust
+# vocabulary-richness constant that completes the estimator trio with
+# Chao1 (unseen species) and Heaps (growth law)
+# ---------------------------------------------------------------------------
+
+# K = 1e4 * (sum_m m^2 * V_m - N) / N^2 over the count-of-counts frame
+# (V_m = #distinct words occurring m times, N = total tokens) — EXACT
+# integers, one double render. The repeat rate sum(tf*(tf-1))/(N*(N-1))
+# (Simpson/Herdan) shares the same sufficient statistics since
+# sum m^2 V_m = sum tf^2.
+_YK_K = "(1.0e4 * (1.0e0 * s2 - n) / (1.0e0 * n * n))"
+_YK_RR = "((1.0e0 * s2 - n) / (1.0e0 * n * (n - 1)))"
+
+
+@query(
+    "yule_k_richness",
+    oracle=f"""
+WITH tf AS MATERIALIZED (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT lang, unnest({WORDS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2
+), m AS (
+  SELECT lang,
+         CAST(sum(tf) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(tf * tf) AS BIGINT) AS s2
+  FROM tf GROUP BY lang
+)
+SELECT lang, n AS n_tokens, vocab,
+       {N.sql_rnd(_YK_K, 4)} AS yule_k,
+       {N.sql_rnd(_YK_RR, 8)} AS repeat_rate
+FROM m WHERE n > 1""",
+    doc="Yule's characteristic K per language (Yule 1944, the "
+    "length-robust lexical-richness constant: K = 10⁴(Σm²V_m − N)/N² "
+    "over the word count-of-counts; higher K = more repetitive "
+    "vocabulary) plus the Simpson/Herdan repeat rate Σtf(tf−1)/N(N−1) "
+    "— the probability two random tokens are the same word — from the "
+    "SAME exact integer sufficient statistics (N, V, Σtf²). Completes "
+    "the corpus-estimator trio with chao1_vocab_richness (unseen "
+    "mass) and the Heaps-law fit (growth): Chao1 asks how much is "
+    "missing, Heaps how fast it grows, Yule how concentrated what "
+    "exists is. Plan: one token shuffle to the vocabulary-bounded tf "
+    "frame, one languages-cardinality reduce — the count-of-counts "
+    "idiom, never a second pass over facts.",
+    survey_ids=("M7-C28",),
+)
+def yule_k_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out, words_col
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            "lang", words_col(F.col("text")).alias("_ws")
+        )
+    )
+    tf = (
+        d.select("lang", F.explode("_ws").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    m = tf.groupBy("lang").agg(
+        F.sum("tf").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("s2"),
+    )
+    return m.filter(F.col("n") > 1).select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.expr(N.sql_rnd(_YK_K, 4)).alias("yule_k"),
+        F.expr(N.sql_rnd(_YK_RR, 8)).alias("repeat_rate"),
+    )

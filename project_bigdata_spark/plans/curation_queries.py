@@ -2966,3 +2966,314 @@ def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(N.sql_rnd(_MCN_KAPPA, 6)).alias("kappa"),
         F.expr(N.sql_rnd(_MCN_CHI2, 6)).alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster_quality_indices (round 8, eighth wave) — INTERNAL clustering
+# evaluation of the kmeans_lloyd partition: simplified silhouette
+# (centroid-based, Rousseeuw 1987 / the linear-time variant) and the
+# Davies-Bouldin components — the no-labels scoreboard next to
+# clustering_ari_eval's label-based one
+# ---------------------------------------------------------------------------
+
+# silhouette from the snapped integer centroid distances a9 (own) and
+# b9 (nearest other): (b-a)/max(a,b), zero-guarded.
+_CQI_SIL = (
+    "(CASE WHEN greatest(a9, b9) = 0 THEN 0.0e0"
+    " ELSE (b9 - a9) / (1.0e0 * greatest(a9, b9)) END)"
+)
+# Davies-Bouldin pair term over integer sums: (S_k + S_j) / M_kj with
+# S = mean member->centroid distance (1e-9 units cancel against m9).
+_CQI_DB = (
+    "((sa9 / (1.0e0 * na)) + (sb9 / (1.0e0 * nb))) / (1.0e0 * m9)"
+)
+
+
+@query(
+    "cluster_quality_indices",
+    oracle=f"""
+WITH km AS MATERIALIZED (SELECT * FROM ({_KM_ORACLE})),
+vd2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST({_KM_SNAP_INT} AS DOUBLE) / 1e6) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> {_KM_SNAP_INT}) AS vi
+  FROM embeddings
+), cent AS MATERIALIZED (
+  SELECT cluster AS cid,
+         list((CAST(s AS DOUBLE) / n) / 1e6 ORDER BY i) AS c
+  FROM (
+    SELECT km.cluster, t.i,
+           CAST(sum(v2.vi[t.i]) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM km JOIN vd2 v2 USING (vec_id)
+    CROSS JOIN generate_series(1, {_KM_DIM}) t(i)
+    GROUP BY 1, 2)
+  GROUP BY cluster
+), xd AS MATERIALIZED (
+  SELECT v.vec_id, km.cluster AS own, cent.cid,
+         {N.sql_cents(
+             "sqrt(" + _SQDIST_SQL.format(a="v.v", b="cent.c") + ")",
+             10**9)} AS e9
+  FROM vd2 v JOIN km USING (vec_id) CROSS JOIN cent
+), sil AS (
+  SELECT vec_id, own,
+         min(CASE WHEN cid = own THEN e9 END) AS a9,
+         min(CASE WHEN cid <> own THEN e9 END) AS b9
+  FROM xd GROUP BY 1, 2
+), percl AS (
+  SELECT own AS cluster,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum({N.sql_cents(_CQI_SIL, 10**9)}) AS BIGINT) AS ssil9,
+         CAST(sum(a9) AS BIGINT) AS sa9
+  FROM sil GROUP BY own
+), mkj AS (
+  SELECT a.cid AS ka, b.cid AS kb,
+         {N.sql_cents(
+             "sqrt(" + _SQDIST_SQL.format(a="a.c", b="b.c") + ")",
+             10**9)} AS m9
+  FROM cent a JOIN cent b ON a.cid <> b.cid
+), db AS (
+  SELECT ka AS cluster,
+         max({_CQI_DB.replace("sa9 / (1.0e0 * na)",
+                              "pa.sa9 / (1.0e0 * pa.n_vecs)")
+                     .replace("sb9 / (1.0e0 * nb)",
+                              "pb.sa9 / (1.0e0 * pb.n_vecs)")}) AS dbc
+  FROM mkj
+  JOIN percl pa ON pa.cluster = mkj.ka
+  JOIN percl pb ON pb.cluster = mkj.kb
+  GROUP BY ka
+)
+SELECT CAST(percl.cluster AS BIGINT) AS cluster, percl.n_vecs,
+       {N.sql_rnd("sa9 / 1e9 / n_vecs", 6)} AS s_intra,
+       {N.sql_rnd("ssil9 / 1e9 / n_vecs", 6)} AS mean_silhouette,
+       {N.sql_rnd("dbc", 6)} AS db_component
+FROM percl JOIN db ON db.cluster = percl.cluster""",
+    doc="Internal clustering quality of the kmeans_lloyd partition, no "
+    "labels needed (the scoreboard pair to clustering_ari_eval's "
+    "external ARI): per cluster, the simplified (centroid-based, "
+    "linear-time) silhouette mean — a = distance to own centroid, b = "
+    "distance to nearest other centroid, s = (b−a)/max(a,b) — the "
+    "mean member→centroid distance S_k, and the Davies-Bouldin "
+    "component max_j (S_k+S_j)/M_kj (its mean over clusters is the DB "
+    "index). Centroids are REBUILT from the final assignment on the "
+    "exact 1e-6 integer grid (BIGINT dim sums, one division), "
+    "distances snap to 1e-9 before any argmin/mean, silhouettes snap "
+    "before summing — both engines replay identical integers. Plan: "
+    "the kmeans passes + one k-row-broadcast distance scan (corpus "
+    "never shuffles) + k²-bounded centroid algebra; the full O(n²) "
+    "silhouette is deliberately NOT computed — the simplified variant "
+    "is the one that exists at 100 TB.",
+    survey_ids=("M7-ML28",),
+)
+def cluster_quality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    km = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    snap_i = lambda x: N.cents(x, scale=1_000_000)  # noqa: E731
+    vd = e.select(
+        "vec_id",
+        F.transform(
+            SIM.as_double(F.col("embedding")),
+            lambda x: snap_i(x).cast("double") / F.lit(1e6),
+        ).alias("v"),
+        F.transform(SIM.as_double(F.col("embedding")), snap_i).alias("vi"),
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cent = (
+        km.join(vd, "vec_id")
+        .select("cluster", F.posexplode("vi").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum("val").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .groupBy(F.col("cluster").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda x: (x.s.cast("double") / x.n.cast("double"))
+                / F.lit(1e6),
+            ).alias("c")
+        )
+    )
+    xd = (
+        vd.join(km, "vec_id")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.col("cluster").alias("own"),
+            "cid",
+            N.cents(
+                F.sqrt(sqdist(F.col("v"), F.col("c"))), 10**9
+            ).alias("e9"),
+        )
+    )
+    sil = xd.groupBy("vec_id", "own").agg(
+        F.min(F.when(F.col("cid") == F.col("own"), F.col("e9"))).alias(
+            "a9"
+        ),
+        F.min(F.when(F.col("cid") != F.col("own"), F.col("e9"))).alias(
+            "b9"
+        ),
+    )
+    percl = sil.groupBy(F.col("own").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.expr(N.sql_cents(_CQI_SIL, 10**9)))
+        .cast("bigint")
+        .alias("ssil9"),
+        F.sum("a9").cast("bigint").alias("sa9"),
+    )
+    ca = cent.select(F.col("cid").alias("ka"), F.col("c").alias("_ca"))
+    cb = cent.select(F.col("cid").alias("kb"), F.col("c").alias("_cb"))
+    mkj = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("ka") != F.col("kb"))
+        .select(
+            "ka",
+            "kb",
+            N.cents(
+                F.sqrt(sqdist(F.col("_ca"), F.col("_cb"))), 10**9
+            ).alias("m9"),
+        )
+    )
+    pa = percl.select(
+        F.col("cluster").alias("ka"),
+        F.col("sa9").alias("_sa9"),
+        F.col("n_vecs").alias("_na"),
+    )
+    pb = percl.select(
+        F.col("cluster").alias("kb"),
+        F.col("sa9").alias("_sb9"),
+        F.col("n_vecs").alias("_nb"),
+    )
+    db = (
+        mkj.join(F.broadcast(pa), "ka")
+        .join(F.broadcast(pb), "kb")
+        .groupBy(F.col("ka").alias("cluster"))
+        .agg(
+            F.max(
+                F.expr(
+                    "((_sa9 / (1.0e0 * _na)) + (_sb9 / (1.0e0 * _nb)))"
+                    " / (1.0e0 * m9)"
+                )
+            ).alias("dbc")
+        )
+    )
+    return percl.join(F.broadcast(db), "cluster").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_vecs",
+        F.expr(N.sql_rnd("sa9 / 1e9 / n_vecs", 6)).alias("s_intra"),
+        F.expr(N.sql_rnd("ssil9 / 1e9 / n_vecs", 6)).alias(
+            "mean_silhouette"
+        ),
+        F.expr(N.sql_rnd("dbc", 6)).alias("db_component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cochran_q_gates (round 8, eighth wave) — Cochran's Q test across THREE
+# quality gates on the same documents (the k-gate generalization of
+# mcnemar_filter_agreement's 2-gate McNemar: do the gates differ at all?)
+# ---------------------------------------------------------------------------
+
+_CQ_CRIT_95 = 5.991464547107979  # chi2.ppf(0.95, df=2), shared literal
+_CQ_STOPWORDS = ("the", "a", "of")
+_CQ_STOP_SQL = "('the', 'a', 'of')"
+
+# Q = (k-1) * (k * sum(C_j^2) - T^2) / (k*T - sum(R_i^2)) with k = 3,
+# column totals C_j, per-doc row totals R_i, T = sum R_i — EXACT
+# integers, one double render.
+_CQ_Q = (
+    "((3 - 1) * (3.0e0 * (ca * ca + cb * cb + cc * cc) - 1.0e0 * t * t)"
+    " / (3.0e0 * t - r2))"
+)
+
+
+@query(
+    "cochran_q_gates",
+    oracle=f"""
+WITH flags AS (
+  SELECT CASE WHEN len({WORDS_SQL}) >= 30 THEN 1 ELSE 0 END AS a,
+         CASE WHEN 100 * len(list_distinct({WORDS_SQL}))
+                   >= 55 * len({WORDS_SQL}) THEN 1 ELSE 0 END AS b,
+         CASE WHEN len(list_intersect({WORDS_SQL},
+                   {_CQ_STOP_SQL.replace('(', '[').replace(')', ']')}))
+                   > 0 THEN 1 ELSE 0 END AS c
+  FROM documents
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(a) AS BIGINT) AS ca,
+         CAST(sum(b) AS BIGINT) AS cb,
+         CAST(sum(c) AS BIGINT) AS cc,
+         CAST(sum(a + b + c) AS BIGINT) AS t,
+         CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS r2
+  FROM flags
+)
+SELECT n_docs, ca AS keep_length, cb AS keep_ttr, cc AS keep_stopword,
+       {N.sql_rnd(_CQ_Q, 6)} AS q_statistic,
+       CAST(CASE WHEN {_CQ_Q} > {_CQ_CRIT_95!r} THEN 1 ELSE 0 END
+            AS BIGINT) AS gates_differ_95
+FROM m""",
+    doc="Cochran's Q test (1950) across three binary quality gates "
+    "evaluated on the same documents — length (≥30 words), type-token "
+    "ratio (integer cross-multiplication), and required-stopword "
+    "presence (list intersection with {'the','a','of'}, the Gopher "
+    "C4-style gate). Q = (k−1)(kΣC_j² − T²)/(kT − ΣR_i²) from exact "
+    "integer column/row totals, compared to the fixed-df=2 95% "
+    "critical literal. McNemar (the 2-gate pairwise audit) tells you "
+    "WHERE gates disagree; Cochran's Q is the omnibus that tells you "
+    "IF the gate battery is heterogeneous at all — run it first. "
+    "Plan: one scan-side flag pass, one scalar reduce, no joins.",
+    survey_ids=("M7-P10",),
+)
+def cochran_q_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = DD.fan_out(
+        load_table(spark, sf_dir, "documents").select(
+            DD.words_col(F.col("text")).alias("_ws")
+        )
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _CQ_STOPWORDS])
+    flags = d.select(
+        (F.size("_ws") >= 30).cast("int").alias("a"),
+        (
+            F.lit(100) * F.size(F.array_distinct("_ws"))
+            >= F.lit(55) * F.size("_ws")
+        ).cast("int").alias("b"),
+        (F.size(F.array_intersect("_ws", stop_arr)) > 0)
+        .cast("int")
+        .alias("c"),
+    )
+    m = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("a").cast("bigint").alias("ca"),
+        F.sum("b").cast("bigint").alias("cb"),
+        F.sum("c").cast("bigint").alias("cc"),
+        F.sum(F.col("a") + F.col("b") + F.col("c"))
+        .cast("bigint")
+        .alias("t"),
+        F.sum(
+            (F.col("a") + F.col("b") + F.col("c"))
+            * (F.col("a") + F.col("b") + F.col("c"))
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return m.select(
+        "n_docs",
+        F.col("ca").alias("keep_length"),
+        F.col("cb").alias("keep_ttr"),
+        F.col("cc").alias("keep_stopword"),
+        F.expr(N.sql_rnd(_CQ_Q, 6)).alias("q_statistic"),
+        F.expr(
+            f"CAST(CASE WHEN {_CQ_Q} > {_CQ_CRIT_95!r} THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("gates_differ_95"),
+    )

@@ -652,3 +652,138 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# err_eval (round 8, eighth wave) — Expected Reciprocal Rank (Chapelle
+# et al. 2009), the cascade-model graded metric next to NDCG/MRR: the
+# user scans down and stops at the first satisfying result
+# ---------------------------------------------------------------------------
+
+_ERR_DEPTH = 10
+
+# Satisfaction probability R_r = (2^rel - 1) / 8 for rel in 0..3 — a
+# dyadic rational, carried as the integer NUMERATOR over denominator 8.
+_ERR_RNUM = "(CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END)"
+# The cascade continuation product over preceding ranks is
+# prod(1 - R_i) = 8^n0 * 7^n1 * 5^n2 * 1^n3 / 8^(rk-1), where n_g
+# counts preceding rows with rel = g. Powers of 7 and 5 come from
+# literal lookup ladders (exponent <= 9), 8^n0 from a shift — the whole
+# numerator is an EXACT BIGINT, so the per-rank ERR term is one double
+# division of exact integers on both engines (no pow(), no exp/ln).
+_ERR_P7 = "(CASE n1 " + " ".join(
+    f"WHEN {i} THEN {7**i}" for i in range(10)
+) + " ELSE 0 END)"
+_ERR_P5 = "(CASE n2 " + " ".join(
+    f"WHEN {i} THEN {5**i}" for i in range(10)
+) + " ELSE 0 END)"
+_ERR_P8 = "(CASE n0 " + " ".join(
+    f"WHEN {i} THEN {8**i}" for i in range(10)
+) + " ELSE 0 END)"
+_ERR_D8 = "(CASE rk " + " ".join(
+    f"WHEN {i} THEN {8**i}" for i in range(1, 11)
+) + " ELSE 0 END)"
+_ERR_TERM = (
+    f"((rnum * {_ERR_P8} * {_ERR_P7} * {_ERR_P5})"
+    f" / (1.0e0 * {_ERR_D8} * rk))"
+)
+
+
+@query(
+    "err_eval",
+    oracle=f"""
+WITH {_SCORED_SQL},
+top AS (
+  SELECT doc_id, rel, {_ERR_RNUM} AS rnum,
+         row_number() OVER (ORDER BY c6 DESC, doc_id) AS rk
+  FROM scored ORDER BY c6 DESC, doc_id LIMIT {_ERR_DEPTH}
+), w AS (
+  SELECT doc_id, rel, rnum, rk,
+         CAST(coalesce(sum(CASE WHEN rel = 0 THEN 1 END)
+           OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS INT) AS n0,
+         CAST(coalesce(sum(CASE WHEN rel = 1 THEN 1 END)
+           OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS INT) AS n1,
+         CAST(coalesce(sum(CASE WHEN rel = 2 THEN 1 END)
+           OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS INT) AS n2
+  FROM top
+), terms AS (
+  SELECT doc_id, rel, rk,
+         {N.sql_rnd("rnum / 8.0e0", 6)} AS r_prob,
+         {N.sql_cents(_ERR_TERM, 10**12)} AS t12
+  FROM w
+)
+SELECT CAST(rk AS BIGINT) AS rk,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       rel, r_prob,
+       {N.sql_rnd("t12 / 1e12", 6)} AS err_term,
+       {N.sql_rnd(
+           "sum(t12) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED"
+           " PRECEDING AND CURRENT ROW) / 1e12", 6)} AS err_cum
+FROM terms""",
+    doc="Expected Reciprocal Rank (Chapelle et al. 2009) of the dense "
+    "ranking under the cascade user model: the user inspects ranks in "
+    "order and stops at rank r with probability R_r = (2^rel − 1)/2^3; "
+    "ERR = Σ (1/r)·R_r·Π_{i<r}(1−R_i). The continuation product is "
+    "computed EXACTLY: (1−R) values are dyadic rationals 8/8, 7/8, "
+    "5/8, 1/8, so the product is 8^n0·7^n1·5^n2 / 8^(r−1) with the "
+    "exponents read off three windowed counts of preceding relevance "
+    "grades and the powers from literal lookup ladders (8^n too — "
+    "dialect-neutral, no shift operator) — an exact BIGINT numerator, "
+    "one double division per rank, no pow()/exp() anywhere. Reports per-rank stopping terms and the cumulative ERR "
+    "(final row = ERR@10). Plan: the scoring pass + TakeOrdered "
+    "top-10; every window runs on the 10-row cut.",
+    survey_ids=("M7-R13",),
+)
+def err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = (
+        _scored(spark, sf_dir)
+        .orderBy(F.desc("c6"), "doc_id")
+        .limit(_ERR_DEPTH)
+        .select(
+            "doc_id",
+            "rel",
+            F.expr(_ERR_RNUM).alias("rnum"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("c6"), "doc_id"))
+            .alias("rk"),
+        )
+    )
+    wprev = Window.orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = top.select(
+        "doc_id",
+        "rel",
+        "rnum",
+        "rk",
+        F.coalesce(
+            F.sum(F.when(F.col("rel") == 0, 1)).over(wprev), F.lit(0)
+        ).cast("int").alias("n0"),
+        F.coalesce(
+            F.sum(F.when(F.col("rel") == 1, 1)).over(wprev), F.lit(0)
+        ).cast("int").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("rel") == 2, 1)).over(wprev), F.lit(0)
+        ).cast("int").alias("n2"),
+    )
+    terms = w.select(
+        "doc_id",
+        "rel",
+        "rk",
+        F.expr(N.sql_rnd("rnum / 8.0e0", 6)).alias("r_prob"),
+        F.expr(N.sql_cents(_ERR_TERM, 10**12)).alias("t12"),
+    )
+    wcum = Window.orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        F.col("rk").cast("bigint").alias("rk"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "rel",
+        "r_prob",
+        F.expr(N.sql_rnd("t12 / 1e12", 6)).alias("err_term"),
+        N.rnd(F.sum("t12").over(wcum) / 1e12, 6).alias("err_cum"),
+    )

@@ -257,6 +257,12 @@ EXTRA = [
     # round-8 seventh-wave additions
     "wilson_proportion_ci",
     "hod_uniformity_test",
+    # round-8 eighth-wave additions
+    "cluster_quality_indices",
+    "err_eval",
+    "cochran_q_gates",
+    "yule_k_richness",
+    "rec_coverage_audit",
 ]
 
 

@@ -152,6 +152,11 @@ SINGLE_PARTITION_OK = {
     "reduce union branch",
     "mcnemar_filter_agreement": "ONE 2x2-census scalar reduce — the "
     "whole output is a single row of exact integer counts",
+    "cochran_q_gates": "ONE gate-census scalar reduce (the McNemar "
+    "shape with three flag columns) — a single row of exact integers",
+    "rec_coverage_audit": "exposure-Gini rank window over the "
+    "item-vocabulary-bounded (<=|items|) exposure counts + one-row "
+    "catalog scalar crossed in",
     "brier_decomposition": "scalar Brier reduce + the component reduce "
     "over the 10-bin frame crossed with the 1-row totals",
     "rbo_rankings": "both inputs are TakeOrdered top-10 cuts; the "
