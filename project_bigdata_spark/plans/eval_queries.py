@@ -575,10 +575,11 @@ FROM facts CROSS JOIN comp""".format(qscored=_qscored_sql()),
     "+ UNC, with REL = Σ n_k(f̄_k−ō_k)²/N (calibration error — "
     "punishes miscalibrated bins), RES = Σ n_k(ō_k−ō)²/N (how much "
     "the forecast separates outcomes), UNC = ō(1−ō) (irreducible base-"
-    "rate variance), and the residual reported as within_bin — the "
-    "within-bin forecast variance the binned identity absorbs "
-    "(Stephenson et al. 2008's generalized terms), so the row is "
-    "self-auditing: brier − (rel − res + unc) = within_bin exactly. "
+    "rate variance), and the residual reported as within_bin — "
+    "Stephenson et al. 2008's generalized within-bin variance MINUS "
+    "covariance terms, which the binned identity absorbs (it can be "
+    "negative), so the row is self-auditing: "
+    "brier − (rel − res + unc) = within_bin exactly. "
     "Raw Brier terms and each bin's contribution are snapped to the "
     "1e-9 grid and integer-summed from exact integer inputs. Plan: "
     "two aggregates over the scoring pass (scalar + 10 bins); the "
