@@ -1536,15 +1536,15 @@ ab AS (
   FROM depths LEFT JOIN ab ON true GROUP BY d
 ), terms AS (
   SELECT d, overlap,
-         {N.sql_cents(f"({_RBO_W}) * overlap / (1.0e0 * d)", 10**9)}
-           AS t9
+         {N.sql_cents(f"({_RBO_W}) * overlap / (1.0e0 * d)", 10**6)}
+           AS t6
   FROM ov
 )
 SELECT d AS depth, overlap,
        {N.sql_rnd("overlap / (1.0e0 * d)", 6)} AS agreement,
        {N.sql_rnd(
-           "sum(t9) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING"
-           " AND CURRENT ROW) / 1e9", 6)} AS rbo_cum
+           "sum(t6) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING"
+           " AND CURRENT ROW) / 1e6", 6)} AS rbo_cum
 FROM terms"""
 
 
@@ -1558,8 +1558,10 @@ FROM terms"""
     "d: overlap |A_1..d ∩ B_1..d| (an exact integer from the joined "
     "rank pairs' max-rank), agreement overlap/d, and the cumulative "
     "RBO partial sum Σ (1−p)p^(d−1)·agreement with the geometric "
-    "weights inlined as shared literals and each term snapped to the "
-    "1e-9 grid before the cumulative window. The final row is the "
+    "weights inlined as shared literals and each term snapped DIRECTLY "
+    "to the rendered 1e-6 grid before the cumulative window — so the "
+    "6-decimal render is an exact integer over 1e6 and can never sit "
+    "on a rounding tie (the tie-mode-flip invariant). The final row is the "
     "truncated RBO — the number that says whether swapping scorers "
     "would change what users actually see (top-weighted, unlike "
     "Kendall). Plan: two TakeOrdered top-10 frames, a 10-row join, a "
@@ -1601,8 +1603,8 @@ def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "overlap",
         F.expr(
-            N.sql_cents(f"({_RBO_W}) * overlap / (1.0e0 * d)", 10**9)
-        ).alias("t9"),
+            N.sql_cents(f"({_RBO_W}) * overlap / (1.0e0 * d)", 10**6)
+        ).alias("t6"),
     )
     wcum = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1611,7 +1613,7 @@ def rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("depth"),
         "overlap",
         F.expr(N.sql_rnd("overlap / (1.0e0 * d)", 6)).alias("agreement"),
-        N.rnd(F.sum("t9").over(wcum) / 1e9, 6).alias("rbo_cum"),
+        N.rnd(F.sum("t6").over(wcum) / 1e6, 6).alias("rbo_cum"),
     )
 
 

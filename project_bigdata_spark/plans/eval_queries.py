@@ -733,7 +733,10 @@ FROM terms""",
     "exponents read off three windowed counts of preceding relevance "
     "grades and the powers from literal lookup ladders (8^n too — "
     "dialect-neutral, no shift operator) — an exact BIGINT numerator, "
-    "one double division per rank, no pow()/exp() anywhere. Reports per-rank stopping terms and the cumulative ERR "
+    "one double division per rank, no pow()/exp() anywhere; terms "
+    "snap DIRECTLY to the rendered 1e-6 grid so the 6-decimal render "
+    "is an exact integer over 1e6, never a rounding tie. Reports "
+    "per-rank stopping terms and the cumulative ERR "
     "(final row = ERR@10). Plan: the scoring pass + TakeOrdered "
     "top-10; every window runs on the 10-row cut.",
     survey_ids=("M7-R13",),

@@ -322,13 +322,13 @@ def test_rbo_rankings_matches_python(spark, sf_dir):
         d: max(ra[d], rb[d]) for d in set(ra) & set(rb)
     }
     p = 0.9
-    cum9 = 0
+    cum6 = 0
     expect = {}
     for d in range(1, 11):
         ov = sum(1 for v in m.values() if v <= d)
         w = (1.0 - p) * p ** (d - 1)
-        cum9 += _snap(w * ov / (1.0 * d), 1e9)
-        expect[d] = (ov, _rnd(ov / (1.0 * d), 6), _rnd(cum9 / 1e9, 6))
+        cum6 += _snap(w * ov / (1.0 * d), 1e6)
+        expect[d] = (ov, _rnd(ov / (1.0 * d), 6), _rnd(cum6 / 1e6, 6))
     got = {
         r.depth: (r.overlap, r.agreement, r.rbo_cum)
         for r in _q("rbo_rankings")(spark, sf_dir).collect()

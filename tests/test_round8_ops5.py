@@ -149,19 +149,19 @@ def test_err_eval_matches_python(spark, sf_dir):
         key=lambda t: (-t[0], t[1]),
     )[:10]
     cont = Fraction(1)
-    cum12 = 0
+    cum6 = 0
     expect = {}
     for rk, (_, doc_id, rel) in enumerate(scored, 1):
         rprob = Fraction(2**rel - 1, 8)
         term = Fraction(1, rk) * rprob * cont
-        t12 = _snap(float(term), 1e12)
-        cum12 += t12
+        t6 = _snap(float(term), 1e6)
+        cum6 += t6
         expect[rk] = (
             doc_id,
             rel,
             _rnd(float(rprob), 6),
-            _rnd(t12 / 1e12, 6),
-            _rnd(cum12 / 1e12, 6),
+            _rnd(t6 / 1e6, 6),
+            _rnd(cum6 / 1e6, 6),
         )
         cont *= 1 - rprob
     got = {
