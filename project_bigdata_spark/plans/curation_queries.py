@@ -2879,11 +2879,17 @@ _MCN_TTR_PCT = 55     # gate B: type-token ratio >= 0.55, as the exact
 
 # Cohen's kappa from the exact 2x2 integers: (N*agree - X) / (N*N - X)
 # with X = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — one double render.
+# Degenerate-marginals guard (round-8 ADVICE #3): when every document
+# lands in one cell (nn*nn == X) the kappa denominator is exactly zero
+# and the raw x/0 double renders engine-dependently — emit 0.0e0
+# explicitly, matching _MCN_CHI2's discipline.
 _MCN_KAPPA = (
-    "((1.0e0 * nn * (n11 + n00)) - ((n11 + n10) * (n11 + n01)"
+    "CASE WHEN ((nn * nn) - ((n11 + n10) * (n11 + n01)"
+    " + (n01 + n00) * (n10 + n00))) = 0 THEN 0.0e0"
+    " ELSE ((1.0e0 * nn * (n11 + n00)) - ((n11 + n10) * (n11 + n01)"
     " + (n01 + n00) * (n10 + n00)))"
     " / ((1.0e0 * nn * nn) - ((n11 + n10) * (n11 + n01)"
-    " + (n01 + n00) * (n10 + n00)))"
+    " + (n01 + n00) * (n10 + n00))) END"
 )
 _MCN_CHI2 = (
     "CASE WHEN (n10 + n01) = 0 THEN 0.0e0"
@@ -3191,9 +3197,15 @@ _CQ_STOP_SQL = "('the', 'a', 'of')"
 # Q = (k-1) * (k * sum(C_j^2) - T^2) / (k*T - sum(R_i^2)) with k = 3,
 # column totals C_j, per-doc row totals R_i, T = sum R_i — EXACT
 # integers, one double render.
+# Degenerate guard (round-8 ADVICE #3): when every doc's three gate
+# flags agree (all R_i in {0,3}), 3T - sum(R_i^2) is exactly zero and
+# the raw division is 0/0 or x/0 — emit 0.0e0 explicitly so both
+# engines render identically on degenerate corpora.
 _CQ_Q = (
-    "((3 - 1) * (3.0e0 * (ca * ca + cb * cb + cc * cc) - 1.0e0 * t * t)"
-    " / (3.0e0 * t - r2))"
+    "(CASE WHEN (3 * t - r2) = 0 THEN 0.0e0"
+    " ELSE (3 - 1)"
+    " * (3.0e0 * (ca * ca + cb * cb + cc * cc) - 1.0e0 * t * t)"
+    " / (3.0e0 * t - r2) END)"
 )
 
 

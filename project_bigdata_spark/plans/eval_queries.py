@@ -713,16 +713,16 @@ top AS (
 ), terms AS (
   SELECT doc_id, rel, rk,
          {N.sql_rnd("rnum / 8.0e0", 6)} AS r_prob,
-         {N.sql_cents(_ERR_TERM, 10**12)} AS t12
+         {N.sql_cents(_ERR_TERM, 10**6)} AS t6
   FROM w
 )
 SELECT CAST(rk AS BIGINT) AS rk,
        CAST(doc_id AS BIGINT) AS doc_id,
        rel, r_prob,
-       {N.sql_rnd("t12 / 1e12", 6)} AS err_term,
+       {N.sql_rnd("t6 / 1e6", 6)} AS err_term,
        {N.sql_rnd(
-           "sum(t12) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED"
-           " PRECEDING AND CURRENT ROW) / 1e12", 6)} AS err_cum
+           "sum(t6) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED"
+           " PRECEDING AND CURRENT ROW) / 1e6", 6)} AS err_cum
 FROM terms""",
     doc="Expected Reciprocal Rank (Chapelle et al. 2009) of the dense "
     "ranking under the cascade user model: the user inspects ranks in "
@@ -778,7 +778,7 @@ def err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         "rk",
         F.expr(N.sql_rnd("rnum / 8.0e0", 6)).alias("r_prob"),
-        F.expr(N.sql_cents(_ERR_TERM, 10**12)).alias("t12"),
+        F.expr(N.sql_cents(_ERR_TERM, 10**6)).alias("t6"),
     )
     wcum = Window.orderBy("rk").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -788,6 +788,6 @@ def err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "rel",
         "r_prob",
-        F.expr(N.sql_rnd("t12 / 1e12", 6)).alias("err_term"),
-        N.rnd(F.sum("t12").over(wcum) / 1e12, 6).alias("err_cum"),
+        F.expr(N.sql_rnd("t6 / 1e6", 6)).alias("err_term"),
+        N.rnd(F.sum("t6").over(wcum) / 1e6, 6).alias("err_cum"),
     )

@@ -1765,7 +1765,13 @@ def svm_hinge_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum is order-free and identical across engines.
 _ISO_N2 = N.sql_cents("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)", 10**12)
 # Unit-vector component on the 1e-9 grid given the snapped squared norm.
-_ISO_U9 = N.sql_cents("CAST(x AS DOUBLE) / sqrt(n2_12 / 1.0e12)", 10**9)
+# Parameterized on the component expression (NOT a blind .replace on the
+# rendered template, which would corrupt silently if the sql_cents
+# rendering ever gained another literal letter) — round-8 ADVICE #2.
+def _iso_u9(comp: str = "x") -> str:
+    return N.sql_cents(
+        f"CAST({comp} AS DOUBLE) / sqrt(n2_12 / 1.0e12)", 10**9
+    )
 
 
 @query(
@@ -1777,7 +1783,7 @@ WITH base AS MATERIALIZED (
               x -> {_ISO_N2})) AS BIGINT) AS n2_12
   FROM embeddings WHERE embedding IS NOT NULL
 ), ex AS MATERIALIZED (
-  SELECT label, i AS d, {_ISO_U9.replace('x', '(embedding[i])')} AS u9
+  SELECT label, i AS d, {_iso_u9('(embedding[i])')} AS u9
   FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
   WHERE n2_12 > 0
 ), cells AS MATERIALIZED (
@@ -1844,7 +1850,7 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("p") + 1).alias("d"),
-        F.expr(_ISO_U9).alias("u9"),
+        F.expr(_iso_u9()).alias("u9"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cells = ex.groupBy("label", "d").agg(

@@ -3951,10 +3951,17 @@ _XC_MAXLAG = 6
 # sufficient statistics (hourly counts are integers, so n, Sx, Sy, Sxy,
 # Sxx, Syy are exact and order-free); one double render at the end.
 # Dialect-neutral: shared verbatim by F.expr and the oracle.
+# Zero-variance guard (round-8 ADVICE #4): a constant hourly series
+# (e.g. all-zero purchase counts in a small window) makes either
+# variance term exactly zero — emit 0.0e0 explicitly instead of an
+# engine-dependent inf/NaN render. Integer predicates, so the guard
+# itself is exact on both engines.
 _XC_R = (
-    "(1.0e0 * (n * sxy - sx * sy))"
+    "CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0"
+    " THEN 0.0e0"
+    " ELSE (1.0e0 * (n * sxy - sx * sy))"
     " / (sqrt(1.0e0 * (n * sxx - sx * sx))"
-    " * sqrt(1.0e0 * (n * syy - sy * sy)))"
+    " * sqrt(1.0e0 * (n * syy - sy * sy))) END"
 )
 
 
