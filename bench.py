@@ -44,16 +44,20 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for s in headliners:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             s.builder(spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[s.name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        raw[s.name] = runs
+        timings[s.name] = min(runs)
+    load_after = os.getloadavg()
 
     sf = float(Path(SF_DIR).name.removeprefix("sf") or "0.1")
     print(
@@ -64,6 +68,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Machine-state receipt (round-8 verdict ask #1): per-run
+                # raw wall times, run count, and 1/5/15-min loadavg before
+                # and after, so any two artifacts are directly comparable
+                # and an idle claim is falsifiable from the JSON alone.
+                "runs": RUNS,
+                "raw_runs": raw,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "cpus": CPUS,
             }
         )
     )
