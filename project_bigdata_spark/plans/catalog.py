@@ -102,7 +102,21 @@ def query(
 # counts as needing attestation, so re-attesting repaired entries
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
-    # -- ROUND-8 WINDOW (positions 1-50), per the round-7 verdict ask #1 --
+    # ==== ROUND-9 WINDOW (positions 1-50), per the round-8 verdict
+    # asks #2/#4: round-9 additions first, then the round-9 re-planned
+    # entries (plan/oracle changed after their last green row), then
+    # oldest-green regression probes (r1/r2 vintage rotation). ====
+    # -- round-9 additions (never attested) -----------------------------
+    "stream_stream_outer_attested",
+    # -- round-9 re-planned entries (stale green rows: ERR snapped to
+    #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
+    #    guards; isotropy unit-component template parameterized) --------
+    "err_eval",
+    "mcnemar_filter_agreement",
+    "cochran_q_gates",
+    "lagged_crosscorr",
+    "embedding_isotropy",
+    # -- ROUND-8 WINDOW tail (kept below; all green in r8) ---------------
     # 1-7   the 7 first-wave round-8 additions (DSIR resampling, unrolled
     #       BPE trainer, anchored exact-substring spans, contamination
     #       audit, leakage-safe split audit, Gopher hard quality gates,
@@ -159,17 +173,14 @@ _ATTESTATION_PRIORITY = [
     "char_entropy_compression",
     "corpus_self_bleu",
     # -- round-8 fifth-wave additions (never attested) ------------------
-    "lagged_crosscorr",
     "hll_intersection",
     "kneser_ney_bigram",
     "svm_hinge_gd",
-    "embedding_isotropy",
     "item_cooccurrence_recs",
     # -- round-8 sixth-wave additions (never attested) ------------------
     "interarrival_fit",
     "user_sequence_anomaly",
     "markov_backtest",
-    "mcnemar_filter_agreement",
     "brier_decomposition",
     "rbo_rankings",
     # -- round-8 seventh-wave additions (never attested) ----------------
@@ -177,8 +188,6 @@ _ATTESTATION_PRIORITY = [
     "hod_uniformity_test",
     # -- round-8 eighth-wave additions (never attested) -----------------
     "cluster_quality_indices",
-    "err_eval",
-    "cochran_q_gates",
     "yule_k_richness",
     "rec_coverage_audit",
     # -- round-8 re-planned entries (stale green rows) ------------------

@@ -457,6 +457,120 @@ def stream_stream_join_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_outer_attested",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT CAST(date_part('day', c.ts) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN v.user_id IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_unmatched,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+FROM c LEFT JOIN v
+  ON c.user_id = v.user_id
+ AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 30 * 60 * 1000000
+GROUP BY 1""",
+    doc="STREAM-STREAM LEFT OUTER join attested against the batch LEFT "
+    "JOIN: clicks left-outer view events on user_id within a ±30 "
+    "minute event-time band, both sides watermarked. The outer side is "
+    "the hard part — an unmatched click is emitted WITH NULLS only "
+    "when the watermark passes its join band and the state store "
+    "evicts it, so a bounded replay would silently drop every "
+    "unmatched click near the end of the data. A single far-future "
+    "'flush' sentinel row (passing both side filters, user_id = -1, "
+    "excluded from the readout) advances BOTH watermarks past every "
+    "real band, and the engine's no-data micro-batch then force-emits "
+    "the remaining unmatched state. Replayed across 6 re-sharded "
+    "files + the flush shard with maxFilesPerTrigger=1, so matches "
+    "and evictions happen across REAL micro-batch boundaries. The "
+    "append sink must equal the batch left join row-for-row — "
+    "matched multiplicities AND null emissions. Unlike the "
+    "complete-mode replays, append-mode eviction makes file ORDER "
+    "semantic: a time-shuffled reshard would advance the watermark to "
+    "month-end on batch 1 and late-drop everything after, so the "
+    "segments are TIME-RANGE splits written with strictly increasing "
+    "mtimes (FileStreamSource processes oldest-mtime first) — exactly "
+    "how a production file feed arrives. The topology real "
+    "enrichment pipelines hit right after the inner join (M7-ST8).",
+    survey_ids=("T1", "T4", "M7-ST10"),
+)
+def stream_stream_outer_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time as _time
+
+    from project_bigdata_spark.plans.io_queries import _sink_dir
+
+    src = load_table(spark, sf_dir, "events")
+    shards = _sink_dir("stream_outer_shards", sf_dir)
+    shutil.rmtree(shards, ignore_errors=True)
+    # Three TIME-ORDERED segments (thirds of the [min, max] ts span),
+    # appended sequentially so file mtimes — the file source's
+    # processing order — increase with event time. Within a segment
+    # rows are unordered (watermark only moves between batches); across
+    # segments nothing is ever behind the watermark, because the 1 h
+    # delay exceeds the ±30 min band.
+    b = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    step = (hi - lo) / 3
+    cuts = [lo + step, lo + 2 * step]
+    segs = [
+        src.filter(F.col("ts") < F.lit(cuts[0])),
+        src.filter(
+            (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
+        ),
+        src.filter(F.col("ts") >= F.lit(cuts[1])),
+    ]
+    for seg in segs:
+        seg.coalesce(1).write.mode("append").parquet(shards)
+        _time.sleep(1.05)
+    # Flush sentinel: one row 30 days past max(ts). It passes BOTH side
+    # filters, so each side's watermark advances past every real row's
+    # band once it is seen; until then unmatched clicks sit in state.
+    flush = src.agg(F.max("ts").alias("mxts")).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.col("mxts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    flush.coalesce(1).write.mode("append").parquet(shards)
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(shards)
+            .filter(F.col("event_type").isin(kind, "flush"))
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    pairs = side("click", "c").join(
+        side("view", "v"),
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    name = _run_to_memory_append(pairs, "stream_outer")
+    t = spark.table(name).filter(F.col("c_user") >= 0)
+    return t.groupBy(F.dayofmonth("c_ts").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v_user").isNull(), 1)), F.lit(0)
+        ).cast("bigint").alias("n_unmatched"),
+        F.count_distinct("c_user").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
     "custom_state_stream_attested",
     oracle=f"""
 WITH per_user AS (
