@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "project_bigdata_spark.plans.curation_queries",
     "project_bigdata_spark.plans.stats_queries",
     "project_bigdata_spark.plans.eval_queries",
+    "project_bigdata_spark.plans.web_queries",
 ]
 
 
@@ -108,6 +109,10 @@ _ATTESTATION_PRIORITY = [
     # oldest-green regression probes (r1/r2 vintage rotation). ====
     # -- round-9 additions (never attested) -----------------------------
     "stream_stream_outer_attested",
+    "url_canonicalize",
+    "domain_share_stats",
+    "domain_blocklist_filter",
+    "url_exact_dedup",
     # -- round-9 re-planned entries (stale green rows: ERR snapped to
     #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
     #    guards; isotropy unit-component template parameterized) --------
