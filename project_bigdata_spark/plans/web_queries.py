@@ -135,7 +135,7 @@ FROM documents""",
     "backreferences ($1 vs \\1 divergence). Plan: one narrow "
     "projection pass, no shuffle, no UDF — at 100 TB this runs at "
     "scan speed inside the same stage as the parquet read.",
-    survey_ids=("M7-W1",),
+    survey_ids=("M7-WEB1",),
 )
 def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -177,7 +177,7 @@ GROUP BY domain""",
     "hash-aggregate exchange (domains ≪ docs), the one-row totals "
     "crossed in as a broadcast — at 100 TB the domain table is "
     "O(millions), trivially shuffle-able.",
-    survey_ids=("M7-W2",),
+    survey_ids=("M7-WEB2",),
 )
 def domain_share_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -232,7 +232,7 @@ FROM tagged GROUP BY lang""",
     "billions of pages, so it ships to every executor and the corpus "
     "never shuffles for the membership test; the only exchange is "
     "the |langs|-row final rollup.",
-    survey_ids=("M7-W3",),
+    survey_ids=("M7-WEB3",),
 )
 def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -292,7 +292,7 @@ FROM canon GROUP BY url_canon""",
     "(map-side partial min/count combine), no window, no self-join; "
     "at 100 TB the aggregate is the standard exact-dedup shuffle "
     "with ~bytes(url) per row.",
-    survey_ids=("M7-W4",),
+    survey_ids=("M7-WEB4",),
 )
 def url_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
