@@ -295,3 +295,61 @@ def segment_dedup_apply(
         F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
         F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
     )
+
+
+def paragraph_dedup_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 2,
+) -> DataFrame:
+    """WITHIN-document repetition removal — the Gopher/MassiveText
+    paragraph-dedup transform (Rae et al. 2021 §A1.1: drop duplicate
+    paragraphs inside a document, first occurrence wins), the APPLY twin
+    of the `repetition_scores` measurement.
+
+    The corpus carries no newlines, so "paragraph" is the same
+    non-overlapping ``seg_words``-word segmentation the corpus-level
+    `segment_dedup_apply` uses (production corpora pass the real
+    paragraph splitter through ``seg_words``' place; the plan shape is
+    identical). Unlike the corpus-level apply, the first-occurrence
+    window partitions by (doc, digest) — duplicate content across
+    DIFFERENT docs survives — and orders by position only, so the
+    operator needs no cross-document shuffle of text: the only
+    exchanges are the (doc, digest) rank and the per-doc reassembly,
+    both keyed by doc_id and therefore co-partitionable. At 100 TB
+    this is embarrassingly parallel per document.
+    """
+    ws = words_col(F.col(text_col))
+    segs = df.select(F.col(id_col), ws.alias("_ws")).select(
+        id_col,
+        F.posexplode(segments_col(F.col("_ws"), seg_words)).alias(
+            "seg_idx", "seg"
+        ),
+    )
+    first = Window.partitionBy(id_col, F.md5(F.col("seg"))).orderBy(
+        "seg_idx"
+    )
+    ranked = segs.withColumn("_rn", F.row_number().over(first))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("_rn") == 1, 1))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )

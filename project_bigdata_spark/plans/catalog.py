@@ -113,6 +113,7 @@ _ATTESTATION_PRIORITY = [
     "domain_share_stats",
     "domain_blocklist_filter",
     "url_exact_dedup",
+    "repetition_dedup_apply",
     # -- round-9 re-planned entries (stale green rows: ERR snapped to
     #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
     #    guards; isotropy unit-component template parameterized) --------

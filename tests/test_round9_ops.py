@@ -94,3 +94,34 @@ def test_url_exact_dedup_multiplicities(spark, specs):
     for r in rows:
         assert "utm_" not in r["url_canon"]
         assert "#" not in r["url_canon"]
+
+
+def test_repetition_dedup_apply_replay(spark, specs):
+    """Python replay: re-derive segments + first-occurrence keep + md5
+    for every doc and compare — a third implementation independent of
+    both engines."""
+    import hashlib
+
+    rows = specs["repetition_dedup_apply"].builder(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(SF + "/documents.parquet").collect()
+    }
+    assert len(rows) == len([t for t in docs.values() if t.split()])
+    dropped = 0
+    for r in rows:
+        ws = [w for w in docs[r["doc_id"]].lower().split() if w]
+        segs = [
+            " ".join(ws[i : i + 2]) for i in range(0, len(ws), 2)
+        ]
+        seen, kept = set(), []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert r["n_segments"] == len(segs), r
+        assert r["n_kept"] == len(kept), r
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r["dedup_md5"] == md5, r
+        dropped += len(segs) - len(kept)
+    assert dropped > 0, "no within-doc duplicate segments — vacuous"
