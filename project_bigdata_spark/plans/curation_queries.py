@@ -3075,7 +3075,11 @@ FROM percl JOIN db ON db.cluster = percl.cluster""",
 )
 def cluster_quality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    km = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    # Persist the final assignment: it feeds BOTH the centroid rebuild
+    # and the distance scan — without this the 5-round unrolled k-means
+    # lineage executes twice (round-8 verdict flagged this entry as the
+    # slowest parity round-trip; the assignment is 2 narrow columns).
+    km = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster").persist()
     snap_i = lambda x: N.cents(x, scale=1_000_000)  # noqa: E731
     vd = e.select(
         "vec_id",
@@ -3109,6 +3113,9 @@ def cluster_quality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6),
             ).alias("c")
         )
+        # k rows; referenced by xd + both M_kj sides — persist or the
+        # corpus-wide centroid rebuild runs three times
+        .persist()
     )
     xd = (
         vd.join(km, "vec_id")
@@ -3136,7 +3143,9 @@ def cluster_quality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ssil9"),
         F.sum("a9").cast("bigint").alias("sa9"),
-    )
+        # k rows; feeds both DB-pair sides + the final readout — persist
+        # or the n×k distance scan above executes three times
+    ).persist()
     ca = cent.select(F.col("cid").alias("ka"), F.col("c").alias("_ca"))
     cb = cent.select(F.col("cid").alias("kb"), F.col("c").alias("_cb"))
     mkj = (
