@@ -114,6 +114,8 @@ _ATTESTATION_PRIORITY = [
     "domain_blocklist_filter",
     "url_exact_dedup",
     "repetition_dedup_apply",
+    "connected_components_minlabel",
+    "kruskal_wallis_value",
     # -- round-9 re-planned entries (stale green rows: ERR snapped to
     #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
     #    guards; isotropy unit-component template parameterized) --------

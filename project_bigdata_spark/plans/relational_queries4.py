@@ -2002,3 +2002,134 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return topk(h, "hub", "hub").unionAll(topk(a, "auth", "authority"))
+
+
+# ---------------------------------------------------------------------------
+# connected_components_minlabel (round 9) — the canonical distributed
+# graph primitive the tier was missing next to LPA/k-core/PageRank
+# ---------------------------------------------------------------------------
+
+_CC_ROUND_SQL = """cc{i} AS (
+  SELECT c.n, least(min(c.lbl), coalesce(min(cl.lbl), min(c.lbl))) AS lbl
+  FROM cc{j} c
+  LEFT JOIN edges e ON e.src = c.n
+  LEFT JOIN cc{j} cl ON cl.n = e.dst
+  GROUP BY c.n
+)"""
+
+
+@query(
+    "connected_components_minlabel",
+    oracle=f"""
+WITH {_PR_EDGES_SQL},
+cc0 AS (SELECT n, n AS lbl FROM deg),
+{_CC_ROUND_SQL.format(i=1, j=0)},
+{_CC_ROUND_SQL.format(i=2, j=1)},
+{_CC_ROUND_SQL.format(i=3, j=2)},
+{_CC_ROUND_SQL.format(i=4, j=3)},
+chg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN a.lbl <> b.lbl THEN 1 END), 0)
+              AS BIGINT) AS n_changed
+  FROM cc4 a JOIN cc3 b ON a.n = b.n
+), sizes AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM cc4 GROUP BY lbl
+)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(min(lbl) AS BIGINT) AS min_label,
+       (SELECT n_changed FROM chg) AS n_changed_last_round
+FROM sizes GROUP BY sz""",
+    doc="Connected components by synchronous min-label propagation over "
+    "the co-purchase graph (the canonical distributed CC: every node "
+    "starts labeled with its own id; each round every node takes the "
+    "min of its label and its neighbors' — the HashMin/'small-star' "
+    "half of Kiveris et al. 2014). FOUR unrolled rounds, each one "
+    "frontier⋈edges join + a dst-keyed min aggregate — integer labels "
+    "only, so the fixpoint is order-free and bit-identical on both "
+    "engines (no float propagation can flip a min). Convergence is "
+    "attested honestly: n_changed_last_round counts round-3→4 label "
+    "flips (0 = converged within the unroll; >0 means a component "
+    "with diameter >4 remains split and BOTH engines report the same "
+    "split). Readout = component-size census + min component label. "
+    "Scale: per round the payload is one (node, label) pair per edge "
+    "— the label frame is localCheckpoint'ed so lineage stays flat; "
+    "at 100 TB this is the alternating-star pattern with labels "
+    "shuffling once per round, never the corpus.",
+    survey_ids=("M7-G10",),
+)
+def connected_components_minlabel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    lbl = edges.select(F.col("src").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    ).localCheckpoint(eager=True)
+    prev = lbl
+    for _ in range(4):
+        prev = lbl
+        nb = edges.join(
+            lbl.select(F.col("n").alias("dst"), F.col("lbl").alias("nl")),
+            "dst",
+        ).select(F.col("src").alias("n"), "nl")
+        lbl = (
+            lbl.join(nb.groupBy("n").agg(F.min("nl").alias("mn")), "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    chg = (
+        lbl.alias("a")
+        .join(prev.alias("b"), F.col("a.n") == F.col("b.n"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("a.lbl") != F.col("b.lbl"), 1)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_changed")
+        )
+    )
+    sizes = lbl.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.min("lbl").cast("bigint").alias("min_label"),
+        )
+        .crossJoin(F.broadcast(chg))
+        .select(
+            F.col("sz").cast("bigint").alias("component_size"),
+            "n_components",
+            "min_label",
+            F.col("n_changed").alias("n_changed_last_round"),
+        )
+    )

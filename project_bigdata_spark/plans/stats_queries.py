@@ -4322,3 +4322,142 @@ def hod_uniformity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("nonuniform_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kruskal_wallis_value (round 9) — k-group rank test: the one-way
+# nonparametric ANOVA next to mann_whitney_u's two-group test
+# ---------------------------------------------------------------------------
+
+# Per-group term n_j (mean_rank_j - grand_mean_rank)^2 from the exact
+# doubled-midrank sum r2 (grand mean rank = (N+1)/2); snapped to the
+# cents grid so the k-term cross-group sum is order-free.
+_KW_TERM = (
+    "(na * (((1.0e0 * r2) / (2 * na)) - ((n + 1) / 2.0e0))"
+    " * (((1.0e0 * r2) / (2 * na)) - ((n + 1) / 2.0e0)))"
+)
+# H = 12/(N(N+1)) * sum_j n_j (Rbar_j - Rbar)^2, from the snapped sum.
+_KW_H = (
+    "((12.0e0 * (s2 / 1.0e2)) / ((1.0e0 * n) * (n + 1))"
+    " - 0.0e0)"
+)
+# Tie-corrected H = H / (1 - sum(t^3-t)/(N^3-N)); degenerate (all
+# values tied => correction 0) emits 0.0e0 explicitly on both engines.
+_KW_HC = (
+    "(CASE WHEN ((1.0e0 * n) * n * n - n) <= (1.0e0 * tcorr)"
+    f" THEN 0.0e0 ELSE {_KW_H}"
+    " / (1.0e0 - tcorr / ((1.0e0 * n) * n * n - n)) END)"
+)
+
+
+@query(
+    "kruskal_wallis_value",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+  SELECT event_type, {N.sql_cents('value')} AS c FROM events
+), g AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS t FROM c GROUP BY c
+), gc AS (
+  SELECT c, t,
+         CAST(sum(t) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+              AS BIGINT) AS cumlt
+  FROM g
+), ta AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS ta
+  FROM c GROUP BY 1, 2
+), scal AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+  FROM g
+), per AS (
+  SELECT ta.event_type,
+         CAST(sum(ta.ta) AS BIGINT) AS na,
+         CAST(sum(ta.ta * (2 * gc.cumlt + gc.t + 1)) AS BIGINT) AS r2
+  FROM ta JOIN gc USING (c) GROUP BY 1
+), terms AS (
+  SELECT p.event_type, p.na, p.r2, scal.n, scal.tcorr,
+         {N.sql_cents(_KW_TERM, 100)} AS t2
+  FROM per p CROSS JOIN scal
+), hs AS (
+  SELECT CAST(sum(t2) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM terms
+)
+SELECT t.event_type,
+       t.na AS n_type,
+       {N.sql_rnd("(1.0e0 * t.r2) / (2 * t.na)", 4)} AS mean_rank,
+       CAST(hs.k - 1 AS BIGINT) AS df,
+       {N.sql_rnd(_KW_H, 4)} AS h_statistic,
+       {N.sql_rnd(_KW_HC, 4)} AS h_corrected
+FROM terms t CROSS JOIN hs""",
+    doc="Kruskal-Wallis one-way rank test across ALL event types "
+    "(Kruskal & Wallis 1952) — the k-group generalization of "
+    "mann_whitney_u, sharing its exact machinery verbatim: midranks "
+    "on the DOUBLED integer grid (2*rank is an integer under ties), "
+    "per-group rank sums r2 as exact BIGINTs from one value-grid "
+    "cumsum, H computed via the between-group form 12/(N(N+1)) * "
+    "SUM n_j(meanrank_j - (N+1)/2)^2 with each group term snapped to "
+    "the cents grid before the k-term sum (order-free; the naive "
+    "SUM R_j^2/n_j form would square 2e10-scale BIGINTs past 2^63 — "
+    "the deviation form keeps every double in IEEE-exact range). "
+    "Tie-corrected H divides by 1 - SUM(t^3-t)/(N^3-N), with the "
+    "all-tied degenerate case emitting 0.0e0 explicitly on both "
+    "engines. p-values omitted: no portable chi-square CDF (the "
+    "mann_whitney_u discipline). Plan: one cents aggregate (value-"
+    "cardinality-bounded), one grid cumsum window, one (type, cents) "
+    "aggregate — row volume never enters a window or a sort; the "
+    "k-row term frame is scalar algebra.",
+    survey_ids=("M7-A75",),
+)
+def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", N.cents("value").alias("c"))
+    g = c.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gc = g.select(
+        "c",
+        "t",
+        (F.sum("t").over(wcum) - F.col("t")).cast("bigint").alias("cumlt"),
+    )
+    ta = c.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ta")
+    )
+    scal = g.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tcorr"),
+    )
+    per = (
+        ta.join(gc, "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ta").cast("bigint").alias("na"),
+            F.sum(F.col("ta") * (2 * F.col("cumlt") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    terms = per.crossJoin(F.broadcast(scal)).select(
+        "event_type",
+        "na",
+        "r2",
+        "n",
+        "tcorr",
+        F.expr(N.sql_cents(_KW_TERM, 100)).alias("t2"),
+    )
+    hs = terms.agg(
+        F.sum("t2").cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return terms.crossJoin(F.broadcast(hs)).select(
+        "event_type",
+        F.col("na").alias("n_type"),
+        F.expr(N.sql_rnd("(1.0e0 * r2) / (2 * na)", 4)).alias("mean_rank"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.expr(N.sql_rnd(_KW_H, 4)).alias("h_statistic"),
+        F.expr(N.sql_rnd(_KW_HC, 4)).alias("h_corrected"),
+    )

@@ -125,3 +125,82 @@ def test_repetition_dedup_apply_replay(spark, specs):
         assert r["dedup_md5"] == md5, r
         dropped += len(segs) - len(kept)
     assert dropped > 0, "no within-doc duplicate segments — vacuous"
+
+
+def test_kruskal_wallis_replay(spark, specs):
+    """Pure-Python midrank replay of H and the tie correction."""
+    import collections
+
+    from project_bigdata_spark.plans import _norm as N
+    from pyspark.sql import functions as F
+
+    rows = specs["kruskal_wallis_value"].builder(spark, SF).collect()
+    ev = (
+        spark.read.parquet(SF + "/events.parquet")
+        .select("event_type", F.expr(N.sql_cents("value")).alias("c"))
+        .collect()
+    )
+    cnt = collections.Counter(r["c"] for r in ev)
+    n = len(ev)
+    start, s = {}, 0
+    for v in sorted(cnt):
+        start[v] = s
+        s += cnt[v]
+    rank = {v: start[v] + (cnt[v] + 1) / 2 for v in cnt}
+    groups = collections.defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(rank[r["c"]])
+    ssq = sum(
+        len(g) * (sum(g) / len(g) - (n + 1) / 2) ** 2
+        for g in groups.values()
+    )
+    h = 12 / (n * (n + 1)) * ssq
+    tcorr = sum(t**3 - t for t in cnt.values())
+    hc = h / (1 - tcorr / (n**3 - n))
+    for r in rows:
+        assert abs(r["h_statistic"] - h) < 2e-3, (r["h_statistic"], h)
+        assert abs(r["h_corrected"] - hc) < 2e-3
+        assert r["df"] == len(groups) - 1
+        mr = sum(groups[r["event_type"]]) / len(groups[r["event_type"]])
+        assert abs(r["mean_rank"] - mr) < 1e-3
+
+
+def test_connected_components_replay(spark, specs):
+    """Union-find ground truth: component census must match the
+    4-round min-label result when the graph converges in <=4 rounds,
+    and n_changed_last_round tells us whether it did."""
+    rows = specs["connected_components_minlabel"].builder(spark, SF).collect()
+    li = spark.read.parquet(SF + "/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    import collections
+
+    byo = collections.defaultdict(set)
+    for r in li:
+        byo[r["l_orderkey"]].add(r["l_partkey"])
+    paircnt = collections.Counter()
+    for parts in byo.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                paircnt[(ps[i], ps[j])] += 1
+    edges = [p for p, c in paircnt.items() if c >= 2]
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    sizes = collections.Counter(find(x) for x in parent)
+    hist = collections.Counter(sizes.values())
+    got = {r["component_size"]: r["n_components"] for r in rows}
+    changed = rows[0]["n_changed_last_round"] if rows else 0
+    if changed == 0:
+        assert got == dict(hist), (got, dict(hist))
+    assert sum(
+        r["component_size"] * r["n_components"] for r in rows
+    ) == len(parent)
