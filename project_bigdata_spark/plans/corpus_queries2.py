@@ -1610,7 +1610,7 @@ FROM r GROUP BY doc_id""",
     "digest) and the reassembly by doc — both exchanges keyed by "
     "doc_id, co-partitionable, NO cross-document text shuffle: at "
     "100 TB this is embarrassingly parallel per document.",
-    survey_ids=("M7-D20",),
+    survey_ids=("M7-D30",),
 )
 def repetition_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
