@@ -116,6 +116,12 @@ _ATTESTATION_PRIORITY = [
     "repetition_dedup_apply",
     "connected_components_minlabel",
     "kruskal_wallis_value",
+    "cramers_v_effect",
+    "brown_forsythe_variance",
+    "isotonic_calibration",
+    "neyman_allocation",
+    "compression_codec_roundtrip",
+    "textrank_keywords",
     # -- round-9 re-planned entries (stale green rows: ERR snapped to
     #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
     #    guards; isotropy unit-component template parameterized) --------

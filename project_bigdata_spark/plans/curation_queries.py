@@ -3298,3 +3298,110 @@ def cochran_q_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("gates_differ_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation (round 9) — optimal stratified-sampling design:
+# how many samples each stratum gets under a fixed label/audit budget
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000
+
+# Per-stratum weight N_h * S_h with S_h = sample stddev of value cents:
+# exact integer sufficient statistics, hardware sqrt, IEEE division —
+# shared verbatim by both engines.
+_NEY_W = (
+    "(nj * sqrt(greatest(0.0e0,"
+    " ((1.0e0 * nj) * qj - (1.0e0 * sj) * sj)"
+    " / ((1.0e0 * nj) * (nj - 1)))))"
+)
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {N.sql_cents('value')} AS c FROM events
+), per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nj,
+         CAST(sum(c) AS BIGINT) AS sj,
+         CAST(sum(c * c) AS BIGINT) AS qj
+  FROM c GROUP BY 1
+), w AS (
+  SELECT event_type, nj, {_NEY_W} AS wh FROM per
+), tw AS (
+  SELECT sum(wh) AS tot FROM w
+), q AS (
+  SELECT w.event_type, w.nj, w.wh,
+         {_NEY_BUDGET} * w.wh / tw.tot AS quota,
+         CAST(floor({_NEY_BUDGET} * w.wh / tw.tot) AS BIGINT) AS base
+  FROM w CROSS JOIN tw
+), r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY quota - base DESC, event_type)
+           AS frac_rank,
+         {_NEY_BUDGET} - sum(base) OVER () AS leftover
+  FROM q
+)
+SELECT event_type, nj AS n_stratum,
+       {N.sql_rnd("wh / nj / 1.0e2", 4)} AS stddev,
+       {N.sql_rnd("quota", 4)} AS quota,
+       CAST(base + CASE WHEN frac_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS n_alloc
+FROM r""",
+    doc="Neyman-optimal stratified sampling allocation (Neyman 1934): "
+    "under a fixed audit/labeling budget of 1000 samples, each "
+    "event-type stratum gets n_h ∝ N_h·S_h — large AND variable "
+    "strata get sampled more, the design that minimizes the variance "
+    "of the stratified mean (the 100 TB question: which partitions "
+    "deserve the human-review budget). Integer quotas come from "
+    "LARGEST-REMAINDER apportionment (floor every quota, hand the "
+    "leftover to the largest fractional parts, ties broken by type "
+    "name) so allocations sum EXACTLY to the budget — deterministic "
+    "on both engines because quotas are IEEE doubles of exact BIGINT "
+    "sufficient statistics (hardware sqrt only) and the remainder "
+    "rank is a total order. Plan: one cents aggregate per type, then "
+    "|types|-row scalar algebra + one |types|-row window.",
+    survey_ids=("M7-P11",),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", N.cents("value").alias("c"))
+    per = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("c").cast("bigint").alias("sj"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qj"),
+    )
+    w = per.select("event_type", "nj", F.expr(_NEY_W).alias("wh"))
+    tw = w.agg(F.sum("wh").alias("tot"))
+    q = w.crossJoin(F.broadcast(tw)).select(
+        "event_type",
+        "nj",
+        "wh",
+        (F.lit(_NEY_BUDGET) * F.col("wh") / F.col("tot")).alias("quota"),
+        F.floor(F.lit(_NEY_BUDGET) * F.col("wh") / F.col("tot"))
+        .cast("bigint")
+        .alias("base"),
+    )
+    wrank = Window.orderBy(
+        (F.col("quota") - F.col("base")).desc(), "event_type"
+    )
+    wall = Window.partitionBy()
+    r = q.select(
+        "*",
+        F.row_number().over(wrank).alias("frac_rank"),
+        (F.lit(_NEY_BUDGET) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return r.select(
+        "event_type",
+        F.col("nj").alias("n_stratum"),
+        F.expr(N.sql_rnd("wh / nj / 1.0e2", 4)).alias("stddev"),
+        F.expr(N.sql_rnd("quota", 4)).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("frac_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )

@@ -791,3 +791,117 @@ def err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(N.sql_rnd("t6 / 1e6", 6)).alias("err_term"),
         N.rnd(F.sum("t6").over(wcum) / 1e6, 6).alias("err_cum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration (round 9) — PAVA isotonic regression over the
+# calibration_bins reliability diagram via the exact minimax identity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+WITH {{qscored}},
+b AS (
+  SELECT CAST(least(s6 // 100000, 9) AS BIGINT) AS bin,
+         CAST(sum(pos) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qscored GROUP BY 1
+), p AS (
+  SELECT bin, y, n,
+         CAST(sum(y) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cy,
+         CAST(sum(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cn
+  FROM b
+), iv AS (
+  SELECT i.bin AS bi, j.bin AS bj,
+         (j.cy - (i.cy - i.y)) AS sy,
+         (j.cn - (i.cn - i.n)) AS sn
+  FROM p i JOIN p j ON i.bin <= j.bin
+), mk AS (
+  SELECT k.bin AS bin, iv.bi,
+         min((1.0e0 * iv.sy) / iv.sn) AS mn
+  FROM p k JOIN iv ON iv.bi <= k.bin AND iv.bj >= k.bin
+  GROUP BY 1, 2
+), iso AS (
+  SELECT bin, max(mn) AS iso FROM mk GROUP BY 1
+)
+SELECT p.bin, p.n AS n_docs,
+       {N.sql_rnd("(1.0e0 * p.y) / p.n", 6)} AS raw_rate,
+       {N.sql_rnd("iso.iso", 6)} AS iso_rate
+FROM p JOIN iso USING (bin)""".format(qscored=_qscored_sql()),
+    doc="Isotonic (PAVA) calibration of the quality score against the "
+    "empirical P(lang='en'), fitted over the calibration_bins "
+    "reliability diagram via the EXACT minimax identity: the "
+    "pool-adjacent-violators solution at bin k equals "
+    "max_{{i<=k}} min_{{j>=k}} mean(y_i..y_j) (Robertson-Wright-"
+    "Dykstra 1988 Thm 1.4.4) — so the inherently-sequential PAVA "
+    "sweep becomes three B-bounded relational steps: interval sums "
+    "from exclusive/inclusive prefix pairs (B(B+1)/2 rows), a "
+    "(k,i)-grouped min over j, a k-grouped max over i. Interval "
+    "means are IEEE divisions of exact BIGINT prefix sums — "
+    "deterministic cross-engine, no libm anywhere. The fitted curve "
+    "is monotone by construction where the raw reliability diagram "
+    "need not be. Plan: ONE corpus aggregate (the 10-bin census); "
+    "everything after is <=B^3/6 rows of scalar algebra — the only "
+    "isotonic regression that exists at 100 TB (per-example PAVA "
+    "would need a global sort and a sequential sweep).",
+    survey_ids=("M7-ML29",),
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _qscored(spark, sf_dir)
+    b = q.groupBy(
+        F.least(F.floor(F.col("s6") / 100000), F.lit(9))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.sum("pos").cast("bigint").alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = b.select(
+        "bin",
+        "y",
+        "n",
+        F.sum("y").over(wcum).cast("bigint").alias("cy"),
+        F.sum("n").over(wcum).cast("bigint").alias("cn"),
+    ).localCheckpoint(eager=True)
+    pi = p.select(
+        F.col("bin").alias("bi"),
+        (F.col("cy") - F.col("y")).alias("ey"),
+        (F.col("cn") - F.col("n")).alias("en"),
+    )
+    pj = p.select(
+        F.col("bin").alias("bj"),
+        F.col("cy").alias("jcy"),
+        F.col("cn").alias("jcn"),
+    )
+    iv = pi.join(pj, F.col("bi") <= F.col("bj")).select(
+        "bi",
+        "bj",
+        (F.col("jcy") - F.col("ey")).alias("sy"),
+        (F.col("jcn") - F.col("en")).alias("sn"),
+    )
+    pk = p.select(F.col("bin").alias("k"))
+    mk = (
+        pk.join(
+            iv, (F.col("bi") <= F.col("k")) & (F.col("bj") >= F.col("k"))
+        )
+        .groupBy("k", "bi")
+        .agg(F.min(F.col("sy") * 1.0 / F.col("sn")).alias("mn"))
+    )
+    iso = mk.groupBy(F.col("k").alias("bin")).agg(
+        F.max("mn").alias("iso")
+    )
+    return p.join(iso, "bin").select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        N.rnd(F.col("y") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+        N.rnd(F.col("iso"), 6).alias("iso_rate"),
+    )

@@ -601,3 +601,60 @@ def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_malformed").isNull(), F.col("value"))
         ).alias("clean_value_sum"),
     )
+
+
+_CODECS = ("snappy", "zstd", "gzip")
+
+
+@query(
+    "compression_codec_roundtrip",
+    oracle=f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         {N.sql_sum_cents2('value')} AS total_value,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+         CAST(sum(CAST(('0x' || substring(md5(props), 1, 8)) AS BIGINT))
+              AS BIGINT) AS props_md5_sum
+  FROM events
+)
+SELECT c.codec, agg.n_events, agg.total_value, agg.first_ts,
+       agg.props_md5_sum
+FROM (VALUES ('snappy'), ('zstd'), ('gzip')) AS c(codec)
+CROSS JOIN agg""",
+    doc="Parquet compression-codec roundtrip audit: the events table is "
+    "written THREE times — snappy (the default), zstd (the modern "
+    "size/speed frontier), gzip (the legacy ratio choice) — and each "
+    "codec's read-back must reproduce the identical fidelity "
+    "aggregate (row count, exact-cents value sum, microsecond first "
+    "timestamp, md5-prefix sum over the string payload). At 100 TB "
+    "the codec choice is a first-order cost decision (zstd typically "
+    "~30% smaller than snappy at similar scan speed) and this entry "
+    "is the safety proof that switching codecs is value-lossless: "
+    "any re-encode drift in doubles, timestamp precision, or string "
+    "bytes breaks the hash for that codec's row. Byte-size ordering "
+    "is asserted in tests (sizes are writer-dependent, not "
+    "oracle-checkable). Plan: three sink+scan passes over the same "
+    "frame + one aggregate each — pure IO attestation.",
+    survey_ids=("M7-IO10",),
+)
+def compression_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    outs = []
+    for codec in _CODECS:
+        path = _sink_dir(f"codec_{codec}", sf_dir)
+        e.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                N.sum_cents2("value").alias("total_value"),
+                N.ts_str(F.min("ts"), micros=True).alias("first_ts"),
+                _md5_sum("props").alias("props_md5_sum"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

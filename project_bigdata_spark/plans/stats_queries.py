@@ -4461,3 +4461,112 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(N.sql_rnd(_KW_H, 4)).alias("h_statistic"),
         F.expr(N.sql_rnd(_KW_HC, 4)).alias("h_corrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe_variance (round 9) — variance-homogeneity test across
+# event types: the gate in front of ANOVA/Welch pooling decisions
+# ---------------------------------------------------------------------------
+
+# One-way ANOVA F over the absolute deviations z (half-cent grid):
+# SSB = sum_j S_j^2/n_j - (sum S)^2/N, SSW = sum Q - sum_j S_j^2/n_j,
+# with the per-group S_j^2/n_j terms snapped to the cents grid before
+# the k-term sum (the kruskal_wallis discipline). Grid scale cancels
+# in the F ratio.
+_BF_F = (
+    "(CASE WHEN (sq - s2c / 1.0e2) <= 0.0e0 THEN 0.0e0"
+    " ELSE ((s2c / 1.0e2 - ((1.0e0 * st) * st) / n) / (k - 1))"
+    " / ((sq - s2c / 1.0e2) / (n - k)) END)"
+)
+
+
+@query(
+    "brown_forsythe_variance",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+  SELECT event_type, {N.sql_cents('value')} AS c FROM events
+), med AS (
+  SELECT event_type, CAST(2 * median(c) AS BIGINT) AS med2
+  FROM c GROUP BY 1
+), z AS (
+  SELECT c.event_type, abs(2 * c.c - med.med2) AS z2
+  FROM c JOIN med USING (event_type)
+), per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nj,
+         CAST(sum(z2) AS BIGINT) AS sj,
+         CAST(sum(z2 * z2) AS BIGINT) AS qj
+  FROM z GROUP BY 1
+), terms AS (
+  SELECT event_type, nj, sj, qj,
+         {N.sql_cents("((1.0e0 * sj) * sj) / nj", 100)} AS t2
+  FROM per
+), x AS (
+  SELECT CAST(sum(nj) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(sj) AS BIGINT) AS st,
+         CAST(sum(qj) AS BIGINT) AS sq,
+         CAST(sum(t2) AS BIGINT) AS s2c
+  FROM terms
+)
+SELECT t.event_type, t.nj AS n_type,
+       {N.sql_rnd("t.sj / (2.0e2 * t.nj)", 4)} AS mean_abs_dev,
+       CAST(x.k - 1 AS BIGINT) AS df1,
+       CAST(x.n - x.k AS BIGINT) AS df2,
+       {N.sql_rnd(_BF_F, 4)} AS f_statistic
+FROM terms t CROSS JOIN x""",
+    doc="Brown-Forsythe variance-homogeneity test across event types "
+    "(Brown & Forsythe 1974 — Levene's test with the MEDIAN center, "
+    "the robust variant): one-way ANOVA F over per-row absolute "
+    "deviations from the group median. Deviations live on the exact "
+    "HALF-CENT integer grid (2·median of integer cents is always an "
+    "integer — the interpolated even-n median is a half; both "
+    "engines' percentile interpolation is exact integer averaging, "
+    "so med2 is bit-identical), so every sufficient statistic (n_j, "
+    "Σz, Σz²) is an exact BIGINT; the k per-group S²/n terms snap to "
+    "the cents grid before the cross-group sum (kruskal_wallis "
+    "discipline) and the grid scale cancels in the F ratio. "
+    "Degenerate all-identical case emits 0.0e0 explicitly. This is "
+    "the assumption gate in front of anova_oneway: heteroscedastic "
+    "groups reroute to welch_ttest. Plan: one cents pass, one "
+    "per-type median (types-bounded), one join back + one "
+    "sufficient-stats aggregate — no window over row volume.",
+    survey_ids=("M7-A77",),
+)
+def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", N.cents("value").alias("c"))
+    med = c.groupBy("event_type").agg(
+        (F.expr("percentile(c, 0.5)") * 2).cast("bigint").alias("med2")
+    )
+    z = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("z2"),
+    )
+    per = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("z2").cast("bigint").alias("sj"),
+        F.sum(F.col("z2") * F.col("z2")).cast("bigint").alias("qj"),
+    )
+    terms = per.select(
+        "event_type",
+        "nj",
+        "sj",
+        "qj",
+        F.expr(N.sql_cents("((1.0e0 * sj) * sj) / nj", 100)).alias("t2"),
+    )
+    x = terms.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sj").cast("bigint").alias("st"),
+        F.sum("qj").cast("bigint").alias("sq"),
+        F.sum("t2").cast("bigint").alias("s2c"),
+    )
+    return terms.crossJoin(F.broadcast(x)).select(
+        "event_type",
+        F.col("nj").alias("n_type"),
+        F.expr(N.sql_rnd("sj / (2.0e2 * nj)", 4)).alias("mean_abs_dev"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        F.expr(N.sql_rnd(_BF_F, 4)).alias("f_statistic"),
+    )

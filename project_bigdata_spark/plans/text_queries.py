@@ -14,6 +14,7 @@ from project_bigdata_spark.operators import multimodal as MM
 from project_bigdata_spark.operators import text as TX
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.relational_queries4 import _PR_ITER_SQL
 from project_bigdata_spark.sources import load_table
 
 WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
@@ -1315,4 +1316,122 @@ def char_entropy_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(N.sql_rnd("h9 / 1.0e9", 6)).alias("entropy_bits"),
         F.expr(N.sql_rnd("h9 / 8.0e9", 6)).alias("compression_bound"),
         (F.col("h9") < 3000000000).cast("bigint").alias("low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# textrank_keywords (round 9) — TextRank keyword extraction: the
+# integer-PageRank discipline applied to the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "textrank_keywords",
+    oracle=f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+), adj AS (
+  SELECT least(ws[i], ws[i + 1]) AS a, greatest(ws[i], ws[i + 1]) AS b
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), pairs AS (
+  SELECT a, b FROM adj WHERE a <> b GROUP BY a, b HAVING count(*) >= 2
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT src AS n, CAST(count(*) AS BIGINT) AS outdeg
+  FROM edges GROUP BY 1
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+pr0d AS (
+  SELECT d.n, CAST(1000000000000 // n.n_nodes AS BIGINT) AS units,
+         d.outdeg
+  FROM deg d CROSS JOIN nn n
+),
+{_PR_ITER_SQL.format(i=1, j="0d")},
+{_PR_ITER_SQL.format(i=2, j="1d")},
+{_PR_ITER_SQL.format(i=3, j="2d")}
+SELECT n AS keyword, CAST(units AS BIGINT) AS pr_units
+FROM pr3d
+QUALIFY row_number() OVER (ORDER BY units DESC, n) <= 20""",
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank "
+    "over the word co-occurrence graph — nodes are corpus words, "
+    "undirected edges link ADJACENT word pairs seen at least twice "
+    "(the window-2 TextRank graph), 3 power iterations, top-20 words "
+    "by rank. Reuses pagerank_parts' exact-integer discipline "
+    "verbatim (oracle shares its iteration CTE template): ranks live "
+    "in integer micro-units, every update is BIGINT `div`, so the "
+    "fixpoint is order-free and bit-identical cross-engine. The "
+    "graph is VOCABULARY-bounded — at 100 TB the corpus pass emits "
+    "(word, word) pairs that collapse to ≤|V|² edge counts in one "
+    "map-side-combined aggregate, and the iterations never touch the "
+    "corpus again; the adjacent-pair projection is one narrow pass.",
+    survey_ids=("M7-T24",),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(words_col(F.col("text")).alias("_ws")).filter(
+        F.size("_ws") >= 2
+    )
+    adj = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_ws) - 2),"
+                " i -> struct(least(_ws[i], _ws[i + 1]) AS a,"
+                "             greatest(_ws[i], _ws[i + 1]) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pairs = (
+        adj.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b")
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    base_col = F.expr("(15 * 1000000000000) div (100 * n_nodes)")
+    init_col = F.expr("1000000000000 div n_nodes")
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "n", init_col.cast("bigint").alias("units"), "outdeg"
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                pr.select(F.col("n").alias("src"), "units", "outdeg"),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("n"),
+                F.expr("units div outdeg").alias("c"),
+            )
+            .groupBy("n")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            deg.join(contrib, "n", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "n",
+                (base_col + F.expr("(85 * coalesce(s, 0)) div 100"))
+                .cast("bigint")
+                .alias("units"),
+                "outdeg",
+            )
+        )
+    return (
+        pr.orderBy(F.col("units").desc(), "n")
+        .limit(20)
+        .select(
+            F.col("n").alias("keyword"), N.big("units").alias("pr_units")
+        )
     )

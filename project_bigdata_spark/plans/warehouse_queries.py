@@ -1210,3 +1210,98 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1.0e4)
         ).alias("bal_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cramers_v_effect (round 9) — effect sizes over chi_square_independence's
+# exact contingency: the "is it LARGE" companion to "is it significant"
+# ---------------------------------------------------------------------------
+
+# All four effect sizes from (chi2, n, r, c); sqrt is hardware-IEEE
+# (not libm), so the shared strings render identically cross-engine.
+_CV_PHI2 = "(chi2 / (1.0e0 * n))"
+_CV_V = f"sqrt({_CV_PHI2} / least(r - 1, c - 1))"
+_CV_T = f"sqrt({_CV_PHI2} / sqrt(1.0e0 * (r - 1) * (c - 1)))"
+_CV_C = "sqrt(chi2 / (chi2 + 1.0e0 * n))"
+# Bergsma (2013) bias correction: phi2+ = max(0, phi2 - (r-1)(c-1)/(n-1)),
+# r+ = r - (r-1)^2/(n-1), c+ analogous.
+_CV_VCORR = (
+    f"sqrt(greatest(0.0e0, {_CV_PHI2}"
+    " - (1.0e0 * (r - 1) * (c - 1)) / (n - 1))"
+    " / least((r - (1.0e0 * (r - 1) * (r - 1)) / (n - 1)) - 1,"
+    "         (c - (1.0e0 * (c - 1) * (c - 1)) / (n - 1)) - 1))"
+)
+
+
+@query(
+    "cramers_v_effect",
+    oracle=f"""
+WITH o AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS obs
+  FROM events GROUP BY event_type, hour(ts)
+), rowm AS (SELECT event_type, sum(obs) AS r FROM o GROUP BY event_type),
+colm AS (SELECT hr, sum(obs) AS c FROM o GROUP BY hr),
+tot AS (SELECT sum(obs) AS t FROM o),
+x AS (
+  SELECT CAST(count(DISTINCT o.event_type) AS BIGINT) AS r,
+         CAST(count(DISTINCT o.hr) AS BIGINT) AS c,
+         CAST(sum(o.obs) AS BIGINT) AS n,
+         CAST(sum(CAST(round(
+           (o.obs - CAST(rowm.r AS DOUBLE) * colm.c / tot.t)
+           * (o.obs - CAST(rowm.r AS DOUBLE) * colm.c / tot.t)
+           / (CAST(rowm.r AS DOUBLE) * colm.c / tot.t),
+         6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+  FROM o JOIN rowm USING (event_type) JOIN colm USING (hr), tot
+)
+SELECT n, r AS n_rows, c AS n_cols,
+       {N.sql_rnd("chi2", 4)} AS chi2,
+       {N.sql_rnd(_CV_V, 6)} AS cramers_v,
+       {N.sql_rnd(_CV_VCORR, 6)} AS cramers_v_corrected,
+       {N.sql_rnd(_CV_T, 6)} AS tschuprow_t,
+       {N.sql_rnd(_CV_C, 6)} AS contingency_c
+FROM x""",
+    doc="Effect sizes over the event-type × hour-of-day contingency: "
+    "Cramér's V = sqrt(φ²/min(r−1,c−1)), the Bergsma (2013) "
+    "bias-corrected V (the one to report: raw V inflates on large "
+    "sparse tables), Tschuprow's T, and Pearson's contingency "
+    "coefficient — the 'how LARGE is the association' companion to "
+    "chi_square_independence's 'is it significant'. chi2 is the same "
+    "snapped-DECIMAL cell sum as the test entry; the four effect "
+    "sizes are shared double strings over (chi2, n, r, c) with only "
+    "hardware sqrt (no libm). Plan: identical to the test — one cell "
+    "census, broadcast margins, one scalar row out.",
+    survey_ids=("M7-A76",),
+)
+def cramers_v_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rowm = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    colm = o.groupBy("hr").agg(F.sum("obs").alias("c"))
+    tot = o.agg(F.sum("obs").alias("t"))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("t")
+    term = N.rnd(
+        (F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6
+    ).cast("decimal(18,6)")
+    x = (
+        o.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count_distinct("event_type").cast("bigint").alias("r"),
+            F.count_distinct("hr").cast("bigint").alias("c"),
+            F.sum("obs").cast("bigint").alias("n"),
+            F.sum(term).cast("double").alias("chi2"),
+        )
+    )
+    return x.select(
+        "n",
+        F.col("r").alias("n_rows"),
+        F.col("c").alias("n_cols"),
+        F.expr(N.sql_rnd("chi2", 4)).alias("chi2"),
+        F.expr(N.sql_rnd(_CV_V, 6)).alias("cramers_v"),
+        F.expr(N.sql_rnd(_CV_VCORR, 6)).alias("cramers_v_corrected"),
+        F.expr(N.sql_rnd(_CV_T, 6)).alias("tschuprow_t"),
+        F.expr(N.sql_rnd(_CV_C, 6)).alias("contingency_c"),
+    )

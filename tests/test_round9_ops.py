@@ -204,3 +204,121 @@ def test_connected_components_replay(spark, specs):
     assert sum(
         r["component_size"] * r["n_components"] for r in rows
     ) == len(parent)
+
+
+def test_isotonic_calibration_properties(spark, specs):
+    """Monotone fit; matches a textbook sequential PAVA replay."""
+    rows = sorted(
+        specs["isotonic_calibration"].builder(spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), "isotonic fit is not monotone"
+    # sequential PAVA replay on (raw_rate, n_docs)
+    blocks = [
+        [r["raw_rate"] * r["n_docs"], r["n_docs"]] for r in rows
+    ]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / blocks[i + 1][1] + 1e-12:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand pooled blocks back to per-bin fitted values
+    fitted = []
+    k = 0
+    for y, n in blocks:
+        # how many original bins were pooled: recover by matching n sums
+        acc = 0
+        cnt = 0
+        while acc < n - 1e-6:
+            acc += rows[k + cnt]["n_docs"]
+            cnt += 1
+        fitted += [y / n] * cnt
+        k += cnt
+    assert len(fitted) == len(rows)
+    for got, exp in zip(iso, fitted):
+        assert abs(got - exp) < 2e-3, (got, exp)
+
+
+def test_brown_forsythe_replay(spark, specs):
+    """statistics-free Python replay of the BF F statistic."""
+    import collections
+    import statistics
+
+    from project_bigdata_spark.plans import _norm as N
+    from pyspark.sql import functions as F
+
+    rows = specs["brown_forsythe_variance"].builder(spark, SF).collect()
+    ev = (
+        spark.read.parquet(SF + "/events.parquet")
+        .select("event_type", F.expr(N.sql_cents("value")).alias("c"))
+        .collect()
+    )
+    groups = collections.defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(r["c"])
+    z = {
+        t: [abs(2 * x - round(2 * statistics.median(vs))) for x in vs]
+        for t, vs in groups.items()
+    }
+    n = sum(len(v) for v in z.values())
+    k = len(z)
+    gm = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in z.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values()
+    )
+    f_expected = (ssb / (k - 1)) / (ssw / (n - k))
+    for r in rows:
+        assert abs(r["f_statistic"] - f_expected) < 2e-3, (
+            r["f_statistic"],
+            f_expected,
+        )
+
+
+def test_neyman_allocation_sums_to_budget(spark, specs):
+    rows = specs["neyman_allocation"].builder(spark, SF).collect()
+    assert sum(r["n_alloc"] for r in rows) == 1000
+    for r in rows:
+        assert abs(r["n_alloc"] - r["quota"]) < 1.0 + 1e-9
+        assert r["stddev"] >= 0
+
+
+def test_codec_roundtrip_sizes(spark, specs):
+    """All three codecs value-identical; zstd and gzip smaller than
+    snappy on this data."""
+    import glob
+    import os
+
+    rows = specs["compression_codec_roundtrip"].builder(spark, SF).collect()
+    assert len({tuple(r[1:]) for r in rows}) == 1, rows
+    from project_bigdata_spark.plans.io_queries import _sink_dir
+
+    sizes = {}
+    for codec in ("snappy", "zstd", "gzip"):
+        path = _sink_dir(f"codec_{codec}", SF)
+        sizes[codec] = sum(
+            os.path.getsize(f)
+            for f in glob.glob(path + "/*.parquet")
+        )
+    assert sizes["zstd"] < sizes["snappy"], sizes
+    assert sizes["gzip"] < sizes["snappy"], sizes
+
+
+def test_textrank_top_keyword_is_high_degree(spark, specs):
+    """TextRank's top keywords must be words that actually occur, and
+    rank mass is conserved within ~the damping leak."""
+    rows = specs["textrank_keywords"].builder(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    vocab = set()
+    for r in spark.read.parquet(SF + "/documents.parquet").collect():
+        vocab.update(r["text"].lower().split())
+    for r in rows:
+        assert r["keyword"] in vocab
+        assert r["pr_units"] > 0
+    units = [r["pr_units"] for r in rows]
+    assert units == sorted(units, reverse=True)
