@@ -122,6 +122,13 @@ _ATTESTATION_PRIORITY = [
     "neyman_allocation",
     "compression_codec_roundtrip",
     "textrank_keywords",
+    "wilcoxon_signed_rank",
+    "fleiss_kappa_gates",
+    "label_cosine_matrix",
+    "kfold_assignment",
+    "jensen_shannon_sources",
+    "randomization_test_diff",
+    "nelson_aalen_hazard",
     # -- round-9 re-planned entries (stale green rows: ERR snapped to
     #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
     #    guards; isotropy unit-component template parameterized) --------

@@ -3405,3 +3405,278 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa_gates (round 9) — multi-rater chance-corrected agreement
+# across the three binary quality gates: the effect-size companion to
+# cochran_q_gates' significance test
+# ---------------------------------------------------------------------------
+
+# kappa = (Pbar - Pe) / (1 - Pe) from exact integers: per-doc agreement
+# numerator R(R-1) + (3-R)(2-R) over k(k-1) = 6; chance agreement
+# Pe = (T^2 + (3n - T)^2) / (9 n^2). Degenerate (every vote in one
+# category => Pe = 1) emits 0.0e0 on both engines.
+_FK_KAPPA = (
+    "(CASE WHEN ((1.0e0 * t) * t + (1.0e0 * (3 * n - t)) * (3 * n - t))"
+    " >= (9.0e0 * n) * n THEN 0.0e0"
+    " ELSE (pnum / (6.0e0 * n)"
+    " - ((1.0e0 * t) * t + (1.0e0 * (3 * n - t)) * (3 * n - t))"
+    " / ((9.0e0 * n) * n))"
+    " / (1.0e0 - ((1.0e0 * t) * t + (1.0e0 * (3 * n - t)) * (3 * n - t))"
+    " / ((9.0e0 * n) * n)) END)"
+)
+
+
+@query(
+    "fleiss_kappa_gates",
+    oracle=f"""
+WITH flags AS (
+  SELECT CASE WHEN len({WORDS_SQL}) >= 30 THEN 1 ELSE 0 END
+         + CASE WHEN 100 * len(list_distinct({WORDS_SQL}))
+                     >= 55 * len({WORDS_SQL}) THEN 1 ELSE 0 END
+         + CASE WHEN len(list_intersect({WORDS_SQL},
+                     ['the', 'a', 'of'])) > 0 THEN 1 ELSE 0 END AS r
+  FROM documents
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS t,
+         CAST(sum(r * (r - 1) + (3 - r) * (2 - r)) AS BIGINT) AS pnum
+  FROM flags
+)
+SELECT n AS n_docs, t AS total_keep_votes,
+       {N.sql_rnd("pnum / (6.0e0 * n)", 6)} AS p_observed,
+       {N.sql_rnd(
+           "((1.0e0 * t) * t + (1.0e0 * (3 * n - t)) * (3 * n - t))"
+           " / ((9.0e0 * n) * n)", 6)} AS p_chance,
+       {N.sql_rnd(_FK_KAPPA, 6)} AS fleiss_kappa
+FROM m""",
+    doc="Fleiss' kappa (Fleiss 1971) across the SAME three binary "
+    "quality gates cochran_q_gates tests — length, type-token ratio, "
+    "required-stopword — treated as three raters voting keep/drop "
+    "per document: the chance-corrected agreement EFFECT SIZE next "
+    "to Cochran's Q significance (Q answers 'do the gates differ at "
+    "all', kappa answers 'how far from chance is their agreement'). "
+    "Every quantity is exact-integer: per-doc agreement pairs "
+    "R(R−1)+(3−R)(2−R) summed as BIGINT, chance agreement from the "
+    "vote totals, one shared double render with the all-one-category "
+    "degenerate case emitting 0.0e0 (the round-8 ADVICE #3 "
+    "discipline, applied from birth). Plan: one corpus pass to the "
+    "three-flag sum, one scalar row out — gates are integer "
+    "cross-multiplications inside the scan stage.",
+    survey_ids=("M7-P12",),
+)
+def fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(words_col(F.col("text")).alias("w"))
+    r = (
+        F.when(F.size("w") >= 30, 1).otherwise(0)
+        + F.when(
+            100 * F.size(F.array_distinct("w")) >= 55 * F.size("w"), 1
+        ).otherwise(0)
+        + F.when(
+            F.size(
+                F.array_intersect(
+                    "w", F.array(F.lit("the"), F.lit("a"), F.lit("of"))
+                )
+            )
+            > 0,
+            1,
+        ).otherwise(0)
+    )
+    m = ws.select(r.alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("t"),
+        F.sum(
+            F.col("r") * (F.col("r") - 1)
+            + (3 - F.col("r")) * (2 - F.col("r"))
+        )
+        .cast("bigint")
+        .alias("pnum"),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("t").alias("total_keep_votes"),
+        F.expr(N.sql_rnd("pnum / (6.0e0 * n)", 6)).alias("p_observed"),
+        F.expr(
+            N.sql_rnd(
+                "((1.0e0 * t) * t + (1.0e0 * (3 * n - t)) * (3 * n - t))"
+                " / ((9.0e0 * n) * n)",
+                6,
+            )
+        ).alias("p_chance"),
+        F.expr(N.sql_rnd(_FK_KAPPA, 6)).alias("fleiss_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kfold_assignment (round 9) — deterministic stratified k-fold split
+# audit: the cross-validation assignment primitive
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@query(
+    "kfold_assignment",
+    oracle=f"""
+WITH r AS (
+  SELECT lang,
+         (row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+           % {_KFOLD_K} AS fold
+  FROM documents
+)
+SELECT lang, CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM r GROUP BY 1, 2""",
+    doc="Deterministic STRATIFIED k-fold assignment (k=5): within each "
+    "language stratum, documents are ordered by md5(doc_id) — a "
+    "pseudo-random but seed-free, engine-identical shuffle — and "
+    "dealt round-robin into folds, so per-stratum fold sizes differ "
+    "by AT MOST ONE (the property sklearn's StratifiedKFold gives "
+    "and a naive hash-mod split does not: hash-mod folds fluctuate "
+    "binomially and small strata can land entirely in one fold). "
+    "Md5 tie-broken by doc_id so the order is total. The readout is "
+    "the (lang, fold) census the balance property is checked on. "
+    "Plan: one rank window partitioned BY STRATUM (each partition "
+    "bounded by the stratum's rows — parallel across strata at "
+    "100 TB) + one small aggregate; for corpus-scale folds the "
+    "hash_split entry remains the O(1)-state alternative.",
+    survey_ids=("M7-P13",),
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "lang",
+        ((F.row_number().over(w) - 1) % _KFOLD_K).alias("fold"),
+    )
+    return r.groupBy("lang", F.col("fold").cast("bigint").alias("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# jensen_shannon_sources (round 9) — symmetric bounded divergence per
+# source vs the corpus: the dashboard metric next to the KL monitor
+# ---------------------------------------------------------------------------
+
+_JSD_LN2 = 0.6931471805599453  # ln(2), fixed literal on both engines
+
+# Per-token JSD term with m = (p+q)/2:
+# (p*ln(p/m) + q*ln(q/m)) / 2 — smoothed p,q are strictly positive.
+_JSD_TERM = (
+    f"(({_PS_SQL} * ln({_PS_SQL} / (({_PS_SQL} + {_PC_SQL}) / 2.0e0))"
+    f" + {_PC_SQL} * ln({_PC_SQL} / (({_PS_SQL} + {_PC_SQL}) / 2.0e0)))"
+    " / 2.0e0)"
+)
+
+
+@query(
+    "jensen_shannon_sources",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, unnest({WORDS_SQL}) AS w FROM documents
+), cnt AS MATERIALIZED (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), gcnt AS MATERIALIZED (
+  SELECT w, CAST(sum(c) AS BIGINT) AS c FROM cnt GROUP BY w
+), vocab AS MATERIALIZED (
+  SELECT w, c FROM gcnt ORDER BY c DESC, w LIMIT {_KL_VOCAB}
+), vtot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nv, CAST(count(*) AS BIGINT) AS vsz
+  FROM vocab
+), stot AS (
+  SELECT source, CAST(sum(c.c) AS BIGINT) AS ns
+  FROM cnt c JOIN vocab v USING (w) GROUP BY source
+), grid AS (
+  SELECT s.source, v.c AS cg, coalesce(sc.c, 0) AS cs, st.ns, vt.nv, vt.vsz
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN vocab v
+  LEFT JOIN cnt sc ON sc.source = s.source AND sc.w = v.w
+  JOIN stot st ON st.source = s.source
+  CROSS JOIN vtot vt
+), terms AS (
+  SELECT source, ns,
+         {N.sql_cents(_JSD_TERM, 1_000_000_000)} AS t9
+  FROM grid
+)
+SELECT source,
+       CAST(ns AS BIGINT) AS n_vocab_tokens,
+       round(CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS jsd,
+       round(CAST(sum(t9) AS DOUBLE) / 1e9 / {_JSD_LN2!r}, 6)
+         AS jsd_normalized
+FROM terms GROUP BY source, ns""",
+    doc="Jensen-Shannon divergence of each source's unigram "
+    "distribution vs the corpus over the shared top-256 support — "
+    "the SYMMETRIC, [0, ln 2]-BOUNDED companion to "
+    "domain_kl_divergence (KL explodes when a source misses corpus "
+    "mass; JSD is what mixture dashboards actually plot, and "
+    "jsd_normalized/ln2 is comparable across vocab choices). Same "
+    "exact discipline as the KL entry, shared smoothing strings "
+    "verbatim: the per-token term (p·ln(p/m)+q·ln(q/m))/2 with "
+    "m=(p+q)/2 evaluates on identical doubles and snaps to the 1e-9 "
+    "integer grid BEFORE summation — order-free aggregate, ln only "
+    "inside the snapped term. Plan: identical to the KL entry — one "
+    "token shuffle + broadcast vocab, |sources|×256 bounded grid.",
+    survey_ids=("M7-C16",),
+)
+def jensen_shannon_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(DD.words_col(F.col("text"))).alias("w")
+    )
+    cnt = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    gcnt = cnt.groupBy("w").agg(F.sum("c").cast("bigint").alias("c"))
+    vocab = (
+        gcnt.orderBy(F.col("c").desc(), "w")
+        .limit(_KL_VOCAB)
+        .localCheckpoint(eager=True)
+    )
+    vtot = vocab.agg(
+        F.sum("c").cast("bigint").alias("nv"),
+        F.count(F.lit(1)).cast("bigint").alias("vsz"),
+    )
+    stot = (
+        cnt.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("ns"))
+    )
+    srcs = d.select("source").distinct()
+    grid = (
+        srcs.crossJoin(
+            F.broadcast(
+                vocab.select(F.col("w"), F.col("c").alias("cg"))
+            )
+        )
+        .join(
+            cnt.select("source", "w", F.col("c").alias("cs")),
+            ["source", "w"],
+            "left",
+        )
+        .withColumn("cs", F.coalesce("cs", F.lit(0)))
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vtot))
+    )
+    terms = grid.select(
+        "source",
+        "ns",
+        F.expr(N.sql_cents(_JSD_TERM, 1_000_000_000)).alias("t9"),
+    )
+    return terms.groupBy("source", "ns").agg(
+        F.sum("t9").alias("_s")
+    ).select(
+        "source",
+        F.col("ns").alias("n_vocab_tokens"),
+        N.rnd(F.col("_s").cast("double") / 1e9, 6).alias("jsd"),
+        N.rnd(
+            F.col("_s").cast("double") / 1e9 / F.lit(_JSD_LN2), 6
+        ).alias("jsd_normalized"),
+    )

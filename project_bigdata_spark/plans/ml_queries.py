@@ -1913,3 +1913,132 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("participation_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# label_cosine_matrix (round 9) — inter/intra-label mean-cosine matrix
+# via the sum-vector identity: embedding_isotropy's machinery widened
+# from one global scope to all label PAIRS (the class-separability map)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "label_cosine_matrix",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT label, embedding,
+         CAST(list_sum(list_transform(embedding,
+              x -> {_ISO_N2})) AS BIGINT) AS n2_12
+  FROM embeddings WHERE embedding IS NOT NULL
+), ex AS MATERIALIZED (
+  SELECT label, i AS d, {_iso_u9('(embedding[i])')} AS u9
+  FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
+  WHERE n2_12 > 0
+), cells AS MATERIALIZED (
+  SELECT label, d,
+         CAST(sum(u9) AS HUGEINT) AS sd9,
+         CAST(sum(CAST(u9 AS HUGEINT) * u9) AS HUGEINT) AS q18
+  FROM ex GROUP BY 1, 2
+), ncnt AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n
+  FROM base WHERE n2_12 > 0 GROUP BY label
+), dots AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(a.sd9 * b.sd9) AS HUGEINT) AS dot18,
+         CAST(sum(a.q18) AS HUGEINT) AS qa18
+  FROM cells a JOIN cells b ON a.d = b.d AND a.label <= b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(dots.la AS BIGINT) AS label_a,
+       CAST(dots.lb AS BIGINT) AS label_b,
+       na.n AS n_a, nb.n AS n_b,
+       {N.sql_rnd(
+           "CASE WHEN dots.la = dots.lb"
+           " THEN (CAST(dot18 AS DOUBLE) / 1e18 - CAST(qa18 AS DOUBLE) / 1e18)"
+           "      / ((1.0e0 * na.n) * (na.n - 1))"
+           " ELSE (CAST(dot18 AS DOUBLE) / 1e18) / ((1.0e0 * na.n) * nb.n)"
+           " END", 6)} AS mean_cosine
+FROM dots JOIN ncnt na ON na.label = dots.la
+JOIN ncnt nb ON nb.label = dots.lb""",
+    doc="Inter/intra-label mean-cosine matrix over the UNIT-normalized "
+    "embeddings via the sum-vector identity — embedding_isotropy's "
+    "one-pass trick widened to every label pair: mean pairwise cosine "
+    "between labels a≠b is S_a·S_b/(n_a n_b) and within a label "
+    "(|S_a|² − Σ|u|²)/(n_a(n_a−1)), where S are per-(label, dim) "
+    "component sums on the exact 1e-9 grid (HUGEINT/DECIMAL(38) dot "
+    "products — no n² pair join anywhere). The class-separability "
+    "map: intra diagonal ≫ inter off-diagonal means the labels are "
+    "geometrically separable, the audit run before training a "
+    "classifier on frozen embeddings. Plan: one explode to "
+    "labels×dims cells, one cells⋈cells join on dim (k²·L rows, "
+    "k=|labels| — model-bounded, never vectors), scalar renders.",
+    survey_ids=("M7-ML30",),
+)
+def label_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "label",
+        "embedding",
+        F.expr(
+            "aggregate(embedding, CAST(0 AS BIGINT),"
+            f" (a, x) -> a + {_ISO_N2})"
+        ).alias("n2_12"),
+    ).filter(F.col("n2_12") > 0)
+    ex = base.select(
+        "label",
+        F.posexplode("embedding").alias("p", "x"),
+        "n2_12",
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("d"),
+        F.expr(_iso_u9()).alias("u9"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = ex.groupBy("label", "d").agg(
+        F.sum(dec(F.col("u9"))).alias("sd9"),
+        F.sum(dec(F.col("u9")) * F.col("u9")).alias("q18"),
+    ).localCheckpoint(eager=True)
+    ncnt = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = cells.select(
+        F.col("label").alias("la"),
+        "d",
+        F.col("sd9").alias("sa"),
+        F.col("q18").alias("qa"),
+    )
+    b = cells.select(
+        F.col("label").alias("lb"), "d", F.col("sd9").alias("sb")
+    )
+    dots = (
+        a.join(b, (F.col("la") <= F.col("lb")) & (a["d"] == b["d"]))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot18"),
+            F.sum("qa").alias("qa18"),
+        )
+    )
+    na = ncnt.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
+    nb = ncnt.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
+    mc = F.when(
+        F.col("la") == F.col("lb"),
+        (
+            F.col("dot18").cast("double") / 1e18
+            - F.col("qa18").cast("double") / 1e18
+        )
+        / (F.col("n_a") * 1.0 * (F.col("n_a") - 1)),
+    ).otherwise(
+        (F.col("dot18").cast("double") / 1e18)
+        / (F.col("n_a") * 1.0 * F.col("n_b"))
+    )
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").cast("bigint").alias("label_a"),
+            F.col("lb").cast("bigint").alias("label_b"),
+            "n_a",
+            "n_b",
+            N.rnd(mc, 6).alias("mean_cosine"),
+        )
+    )

@@ -4570,3 +4570,422 @@ def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
         F.expr(N.sql_rnd(_BF_F, 4)).alias("f_statistic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wilcoxon_signed_rank (round 9) — PAIRED location test on the hourly
+# click-vs-view count series: the within-pair companion to the
+# unpaired mann_whitney_u
+# ---------------------------------------------------------------------------
+
+# z = (W+ - mu) / sigma with mu = n(n+1)/4 and the tie-corrected
+# sigma^2 = n(n+1)(2n+1)/24 - sum(t^3 - t)/48; W+ carried in DOUBLED
+# midrank units (w2 = 2*W+), so mu doubles and sigma scales by 2.
+_WSR_Z = (
+    "(CASE WHEN n < 2 OR ((1.0e0 * n) * (n + 1) * (2 * n + 1) / 24.0e0"
+    " - tcorr / 48.0e0) <= 0.0e0 THEN 0.0e0"
+    " ELSE (w2 / 2.0e0 - (1.0e0 * n) * (n + 1) / 4.0e0)"
+    " / sqrt((1.0e0 * n) * (n + 1) * (2 * n + 1) / 24.0e0"
+    "        - tcorr / 48.0e0) END)"
+)
+
+
+@query(
+    "wilcoxon_signed_rank",
+    oracle=f"""
+WITH {HOURLY_SQL},
+pairs AS (
+  SELECT t,
+         coalesce(sum(CASE WHEN event_type = 'click' THEN n_events END), 0)
+         - coalesce(sum(CASE WHEN event_type = 'view' THEN n_events END), 0)
+           AS d
+  FROM hourly WHERE event_type IN ('click', 'view') GROUP BY t
+), nz AS (
+  SELECT t, d, abs(d) AS ad FROM pairs WHERE d <> 0
+), g AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS tt FROM nz GROUP BY ad
+), gc AS (
+  SELECT ad, tt,
+         CAST(sum(tt) OVER (ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tt
+              AS BIGINT) AS cumlt
+  FROM g
+), x AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN nz.d > 0
+                  THEN 2 * gc.cumlt + gc.tt + 1 END) AS BIGINT) AS w2,
+         CAST((SELECT sum(tt * tt * tt - tt) FROM g) AS BIGINT) AS tcorr
+  FROM nz JOIN gc USING (ad)
+)
+SELECT n AS n_pairs,
+       {N.sql_rnd("w2 / 2.0e0", 1)} AS w_plus,
+       {N.sql_rnd("(1.0e0 * n) * (n + 1) / 4.0e0", 1)} AS w_expected,
+       {N.sql_rnd(_WSR_Z, 4)} AS z_score
+FROM x""",
+    doc="Wilcoxon signed-rank test (Wilcoxon 1945) on the PAIRED hourly "
+    "click-minus-view count differences — the within-pair location "
+    "test mann_whitney_u cannot express (the pairing removes the "
+    "shared hourly traffic level). Zero differences drop (the "
+    "standard treatment); |d| midranks live on the DOUBLED integer "
+    "grid via the same grid-cumsum trick as MW (2*rank is an integer "
+    "under midrank ties), so W+ is exact integer arithmetic; the "
+    "normal z uses the standard tie-corrected variance with the "
+    "degenerate case emitting 0.0e0. p-values omitted (no portable "
+    "erf — the family discipline). Plan: one hourly aggregate "
+    "(frame bounded by hours, never events), one |d|-grid cumsum, "
+    "one scalar reduce.",
+    survey_ids=("M7-A78",),
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            (F.unix_micros(F.date_trunc("hour", "ts")) / 3600000000)
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("event_type") == "click", 1)
+                    ),
+                    F.lit(0),
+                )
+                - F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "view", 1)),
+                    F.lit(0),
+                )
+            ).alias("d")
+        )
+    )
+    nz = hourly.filter(F.col("d") != 0).select(
+        "d", F.abs("d").alias("ad")
+    )
+    g = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tt")
+    )
+    wcum = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gc = g.select(
+        "ad",
+        "tt",
+        (F.sum("tt").over(wcum) - F.col("tt"))
+        .cast("bigint")
+        .alias("cumlt"),
+    )
+    tc = g.agg(
+        F.sum(F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt"))
+        .cast("bigint")
+        .alias("tcorr")
+    )
+    x = (
+        nz.join(gc, "ad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    2 * F.col("cumlt") + F.col("tt") + 1,
+                )
+            )
+            .cast("bigint")
+            .alias("w2"),
+        )
+        .crossJoin(F.broadcast(tc))
+    )
+    return x.select(
+        F.col("n").alias("n_pairs"),
+        F.expr(N.sql_rnd("w2 / 2.0e0", 1)).alias("w_plus"),
+        F.expr(N.sql_rnd("(1.0e0 * n) * (n + 1) / 4.0e0", 1)).alias(
+            "w_expected"
+        ),
+        F.expr(N.sql_rnd(_WSR_Z, 4)).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# randomization_test_diff (round 9) — Monte-Carlo randomization test
+# for the click-vs-purchase mean-value difference: EXACT p-values with
+# no distributional assumption and no CDF special function
+# ---------------------------------------------------------------------------
+
+_RT_B = 60  # deterministic pseudo-randomizations (md5 bits 0..59 — the 60-bit prefix)
+_RT_A, _RT_B_TYPE = "click", "purchase"
+
+
+@query(
+    "randomization_test_diff",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         event_type, {N.sql_cents('value')} AS c
+  FROM events WHERE event_type IN ('{_RT_A}', '{_RT_B_TYPE}')
+), obs AS (
+  SELECT CAST(sum(CASE WHEN event_type = '{_RT_A}' THEN 1 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN event_type = '{_RT_A}' THEN c END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN event_type = '{_RT_B_TYPE}' THEN 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN event_type = '{_RT_B_TYPE}' THEN c END) AS BIGINT) AS sb
+  FROM base
+), perm AS (
+  SELECT b.b,
+         CAST(sum(CASE WHEN (base.h // p2.v) % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN (base.h // p2.v) % 2 = 1 THEN base.c ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum(base.c) AS BIGINT) AS st
+  FROM base
+  CROSS JOIN (SELECT unnest(range(0, {_RT_B})) AS b) b
+  JOIN (SELECT unnest(range(0, {_RT_B})) AS b,
+               unnest(list_transform(range(0, {_RT_B}),
+                      i -> CAST(2 ** i AS BIGINT))) AS v) p2
+    ON p2.b = b.b
+  GROUP BY b.b
+), stats AS (
+  SELECT b,
+         abs((1.0e0 * s1) / n1 - (1.0e0 * (st - s1)) / (nt - n1)) AS stat
+  FROM perm WHERE n1 > 0 AND n1 < nt
+)
+SELECT obs.na AS n_a, obs.nb AS n_b,
+       {N.sql_rnd(
+           "abs((1.0e0 * obs.sa) / obs.na - (1.0e0 * obs.sb) / obs.nb)"
+           " / 1.0e2", 4)} AS mean_diff_obs,
+       CAST((SELECT count(*) FROM stats
+             WHERE stat >= abs((1.0e0 * obs.sa) / obs.na
+                               - (1.0e0 * obs.sb) / obs.nb)) AS BIGINT)
+         AS n_extreme,
+       {N.sql_rnd(
+           "(1.0e0 + (SELECT count(*) FROM stats"
+           " WHERE stat >= abs((1.0e0 * obs.sa) / obs.na"
+           " - (1.0e0 * obs.sb) / obs.nb)))"
+           f" / (1.0e0 + {_RT_B})", 6)} AS p_value
+FROM obs""",
+    doc="Monte-Carlo randomization test for the click-vs-purchase mean "
+    "value difference (Fisher 1935 / Edgington): the p-value the "
+    "stats tier could not otherwise emit — welch/MW/KW all stop at "
+    "the statistic because no portable erf/chi²-CDF exists, but the "
+    "randomization p needs NOTHING except re-computed means under "
+    "label reshuffles. The 60 reshuffles are DETERMINISTIC: bit b of "
+    "each row's 60-bit md5(event_id) prefix decides its side in "
+    "permutation b — seed-free, engine-identical, and independent "
+    "across b to md5 quality. Group sums are exact integer cents, "
+    "permuted stats are IEEE divisions of exact integers, and the "
+    "add-one p = (1+#extreme)/(1+B) is an exact rational. Plan: ONE "
+    "fan-out aggregate (rows × 60 with map-side combine straight to "
+    "60 sufficient rows — the bounded-fanout discipline, no shuffle "
+    "of the volume beyond the 64-row reduce) + scalar algebra.",
+    survey_ids=("M7-A79",),
+)
+def randomization_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin(_RT_A, _RT_B_TYPE)
+    ).select(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        "event_type",
+        N.cents("value").alias("c"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("event_type") == _RT_A, 1))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == _RT_A, F.col("c")))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("event_type") == _RT_B_TYPE, 1))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("event_type") == _RT_B_TYPE, F.col("c")))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    fan = base.select(
+        "h",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_RT_B - 1))).alias("b"),
+    )
+    flag = F.expr(
+        "(h & shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) != 0"
+    )
+    perm = fan.groupBy("b").agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(flag, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("c").cast("bigint").alias("st"),
+    )
+    stats = perm.filter(
+        (F.col("n1") > 0) & (F.col("n1") < F.col("nt"))
+    ).select(
+        F.abs(
+            F.col("s1") * 1.0 / F.col("n1")
+            - (F.col("st") - F.col("s1")) * 1.0 / (F.col("nt") - F.col("n1"))
+        ).alias("stat")
+    )
+    obs_stat = F.abs(
+        F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
+    )
+    ext = (
+        stats.crossJoin(F.broadcast(obs))
+        .filter(F.col("stat") >= obs_stat)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_extreme"))
+    )
+    return obs.crossJoin(F.broadcast(ext)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        N.rnd(obs_stat / 100.0, 4).alias("mean_diff_obs"),
+        "n_extreme",
+        N.rnd(
+            (1.0 + F.col("n_extreme")) / F.lit(1.0 + _RT_B), 6
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen_hazard (round 9) — cumulative-hazard estimator over the
+# same right-censored signup→purchase cohort as kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=f"""
+WITH signup AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), lastobs AS (
+  SELECT user_id, max(ts) AS l_ts FROM events GROUP BY user_id
+), purch AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+  GROUP BY e.user_id
+), subj AS (
+  SELECT s.user_id,
+         (epoch_us(coalesce(p.p_ts, l.l_ts)) - epoch_us(s.s_ts))
+           // 3600000000 AS dur,
+         CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signup s
+  JOIN lastobs l ON s.user_id = l.user_id
+  LEFT JOIN purch p ON s.user_id = p.user_id
+), byd AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(ev) AS BIGINT) AS e
+  FROM subj GROUP BY dur
+), risk AS (
+  SELECT dur, cnt, e,
+         sum(cnt) OVER () -
+           coalesce(sum(cnt) OVER (ORDER BY dur
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+  FROM byd
+), terms AS (
+  SELECT dur, cnt, e, n_risk,
+         {N.sql_cents("(1.0e0 * e) / n_risk", 10**9)} AS h9,
+         {N.sql_cents(
+             "(1.0e0 * e) / ((1.0e0 * n_risk) * n_risk)", 10**9)} AS v9
+  FROM risk WHERE e > 0
+)
+SELECT CAST(dur AS BIGINT) AS duration_hours,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       e AS n_events,
+       CAST(cnt - e AS BIGINT) AS n_censored_at,
+       {N.sql_rnd(
+           "sum(h9) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) / 1e9",
+           6)} AS cum_hazard,
+       {N.sql_rnd(
+           "sum(v9) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) / 1e9",
+           6)} AS cum_hazard_var
+FROM terms""",
+    doc="Nelson-Aalen cumulative-hazard estimator over the SAME "
+    "right-censored signup→purchase cohort as kaplan_meier: "
+    "H(t) = Σ_{{d_i≤t}} e_i/n_i with the Poisson variance "
+    "Σ e_i/n_i² — the hazard-side view (KM estimates survival, NA "
+    "estimates integrated risk; at small per-step hazards "
+    "S ≈ exp(−H), and NA feeds the log-rank family). Strictly "
+    "SIMPLER arithmetic than KM: each step term is one IEEE "
+    "division of exact integers snapped to the 1e-9 grid, "
+    "prefix-summed as exact integers — NO ln, NO exp, no libm "
+    "anywhere. Plan: identical to kaplan_meier — three per-user "
+    "aggregates + the duration-grid frame (bounded by observation "
+    "hours, never users); prefix windows on that tiny frame.",
+    survey_ids=("M7-B28",),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    lastobs = e.groupBy("user_id").agg(F.max("ts").alias("l_ts"))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    subj = (
+        signup.join(lastobs, "user_id")
+        .join(purch, "user_id", "left")
+        .select(
+            (
+                (
+                    F.unix_micros(F.coalesce("p_ts", "l_ts"))
+                    - F.unix_micros("s_ts")
+                )
+                / 3600000000
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("ev").cast("bigint").alias("e"),
+    )
+    wall = Window.partitionBy()
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byd.select(
+        "dur",
+        "cnt",
+        "e",
+        (
+            F.sum("cnt").over(wall)
+            - F.coalesce(F.sum("cnt").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    terms = risk.filter(F.col("e") > 0).select(
+        "dur",
+        "cnt",
+        "e",
+        "n_risk",
+        F.expr(N.sql_cents("(1.0e0 * e) / n_risk", 10**9)).alias("h9"),
+        F.expr(
+            N.sql_cents(
+                "(1.0e0 * e) / ((1.0e0 * n_risk) * n_risk)", 10**9
+            )
+        ).alias("v9"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        F.col("dur").cast("bigint").alias("duration_hours"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("e").alias("n_events"),
+        (F.col("cnt") - F.col("e")).cast("bigint").alias("n_censored_at"),
+        N.rnd(F.sum("h9").over(wcum) / 1e9, 6).alias("cum_hazard"),
+        N.rnd(F.sum("v9").over(wcum) / 1e9, 6).alias("cum_hazard_var"),
+    )

@@ -322,3 +322,127 @@ def test_textrank_top_keyword_is_high_degree(spark, specs):
         assert r["pr_units"] > 0
     units = [r["pr_units"] for r in rows]
     assert units == sorted(units, reverse=True)
+
+
+def test_wilcoxon_replay(spark, specs):
+    import collections
+
+    rows = specs["wilcoxon_signed_rank"].builder(spark, SF).collect()
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    hours = collections.defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r["event_type"] in ("click", "view"):
+            t = int(r["ts"].timestamp() // 3600)
+            hours[t][0 if r["event_type"] == "click" else 1] += 1
+    ds = [c - v for c, v in hours.values() if c != v]
+    ads = sorted(abs(d) for d in ds)
+    rank = {}
+    i = 0
+    while i < len(ads):
+        j = i
+        while j < len(ads) and ads[j] == ads[i]:
+            j += 1
+        for v in {ads[i]}:
+            rank[v] = (i + 1 + j) / 2
+        i = j
+    wplus = sum(rank[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    r = rows[0]
+    assert r["n_pairs"] == n
+    assert abs(r["w_plus"] - wplus) < 0.51, (r["w_plus"], wplus)
+    assert abs(r["w_expected"] - n * (n + 1) / 4) < 0.51
+
+
+def test_fleiss_kappa_range(spark, specs):
+    r = specs["fleiss_kappa_gates"].builder(spark, SF).collect()[0]
+    assert -1.0 <= r["fleiss_kappa"] <= 1.0
+    assert 0.0 <= r["p_observed"] <= 1.0
+    assert 0.0 <= r["p_chance"] <= 1.0
+    expected = (r["p_observed"] - r["p_chance"]) / (1 - r["p_chance"])
+    assert abs(r["fleiss_kappa"] - expected) < 1e-4
+
+
+def test_label_cosine_matrix_replay(spark, specs):
+    """Brute-force mean pairwise cosine for one label pair."""
+    import math
+
+    rows = specs["label_cosine_matrix"].builder(spark, SF).collect()
+    embs = spark.read.parquet(SF + "/embeddings.parquet").collect()
+    by = {}
+    for r in embs:
+        if r["embedding"] is None:
+            continue
+        v = [float(x) for x in r["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        if nrm == 0:
+            continue
+        by.setdefault(r["label"], []).append([x / nrm for x in v])
+    la, lb = sorted(by)[0], sorted(by)[1]
+    s = sum(
+        sum(a * b for a, b in zip(u, w))
+        for u in by[la]
+        for w in by[lb]
+    )
+    expected = s / (len(by[la]) * len(by[lb]))
+    got = [
+        r["mean_cosine"]
+        for r in rows
+        if r["label_a"] == la and r["label_b"] == lb
+    ][0]
+    assert abs(got - expected) < 1e-3, (got, expected)
+    # intra-label diagonal present for every label
+    diag = {r["label_a"] for r in rows if r["label_a"] == r["label_b"]}
+    assert diag == set(by)
+
+
+def test_kfold_balance(spark, specs):
+    import collections
+
+    rows = specs["kfold_assignment"].builder(spark, SF).collect()
+    bylang = collections.defaultdict(dict)
+    for r in rows:
+        bylang[r["lang"]][r["fold"]] = r["n_docs"]
+    for lang, folds in bylang.items():
+        sizes = [folds.get(f, 0) for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_jsd_bounds(spark, specs):
+    rows = specs["jensen_shannon_sources"].builder(spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r["jsd"] <= 0.6932, r
+        assert 0.0 <= r["jsd_normalized"] <= 1.0001, r
+
+
+def test_randomization_test_pvalue(spark, specs):
+    r = specs["randomization_test_diff"].builder(spark, SF).collect()[0]
+    assert 0 < r["p_value"] <= 1.0
+    assert r["n_extreme"] <= 60
+    assert abs(r["p_value"] - (1 + r["n_extreme"]) / 61) < 1e-6
+    assert r["mean_diff_obs"] >= 0
+
+
+def test_nelson_aalen_vs_km(spark, specs):
+    """H(t) must be nondecreasing, and exp(-H) ~= KM survival where
+    hazards are small."""
+    import math
+
+    na = sorted(
+        specs["nelson_aalen_hazard"].builder(spark, SF).collect(),
+        key=lambda r: r["duration_hours"],
+    )
+    km = {
+        r["duration_hours"]: r["survival"]
+        for r in specs["kaplan_meier"].builder(spark, SF).collect()
+    }
+    prev = 0.0
+    for r in na:
+        assert r["cum_hazard"] >= prev - 1e-9
+        prev = r["cum_hazard"]
+        s = km.get(r["duration_hours"])
+        if s is not None and s > 0:
+            assert abs(math.exp(-r["cum_hazard"]) - s) < 0.05, (
+                r["duration_hours"],
+                math.exp(-r["cum_hazard"]),
+                s,
+            )
