@@ -137,6 +137,32 @@ _ATTESTATION_PRIORITY = [
     "cochran_q_gates",
     "lagged_crosscorr",
     "embedding_isotropy",
+    # -- oldest-green regression probes (r1 vintage, rotated per
+    #    round-8 verdict ask #2: slots 27-50) ----------------------
+    "deterministic_sample",
+    "distinct_entities",
+    "dq_check_suite",
+    "dq_conditional_counts",
+    "dq_referential_integrity",
+    "entity_activity_profile",
+    "event_transitions",
+    "event_type_distribution",
+    "funnel_conversion",
+    "gold_unpivot",
+    "iso_parsing",
+    "latest_per_entity",
+    "layer_stats",
+    "null_fill",
+    "orders_lag_lead",
+    "orders_running_total",
+    "pivot_type_avg",
+    "q10_top_customers",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q3_shipping_priority",
+    "q4_order_priority",
     # -- ROUND-8 WINDOW tail (kept below; all green in r8) ---------------
     # 1-7   the 7 first-wave round-8 additions (DSIR resampling, unrolled
     #       BPE trainer, anchored exact-substring spans, contamination
@@ -221,30 +247,6 @@ _ATTESTATION_PRIORITY = [
     "anti_join_customers",
     "dataset_profile_5v",
     "date_range_filter",
-    "deterministic_sample",
-    "distinct_entities",
-    "dq_check_suite",
-    "dq_conditional_counts",
-    "dq_referential_integrity",
-    "entity_activity_profile",
-    "event_transitions",
-    "event_type_distribution",
-    "funnel_conversion",
-    "gold_unpivot",
-    "iso_parsing",
-    "latest_per_entity",
-    "layer_stats",
-    "null_fill",
-    "orders_lag_lead",
-    "orders_running_total",
-    "pivot_type_avg",
-    "q10_top_customers",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
-    "q3_shipping_priority",
-    "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
     "scalar_misc",

@@ -263,6 +263,27 @@ EXTRA = [
     "cochran_q_gates",
     "yule_k_richness",
     "rec_coverage_audit",
+    # round-9 additions (batch entries; the streaming and sink-writing
+    # ones are attested elsewhere — their builder calls ARE the jobs)
+    "url_canonicalize",
+    "domain_share_stats",
+    "domain_blocklist_filter",
+    "url_exact_dedup",
+    "repetition_dedup_apply",
+    "connected_components_minlabel",
+    "kruskal_wallis_value",
+    "cramers_v_effect",
+    "brown_forsythe_variance",
+    "isotonic_calibration",
+    "neyman_allocation",
+    "textrank_keywords",
+    "wilcoxon_signed_rank",
+    "fleiss_kappa_gates",
+    "label_cosine_matrix",
+    "kfold_assignment",
+    "jensen_shannon_sources",
+    "randomization_test_diff",
+    "nelson_aalen_hazard",
 ]
 
 

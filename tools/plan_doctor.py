@@ -58,6 +58,9 @@ SIDE_EFFECTFUL = {
     "stream_stream_join_attested",
     "custom_state_stream_attested",
     "python_sink_roundtrip",
+    # round 9
+    "stream_stream_outer_attested",
+    "compression_codec_roundtrip",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
@@ -215,6 +218,46 @@ SINGLE_PARTITION_OK = {
     "corr_matrix_lineitem": "single 15-column moment row; the 6 pair rows "
     "explode from it, no re-aggregation",
     "chi_square_independence": "scalar test statistic",
+    # round 9
+    "kruskal_wallis_value": "ordered cumsum over the VALUE-GRID frame "
+    "(cents-cardinality-bounded, the mann_whitney_u machinery) + the "
+    "k-row term frame and its scalar reduce",
+    "wilcoxon_signed_rank": "ordered cumsum over the |d|-GRID frame "
+    "(bounded by distinct hourly differences, never events) + one "
+    "scalar reduce",
+    "brown_forsythe_variance": "k-row (type) sufficient-statistics "
+    "frame reduced to the single F row; the per-type median runs "
+    "partitioned BY TYPE",
+    "cramers_v_effect": "scalar effect-size row (the "
+    "chi_square_independence funnel with four extra renders)",
+    "fleiss_kappa_gates": "one scalar agreement row from the corpus "
+    "three-flag reduce",
+    "neyman_allocation": "largest-remainder rank window over the "
+    "|types|-row weight frame (the temperature_mix_allocation shape)",
+    "isotonic_calibration": "prefix window + minimax algebra over the "
+    "10-BIN reliability frame (<= B^3/6 rows by construction); the "
+    "corpus contributes one 10-group aggregate",
+    "nelson_aalen_hazard": "duration-grid frame carries the prefix "
+    "windows (the kaplan_meier shape) — never user- or event-sized",
+    "randomization_test_diff": "60-row permuted-stat frame + one-row "
+    "observed scalar; the volume work is ONE fan-out aggregate with "
+    "map-side combine straight to 60 sufficient rows",
+    "label_cosine_matrix": "labels×dims cells self-join (k·L bounded, "
+    "never vectors) + k-row count broadcast — the embedding_isotropy "
+    "funnel widened to pairs",
+    "connected_components_minlabel": "one-row round-3→4 flip-count "
+    "scalar crossed into the component-size census (sizes ≤ "
+    "components, never edges)",
+    "textrank_keywords": "broadcast one-row n_nodes frame drives the "
+    "integer base + final top-20 TakeOrdered (the pagerank_parts "
+    "shape on the vocabulary-bounded word graph)",
+    "jensen_shannon_sources": "one-row vocab-total scalar + top-256 "
+    "TakeOrdered vocabulary broadcast (the domain_kl_divergence "
+    "shape); the |sources|×256 grid is bounded regardless of corpus",
+    "domain_share_stats": "one-row corpus doc/token totals broadcast "
+    "into the |domains|-row share table",
+    "url_exact_dedup": "url-keyed hash aggregate only — flagged here "
+    "solely for the final few-row render",
     "drift_psi": "scalar PSI",
     "gini_concentration": "per-entity aggregate ranked once (keys, not facts)",
     "markov_steady_state": "8x8 transition matrix in one row",
