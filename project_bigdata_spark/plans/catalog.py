@@ -129,6 +129,9 @@ _ATTESTATION_PRIORITY = [
     "jensen_shannon_sources",
     "randomization_test_diff",
     "nelson_aalen_hazard",
+    "log_rank_test",
+    "cohens_d_effect",
+    "benjamini_hochberg_pairs",
     # -- round-9 re-planned entries (stale green rows: ERR snapped to
     #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
     #    guards; isotropy unit-component template parameterized) --------
@@ -138,7 +141,8 @@ _ATTESTATION_PRIORITY = [
     "lagged_crosscorr",
     "embedding_isotropy",
     # -- oldest-green regression probes (r1 vintage, rotated per
-    #    round-8 verdict ask #2: slots 27-50) ----------------------
+    #    round-8 verdict ask #2: slots 30-50 — the first 21 of these
+    #    fit the 50-slot window; the tail rotates next round) --------
     "deterministic_sample",
     "distinct_entities",
     "dq_check_suite",

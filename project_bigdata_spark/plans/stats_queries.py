@@ -4989,3 +4989,467 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.sum("h9").over(wcum) / 1e9, 6).alias("cum_hazard"),
         N.rnd(F.sum("v9").over(wcum) / 1e9, 6).alias("cum_hazard_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log_rank_test (round 9) — two-group survival comparison over the
+# kaplan_meier/nelson_aalen cohort: the hypothesis test of that family
+# ---------------------------------------------------------------------------
+
+# Per-event-time hypergeometric terms: E1 = d*n1/n, V = d*(n1/n)*
+# (1-n1/n)*(n-d)/(n-1) — doubles of exact integers snapped to 1e-9
+# before the cross-time sum (order-free).
+_LR_E9 = N.sql_cents("(1.0e0 * d * n1) / n", 10**9)
+_LR_V9 = N.sql_cents(
+    "CASE WHEN n <= 1 THEN 0.0e0 ELSE"
+    " (1.0e0 * d) * ((1.0e0 * n1) / n) * (1.0e0 - (1.0e0 * n1) / n)"
+    " * ((1.0e0 * (n - d)) / (n - 1)) END",
+    10**9,
+)
+_LR_CHI2 = (
+    "(CASE WHEN v9 <= 0 THEN 0.0e0"
+    " ELSE ((o1 - e9 / 1.0e9) * (o1 - e9 / 1.0e9)) / (v9 / 1.0e9) END)"
+)
+
+
+@query(
+    "log_rank_test",
+    oracle=f"""
+WITH signup AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), lastobs AS (
+  SELECT user_id, max(ts) AS l_ts FROM events GROUP BY user_id
+), purch AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+  GROUP BY e.user_id
+), subj AS (
+  SELECT s.user_id, CAST(s.user_id % 2 AS BIGINT) AS grp,
+         (epoch_us(coalesce(p.p_ts, l.l_ts)) - epoch_us(s.s_ts))
+           // 3600000000 AS dur,
+         CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signup s
+  JOIN lastobs l ON s.user_id = l.user_id
+  LEFT JOIN purch p ON s.user_id = p.user_id
+), byd AS (
+  SELECT dur,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1,
+         CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1
+  FROM subj GROUP BY dur
+), risk AS (
+  SELECT dur, d, d1,
+         sum(cnt) OVER () -
+           coalesce(sum(cnt) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+         sum(cnt1) OVER () -
+           coalesce(sum(cnt1) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+  FROM byd
+), terms AS (
+  SELECT d, d1, n, n1, {_LR_E9} AS e9t, {_LR_V9} AS v9t
+  FROM risk WHERE d > 0
+), x AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e9t) AS BIGINT) AS e9,
+         CAST(sum(v9t) AS BIGINT) AS v9
+  FROM terms
+)
+SELECT o1 AS observed_g1,
+       {N.sql_rnd("e9 / 1.0e9", 4)} AS expected_g1,
+       {N.sql_rnd("v9 / 1.0e9", 4)} AS variance,
+       {N.sql_rnd(_LR_CHI2, 4)} AS chi2
+FROM x""",
+    doc="Log-rank (Mantel-Cox) test comparing signup→purchase survival "
+    "between the even- and odd-user_id cohorts over the SAME "
+    "right-censored frame as kaplan_meier/nelson_aalen: at each "
+    "event time the observed group-1 events are compared with the "
+    "hypergeometric expectation d·n1/n, variance "
+    "d·(n1/n)(1−n1/n)(n−d)/(n−1); χ² = (O−E)²/V with df=1. Each "
+    "per-time E and V term is a double of exact integers snapped to "
+    "the 1e-9 grid BEFORE the cross-time sum (order-free; the "
+    "kaplan_meier recipe), O is a pure BIGINT; the degenerate "
+    "zero-variance case emits 0.0e0. The χ² CDF is omitted (no "
+    "portable special function), but the 1-df 95% critical value "
+    "3.841 makes the statistic directly actionable. Plan: the KM "
+    "cohort aggregates + per-group cumulative windows on the "
+    "DURATION GRID (hours-bounded, never user-sized), one scalar "
+    "reduce.",
+    survey_ids=("M7-B29",),
+)
+def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    lastobs = e.groupBy("user_id").agg(F.max("ts").alias("l_ts"))
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    subj = (
+        signup.join(lastobs, "user_id")
+        .join(purch, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("bigint").alias("grp"),
+            (
+                (
+                    F.unix_micros(F.coalesce("p_ts", "l_ts"))
+                    - F.unix_micros("s_ts")
+                )
+                / 3600000000
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    byd = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt1"),
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+    )
+    wall = Window.partitionBy()
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byd.select(
+        "dur",
+        "d",
+        "d1",
+        (
+            F.sum("cnt").over(wall)
+            - F.coalesce(F.sum("cnt").over(wprev), F.lit(0))
+        ).alias("n"),
+        (
+            F.sum("cnt1").over(wall)
+            - F.coalesce(F.sum("cnt1").over(wprev), F.lit(0))
+        ).alias("n1"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "d",
+        "d1",
+        "n",
+        "n1",
+        F.expr(_LR_E9).alias("e9t"),
+        F.expr(_LR_V9).alias("v9t"),
+    )
+    x = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e9t").cast("bigint").alias("e9"),
+        F.sum("v9t").cast("bigint").alias("v9"),
+    )
+    return x.select(
+        F.col("o1").alias("observed_g1"),
+        F.expr(N.sql_rnd("e9 / 1.0e9", 4)).alias("expected_g1"),
+        F.expr(N.sql_rnd("v9 / 1.0e9", 4)).alias("variance"),
+        F.expr(N.sql_rnd(_LR_CHI2, 4)).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohens_d_effect (round 9) — standardized mean difference for the
+# click-vs-purchase value comparison: the effect size next to
+# welch_ttest's significance and randomization_test_diff's p-value
+# ---------------------------------------------------------------------------
+
+_CD_SP2 = (
+    "(((na - 1) * (((1.0e0 * qa) * na - (1.0e0 * sa) * sa)"
+    " / ((1.0e0 * na) * (na - 1)))"
+    " + (nb - 1) * (((1.0e0 * qb) * nb - (1.0e0 * sb) * sb)"
+    " / ((1.0e0 * nb) * (nb - 1)))) / (na + nb - 2))"
+)
+_CD_D = (
+    f"(CASE WHEN {_CD_SP2} <= 0.0e0 THEN 0.0e0"
+    f" ELSE ((1.0e0 * sa) / na - (1.0e0 * sb) / nb) / sqrt({_CD_SP2}) END)"
+)
+# Hedges' small-sample correction g = d * (1 - 3/(4(na+nb) - 9)).
+_CD_G = f"({_CD_D} * (1.0e0 - 3.0e0 / (4.0e0 * (na + nb) - 9.0e0)))"
+
+
+@query(
+    "cohens_d_effect",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, {N.sql_cents('value')} AS c FROM events
+  WHERE event_type IN ('click', 'purchase')
+), x AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN event_type = 'click' THEN c END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN event_type = 'click' THEN c * c END) AS BIGINT) AS qa,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN c END) AS BIGINT) AS sb,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN c * c END) AS BIGINT) AS qb
+  FROM c
+)
+SELECT na AS n_click, nb AS n_purchase,
+       {N.sql_rnd("((1.0e0 * sa) / na - (1.0e0 * sb) / nb) / 1.0e2", 4)}
+         AS mean_diff,
+       {N.sql_rnd(f"sqrt({_CD_SP2}) / 1.0e2", 4)} AS pooled_sd,
+       {N.sql_rnd(_CD_D, 6)} AS cohens_d,
+       {N.sql_rnd(_CD_G, 6)} AS hedges_g
+FROM x""",
+    doc="Cohen's d and Hedges' g for the click-vs-purchase value "
+    "comparison — the standardized effect size completing the "
+    "two-sample family (welch_ttest: is it significant; "
+    "randomization_test_diff: assumption-free p; THIS: how big in "
+    "pooled-SD units, the number meta-analyses and power "
+    "calculations consume — power_analysis already takes a d as "
+    "input, this entry produces one). All sufficient statistics are "
+    "exact integer cents (n, Σc, Σc²); pooled variance, d, and the "
+    "Hedges small-sample correction are one shared double string "
+    "with hardware sqrt only; degenerate zero-variance emits 0.0e0. "
+    "The cents grid cancels in d and g (scale-free), and mean_diff/"
+    "pooled_sd render in value units. Plan: ONE conditional "
+    "aggregate over the two types, one scalar row out.",
+    survey_ids=("M7-A80",),
+)
+def cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", N.cents("value").alias("c")
+    )
+    isa = F.col("event_type") == "click"
+    isb = F.col("event_type") == "purchase"
+    x = c.agg(
+        F.sum(F.when(isa, 1)).cast("bigint").alias("na"),
+        F.sum(F.when(isa, F.col("c"))).cast("bigint").alias("sa"),
+        F.sum(F.when(isa, F.col("c") * F.col("c")))
+        .cast("bigint")
+        .alias("qa"),
+        F.sum(F.when(isb, 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(isb, F.col("c"))).cast("bigint").alias("sb"),
+        F.sum(F.when(isb, F.col("c") * F.col("c")))
+        .cast("bigint")
+        .alias("qb"),
+    )
+    return x.select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_purchase"),
+        F.expr(
+            N.sql_rnd(
+                "((1.0e0 * sa) / na - (1.0e0 * sb) / nb) / 1.0e2", 4
+            )
+        ).alias("mean_diff"),
+        F.expr(N.sql_rnd(f"sqrt({_CD_SP2}) / 1.0e2", 4)).alias(
+            "pooled_sd"
+        ),
+        F.expr(N.sql_rnd(_CD_D, 6)).alias("cohens_d"),
+        F.expr(N.sql_rnd(_CD_G, 6)).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benjamini_hochberg_pairs (round 9) — multiple-testing correction over
+# ALL pairwise randomization tests: the FDR step-up with an EXACT
+# integer decision rule (no float ever enters the reject decision)
+# ---------------------------------------------------------------------------
+
+_BH_B = 60      # md5-bit reshuffles per pair (randomization_test_diff)
+_BH_ALPHA_NUM, _BH_ALPHA_DEN = 5, 100   # alpha = 0.05 exactly
+
+
+@query(
+    "benjamini_hochberg_pairs",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         event_type AS t, {N.sql_cents('value')} AS c
+  FROM events
+), types AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM base GROUP BY t
+), pairs AS (
+  SELECT a.t AS ta, b.t AS tb, a.n AS na, a.s AS sa, b.n AS nb, b.s AS sb
+  FROM types a JOIN types b ON a.t < b.t
+), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+fan AS (
+  SELECT p.ta, p.tb, base.h, base.c FROM base JOIN pairs p ON base.t = p.ta
+  UNION ALL
+  SELECT p.ta, p.tb, base.h, base.c FROM base JOIN pairs p ON base.t = p.tb
+), perm AS (
+  SELECT fan.ta, fan.tb, bb.b,
+         CAST(sum(CASE WHEN (fan.h // bb.v) % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN (fan.h // bb.v) % 2 = 1 THEN fan.c ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum(fan.c) AS BIGINT) AS st
+  FROM fan
+  JOIN (SELECT unnest(range(0, {_BH_B})) AS b,
+               unnest(list_transform(range(0, {_BH_B}),
+                      i -> CAST(2 ** i AS BIGINT))) AS v) bb ON true
+  GROUP BY 1, 2, 3
+), pvals AS (
+  SELECT p.ta, p.tb,
+         CAST(1 + coalesce(sum(CASE WHEN perm.n1 > 0 AND perm.n1 < perm.nt
+              AND abs((1.0e0 * perm.s1) / perm.n1
+                      - (1.0e0 * (perm.st - perm.s1)) / (perm.nt - perm.n1))
+                  >= abs((1.0e0 * p.sa) / p.na - (1.0e0 * p.sb) / p.nb)
+              THEN 1 END), 0) AS BIGINT) AS pnum
+  FROM pairs p
+  JOIN perm ON perm.ta = p.ta AND perm.tb = p.tb
+  GROUP BY p.ta, p.tb, p.sa, p.na, p.sb, p.nb
+), ranked AS (
+  SELECT ta, tb, pnum, m.m,
+         row_number() OVER (ORDER BY pnum, ta, tb) AS rk
+  FROM pvals CROSS JOIN m
+), cut AS (
+  SELECT max(CASE WHEN {_BH_ALPHA_DEN} * m * pnum
+                       <= {_BH_ALPHA_NUM} * ({_BH_B} + 1) * rk
+             THEN rk ELSE 0 END) AS k
+  FROM ranked
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(rk AS BIGINT) AS rank,
+       {N.sql_rnd(f"(1.0e0 * pnum) / ({_BH_B} + 1)", 6)} AS p_value,
+       {N.sql_rnd(
+           "min((1.0e0 * m * pnum) / (rk * (" + str(_BH_B) + " + 1.0e0)))"
+           " OVER (ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING"
+           " AND CURRENT ROW)", 6)} AS q_value,
+       CAST(CASE WHEN rk <= (SELECT k FROM cut) THEN 1 ELSE 0 END
+            AS BIGINT) AS rejected
+FROM ranked""",
+    doc="Benjamini-Hochberg FDR step-up (1995) over ALL pairwise "
+    "event-type mean-value randomization tests — the multiple-testing "
+    "layer the inference tier needed once it could emit p-values at "
+    "all (randomization_test_diff): m = C(types,2) pairwise tests, "
+    "each p an exact rational (1+#extreme)/61 from 60 deterministic "
+    "md5-bit reshuffles of that pair's rows; the step-up decision "
+    "p_(i) ≤ iα/m cross-multiplies to the EXACT INTEGER comparison "
+    "100·m·pnum ≤ 5·61·i — no float ever enters the reject/keep "
+    "decision, so the rejection set is bit-identical on any engine "
+    "at any scale. BH q-values (suffix-min of m·p/i) render as "
+    "doubles for reporting. Degenerate reshuffles (a bit isolating "
+    "one side) count as not-extreme on both engines. Plan: ONE "
+    "fan-out aggregate (rows × pairs-per-type × 60 with map-side "
+    "combine straight to m×60 sufficient rows) + m-row rank/suffix "
+    "windows (pair-cardinality-bounded).",
+    survey_ids=("M7-A81",),
+)
+def benjamini_hochberg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+        F.col("event_type").alias("t"),
+        N.cents("value").alias("c"),
+    )
+    types = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    ).localCheckpoint(eager=True)
+    a = types.select(
+        F.col("t").alias("ta"), F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = types.select(
+        F.col("t").alias("tb"), F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    pairs = a.join(b, F.col("ta") < F.col("tb"))
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    fan = base.join(
+        F.broadcast(pairs.select("ta", "tb")), base["t"] == F.col("ta")
+    ).select("ta", "tb", "h", "c").unionByName(
+        base.join(
+            F.broadcast(pairs.select("ta", "tb")), base["t"] == F.col("tb")
+        ).select("ta", "tb", "h", "c")
+    )
+    fanb = fan.select(
+        "ta",
+        "tb",
+        "h",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_BH_B - 1))).alias("b"),
+    )
+    flag = F.expr(
+        "(h & shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) != 0"
+    )
+    perm = fanb.groupBy("ta", "tb", "b").agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(flag, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("c").cast("bigint").alias("st"),
+    )
+    obs_stat = F.abs(
+        F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
+    )
+    perm_stat = F.abs(
+        F.col("s1") * 1.0 / F.col("n1")
+        - (F.col("st") - F.col("s1")) * 1.0 / (F.col("nt") - F.col("n1"))
+    )
+    pvals = (
+        pairs.join(perm, ["ta", "tb"])
+        .groupBy("ta", "tb")
+        .agg(
+            (
+                1
+                + F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("n1") > 0)
+                            & (F.col("n1") < F.col("nt"))
+                            & (perm_stat >= obs_stat),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("pnum")
+        )
+    )
+    wrk = Window.orderBy("pnum", "ta", "tb")
+    ranked = pvals.crossJoin(F.broadcast(m)).select(
+        "ta", "tb", "pnum", "m", F.row_number().over(wrk).alias("rk")
+    )
+    wall = Window.partitionBy()
+    cut = F.max(
+        F.when(
+            F.lit(_BH_ALPHA_DEN) * F.col("m") * F.col("pnum")
+            <= F.lit(_BH_ALPHA_NUM) * F.lit(_BH_B + 1) * F.col("rk"),
+            F.col("rk"),
+        ).otherwise(0)
+    ).over(wall)
+    wsuf = Window.orderBy(F.col("rk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranked.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("rk").cast("bigint").alias("rank"),
+        N.rnd(F.col("pnum") * 1.0 / (_BH_B + 1), 6).alias("p_value"),
+        N.rnd(
+            F.min(
+                F.col("m") * F.col("pnum") * 1.0
+                / (F.col("rk") * (_BH_B + 1.0))
+            ).over(wsuf),
+            6,
+        ).alias("q_value"),
+        F.when(F.col("rk") <= cut, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    )

@@ -446,3 +446,56 @@ def test_nelson_aalen_vs_km(spark, specs):
                 math.exp(-r["cum_hazard"]),
                 s,
             )
+
+
+def test_log_rank_consistency(spark, specs):
+    """O, E, V all nonnegative; chi2 = (O-E)^2/V; E totals bounded by
+    total events."""
+    r = specs["log_rank_test"].builder(spark, SF).collect()[0]
+    assert r["variance"] >= 0
+    if r["variance"] > 0:
+        expected = (r["observed_g1"] - r["expected_g1"]) ** 2 / r[
+            "variance"
+        ]
+        assert abs(r["chi2"] - expected) < 2e-3
+
+
+def test_cohens_d_replay(spark, specs):
+    import statistics
+
+    r = specs["cohens_d_effect"].builder(spark, SF).collect()[0]
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    a = [x["value"] for x in ev if x["event_type"] == "click"]
+    b = [x["value"] for x in ev if x["event_type"] == "purchase"]
+    sp2 = (
+        (len(a) - 1) * statistics.variance(a)
+        + (len(b) - 1) * statistics.variance(b)
+    ) / (len(a) + len(b) - 2)
+    d = (statistics.mean(a) - statistics.mean(b)) / sp2**0.5
+    g = d * (1 - 3 / (4 * (len(a) + len(b)) - 9))
+    assert r["n_click"] == len(a) and r["n_purchase"] == len(b)
+    assert abs(r["cohens_d"] - d) < 1e-3, (r["cohens_d"], d)
+    assert abs(r["hedges_g"] - g) < 1e-3
+
+
+def test_bh_stepup_properties(spark, specs):
+    rows = sorted(
+        specs["benjamini_hochberg_pairs"].builder(spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    m = len(rows)
+    assert m == 10  # C(5,2) event-type pairs
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    # step-up: rejected iff rank <= k where k = max{i: p_i <= 0.05*i/m}
+    k = max(
+        (r["rank"] for r in rows if r["p_value"] <= 0.05 * r["rank"] / m + 1e-12),
+        default=0,
+    )
+    for r in rows:
+        assert r["rejected"] == (1 if r["rank"] <= k else 0), (r, k)
+    # q-values: monotone nondecreasing in rank, and >= p
+    qs = [r["q_value"] for r in rows]
+    assert qs == sorted(qs)
+    for p, q in zip(ps, qs):
+        assert q >= p - 1e-9

@@ -284,6 +284,9 @@ EXTRA = [
     "jensen_shannon_sources",
     "randomization_test_diff",
     "nelson_aalen_hazard",
+    "log_rank_test",
+    "cohens_d_effect",
+    "benjamini_hochberg_pairs",
 ]
 
 

@@ -258,6 +258,13 @@ SINGLE_PARTITION_OK = {
     "into the |domains|-row share table",
     "url_exact_dedup": "url-keyed hash aggregate only — flagged here "
     "solely for the final few-row render",
+    "log_rank_test": "duration-grid frame carries the per-group "
+    "cumulative windows (the kaplan_meier shape) + one scalar reduce",
+    "cohens_d_effect": "one conditional-aggregate scalar row",
+    "benjamini_hochberg_pairs": "rank + suffix-min windows over the "
+    "m=C(types,2) p-value frame (pair-cardinality-bounded); the "
+    "volume work is ONE ×pairs×60 fan-out aggregate with map-side "
+    "combine straight to m×60 sufficient rows",
     "drift_psi": "scalar PSI",
     "gini_concentration": "per-entity aggregate ranked once (keys, not facts)",
     "markov_steady_state": "8x8 transition matrix in one row",
