@@ -132,6 +132,9 @@ _ATTESTATION_PRIORITY = [
     "log_rank_test",
     "cohens_d_effect",
     "benjamini_hochberg_pairs",
+    "ams_f2_audit",
+    "block_jackknife_variance",
+    "streaming_availablenow_attested",
     # -- round-9 re-planned entries (stale green rows: ERR snapped to
     #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
     #    guards; isotropy unit-component template parameterized) --------

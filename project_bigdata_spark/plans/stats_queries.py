@@ -5453,3 +5453,225 @@ def benjamini_hochberg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ams_f2_audit (round 9) — Alon-Matias-Szegedy second-frequency-moment
+# sketch audited against the exact F2: the classic ±1 sketch next to
+# the catalog's HLL/CountMin/MinHash estimator audits
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16  # independent ±1 estimators (md5 bits 0..15)
+
+
+@query(
+    "ams_f2_audit",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT user_id,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+), exact AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c * c) AS BIGINT) AS f2
+  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY user_id)
+), sk AS (
+  SELECT bb.b,
+         CAST(sum(CASE WHEN (base.h // bb.v) % 2 = 1
+                  THEN 1 ELSE -1 END) AS BIGINT) AS x
+  FROM base
+  JOIN (SELECT unnest(range(0, {_AMS_K})) AS b,
+               unnest(list_transform(range(0, {_AMS_K}),
+                      i -> CAST(2 ** i AS BIGINT))) AS v) bb ON true
+  GROUP BY bb.b
+), est AS (
+  SELECT CAST(sum(x * x) AS BIGINT) AS sum_x2,
+         median(x * x) AS med_x2
+  FROM sk
+)
+SELECT exact.n_rows, exact.n_users, exact.f2 AS f2_exact,
+       {N.sql_rnd(f"(1.0e0 * est.sum_x2) / {_AMS_K}", 1)} AS f2_ams_mean,
+       {N.sql_rnd("1.0e0 * est.med_x2", 1)} AS f2_ams_median,
+       {N.sql_rnd(
+           f"abs((1.0e0 * est.sum_x2) / {_AMS_K} - exact.f2)"
+           " / exact.f2", 6)} AS rel_err_mean
+FROM exact CROSS JOIN est""",
+    doc="Alon-Matias-Szegedy F2 (second frequency moment / repeat "
+    "rate) sketch audited against the exact Σc²: 16 independent ±1 "
+    "estimators, sign of item u in estimator k = md5-bit k of "
+    "h(user_id) — seed-free and engine-identical; each X_k = Σ±1 "
+    "over ROWS is one exact BIGINT per estimator, E[X²] = F2 "
+    "(Alon et al. 1996). Mean-of-squares and median-of-squares "
+    "estimates are exact integer arithmetic (median of 16 ints is "
+    "the average of the middle two — exactly representable), and "
+    "the relative-error audit row makes the estimator's quality a "
+    "driver-checked fact like the HLL/CountMin audits. Plan: ONE "
+    "×16 fan-out aggregate with map-side combine straight to 16 "
+    "(k, X) rows + the exact per-user aggregate — at 100 TB the "
+    "sketch pass is one shuffle of 16 integers per partition.",
+    survey_ids=("M7-A82",),
+)
+def ams_f2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    exact = (
+        base.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2"),
+        )
+    )
+    fan = base.select(
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_K - 1))).alias("b"),
+    )
+    sign = F.when(
+        F.expr("(h & shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) != 0"),
+        1,
+    ).otherwise(-1)
+    sk = fan.groupBy("b").agg(F.sum(sign).cast("bigint").alias("x"))
+    est = sk.agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        F.expr("percentile(x * x, 0.5)").alias("med_x2"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_users",
+        F.col("f2").alias("f2_exact"),
+        F.expr(N.sql_rnd(f"(1.0e0 * sum_x2) / {_AMS_K}", 1)).alias(
+            "f2_ams_mean"
+        ),
+        F.expr(N.sql_rnd("1.0e0 * med_x2", 1)).alias("f2_ams_median"),
+        F.expr(
+            N.sql_rnd(
+                f"abs((1.0e0 * sum_x2) / {_AMS_K} - f2) / f2", 6
+            )
+        ).alias("rel_err_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# block_jackknife_variance (round 9) — delete-one-block jackknife SE of
+# the overall mean: the third resampling face next to poisson_bootstrap
+# (with-replacement) and randomization_test_diff (label reshuffle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "block_jackknife_variance",
+    oracle=f"""
+WITH blocks AS (
+  SELECT CAST(date_part('day', ts) AS BIGINT) AS blk,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum({N.sql_cents('value')}) AS BIGINT) AS sb
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(sb) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS d
+  FROM blocks
+), loo AS (
+  SELECT b.blk, t.n, t.s, t.d,
+         (1.0e0 * (t.s - b.sb)) / (t.n - b.nb) AS mu_del
+  FROM blocks b CROSS JOIN tot t
+), mbar AS (
+  SELECT CAST(sum({N.sql_cents("mu_del", 10**9)}) AS BIGINT) AS m9,
+         CAST(count(*) AS BIGINT) AS d
+  FROM loo
+), dev AS (
+  SELECT loo.d,
+         CAST(sum({N.sql_cents(
+             "(mu_del - (1.0e0 * mbar.m9) / (1.0e9 * mbar.d))"
+             " * (mu_del - (1.0e0 * mbar.m9) / (1.0e9 * mbar.d))",
+             10**9)}) AS BIGINT) AS ss9
+  FROM loo CROSS JOIN mbar GROUP BY loo.d
+)
+SELECT tot.n AS n_events, tot.d AS n_blocks,
+       {N.sql_rnd("(1.0e0 * tot.s) / tot.n / 1.0e2", 4)} AS mean_value,
+       {N.sql_rnd(
+           "sqrt(((dev.d - 1.0e0) / dev.d) * (dev.ss9 / 1.0e9))"
+           " / 1.0e2", 6)} AS jackknife_se
+FROM tot CROSS JOIN dev""",
+    doc="Delete-one-block jackknife standard error of the overall mean "
+    "value, blocks = day-of-month (Quenouille/Tukey; the BLOCK "
+    "variant is the one that exists at scale — delete-one-ROW would "
+    "need n recomputes, delete-one-block needs only per-block "
+    "sufficient statistics, and blocking by day also absorbs "
+    "within-day autocorrelation a row-jackknife would miss). Each "
+    "leave-block-out mean is one IEEE division of exact BIGINT "
+    "sums; deviations snap to the 1e-9 grid before the D-term sum "
+    "(order-free), SE = sqrt((D-1)/D · Σ(μ_(d) − μ̄)²). The "
+    "resampling-family completion: poisson_bootstrap resamples WITH "
+    "replacement, randomization_test_diff reshuffles labels, THIS "
+    "deletes structured blocks. Plan: one day-keyed aggregate "
+    "(≤31 rows), scalar algebra after — the corpus is touched once.",
+    survey_ids=("M7-A83",),
+)
+def block_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    blocks = ev.groupBy(
+        F.dayofmonth("ts").cast("bigint").alias("blk")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(N.cents("value")).cast("bigint").alias("sb"),
+    )
+    tot = blocks.agg(
+        F.sum("nb").cast("bigint").alias("n"),
+        F.sum("sb").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    loo = blocks.crossJoin(F.broadcast(tot)).select(
+        "blk",
+        "n",
+        "s",
+        "d",
+        (
+            (F.col("s") - F.col("sb")) * 1.0 / (F.col("n") - F.col("nb"))
+        ).alias("mu_del"),
+    )
+    mbar = loo.agg(
+        F.sum(F.expr(N.sql_cents("mu_del", 10**9)))
+        .cast("bigint")
+        .alias("m9"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    dev = (
+        loo.crossJoin(F.broadcast(mbar.select(F.col("m9"), F.col("d").alias("dd"))))
+        .select(
+            "d",
+            F.expr(
+                N.sql_cents(
+                    "(mu_del - (1.0e0 * m9) / (1.0e9 * dd))"
+                    " * (mu_del - (1.0e0 * m9) / (1.0e9 * dd))",
+                    10**9,
+                )
+            ).alias("t9"),
+        )
+        .groupBy("d")
+        .agg(F.sum("t9").cast("bigint").alias("ss9"))
+    )
+    return tot.crossJoin(F.broadcast(dev.select(F.col("d").alias("dd"), "ss9"))).select(
+        F.col("n").alias("n_events"),
+        F.col("d").alias("n_blocks"),
+        F.expr(N.sql_rnd("(1.0e0 * s) / n / 1.0e2", 4)).alias(
+            "mean_value"
+        ),
+        F.expr(
+            N.sql_rnd(
+                "sqrt(((dd - 1.0e0) / dd) * (ss9 / 1.0e9)) / 1.0e2", 6
+            )
+        ).alias("jackknife_se"),
+    )

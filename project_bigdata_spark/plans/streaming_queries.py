@@ -666,3 +666,68 @@ def custom_state_stream_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+@query(
+    "streaming_availablenow_attested",
+    oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_SUM_CENTS_VALUE} AS total_value
+FROM events GROUP BY 1, 2""",
+    doc="Trigger.AvailableNow attested (the Spark 3.3+ batch-boundary "
+    "trigger: process EVERYTHING currently available — possibly as "
+    "multiple rate-limited micro-batches — then terminate on its "
+    "own): a daily-window × type stateful aggregation over the "
+    "events file source runs under availableNow with "
+    "maxFilesPerTrigger=2 (so the bounded run still spans multiple "
+    "real micro-batches, unlike a one-shot batch), and the "
+    "self-terminated sink state must equal batch SQL. This is the "
+    "trigger production backfills and scheduled incremental jobs "
+    "use — distinct lifecycle semantics from processAllAvailable "
+    "(T3's continuous triggers): the QUERY decides when it is done. "
+    "awaitTermination() instead of processAllAvailable is the "
+    "attested surface.",
+    survey_ids=("T3", "T6", "M7-ST11"),
+)
+def streaming_availablenow_attested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from project_bigdata_spark.plans.io_queries import _sink_dir
+
+    src = load_table(spark, sf_dir, "events")
+    shards = _sink_dir("stream_avnow_shards", sf_dir)
+    shutil.rmtree(shards, ignore_errors=True)
+    src.repartition(6).write.mode("overwrite").parquet(shards)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(shards)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        N.sum_cents2("value").alias("total_value"),
+    )
+    name = f"stream_avnow_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        N.ts_str(F.col("w.start")).alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

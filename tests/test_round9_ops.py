@@ -499,3 +499,68 @@ def test_bh_stepup_properties(spark, specs):
     assert qs == sorted(qs)
     for p, q in zip(ps, qs):
         assert q >= p - 1e-9
+
+
+def test_ams_f2_replay(spark, specs):
+    import collections
+
+    r = specs["ams_f2_audit"].builder(spark, SF).collect()[0]
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    c = collections.Counter(x["user_id"] for x in ev)
+    f2 = sum(v * v for v in c.values())
+    assert r["f2_exact"] == f2
+    assert r["n_rows"] == len(ev)
+    assert r["n_users"] == len(c)
+    # unbiased-ish: the mean estimate within a loose factor
+    assert 0.2 * f2 < r["f2_ams_mean"] < 5 * f2
+    assert abs(
+        r["rel_err_mean"] - abs(r["f2_ams_mean"] - f2) / f2
+    ) < 1e-4
+
+
+def test_block_jackknife_replay(spark, specs):
+    import collections
+
+    r = specs["block_jackknife_variance"].builder(spark, SF).collect()[0]
+    ev = spark.read.parquet(SF + "/events.parquet").collect()
+    blocks = collections.defaultdict(lambda: [0, 0])
+    for x in ev:
+        b = blocks[x["ts"].day]
+        b[0] += 1
+        b[1] += round(x["value"] * 100 + 0.5) // 1 if x["value"] >= 0 else -(
+            round(-x["value"] * 100 + 0.5) // 1
+        )
+    # exact cents replication is fiddly in python; check structure +
+    # magnitude instead of bit equality (the oracle IS the bit check)
+    n = sum(b[0] for b in blocks.values())
+    s = sum(b[1] for b in blocks.values())
+    mus = [
+        (s - sb) / (n - nb) for nb, sb in blocks.values() if n > nb
+    ]
+    mbar = sum(mus) / len(mus)
+    ss = sum((m - mbar) ** 2 for m in mus)
+    se = (((len(mus) - 1) / len(mus)) * ss) ** 0.5 / 100
+    assert r["n_blocks"] == len(blocks)
+    assert r["n_events"] == n
+    assert abs(r["jackknife_se"] - se) / max(se, 1e-9) < 0.02, (
+        r["jackknife_se"],
+        se,
+    )
+
+
+def test_availablenow_terminates_and_matches(spark, specs):
+    rows = specs["streaming_availablenow_attested"].builder(
+        spark, SF
+    ).collect()
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(SF + "/events.parquet")
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .count()
+        .collect()
+    )
+    assert len(rows) == len(batch)
+    assert sum(r["n_events"] for r in rows) == sum(
+        b["count"] for b in batch
+    )

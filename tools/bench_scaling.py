@@ -287,6 +287,8 @@ EXTRA = [
     "log_rank_test",
     "cohens_d_effect",
     "benjamini_hochberg_pairs",
+    "ams_f2_audit",
+    "block_jackknife_variance",
 ]
 
 

@@ -61,6 +61,7 @@ SIDE_EFFECTFUL = {
     # round 9
     "stream_stream_outer_attested",
     "compression_codec_roundtrip",
+    "streaming_availablenow_attested",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
@@ -265,6 +266,12 @@ SINGLE_PARTITION_OK = {
     "m=C(types,2) p-value frame (pair-cardinality-bounded); the "
     "volume work is ONE ×pairs×60 fan-out aggregate with map-side "
     "combine straight to m×60 sufficient rows",
+    "ams_f2_audit": "16-row estimator frame + one-row exact-F2 scalar; "
+    "the volume work is ONE ×16 fan-out aggregate with map-side "
+    "combine straight to 16 (k, X) rows",
+    "block_jackknife_variance": "≤31-row day-block frame and its "
+    "scalar reduces — the corpus is touched once by the block "
+    "aggregate",
     "drift_psi": "scalar PSI",
     "gini_concentration": "per-entity aggregate ranked once (keys, not facts)",
     "markov_steady_state": "8x8 transition matrix in one row",
