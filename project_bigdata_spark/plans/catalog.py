@@ -144,8 +144,9 @@ _ATTESTATION_PRIORITY = [
     "lagged_crosscorr",
     "embedding_isotropy",
     # -- oldest-green regression probes (r1 vintage, rotated per
-    #    round-8 verdict ask #2: slots 30-50 — the first 21 of these
-    #    fit the 50-slot window; the tail rotates next round) --------
+    #    round-8 verdict ask #2) — with 27 round-9 additions + 5
+    #    re-planned entries ahead of them, the first 18 of these fit
+    #    the 50-slot window; the tail rotates next round --------------
     "deterministic_sample",
     "distinct_entities",
     "dq_check_suite",
