@@ -3309,11 +3309,16 @@ _NEY_BUDGET = 1000
 
 # Per-stratum weight N_h * S_h with S_h = sample stddev of value cents:
 # exact integer sufficient statistics, hardware sqrt, IEEE division —
-# shared verbatim by both engines.
+# shared verbatim by both engines. A singleton stratum (nj = 1) has no
+# sample variance: without the guard the (nj - 1) denominator renders
+# 0/0 as NULL on Spark but NaN on DuckDB, and the NaN would poison the
+# cross-join total — decide on the exact integer predicate instead and
+# emit 0.0e0 from birth (round-9 degenerate-denominator discipline).
 _NEY_W = (
-    "(nj * sqrt(greatest(0.0e0,"
+    "(CASE WHEN nj < 2 THEN 0.0e0"
+    " ELSE nj * sqrt(greatest(0.0e0,"
     " ((1.0e0 * nj) * qj - (1.0e0 * sj) * sj)"
-    " / ((1.0e0 * nj) * (nj - 1)))))"
+    " / ((1.0e0 * nj) * (nj - 1)))) END)"
 )
 
 

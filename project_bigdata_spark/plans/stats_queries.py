@@ -5172,8 +5172,14 @@ _CD_SP2 = (
     " + (nb - 1) * (((1.0e0 * qb) * nb - (1.0e0 * sb) * sb)"
     " / ((1.0e0 * nb) * (nb - 1)))) / (na + nb - 2))"
 )
+# Degenerate groups (na<2 or nb<2) make _CD_SP2 a 0/0: Spark renders
+# NULL, DuckDB NaN, and BOTH compare false against <= 0.0e0, so the
+# sp2 guard alone never fires. Decide on the exact integer group
+# counts FIRST — the float expression is only evaluated when both
+# sample variances are well-defined (na+nb-2 >= 1 follows).
 _CD_D = (
-    f"(CASE WHEN {_CD_SP2} <= 0.0e0 THEN 0.0e0"
+    f"(CASE WHEN na < 2 OR nb < 2 THEN 0.0e0"
+    f" WHEN {_CD_SP2} <= 0.0e0 THEN 0.0e0"
     f" ELSE ((1.0e0 * sa) / na - (1.0e0 * sb) / nb) / sqrt({_CD_SP2}) END)"
 )
 # Hedges' small-sample correction g = d * (1 - 3/(4(na+nb) - 9)).

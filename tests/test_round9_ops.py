@@ -4,6 +4,8 @@ independent of both the Spark plan and the DuckDB oracle."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from project_bigdata_spark.plans.catalog import load_all
@@ -527,8 +529,12 @@ def test_block_jackknife_replay(spark, specs):
     for x in ev:
         b = blocks[x["ts"].day]
         b[0] += 1
-        b[1] += round(x["value"] * 100 + 0.5) // 1 if x["value"] >= 0 else -(
-            round(-x["value"] * 100 + 0.5) // 1
+        # sign-aware floor(x*100 + 0.5) — the exact _norm.cents grid
+        # (round() would be banker's rounding, a different grid)
+        b[1] += (
+            math.floor(x["value"] * 100 + 0.5)
+            if x["value"] >= 0
+            else -math.floor(-x["value"] * 100 + 0.5)
         )
     # exact cents replication is fiddly in python; check structure +
     # magnitude instead of bit equality (the oracle IS the bit check)
