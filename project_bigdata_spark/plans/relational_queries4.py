@@ -2009,7 +2009,13 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph primitive the tier was missing next to LPA/k-core/PageRank
 # ---------------------------------------------------------------------------
 
-_CC_ROUND_SQL = """cc{i} AS (
+# Each round references the previous label frame TWICE (self + via
+# edges); AS MATERIALIZED pins every cc{{i}} to one evaluation — the
+# oracle-side analog of the Spark plan's per-round localCheckpoint
+# (without it DuckDB may inline the doubly-referenced CTE chain, an
+# exponential replay that made this the slowest window entry at 26.9 s
+# in the round-9 pre-flight; materialized it is ~0.1 s, same rows).
+_CC_ROUND_SQL = """cc{i} AS MATERIALIZED (
   SELECT c.n, least(min(c.lbl), coalesce(min(cl.lbl), min(c.lbl))) AS lbl
   FROM cc{j} c
   LEFT JOIN edges e ON e.src = c.n
@@ -2017,12 +2023,18 @@ _CC_ROUND_SQL = """cc{i} AS (
   GROUP BY c.n
 )"""
 
+# _PR_EDGES_SQL is shared with the PageRank family, so the MATERIALIZED
+# pin on its edges CTE is applied locally here rather than upstream.
+_CC_EDGES_SQL = _PR_EDGES_SQL.replace(
+    "), edges AS (", "), edges AS MATERIALIZED ("
+)
+
 
 @query(
     "connected_components_minlabel",
     oracle=f"""
-WITH {_PR_EDGES_SQL},
-cc0 AS (SELECT n, n AS lbl FROM deg),
+WITH {_CC_EDGES_SQL},
+cc0 AS MATERIALIZED (SELECT n, n AS lbl FROM deg),
 {_CC_ROUND_SQL.format(i=1, j=0)},
 {_CC_ROUND_SQL.format(i=2, j=1)},
 {_CC_ROUND_SQL.format(i=3, j=2)},

@@ -483,9 +483,13 @@ GROUP BY 1""",
     "'flush' sentinel row (passing both side filters, user_id = -1, "
     "excluded from the readout) advances BOTH watermarks past every "
     "real band, and the engine's no-data micro-batch then force-emits "
-    "the remaining unmatched state. Replayed across 6 re-sharded "
-    "files + the flush shard with maxFilesPerTrigger=1, so matches "
-    "and evictions happen across REAL micro-batch boundaries. The "
+    "the remaining unmatched state. Replayed across 2 time-range "
+    "segments + the flush shard with maxFilesPerTrigger=1, so matches "
+    "and evictions happen across REAL micro-batch boundaries: batch 2 "
+    "matches across the 1↔2 boundary AND evicts batch-1 state behind "
+    "the advanced watermark, batch 3 force-flushes the tail — every "
+    "eviction path the 3-segment round-9 replay exercised, at half "
+    "the pre-flight cost (round-9 verdict ask #3). The "
     "append sink must equal the batch left join row-for-row — "
     "matched multiplicities AND null emissions. Unlike the "
     "complete-mode replays, append-mode eviction makes file ORDER "
@@ -506,26 +510,23 @@ def stream_stream_outer_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "events")
     shards = _sink_dir("stream_outer_shards", sf_dir)
     shutil.rmtree(shards, ignore_errors=True)
-    # Three TIME-ORDERED segments (thirds of the [min, max] ts span),
+    # Two TIME-ORDERED segments (halves of the [min, max] ts span),
     # appended sequentially so file mtimes — the file source's
     # processing order — increase with event time. Within a segment
     # rows are unordered (watermark only moves between batches); across
     # segments nothing is ever behind the watermark, because the 1 h
-    # delay exceeds the ±30 min band.
+    # delay exceeds the ±30 min band. The sleep only needs to separate
+    # mtimes at the file source's millisecond granularity.
     b = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     lo, hi = b["lo"], b["hi"]
-    step = (hi - lo) / 3
-    cuts = [lo + step, lo + 2 * step]
+    cut = lo + (hi - lo) / 2
     segs = [
-        src.filter(F.col("ts") < F.lit(cuts[0])),
-        src.filter(
-            (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
-        ),
-        src.filter(F.col("ts") >= F.lit(cuts[1])),
+        src.filter(F.col("ts") < F.lit(cut)),
+        src.filter(F.col("ts") >= F.lit(cut)),
     ]
     for seg in segs:
         seg.coalesce(1).write.mode("append").parquet(shards)
-        _time.sleep(1.05)
+        _time.sleep(0.4)
     # Flush sentinel: one row 30 days past max(ts). It passes BOTH side
     # filters, so each side's watermark advances past every real row's
     # band once it is seen; until then unmatched clicks sit in state.
@@ -559,7 +560,18 @@ def stream_stream_outer_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     )
-    name = _run_to_memory_append(pairs, "stream_outer")
+    # The stream-stream join keeps 4 state-store instances per shuffle
+    # partition per micro-batch; at attestation scale that fixed cost
+    # dominates the replay, so pin a small partition count for this
+    # query and restore the session value after — a replay-harness
+    # knob, not part of the join plan under test (at 100 TB you would
+    # RAISE it; state-store parallelism scales with shuffle partitions).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        name = _run_to_memory_append(pairs, "stream_outer")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     t = spark.table(name).filter(F.col("c_user") >= 0)
     return t.groupBy(F.dayofmonth("c_ts").cast("bigint").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
