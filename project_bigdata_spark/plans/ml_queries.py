@@ -1393,6 +1393,319 @@ def gbm_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gbm_depth2_trees (round 10) — gradient-boosted DEPTH-2 regression trees:
+# per round a best (feature, threshold) ROOT split over the shared
+# histogram candidates, then per-leaf SUB-splits over the same candidates
+# (the closest public analog of the reference's LightGBM depth>1 trees,
+# ml_training/train_lightgbm.py:83-102)
+# ---------------------------------------------------------------------------
+
+_GBM2_ROUNDS = 3
+
+# feature-valued candidate predicate: candidates carry (f, theta) with
+# f in ('h','d'); a row goes LEFT when its f-value is <= theta
+_GBM2_FV = "(CASE WHEN f = 'h' THEN h ELSE d END)"
+_GBM2_RFV = "(CASE WHEN rf = 'h' THEN h ELSE d END)"
+_GBM2_F2V = "(CASE WHEN f2 = 'h' THEN h ELSE d END)"
+
+
+def _gbm2_leaf_exprs() -> tuple[str, str, str]:
+    gl, gr = _gbm_leaf_exprs()
+    # single-leaf fallback when a side admits no valid sub-split
+    # (constant features): both grandchildren get the shrunk side mean
+    gfull = N.sql_cents(f"({_GBM_ETA} * st / n)", 1)
+    return (
+        f"(CASE WHEN f2 IS NOT NULL THEN {gl} ELSE {gfull} END)",
+        f"(CASE WHEN f2 IS NOT NULL THEN {gr} ELSE {gfull} END)",
+        gfull,
+    )
+
+
+def _gbm2_oracle() -> str:
+    gl2, gr2, _ = _gbm2_leaf_exprs()
+    nlc = (
+        f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS nl"
+    )
+    slc = (
+        f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN res6 ELSE 0 END)"
+        " AS BIGINT) AS sl"
+    )
+    ctes = [
+        "cands AS (SELECT 'h' AS f, unnest(range(0, 23)) AS theta "
+        "UNION ALL SELECT 'd' AS f, unnest(range(1, 31)) AS theta)",
+        "base0 AS MATERIALIZED (SELECT hour(ts) AS h, "
+        "CAST(date_part('day', ts) AS INT) AS d, "
+        + N.sql_cents("value", 10**6)
+        + " AS res6 FROM events)",
+    ]
+    for r in range(1, _GBM2_ROUNDS + 1):
+        ctes.append(
+            f"ra{r} AS (SELECT c.f, c.theta, {nlc}, {slc}, "
+            "CAST(count(*) AS BIGINT) AS n, CAST(sum(res6) AS BIGINT) AS st "
+            f"FROM base{r - 1} b, cands c GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"rb{r} AS (SELECT f AS rf, theta AS rtheta FROM ra{r} "
+            f"WHERE nl > 0 AND nl < n "
+            f"ORDER BY {_GBM_F} DESC, f, theta LIMIT 1)"
+        )
+        ctes.append(
+            f"sided{r} AS MATERIALIZED (SELECT b.h, b.d, b.res6, rb.rf, "
+            f"rb.rtheta, CASE WHEN (CASE WHEN rb.rf = 'h' THEN b.h ELSE "
+            "b.d END) <= rb.rtheta THEN 'L' ELSE 'R' END AS side "
+            f"FROM base{r - 1} b, rb{r} rb)"
+        )
+        ctes.append(
+            f"ca{r} AS (SELECT s.side, c.f, c.theta, "
+            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN s.h ELSE s.d "
+            "END) <= c.theta THEN 1 ELSE 0 END) AS BIGINT) AS nl, "
+            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN s.h ELSE s.d "
+            "END) <= c.theta THEN res6 ELSE 0 END) AS BIGINT) AS sl, "
+            "CAST(count(*) AS BIGINT) AS n, CAST(sum(res6) AS BIGINT) AS st, "
+            "sum(CAST(res6 AS HUGEINT) * res6) AS ss, "
+            "min(s.rf) AS root_feature, min(s.rtheta) AS rtheta "
+            f"FROM sided{r} s, cands c GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"ss{r} AS (SELECT side, min(n) AS n, min(st) AS st, "
+            "min(ss) AS ss, min(root_feature) AS root_feature, "
+            f"min(rtheta) AS rtheta FROM ca{r} GROUP BY 1)"
+        )
+        ctes.append(
+            f"cb{r} AS (SELECT side, f AS f2, theta AS theta2, nl, sl FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY side "
+            f"ORDER BY {_GBM_F} DESC, f, theta) AS rk "
+            f"FROM ca{r} WHERE nl > 0 AND nl < n) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"leaf{r} AS MATERIALIZED (SELECT t.*, {gl2} AS gl6, "
+            f"{gr2} AS gr6 FROM (SELECT s.side, s.n, s.st, s.ss, "
+            "s.root_feature, s.rtheta, cb.f2, cb.theta2, "
+            "CAST(coalesce(cb.nl, 0) AS BIGINT) AS nl, "
+            "CAST(coalesce(cb.sl, 0) AS BIGINT) AS sl "
+            f"FROM ss{r} s LEFT JOIN cb{r} cb ON cb.side = s.side) t)"
+        )
+        ctes.append(
+            f"base{r} AS MATERIALIZED (SELECT s.h, s.d, s.res6 - "
+            f"CASE WHEN l.f2 IS NOT NULL AND (CASE WHEN l.f2 = 'h' THEN "
+            "s.h ELSE s.d END) <= l.theta2 THEN l.gl6 ELSE l.gr6 END "
+            f"AS res6 FROM sided{r} s JOIN leaf{r} l ON l.side = s.side)"
+        )
+    outs = [
+        f"SELECT CAST({r} AS BIGINT) AS step, side, root_feature, "
+        "CAST(rtheta AS BIGINT) AS root_theta, "
+        "coalesce(f2, '-') AS sub_feature, "
+        "CAST(coalesce(theta2, -1) AS BIGINT) AS sub_theta, "
+        "n AS n_side, nl AS n_sub_left, "
+        + N.sql_rnd("gl6 / 1.0e6", 6)
+        + " AS leaf_left, "
+        + N.sql_rnd("gr6 / 1.0e6", 6)
+        + " AS leaf_right, "
+        + N.sql_rnd("CAST(ss AS DOUBLE) / 1.0e12", 4)
+        + " AS sse_before, "
+        + N.sql_rnd(f"{_GBM_SSE_AFTER} / 1.0e12", 4)
+        + f" AS sse_after FROM leaf{r}"
+        for r in range(1, _GBM2_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@query(
+    "gbm_depth2_trees",
+    oracle=_gbm2_oracle(),
+    doc=f"Gradient-boosted DEPTH-2 regression trees, {_GBM2_ROUNDS} rounds "
+    "unrolled with shrinkage eta = 0.5 — gbm_residual_stumps extended "
+    "one level, the closest public analog of the reference's LightGBM "
+    "depth>1 trees (ml_training/train_lightgbm.py:83-102): each round "
+    "picks the best (feature, threshold) ROOT split over a shared "
+    "histogram candidate grid (hour 0-22 + day-of-month 1-30, the "
+    "LightGBM-style feature-histogram search), then the best SUB-split "
+    "per root side over the SAME candidates — 4 leaves per round. A "
+    "side with no valid sub-split degenerates deterministically to a "
+    "single leaf (both grandchildren = the shrunk side mean, decided "
+    "by f2 IS NULL on both engines). Residuals live on the 1e-6 "
+    "integer grid THROUGHOUT — leaf values snap before subtraction, so "
+    "every round's residual frame is exact integers and the trainer "
+    "replays bit-identically; split scores (sl^2/nl + sr^2/nr) and "
+    "reported SSEs are doubles from shared engine-neutral strings with "
+    "total-order tie-breaks (score DESC, feature, theta). Emits 2 rows "
+    "per round (one per root side): root/sub split, child sizes, leaf "
+    "values, side SSE before/after — the per-round curve sits strictly "
+    "below the stump curve (replay-tested). Plan per round: two "
+    "broadcast 53-candidate conditional aggregates (map-side combined "
+    "histogram search), two <=2-row argmax frames, one broadcast "
+    "residual update — the event volume NEVER shuffles; per-round "
+    "frames are localCheckpoint'ed so lineage stays flat.",
+    survey_ids=("M7-ML31",),
+)
+def gbm_depth2_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gl2, gr2, _ = _gbm2_leaf_exprs()
+    base = ev.select(
+        F.hour("ts").alias("h"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        N.cents("value", 10**6).alias("res6"),
+    ).localCheckpoint(eager=True)
+    cands = (
+        spark.range(0, 23)
+        .select(F.lit("h").alias("f"), F.col("id").cast("bigint").alias("theta"))
+        .unionAll(
+            spark.range(1, 31).select(
+                F.lit("d").alias("f"), F.col("id").cast("bigint").alias("theta")
+            )
+        )
+    )
+    rows = []
+    for r in range(1, _GBM2_ROUNDS + 1):
+        ra = (
+            base.crossJoin(F.broadcast(cands))
+            .groupBy("f", "theta")
+            .agg(
+                F.expr(
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN 1 "
+                    "ELSE 0 END) AS BIGINT)"
+                ).alias("nl"),
+                F.expr(
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN res6 "
+                    "ELSE 0 END) AS BIGINT)"
+                ).alias("sl"),
+                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(res6) AS BIGINT)").alias("st"),
+            )
+        )
+        rbest = (
+            ra.filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+            .withColumn("score", F.expr(_GBM_F))
+            .orderBy(F.desc("score"), "f", "theta")
+            .limit(1)
+            .select(F.col("f").alias("rf"), F.col("theta").alias("rtheta"))
+            .localCheckpoint(eager=True)
+        )
+        sided = (
+            base.crossJoin(F.broadcast(rbest))
+            .select(
+                "h",
+                "d",
+                "res6",
+                "rf",
+                "rtheta",
+                F.expr(
+                    f"CASE WHEN {_GBM2_RFV} <= rtheta THEN 'L' ELSE 'R' END"
+                ).alias("side"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ca = (
+            sided.crossJoin(F.broadcast(cands))
+            .groupBy("side", "f", "theta")
+            .agg(
+                F.expr(
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN 1 "
+                    "ELSE 0 END) AS BIGINT)"
+                ).alias("nl"),
+                F.expr(
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN res6 "
+                    "ELSE 0 END) AS BIGINT)"
+                ).alias("sl"),
+                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(res6) AS BIGINT)").alias("st"),
+                F.sum(F.col("res6").cast("decimal(38,0)") * F.col("res6"))
+                .alias("ss"),
+                F.min("rf").alias("root_feature"),
+                F.min("rtheta").alias("rtheta"),
+            )
+        )
+        sstats = ca.groupBy("side").agg(
+            F.min("n").alias("n"),
+            F.min("st").alias("st"),
+            F.min("ss").alias("ss"),
+            F.min("root_feature").alias("root_feature"),
+            F.min("rtheta").alias("rtheta"),
+        )
+        wside = Window.partitionBy("side").orderBy(
+            F.desc("score"), "f", "theta"
+        )
+        cb = (
+            ca.filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+            .withColumn("score", F.expr(_GBM_F))
+            .withColumn("rk", F.row_number().over(wside))
+            .filter(F.col("rk") == 1)
+            .select(
+                "side",
+                F.col("f").alias("f2"),
+                F.col("theta").alias("theta2"),
+                F.col("nl").alias("cnl"),
+                F.col("sl").alias("csl"),
+            )
+        )
+        leaf = (
+            sstats.join(cb, "side", "left")
+            .select(
+                "side",
+                "n",
+                "st",
+                "ss",
+                "root_feature",
+                "rtheta",
+                "f2",
+                "theta2",
+                F.coalesce("cnl", F.lit(0)).cast("bigint").alias("nl"),
+                F.coalesce("csl", F.lit(0)).cast("bigint").alias("sl"),
+            )
+            .withColumn("gl6", F.expr(gl2))
+            .withColumn("gr6", F.expr(gr2))
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            leaf.select(
+                F.lit(r).cast("bigint").alias("step"),
+                "side",
+                "root_feature",
+                F.col("rtheta").cast("bigint").alias("root_theta"),
+                F.coalesce("f2", F.lit("-")).alias("sub_feature"),
+                F.coalesce("theta2", F.lit(-1))
+                .cast("bigint")
+                .alias("sub_theta"),
+                F.col("n").alias("n_side"),
+                F.col("nl").alias("n_sub_left"),
+                F.expr(N.sql_rnd("gl6 / 1.0e6", 6)).alias("leaf_left"),
+                F.expr(N.sql_rnd("gr6 / 1.0e6", 6)).alias("leaf_right"),
+                F.expr(N.sql_rnd("CAST(ss AS DOUBLE) / 1.0e12", 4)).alias(
+                    "sse_before"
+                ),
+                F.expr(N.sql_rnd(f"{_GBM_SSE_AFTER} / 1.0e12", 4)).alias(
+                    "sse_after"
+                ),
+            )
+        )
+        base = (
+            sided.join(
+                F.broadcast(
+                    leaf.select("side", "f2", "theta2", "gl6", "gr6")
+                ),
+                "side",
+            )
+            .select(
+                "h",
+                "d",
+                (
+                    F.col("res6")
+                    - F.expr(
+                        f"CASE WHEN f2 IS NOT NULL AND {_GBM2_F2V} <= theta2 "
+                        "THEN gl6 ELSE gr6 END"
+                    )
+                ).alias("res6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # gmm_em_1d (round 8, third wave) — 2-component 1-D Gaussian-mixture EM,
 # 3 unrolled rounds (the soft-assignment trainer next to the hard-assign
 # kmeans_lloyd and the discriminative logistic_gd_classifier)

@@ -502,13 +502,37 @@ GROUP BY 1""",
     survey_ids=("T1", "T4", "M7-ST10"),
 )
 def stream_stream_outer_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _banded_outer_replay(
+        spark, sf_dir, "stream_outer_shards", "left_outer"
+    )
+    t = spark.table(name).filter(F.col("c_user") >= 0)
+    return t.groupBy(F.dayofmonth("c_ts").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v_user").isNull(), 1)), F.lit(0)
+        ).cast("bigint").alias("n_unmatched"),
+        F.count_distinct("c_user").cast("bigint").alias("n_users"),
+    )
+
+
+def _banded_outer_replay(
+    spark: SparkSession, sf_dir: str, shard_name: str, join_type: str
+) -> str:
+    """Shared replay harness for the watermark-evicting stream-stream
+    outer-join attestations (LEFT OUTER = M7-ST10, FULL OUTER =
+    M7-ST12): write two TIME-ORDERED event segments + a far-future
+    flush sentinel, stream clicks ⋈ views within the ±30 min band
+    under the given ``join_type``, and return the append-mode memory
+    sink's table name. Null emission for unmatched rows only happens
+    when the watermark passes a row's join band and state evicts, so
+    the flush row — passing BOTH side filters — forces the tail out."""
     import shutil
     import time as _time
 
     from project_bigdata_spark.plans.io_queries import _sink_dir
 
     src = load_table(spark, sf_dir, "events")
-    shards = _sink_dir("stream_outer_shards", sf_dir)
+    shards = _sink_dir(shard_name, sf_dir)
     shutil.rmtree(shards, ignore_errors=True)
     # Two TIME-ORDERED segments (halves of the [min, max] ts span),
     # appended sequentially so file mtimes — the file source's
@@ -529,7 +553,7 @@ def stream_stream_outer_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         _time.sleep(0.4)
     # Flush sentinel: one row 30 days past max(ts). It passes BOTH side
     # filters, so each side's watermark advances past every real row's
-    # band once it is seen; until then unmatched clicks sit in state.
+    # band once it is seen; until then unmatched rows sit in state.
     flush = src.agg(F.max("ts").alias("mxts")).select(
         F.lit(-1).cast("bigint").alias("event_id"),
         (F.col("mxts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
@@ -558,7 +582,7 @@ def stream_stream_outer_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_user") == F.col("v_user"))
         & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_outer",
+        join_type,
     )
     # The stream-stream join keeps 4 state-store instances per shuffle
     # partition per micro-batch; at attestation scale that fixed cost
@@ -569,16 +593,71 @@ def stream_stream_outer_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        name = _run_to_memory_append(pairs, "stream_outer")
+        return _run_to_memory_append(pairs, shard_name.replace("_shards", ""))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    t = spark.table(name).filter(F.col("c_user") >= 0)
-    return t.groupBy(F.dayofmonth("c_ts").cast("bigint").alias("day")).agg(
+
+
+@query(
+    "stream_stream_full_outer_attested",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT CAST(date_part('day', coalesce(c.ts, v.ts)) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN v.user_id IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_unmatched_clicks,
+       CAST(coalesce(sum(CASE WHEN c.user_id IS NULL THEN 1 END), 0)
+            AS BIGINT) AS n_unmatched_views,
+       CAST(count(DISTINCT coalesce(c.user_id, v.user_id)) AS BIGINT)
+         AS n_users
+FROM c FULL JOIN v
+  ON c.user_id = v.user_id
+ AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 30 * 60 * 1000000
+GROUP BY 1""",
+    doc="STREAM-STREAM FULL OUTER join attested against the batch FULL "
+    "JOIN — the last stream-stream topology after inner (M7-ST8) and "
+    "left-outer (M7-ST10): clicks full-outer views on user_id within "
+    "the ±30 min event-time band, both sides watermarked, replayed "
+    "through the same 2-segment + flush-sentinel harness "
+    "(_banded_outer_replay). FULL OUTER is strictly harder than left "
+    "outer: BOTH state stores must emit their unmatched residue with "
+    "nulls when the watermark passes a row's join band — an unmatched "
+    "click AND an unmatched view each surface exactly once, and the "
+    "flush row (which matches only itself and is excluded from the "
+    "readout) forces both tails out. The append sink must equal the "
+    "batch FULL JOIN row-for-row: matched multiplicities, click-side "
+    "nulls, and view-side nulls, grouped by the day of whichever side "
+    "exists. Null-side filters must use IS NULL OR >= 0 — a bare "
+    ">= 0 predicate would silently drop every null-extended row.",
+    survey_ids=("T1", "T4", "M7-ST12"),
+)
+def stream_stream_full_outer_attested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    name = _banded_outer_replay(
+        spark, sf_dir, "stream_fouter_shards", "full_outer"
+    )
+    t = spark.table(name).filter(
+        (F.col("c_user").isNull() | (F.col("c_user") >= 0))
+        & (F.col("v_user").isNull() | (F.col("v_user") >= 0))
+    )
+    return t.groupBy(
+        F.dayofmonth(F.coalesce("c_ts", "v_ts")).cast("bigint").alias("day")
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.coalesce(
             F.sum(F.when(F.col("v_user").isNull(), 1)), F.lit(0)
-        ).cast("bigint").alias("n_unmatched"),
-        F.count_distinct("c_user").cast("bigint").alias("n_users"),
+        ).cast("bigint").alias("n_unmatched_clicks"),
+        F.coalesce(
+            F.sum(F.when(F.col("c_user").isNull(), 1)), F.lit(0)
+        ).cast("bigint").alias("n_unmatched_views"),
+        F.count_distinct(F.coalesce("c_user", "v_user"))
+        .cast("bigint")
+        .alias("n_users"),
     )
 
 

@@ -1435,3 +1435,112 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("keyword"), N.big("units").alias("pr_units")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_trigram_spans (round 10) — the PySpark-4 Python UDTF extension
+# surface, next to the attested DataSource connector (sources/pysource.py)
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 3.5 only; the catalog stays importable without it
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(
+        returnType="span_idx bigint, start_char bigint, span string",
+        useArrow=True,
+    )
+    class _TrigramSpansUDTF:
+        """Word-trigram span extractor: one input doc → one output row
+        per trigram with its 1-based index and 0-based char offset.
+        Arrow-optimized (compiles to ArrowEvalPythonUDTF, never the
+        pickled row-at-a-time BatchEvalPython node)."""
+
+        def eval(self, text):  # noqa: ANN001 — signature fixed by the API
+            words = text.split(" ")
+            pos = 0
+            for i in range(len(words) - 2):
+                yield i + 1, pos, " ".join(words[i : i + 3])
+                pos += len(words[i]) + 1
+
+except ImportError:  # pragma: no cover
+    _TrigramSpansUDTF = None
+
+
+@query(
+    "udtf_trigram_spans",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i,
+         len(ws) AS n
+  FROM w
+), off AS (
+  SELECT doc_id, wd, i, n,
+         CAST(coalesce(sum(length(wd) + 1) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_char
+  FROM tok
+), tri AS (
+  SELECT doc_id, i AS span_idx, start_char, n,
+         wd || ' ' || lead(wd, 1) OVER win || ' ' || lead(wd, 2) OVER win
+           AS span
+  FROM off WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CAST(('0x' || substring(md5(span || ':' ||
+            CAST(start_char AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS span_sig,
+       CAST(max(start_char) AS BIGINT) AS last_start
+FROM tri WHERE span_idx <= n - 2
+GROUP BY 1""",
+    doc="Python UDTF seam (PySpark-4 @udtf, arrow-optimized): a "
+    "word-trigram span extractor emitting MULTIPLE rows per document "
+    "(span index, 0-based char offset, span text) via a LATERAL table "
+    "function — the one PySpark-4 Python extension surface the catalog "
+    "lacked next to the DataSource connector (python_source_stats "
+    "discipline: the oracle regenerates every span in SQL; the 32-bit "
+    "md5 span signature summed per doc pins every span's exact text "
+    "AND offset without shipping 30k span rows to the compare). WHEN "
+    "a UDTF earns its place: the per-row expansion needs imperative "
+    "Python state or an external library per emitted row — here the "
+    "running char offset threads through the yield loop naturally. "
+    "When it does NOT: this exact op is also expressible as "
+    "posexplode(split(text,' ')) + window leads (the oracle proves "
+    "it), and the built-in stays fully inside codegen — so prefer "
+    "explode/HOF whenever the expansion is a pure function of array "
+    "slots; reach for @udtf(useArrow=True) only past that line, and "
+    "never the default pickled UDTF (ArrowEvalPythonUDTF batches via "
+    "Arrow like mapInPandas; BatchEvalPythonUDTF would pay per-row "
+    "pickling). Scale: the UDTF maps partition-parallel with no "
+    "shuffle before it; the per-doc aggregate shuffles doc_id keys "
+    "once — emitted spans never cross documents.",
+    survey_ids=("M7-X1",),
+)
+def udtf_trigram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if _TrigramSpansUDTF is None:  # pragma: no cover
+        raise RuntimeError("pyspark.sql.functions.udtf unavailable")
+    spark.udtf.register("trigram_spans", _TrigramSpansUDTF)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_spans_docs")
+    spans = spark.sql(
+        "SELECT d.doc_id, s.span_idx, s.start_char, s.span "
+        "FROM udtf_spans_docs d, LATERAL trigram_spans(d.text) s"
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", "span", "start_char")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("span_sig"),
+        F.max("start_char").cast("bigint").alias("last_start"),
+    )
