@@ -103,23 +103,78 @@ def query(
 # counts as needing attestation, so re-attesting repaired entries
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
-    # ==== ROUND-9 WINDOW (positions 1-50), per the round-8 verdict
-    # asks #2/#4: round-9 additions first, then the round-9 re-planned
-    # entries (plan/oracle changed after their last green row), then
-    # oldest-green regression probes (r1/r2 vintage rotation). ====
-    # -- round-9 additions (never attested) -----------------------------
+    # ==== ROUND-10 WINDOW (positions 1-50), per the round-9 verdict
+    # asks #1/#2: the 6 round-10 additions first, then the 4 entries
+    # re-planned this round AFTER their last green row (streaming-outer
+    # replay harness rework, CC oracle materialization, the two
+    # degenerate-denominator guards), then the rotation the verdict
+    # prescribed: ALL 18 remaining r1-vintage entries + the first 22
+    # (alphabetical) of the 44 r2-vintage entries — retiring the
+    # oldest-attestation tail (r1 count -> 0, r2 tail -> 22). ====
+    # -- round-10 additions (never attested) -----------------------------
+    "stream_stream_full_outer_attested",
+    "udtf_trigram_spans",
+    "gbm_depth2_trees",
+    "line_quality_stats",
+    "line_dedup_apply",
+    "line_gate_filter",
+    # -- round-10 re-planned entries (stale green rows) ------------------
     "stream_stream_outer_attested",
+    "connected_components_minlabel",
+    "neyman_allocation",
+    "cohens_d_effect",
+    # -- r1-vintage rotation probes (the LAST 18 r1-attested entries) ----
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "scalar_misc",
+    "semi_join_customers",
+    "stratified_sample",
+    "time_bucketed_counts",
+    "top3_per_group",
+    "top_k_latest",
+    "union_distinct_keys",
+    "value_histogram",
+    "value_outliers",
+    "weekly_retention",
+    # -- r2-vintage rotation probes (alphabetical first 22 of 44) --------
+    "ann_lsh_buckets",
+    "ann_lsh_query",
+    "asof_join_events",
+    "chunk_embed_search",
+    "cube_lineitem_flags",
+    "curation_pipeline",
+    "dedup_bow_fingerprint",
+    "dedup_clusters",
+    "dedup_exact",
+    "doc_chunks",
+    "doc_fingerprints",
+    "embedding_norms",
+    "feature_frame",
+    "gap_fill_ffill",
+    "gap_fill_hourly",
+    "ivf_assign",
+    "ivf_search",
+    "knn_brute_force",
+    "label_encode",
+    "lang_id_confusion",
+    "minhash_near_dups",
+    "minhash_signatures",
+    # -- behind the window: prior rounds' order preserved ---------------
     "url_canonicalize",
     "domain_share_stats",
     "domain_blocklist_filter",
     "url_exact_dedup",
     "repetition_dedup_apply",
-    "connected_components_minlabel",
     "kruskal_wallis_value",
     "cramers_v_effect",
     "brown_forsythe_variance",
     "isotonic_calibration",
-    "neyman_allocation",
     "compression_codec_roundtrip",
     "textrank_keywords",
     "wilcoxon_signed_rank",
@@ -130,23 +185,15 @@ _ATTESTATION_PRIORITY = [
     "randomization_test_diff",
     "nelson_aalen_hazard",
     "log_rank_test",
-    "cohens_d_effect",
     "benjamini_hochberg_pairs",
     "ams_f2_audit",
     "block_jackknife_variance",
     "streaming_availablenow_attested",
-    # -- round-9 re-planned entries (stale green rows: ERR snapped to
-    #    the 1e-6 grid; kappa/Cochran-Q/crosscorr degenerate-denominator
-    #    guards; isotropy unit-component template parameterized) --------
     "err_eval",
     "mcnemar_filter_agreement",
     "cochran_q_gates",
     "lagged_crosscorr",
     "embedding_isotropy",
-    # -- oldest-green regression probes (r1 vintage, rotated per
-    #    round-8 verdict ask #2) — with 27 round-9 additions + 5
-    #    re-planned entries ahead of them, the first 18 of these fit
-    #    the 50-slot window; the tail rotates next round --------------
     "deterministic_sample",
     "distinct_entities",
     "dq_check_suite",
@@ -165,42 +212,6 @@ _ATTESTATION_PRIORITY = [
     "orders_running_total",
     "pivot_type_avg",
     "q10_top_customers",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    # -- ROUND-8 WINDOW tail (kept below; all green in r8) ---------------
-    # 1-7   the 7 first-wave round-8 additions (DSIR resampling, unrolled
-    #       BPE trainer, anchored exact-substring spans, contamination
-    #       audit, leakage-safe split audit, Gopher hard quality gates,
-    #       tokenizer fertility) — never attested;
-    # 8-16  the 9 second-wave round-8 additions (MRR/MAP, QL retrieval,
-    #       ridge, logistic-GD, boosted stumps, burstiness, soft-dedup
-    #       weights, perplexity buckets, HITS) — never attested;
-    # 17-20 the 4 third-wave round-8 additions (ARI clustering eval,
-    #       GMM EM, Wasserstein drift, Mann-Whitney U) — never attested;
-    # 21-23 the 3 fourth-wave round-8 additions (DoReMi domain weights,
-    #       char-entropy compression bound, self-BLEU) — never attested;
-    # 24-29 the 6 fifth-wave round-8 additions (lagged cross-correlation,
-    #       HLL intersection, Kneser-Ney bigram LM, hinge-loss SVM,
-    #       embedding isotropy, item co-occurrence recs) — never attested;
-    # 30-35 the 6 sixth-wave round-8 additions (inter-arrival fit,
-    #       user-sequence anomaly, Markov backtest, McNemar filter
-    #       agreement, Brier decomposition, RBO) — never attested;
-    # 36-37 the 2 seventh-wave round-8 additions (Wilson proportion CI,
-    #       hour-of-day uniformity test) — never attested;
-    # 38-42 the 5 eighth-wave round-8 additions (cluster quality
-    #       indices, ERR, Cochran's Q, Yule's K, rec coverage audit) —
-    #       never attested;
-    # 43-47 the 5 entries whose plans changed in round 8 AFTER their last
-    #       green driver row (gram-MinHash sub-block key, per-vector +
-    #       candidate near-dup caps, lazy blocking-audit census, simhash
-    #       API split) — their old attestations are stale against the
-    #       current code;
-    # 48-50 3 regression probes re-attesting the OLDEST green rows
-    #       (round-1 vintage).
     "dsir_resample",
     "bpe_train_merges",
     "anchor_substring_spans",
@@ -208,7 +219,6 @@ _ATTESTATION_PRIORITY = [
     "leakage_safe_split",
     "gopher_quality_gates",
     "tokenizer_fertility",
-    # -- round-8 second-wave additions (never attested) -----------------
     "mrr_map_eval",
     "query_likelihood_retrieval",
     "ridge_normal_equations",
@@ -218,59 +228,35 @@ _ATTESTATION_PRIORITY = [
     "soft_dedup_weights",
     "ccnet_perplexity_buckets",
     "hits_hubs_authorities",
-    # -- round-8 third-wave additions (never attested) ------------------
     "clustering_ari_eval",
     "gmm_em_1d",
     "wasserstein_drift",
     "mann_whitney_u",
-    # -- round-8 fourth-wave additions (never attested) -----------------
     "doremi_domain_weights",
     "char_entropy_compression",
     "corpus_self_bleu",
-    # -- round-8 fifth-wave additions (never attested) ------------------
     "hll_intersection",
     "kneser_ney_bigram",
     "svm_hinge_gd",
     "item_cooccurrence_recs",
-    # -- round-8 sixth-wave additions (never attested) ------------------
     "interarrival_fit",
     "user_sequence_anomaly",
     "markov_backtest",
     "brier_decomposition",
     "rbo_rankings",
-    # -- round-8 seventh-wave additions (never attested) ----------------
     "wilson_proportion_ci",
     "hod_uniformity_test",
-    # -- round-8 eighth-wave additions (never attested) -----------------
     "cluster_quality_indices",
     "yule_k_richness",
     "rec_coverage_audit",
-    # -- round-8 re-planned entries (stale green rows) ------------------
     "ngram_jaccard_block",
     "embedding_near_dups",
     "blocking_quality_audit",
     "simhash_hamming_pairs",
     "simhash_fingerprints",
-    # -- oldest-green regression probes (r1/r2 vintage) -----------------
     "anti_join_customers",
     "dataset_profile_5v",
     "date_range_filter",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "scalar_misc",
-    "semi_join_customers",
-    "stratified_sample",
-    "time_bucketed_counts",
-    "top3_per_group",
-    "top_k_latest",
-    "union_distinct_keys",
-    "value_histogram",
-    "value_outliers",
-    "weekly_retention",
-    "ann_lsh_buckets",
-    "ann_lsh_query",
-    "asof_join_events",
-    # -- behind the window: prior rounds' order preserved ---------------
     "kendall_tau_hourly",
     "pacf_profile",
     "friedman_daily_types",

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from project_bigdata_spark.operators import text as TX
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
+from project_bigdata_spark.plans.text_queries import WORDS_SQL
 from project_bigdata_spark.sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -303,4 +304,278 @@ def url_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.groupBy("url_canon").agg(
         F.min("doc_id").cast("bigint").alias("survivor_doc_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FineWeb / RefinedWeb LINE-LEVEL quality tier (round 10): the
+# line-granular filters every public web pipeline runs after the
+# URL tier and before document-level gates (Penedo et al. 2024 §3.3,
+# the C4 line rules of Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+# "Line" on this newline-free corpus = the non-overlapping 3-word
+# segmentation (the paragraph_dedup_apply convention one width up from
+# repetition_dedup_apply's 2; production corpora pass the real line
+# splitter through the same parameter). 3 is the smallest width at
+# which line lengths spread enough to make the short-line share
+# non-degenerate (1..24 chars, median 15 at sf0.01) while within-doc
+# duplicate lines still EXIST (3 dropped lines across 3 docs).
+_LINE_SEG = 3
+_LINE_SHORT_CHARS = 14  # "short line" threshold (chars), ~1st quartile
+
+# Shared DuckDB segs CTE: one row per (doc, line).
+_LINE_SEGS_SQL = f"""w AS MATERIALIZED (
+  SELECT doc_id, lang, {{words}} AS ws FROM documents
+), segs AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(range(0, CAST(ceil(len(ws) / {_LINE_SEG}.0) AS BIGINT)))
+           AS seg_idx,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(ws) / {_LINE_SEG}.0) AS BIGINT)),
+           i -> array_to_string(
+             ws[i * {_LINE_SEG} + 1 : i * {_LINE_SEG} + {_LINE_SEG}], ' ')
+         )) AS seg
+  FROM w
+)"""
+
+
+def _line_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the segs CTE: (doc_id, lang, seg_idx, seg)."""
+    from project_bigdata_spark.operators.corpus import segments_col
+    from project_bigdata_spark.operators.dedup import words_col
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        N.big("doc_id").alias("doc_id"),
+        "lang",
+        words_col(F.col("text")).alias("_ws"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.posexplode(segments_col(F.col("_ws"), _LINE_SEG)).alias(
+            "seg_idx", "seg"
+        ),
+    )
+
+
+@query(
+    "line_quality_stats",
+    oracle=f"""
+WITH {_LINE_SEGS_SQL.format(words=WORDS_SQL)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN length(seg) < {_LINE_SHORT_CHARS} THEN 1
+                ELSE 0 END) AS BIGINT) AS n_short,
+       round(CAST(sum(CASE WHEN length(seg) < {_LINE_SHORT_CHARS} THEN 1
+                ELSE 0 END) AS DOUBLE) / count(*), 6) AS short_line_share,
+       round(CAST(sum(CASE WHEN regexp_matches(seg, '[.!?]$') THEN 1
+                ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS terminal_punct_line_share,
+       round(CAST(sum(length(seg)) AS DOUBLE) / count(*), 6)
+         AS avg_line_chars,
+       CAST(max(length(seg)) AS BIGINT) AS max_line_chars
+FROM segs GROUP BY doc_id""",
+    doc="FineWeb/RefinedWeb line-level quality measurements per page "
+    "(Penedo et al. 2024 §3.3; C4's line rules, Raffel et al. 2020 "
+    "§2.2): line count, SHORT-line count/share (< "
+    f"{_LINE_SHORT_CHARS} chars — the signal C4 uses at 3 words / "
+    "FineWeb at 30 chars), terminal-punctuation line share (the C4 "
+    "'retain only lines ending in terminal punctuation' signal — "
+    "structurally zero on this alnum-only synthetic corpus, but the "
+    "regex computes the REAL formula and must agree cross-engine), "
+    "and line-length moments. Lines are the 3-word segmentation (see "
+    "_LINE_SEG note). Shares are single IEEE divisions of exact "
+    "integer counts rounded 6dp. Plan: one projection + posexplode + "
+    "one doc-keyed hash aggregate — segments never cross documents, "
+    "so at 100 TB this is one map-side-combining shuffle of counters "
+    "keyed by doc_id, embarrassingly parallel per page.",
+    survey_ids=("M7-WEB5",),
+)
+def line_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _line_segs(spark, sf_dir)
+    ln = F.length("seg")
+    return segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(ln < _LINE_SHORT_CHARS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+        N.rnd(
+            F.sum(F.when(ln < _LINE_SHORT_CHARS, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("short_line_share"),
+        N.rnd(
+            F.sum(
+                F.when(F.col("seg").rlike("[.!?]$"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("terminal_punct_line_share"),
+        N.rnd(F.sum(ln).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_line_chars"
+        ),
+        F.max(ln).cast("bigint").alias("max_line_chars"),
+    )
+
+
+@query(
+    "line_dedup_apply",
+    oracle=f"""
+WITH {_LINE_SEGS_SQL.format(words=WORDS_SQL)},
+r AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY doc_id, md5(seg)
+                            ORDER BY seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT)
+         AS n_kept,
+       round(CAST(coalesce(sum(CASE WHEN rn > 1 THEN length(seg) END), 0)
+             AS DOUBLE) / sum(length(seg)), 6) AS removed_char_share,
+       md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE rn = 1), '')) AS dedup_md5
+FROM r GROUP BY doc_id""",
+    doc="WITHIN-page line deduplication apply — the FineWeb/RefinedWeb "
+    "'remove duplicated lines within the page' transform with its "
+    "duplicated-LINE-CHARACTER share readout (the dup_line_char_frac "
+    "signal of Rae et al. 2021 Table A1, applied not just measured): "
+    "first occurrence of each line wins, later copies drop, and the "
+    "kept page is reassembled in position order and md5-attested — "
+    "repetition_dedup_apply's discipline one granularity up "
+    "(paragraph=2-word there, line=3-word here; guard-active: 3 "
+    "dropped lines at sf0.01). The rank window partitions by (doc, "
+    "line-digest) and the reassembly by doc — both exchanges keyed "
+    "by doc_id, co-partitionable, NO cross-document text shuffle; at "
+    "100 TB this is embarrassingly parallel per page.",
+    survey_ids=("M7-WEB6",),
+)
+def line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    segs = _line_segs(spark, sf_dir)
+    first = Window.partitionBy("doc_id", F.md5("seg")).orderBy("seg_idx")
+    r = segs.withColumn("rn", F.row_number().over(first))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum(F.when(F.col("rn") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        N.rnd(
+            F.coalesce(
+                F.sum(F.when(F.col("rn") > 1, F.length("seg"))), F.lit(0)
+            ).cast("double")
+            / F.sum(F.length("seg")),
+            6,
+        ).alias("removed_char_share"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )
+
+
+# Exact integer gate predicates (cross-multiplied, float never enters
+# the keep/drop decision): short-line share <= 1/4, duplicated-line
+# char share <= 1/20, at least 8 lines.
+_LG_FAIL_SHORT = f"(4 * n_short > n_lines)"
+_LG_FAIL_DUP = "(20 * dup_chars > tot_chars)"
+_LG_FAIL_FEW = "(n_lines < 8)"
+
+
+@query(
+    "line_gate_filter",
+    oracle=f"""
+WITH {_LINE_SEGS_SQL.format(words=WORDS_SQL)},
+r AS (
+  SELECT doc_id, lang, seg_idx, seg,
+         row_number() OVER (PARTITION BY doc_id, md5(seg)
+                            ORDER BY seg_idx) AS rn
+  FROM segs
+), m AS (
+  SELECT doc_id, min(lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN length(seg) < {_LINE_SHORT_CHARS} THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_short,
+         CAST(coalesce(sum(CASE WHEN rn > 1 THEN length(seg) END), 0)
+              AS BIGINT) AS dup_chars,
+         CAST(sum(length(seg)) AS BIGINT) AS tot_chars
+  FROM r GROUP BY doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT ({_LG_FAIL_SHORT} OR {_LG_FAIL_DUP} OR
+                {_LG_FAIL_FEW}) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN {_LG_FAIL_SHORT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_short,
+       CAST(sum(CASE WHEN {_LG_FAIL_DUP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_dup,
+       CAST(sum(CASE WHEN {_LG_FAIL_FEW} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_few
+FROM m GROUP BY lang""",
+    doc="FineWeb line-level page GATE: drop pages whose short-line "
+    "share exceeds 1/4, whose duplicated-line character share exceeds "
+    "1/20, or with fewer than 8 lines — the page-level keep/drop the "
+    "line measurements exist to feed (Penedo et al. 2024 §3.3 drop "
+    "rules), reported per language with per-gate failure counts (a "
+    "page can fail several gates; kept = passes ALL). All three "
+    "predicates are EXACT integer cross-multiplications — float never "
+    "enters the keep/drop decision (the gopher_quality_gates "
+    "discipline; 331/500 pages keep at sf0.01, every gate active). "
+    "Plan: the line frame aggregates to one row per page (doc-keyed, "
+    "map-side combined), then the gate is a |langs|-row census — at "
+    "100 TB the text is read once and nothing but per-page counters "
+    "ever shuffles.",
+    survey_ids=("M7-WEB7",),
+)
+def line_gate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    segs = _line_segs(spark, sf_dir)
+    first = Window.partitionBy("doc_id", F.md5("seg")).orderBy("seg_idx")
+    r = segs.withColumn("rn", F.row_number().over(first))
+    m = r.groupBy("doc_id").agg(
+        F.min("lang").alias("lang"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.length("seg") < _LINE_SHORT_CHARS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_short"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.length("seg"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dup_chars"),
+        F.sum(F.length("seg")).cast("bigint").alias("tot_chars"),
+    )
+    keep = F.expr(
+        f"NOT ({_LG_FAIL_SHORT} OR {_LG_FAIL_DUP} OR {_LG_FAIL_FEW})"
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.expr(_LG_FAIL_SHORT), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_short"),
+        F.sum(F.when(F.expr(_LG_FAIL_DUP), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_dup"),
+        F.sum(F.when(F.expr(_LG_FAIL_FEW), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_few"),
     )

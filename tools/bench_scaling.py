@@ -289,6 +289,12 @@ EXTRA = [
     "benjamini_hochberg_pairs",
     "ams_f2_audit",
     "block_jackknife_variance",
+    # round 10
+    "udtf_trigram_spans",
+    "gbm_depth2_trees",
+    "line_quality_stats",
+    "line_dedup_apply",
+    "line_gate_filter",
 ]
 
 

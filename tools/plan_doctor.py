@@ -62,6 +62,8 @@ SIDE_EFFECTFUL = {
     "stream_stream_outer_attested",
     "compression_codec_roundtrip",
     "streaming_availablenow_attested",
+    # round 10
+    "stream_stream_full_outer_attested",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
