@@ -13,7 +13,12 @@ that need no per-query knowledge:
   every such case is whitelisted BY NAME with the justification below.
 - **py_row_udf**: `BatchEvalPython` (row-at-a-time pickled Python) —
   the engine's zero-row-UDF policy allows only Arrow-batched
-  `ArrowEvalPython` / `MapInPandas` nodes, and only on the media path.
+  `ArrowEvalPython` / `MapInPandas` nodes (media path) and the
+  `ArrowEvalPythonUDTF` node (the round-10 `udtf_trigram_spans` seam:
+  @udtf(useArrow=True) batches via Arrow exactly like mapInPandas; the
+  check string "BatchEvalPython" deliberately also catches a pickled
+  `BatchEvalPythonUDTF`, so a UDTF that silently loses its arrow
+  optimization WILL flag here).
 
 Side-effectful builders (streaming runs, sink roundtrips) are skipped:
 their builder CALL executes jobs, and their plans are the batch shapes
