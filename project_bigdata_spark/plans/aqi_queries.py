@@ -134,3 +134,65 @@ def aqi_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_entities"))
         .orderBy("category")
     )
+
+
+def _reco_case_sql(field_idx: int) -> str:
+    """CASE chain for one AQI_RECOMMENDATIONS payload field — generated
+    from the SAME dict the Spark expression uses, so they cannot drift."""
+    whens = " ".join(
+        f"WHEN '{cat}' THEN '{payload[field_idx]}'"
+        for cat, payload in AQ.AQI_RECOMMENDATIONS.items()
+    )
+    return f"(CASE category {whens} END)"
+
+
+@query(
+    "aqi_recommendation_rollup",
+    oracle=f"""
+WITH scored AS (
+  SELECT user_id, {AQ.aqi_for_pollutant_sql('value', 'pm25')} AS aqi FROM events
+), per_entity AS (
+  SELECT user_id, max(aqi) AS max_aqi FROM scored GROUP BY user_id
+), cat AS (
+  SELECT {AQ.aqi_category_sql('max_aqi')} AS category,
+         CAST(count(*) AS BIGINT) AS n_entities
+  FROM per_entity GROUP BY 1
+)
+SELECT category,
+       {_reco_case_sql(0)} AS message,
+       {_reco_case_sql(1)} AS icon,
+       {_reco_case_sql(2)} AS color,
+       n_entities
+FROM cat""",
+    doc="F12 end-to-end: the serving layer's advisory payload — "
+    "per-entity max-AQI roll-up, category, then the 6-way "
+    "category -> (message, icon, color) recommendation mapping the "
+    "reference duplicates in app.py:65-104 and static/js/app.js:240-247, "
+    "here ONE struct-returning chained-CASE expression "
+    "(functions/aqi.py:263) flattened into the rollup. The oracle CASE "
+    "chains are GENERATED from the same AQI_RECOMMENDATIONS dict the "
+    "Spark expression folds over, so mapping and oracle cannot drift. "
+    "Plan: the aqi_category_rollup aggregate (entity-keyed, map-side "
+    "combined) + a constant-table projection — the recommendation "
+    "attach costs zero exchanges at any scale.",
+    survey_ids=("F12",),
+)
+def aqi_recommendation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        "user_id", AQ.aqi_for_pollutant(F.col("value"), "pm25").alias("aqi")
+    )
+    per_entity = scored.groupBy("user_id").agg(F.max("aqi").alias("max_aqi"))
+    cat = (
+        per_entity.select(AQ.aqi_category(F.col("max_aqi")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+    )
+    reco = AQ.aqi_recommendation(F.col("category")).alias("reco")
+    return cat.select("category", reco, "n_entities").select(
+        "category",
+        F.col("reco.message").alias("message"),
+        F.col("reco.icon").alias("icon"),
+        F.col("reco.color").alias("color"),
+        "n_entities",
+    )

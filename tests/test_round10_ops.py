@@ -335,3 +335,30 @@ def test_full_outer_stream_matches_batch(spark, specs):
             assert g[col] == w[col], (day, col, g[col], w[col])
     assert sum(r["n_unmatched_clicks"] for r in got.values()) > 0
     assert sum(r["n_unmatched_views"] for r in got.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# aqi_recommendation_rollup (F12 promotion)
+# ---------------------------------------------------------------------------
+
+
+def test_aqi_recommendation_rollup_replay(spark, specs):
+    """The rollup must carry aqi_category_rollup's exact census and the
+    advisory payload must equal the AQI_RECOMMENDATIONS dict verbatim."""
+    from project_bigdata_spark.functions.aqi import AQI_RECOMMENDATIONS
+
+    got = {
+        r["category"]: r
+        for r in specs["aqi_recommendation_rollup"].builder(spark, SF).collect()
+    }
+    base = {
+        r["category"]: r["n_entities"]
+        for r in specs["aqi_category_rollup"].builder(spark, SF).collect()
+    }
+    assert set(got) == set(base)
+    for cat, r in got.items():
+        msg, icon, color = AQI_RECOMMENDATIONS[cat]
+        assert r["message"] == msg
+        assert r["icon"] == icon
+        assert r["color"] == color
+        assert r["n_entities"] == base[cat]

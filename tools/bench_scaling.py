@@ -295,6 +295,7 @@ EXTRA = [
     "line_quality_stats",
     "line_dedup_apply",
     "line_gate_filter",
+    "aqi_recommendation_rollup",
 ]
 
 
