@@ -1423,27 +1423,36 @@ def _gbm2_leaf_exprs() -> tuple[str, str, str]:
 
 def _gbm2_oracle() -> str:
     gl2, gr2, _ = _gbm2_leaf_exprs()
-    nlc = (
-        f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN 1 ELSE 0 END)"
-        " AS BIGINT) AS nl"
-    )
-    slc = (
-        f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN res6 ELSE 0 END)"
-        " AS BIGINT) AS sl"
+    c6 = N.sql_cents("value", 10**6)
+    # per-cell residual adjustment chosen by the leaf the cell lands in
+    delta = (
+        "(CASE WHEN l.f2 IS NOT NULL AND (CASE WHEN l.f2 = 'h' THEN t.h "
+        "ELSE t.d END) <= l.theta2 THEN l.gl6 ELSE l.gr6 END)"
     )
     ctes = [
         "cands AS (SELECT 'h' AS f, unnest(range(0, 23)) AS theta "
         "UNION ALL SELECT 'd' AS f, unnest(range(1, 31)) AS theta)",
-        "base0 AS MATERIALIZED (SELECT hour(ts) AS h, "
+        # The ONE volume aggregate of the whole trainer: every split
+        # predicate and every leaf adjustment is a function of (h, d)
+        # alone, so per-cell (n, sum, sum-of-squares) sufficient
+        # statistics carry the exact residual state across rounds —
+        # the true LightGBM histogram method (rows are never re-read).
+        "cells0 AS MATERIALIZED (SELECT hour(ts) AS h, "
         "CAST(date_part('day', ts) AS INT) AS d, "
-        + N.sql_cents("value", 10**6)
-        + " AS res6 FROM events)",
+        "CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum({c6}) AS BIGINT) AS s, "
+        f"sum(CAST({c6} AS HUGEINT) * {c6}) AS q "
+        "FROM events GROUP BY 1, 2)",
     ]
     for r in range(1, _GBM2_ROUNDS + 1):
         ctes.append(
-            f"ra{r} AS (SELECT c.f, c.theta, {nlc}, {slc}, "
-            "CAST(count(*) AS BIGINT) AS n, CAST(sum(res6) AS BIGINT) AS st "
-            f"FROM base{r - 1} b, cands c GROUP BY 1, 2)"
+            f"ra{r} AS (SELECT c.f, c.theta, "
+            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN b.h ELSE b.d "
+            "END) <= c.theta THEN b.n ELSE 0 END) AS BIGINT) AS nl, "
+            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN b.h ELSE b.d "
+            "END) <= c.theta THEN b.s ELSE 0 END) AS BIGINT) AS sl, "
+            "CAST(sum(b.n) AS BIGINT) AS n, CAST(sum(b.s) AS BIGINT) AS st "
+            f"FROM cells{r - 1} b, cands c GROUP BY 1, 2)"
         )
         ctes.append(
             f"rb{r} AS (SELECT f AS rf, theta AS rtheta FROM ra{r} "
@@ -1451,21 +1460,21 @@ def _gbm2_oracle() -> str:
             f"ORDER BY {_GBM_F} DESC, f, theta LIMIT 1)"
         )
         ctes.append(
-            f"sided{r} AS MATERIALIZED (SELECT b.h, b.d, b.res6, rb.rf, "
-            f"rb.rtheta, CASE WHEN (CASE WHEN rb.rf = 'h' THEN b.h ELSE "
-            "b.d END) <= rb.rtheta THEN 'L' ELSE 'R' END AS side "
-            f"FROM base{r - 1} b, rb{r} rb)"
+            f"sided{r} AS MATERIALIZED (SELECT b.h, b.d, b.n, b.s, b.q, "
+            "rb.rf, rb.rtheta, CASE WHEN (CASE WHEN rb.rf = 'h' THEN b.h "
+            "ELSE b.d END) <= rb.rtheta THEN 'L' ELSE 'R' END AS side "
+            f"FROM cells{r - 1} b, rb{r} rb)"
         )
         ctes.append(
-            f"ca{r} AS (SELECT s.side, c.f, c.theta, "
-            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN s.h ELSE s.d "
-            "END) <= c.theta THEN 1 ELSE 0 END) AS BIGINT) AS nl, "
-            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN s.h ELSE s.d "
-            "END) <= c.theta THEN res6 ELSE 0 END) AS BIGINT) AS sl, "
-            "CAST(count(*) AS BIGINT) AS n, CAST(sum(res6) AS BIGINT) AS st, "
-            "sum(CAST(res6 AS HUGEINT) * res6) AS ss, "
-            "min(s.rf) AS root_feature, min(s.rtheta) AS rtheta "
-            f"FROM sided{r} s, cands c GROUP BY 1, 2, 3)"
+            f"ca{r} AS (SELECT t.side, c.f, c.theta, "
+            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN t.h ELSE t.d "
+            "END) <= c.theta THEN t.n ELSE 0 END) AS BIGINT) AS nl, "
+            f"CAST(sum(CASE WHEN (CASE WHEN c.f = 'h' THEN t.h ELSE t.d "
+            "END) <= c.theta THEN t.s ELSE 0 END) AS BIGINT) AS sl, "
+            "CAST(sum(t.n) AS BIGINT) AS n, CAST(sum(t.s) AS BIGINT) AS st, "
+            "sum(t.q) AS ss, "
+            "min(t.rf) AS root_feature, min(t.rtheta) AS rtheta "
+            f"FROM sided{r} t, cands c GROUP BY 1, 2, 3)"
         )
         ctes.append(
             f"ss{r} AS (SELECT side, min(n) AS n, min(st) AS st, "
@@ -1486,11 +1495,15 @@ def _gbm2_oracle() -> str:
             "CAST(coalesce(cb.sl, 0) AS BIGINT) AS sl "
             f"FROM ss{r} s LEFT JOIN cb{r} cb ON cb.side = s.side) t)"
         )
+        # exact integer cell-state update: s' = s - n·δ,
+        # q' = q - 2δ·s + n·δ² (δ BIGINT on the 1e-6 grid, products in
+        # HUGEINT) — bit-identical to subtracting δ from every row
         ctes.append(
-            f"base{r} AS MATERIALIZED (SELECT s.h, s.d, s.res6 - "
-            f"CASE WHEN l.f2 IS NOT NULL AND (CASE WHEN l.f2 = 'h' THEN "
-            "s.h ELSE s.d END) <= l.theta2 THEN l.gl6 ELSE l.gr6 END "
-            f"AS res6 FROM sided{r} s JOIN leaf{r} l ON l.side = s.side)"
+            f"cells{r} AS MATERIALIZED (SELECT t.h, t.d, t.n, "
+            f"CAST(t.s - t.n * {delta} AS BIGINT) AS s, "
+            f"t.q - 2 * CAST({delta} AS HUGEINT) * t.s "
+            f"+ CAST({delta} AS HUGEINT) * {delta} * t.n AS q "
+            f"FROM sided{r} t JOIN leaf{r} l ON l.side = t.side)"
         )
     outs = [
         f"SELECT CAST({r} AS BIGINT) AS step, side, root_feature, "
@@ -1532,11 +1545,18 @@ def _gbm2_oracle() -> str:
     "total-order tie-breaks (score DESC, feature, theta). Emits 2 rows "
     "per round (one per root side): root/sub split, child sizes, leaf "
     "values, side SSE before/after — the per-round curve sits strictly "
-    "below the stump curve (replay-tested). Plan per round: two "
-    "broadcast 53-candidate conditional aggregates (map-side combined "
-    "histogram search), two <=2-row argmax frames, one broadcast "
-    "residual update — the event volume NEVER shuffles; per-round "
-    "frames are localCheckpoint'ed so lineage stays flat.",
+    "below the stump curve (replay-tested). Plan: the TRUE LightGBM "
+    "histogram method — every split predicate and leaf adjustment is a "
+    "function of (hour, day) alone, so the event volume is aggregated "
+    "ONCE into <=744 (h, d) cells carrying exact (n, sum res6, sum "
+    "res6^2) sufficient statistics, and ALL three rounds (candidate "
+    "scans, argmaxes, residual updates s' = s - n*delta, q' = q - "
+    "2*delta*s + n*delta^2 in HUGEINT/DECIMAL(38)) run on that "
+    "cell grid — bit-identical to per-row subtraction, rows never "
+    "re-read (the round-10 re-plan: the row x candidate fan-out read "
+    "25s/6.3x-slope at sf0.1; the histogram form is volume-pass-"
+    "bounded like kmeans_lloyd). Per-round cell frames are "
+    "localCheckpoint'ed so lineage stays flat.",
     survey_ids=("M7-ML31",),
 )
 def gbm_depth2_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,7 +1566,18 @@ def gbm_depth2_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("h"),
         F.dayofmonth("ts").cast("int").alias("d"),
         N.cents("value", 10**6).alias("res6"),
-    ).localCheckpoint(eager=True)
+    )
+    # the ONE volume aggregate — all rounds run on <=744 (h, d) cells
+    cells = (
+        base.groupBy("h", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("res6").cast("bigint").alias("s"),
+            F.sum(F.col("res6").cast("decimal(38,0)") * F.col("res6"))
+            .alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
     cands = (
         spark.range(0, 23)
         .select(F.lit("h").alias("f"), F.col("id").cast("bigint").alias("theta"))
@@ -1559,19 +1590,19 @@ def gbm_depth2_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for r in range(1, _GBM2_ROUNDS + 1):
         ra = (
-            base.crossJoin(F.broadcast(cands))
+            cells.crossJoin(F.broadcast(cands))
             .groupBy("f", "theta")
             .agg(
                 F.expr(
-                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN 1 "
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN n "
                     "ELSE 0 END) AS BIGINT)"
                 ).alias("nl"),
                 F.expr(
-                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN res6 "
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN s "
                     "ELSE 0 END) AS BIGINT)"
                 ).alias("sl"),
-                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
-                F.expr("CAST(sum(res6) AS BIGINT)").alias("st"),
+                F.expr("CAST(sum(n) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(s) AS BIGINT)").alias("st"),
             )
         )
         rbest = (
@@ -1582,36 +1613,33 @@ def gbm_depth2_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("f").alias("rf"), F.col("theta").alias("rtheta"))
             .localCheckpoint(eager=True)
         )
-        sided = (
-            base.crossJoin(F.broadcast(rbest))
-            .select(
-                "h",
-                "d",
-                "res6",
-                "rf",
-                "rtheta",
-                F.expr(
-                    f"CASE WHEN {_GBM2_RFV} <= rtheta THEN 'L' ELSE 'R' END"
-                ).alias("side"),
-            )
-            .localCheckpoint(eager=True)
+        sided = cells.crossJoin(F.broadcast(rbest)).select(
+            "h",
+            "d",
+            "n",
+            "s",
+            "q",
+            "rf",
+            "rtheta",
+            F.expr(
+                f"CASE WHEN {_GBM2_RFV} <= rtheta THEN 'L' ELSE 'R' END"
+            ).alias("side"),
         )
         ca = (
             sided.crossJoin(F.broadcast(cands))
             .groupBy("side", "f", "theta")
             .agg(
                 F.expr(
-                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN 1 "
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN n "
                     "ELSE 0 END) AS BIGINT)"
                 ).alias("nl"),
                 F.expr(
-                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN res6 "
+                    f"CAST(sum(CASE WHEN {_GBM2_FV} <= theta THEN s "
                     "ELSE 0 END) AS BIGINT)"
                 ).alias("sl"),
-                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
-                F.expr("CAST(sum(res6) AS BIGINT)").alias("st"),
-                F.sum(F.col("res6").cast("decimal(38,0)") * F.col("res6"))
-                .alias("ss"),
+                F.expr("CAST(sum(n) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(s) AS BIGINT)").alias("st"),
+                F.sum("q").alias("ss"),
                 F.min("rf").alias("root_feature"),
                 F.min("rtheta").alias("rtheta"),
             )
@@ -1679,7 +1707,14 @@ def gbm_depth2_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        base = (
+        # exact integer cell-state update: s' = s - n*delta,
+        # q' = q - 2*delta*s + n*delta^2 (bit-identical to subtracting
+        # delta from every row of the cell; products in DECIMAL(38))
+        delta = (
+            f"(CASE WHEN f2 IS NOT NULL AND {_GBM2_F2V} <= theta2 "
+            "THEN gl6 ELSE gr6 END)"
+        )
+        cells = (
             sided.join(
                 F.broadcast(
                     leaf.select("side", "f2", "theta2", "gl6", "gr6")
@@ -1689,13 +1724,12 @@ def gbm_depth2_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "h",
                 "d",
-                (
-                    F.col("res6")
-                    - F.expr(
-                        f"CASE WHEN f2 IS NOT NULL AND {_GBM2_F2V} <= theta2 "
-                        "THEN gl6 ELSE gr6 END"
-                    )
-                ).alias("res6"),
+                "n",
+                F.expr(f"CAST(s - n * {delta} AS BIGINT)").alias("s"),
+                F.expr(
+                    f"q - 2 * CAST({delta} AS DECIMAL(38,0)) * s"
+                    f" + CAST({delta} AS DECIMAL(38,0)) * {delta} * n"
+                ).alias("q"),
             )
             .localCheckpoint(eager=True)
         )
