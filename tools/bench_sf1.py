@@ -222,6 +222,15 @@ QUERIES = [
     "cochran_q_gates",
     "yule_k_richness",
     "rec_coverage_audit",
+    # round-10 additions: the UDTF seam (Arrow batch volume grows with
+    # docs), the histogram GBM (cell grid is FIXED — the decade should
+    # read ~1x), and the line tier (near-copy docs 10x the line frames)
+    "udtf_trigram_spans",
+    "gbm_depth2_trees",
+    "line_quality_stats",
+    "line_dedup_apply",
+    "line_gate_filter",
+    "aqi_recommendation_rollup",
 ]
 
 
