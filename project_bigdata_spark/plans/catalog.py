@@ -104,13 +104,13 @@ def query(
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
     # ==== ROUND-10 WINDOW (positions 1-50), per the round-9 verdict
-    # asks #1/#2: the 7 round-10 additions first, then the 4 entries
+    # asks #1/#2: the 8 round-10 additions first, then the 4 entries
     # re-planned this round AFTER their last green row (streaming-outer
     # replay harness rework, CC oracle materialization, the two
     # degenerate-denominator guards), then the rotation the verdict
-    # prescribed: ALL 18 remaining r1-vintage entries + the first 21
+    # prescribed: ALL 18 remaining r1-vintage entries + the first 20
     # (alphabetical) of the 44 r2-vintage entries — retiring the
-    # oldest-attestation tail (r1 count -> 0, r2 tail -> 23). ====
+    # oldest-attestation tail (r1 count -> 0, r2 tail -> 24). ====
     # -- round-10 additions (never attested) -----------------------------
     "stream_stream_full_outer_attested",
     "udtf_trigram_spans",
@@ -119,6 +119,7 @@ _ATTESTATION_PRIORITY = [
     "line_dedup_apply",
     "line_gate_filter",
     "aqi_recommendation_rollup",
+    "pii_redaction_apply",
     # -- round-10 re-planned entries (stale green rows) ------------------
     "stream_stream_outer_attested",
     "connected_components_minlabel",
@@ -143,7 +144,7 @@ _ATTESTATION_PRIORITY = [
     "value_histogram",
     "value_outliers",
     "weekly_retention",
-    # -- r2-vintage rotation probes (alphabetical first 22 of 44) --------
+    # -- r2-vintage rotation probes (alphabetical first 20 of 44) --------
     "ann_lsh_buckets",
     "ann_lsh_query",
     "asof_join_events",
@@ -164,8 +165,8 @@ _ATTESTATION_PRIORITY = [
     "knn_brute_force",
     "label_encode",
     "lang_id_confusion",
-    "minhash_near_dups",
     # -- behind the window: prior rounds' order preserved --------------
+    "minhash_near_dups",
     "minhash_signatures",
     "url_canonicalize",
     "domain_share_stats",

@@ -579,3 +579,99 @@ def line_gate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_fail_few"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction_apply (round 10) — the redaction APPLY next to the
+# luhn_pii_audit measurement (M7-T19): every public pipeline's
+# pre-release step (C4 strips lines with bad words; FineWeb/RefinedWeb
+# anonymize emails + IPs before publishing — Penedo et al. 2024 §5)
+# ---------------------------------------------------------------------------
+
+# The corpus carries no PII, so the entry uses the URL family's
+# deterministic-construction discipline: exactly ONE email and ONE
+# phone-shaped span injected per document from (doc_id, source) — the
+# same expression on both engines. Single-occurrence by construction,
+# which is REQUIRED for dialect parity: DuckDB's regexp_replace
+# replaces only the first match. Literal dots are written [.] — a
+# backslash escape would be eaten by Spark SQL's string literal but
+# kept by DuckDB's, silently changing the pattern on one engine only.
+_PII_TEXT = (
+    "(text || ' contact user' || CAST(doc_id AS BIGINT) || '@' || source"
+    " || '.example.com or call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS BIGINT) || '', 4, '0'))"
+)
+_PII_EMAIL_RE = "'[a-z0-9]+@[a-z0-9.]+'"
+_PII_PHONE_RE = "'555-[0-9]{4}'"
+_PII_REDACT = (
+    f"regexp_replace(regexp_replace({_PII_TEXT}, {_PII_EMAIL_RE},"
+    " '<EMAIL>'), "
+    f"{_PII_PHONE_RE}, '<PHONE>')"
+)
+
+
+@query(
+    "pii_redaction_apply",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id,
+         {_PII_TEXT} AS raw,
+         {_PII_REDACT} AS redacted
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END
+            AS BIGINT) AS n_email_redactions,
+       CAST(CASE WHEN redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END
+            AS BIGINT) AS n_phone_redactions,
+       CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed,
+       CAST(CASE WHEN redacted NOT LIKE '%@%'
+                  AND redacted NOT LIKE '%555-%' THEN 1 ELSE 0 END
+            AS BIGINT) AS clean,
+       md5(redacted) AS redacted_md5
+FROM r""",
+    doc="PII redaction APPLY — the rewrite twin of the luhn_pii_audit "
+    "measurement and the step every public corpus runs before release "
+    "(FineWeb anonymizes emails before publishing, Penedo et al. 2024 "
+    "§5): email and phone-shaped spans are replaced with <EMAIL>/"
+    "<PHONE> placeholders, and the rewrite is attested three ways — "
+    "per-pattern redaction counts, a chars-removed delta, a residual "
+    "scan proving no '@' or '555-' survives, and the md5 of the full "
+    "redacted text (both engines hash their own rewrite; a single "
+    "diverging byte anywhere in any document flips the value hash). "
+    "The corpus carries no PII, so exactly one email + one phone are "
+    "injected deterministically per doc from (doc_id, source) — "
+    "single-occurrence by construction because DuckDB regexp_replace "
+    "replaces only the FIRST match; literal dots are [.]-classed "
+    "because Spark SQL string literals eat backslash escapes that "
+    "DuckDB keeps. Plan: one narrow projection pass, two codegen "
+    "regexp_replace calls, zero shuffles, zero UDFs — at 100 TB "
+    "redaction is scan-speed and embarrassingly parallel per page.",
+    survey_ids=("M7-WEB8",),
+)
+def pii_redaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        N.big("doc_id").alias("doc_id"),
+        F.expr(_PII_TEXT).alias("raw"),
+        F.expr(_PII_REDACT).alias("redacted"),
+    )
+    return r.select(
+        "doc_id",
+        F.expr(
+            "CAST(CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("n_email_redactions"),
+        F.expr(
+            "CAST(CASE WHEN redacted LIKE '%<PHONE>%' THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("n_phone_redactions"),
+        (F.length("raw") - F.length("redacted"))
+        .cast("bigint")
+        .alias("chars_removed"),
+        F.expr(
+            "CAST(CASE WHEN redacted NOT LIKE '%@%'"
+            " AND redacted NOT LIKE '%555-%' THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("clean"),
+        F.md5("redacted").alias("redacted_md5"),
+    )

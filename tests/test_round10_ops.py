@@ -362,3 +362,33 @@ def test_aqi_recommendation_rollup_replay(spark, specs):
         assert r["icon"] == icon
         assert r["color"] == color
         assert r["n_entities"] == base[cat]
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction_apply
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redaction_apply_replay(spark, specs):
+    """Python replay of the construction + redaction for every doc."""
+    import re as _re
+
+    rows = {
+        r["doc_id"]: r
+        for r in specs["pii_redaction_apply"].builder(spark, SF).collect()
+    }
+    for d in _docs(spark):
+        raw = (
+            d["text"]
+            + f" contact user{d['doc_id']}@{d['source']}.example.com"
+            + f" or call 555-{d['doc_id'] % 10000:04d}"
+        )
+        red = _re.sub(r"[a-z0-9]+@[a-z0-9.]+", "<EMAIL>", raw, count=1)
+        red = _re.sub(r"555-[0-9]{4}", "<PHONE>", red, count=1)
+        r = rows[d["doc_id"]]
+        assert r["n_email_redactions"] == 1
+        assert r["n_phone_redactions"] == 1
+        assert r["clean"] == 1
+        assert r["chars_removed"] == len(raw) - len(red)
+        assert r["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+        assert "@" not in red and "555-" not in red

@@ -296,6 +296,7 @@ EXTRA = [
     "line_dedup_apply",
     "line_gate_filter",
     "aqi_recommendation_rollup",
+    "pii_redaction_apply",
 ]
 
 
