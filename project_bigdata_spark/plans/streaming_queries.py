@@ -526,6 +526,7 @@ def _banded_outer_replay(
     sink's table name. Null emission for unmatched rows only happens
     when the watermark passes a row's join band and state evicts, so
     the flush row — passing BOTH side filters — forces the tail out."""
+    import os
     import shutil
     import time as _time
 
@@ -539,8 +540,12 @@ def _banded_outer_replay(
     # processing order — increase with event time. Within a segment
     # rows are unordered (watermark only moves between batches); across
     # segments nothing is ever behind the watermark, because the 1 h
-    # delay exceeds the ±30 min band. The sleep only needs to separate
-    # mtimes at the file source's millisecond granularity.
+    # delay exceeds the ±30 min band. mtime ordering is ENFORCED, not
+    # slept for: on a filesystem with coarse (second-granularity)
+    # mtimes two quick appends can share a timestamp and the source
+    # would process them in arbitrary order, late-dropping segment-1
+    # rows — so each append's new files are explicitly stamped with a
+    # strictly increasing whole-second mtime (os.utime).
     b = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     lo, hi = b["lo"], b["hi"]
     cut = lo + (hi - lo) / 2
@@ -548,9 +553,20 @@ def _banded_outer_replay(
         src.filter(F.col("ts") < F.lit(cut)),
         src.filter(F.col("ts") >= F.lit(cut)),
     ]
-    for seg in segs:
+    base_mtime = int(_time.time()) - 60
+    seen: set[str] = set()
+
+    def _stamp(step: int) -> None:
+        for fn in os.listdir(shards):
+            if fn in seen or not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(shards, fn)
+            os.utime(p, (base_mtime + step, base_mtime + step))
+            seen.add(fn)
+
+    for i, seg in enumerate(segs):
         seg.coalesce(1).write.mode("append").parquet(shards)
-        _time.sleep(0.4)
+        _stamp(i)
     # Flush sentinel: one row 30 days past max(ts). It passes BOTH side
     # filters, so each side's watermark advances past every real row's
     # band once it is seen; until then unmatched rows sit in state.
@@ -563,6 +579,7 @@ def _banded_outer_replay(
         F.lit(None).cast("string").alias("props"),
     )
     flush.coalesce(1).write.mode("append").parquet(shards)
+    _stamp(len(segs))
 
     def side(kind: str, prefix: str) -> DataFrame:
         return (

@@ -1456,6 +1456,8 @@ try:  # pyspark >= 3.5 only; the catalog stays importable without it
         pickled row-at-a-time BatchEvalPython node)."""
 
         def eval(self, text):  # noqa: ANN001 — signature fixed by the API
+            if text is None:  # mirror the oracle: a NULL doc emits no rows
+                return
             words = text.split(" ")
             pos = 0
             for i in range(len(words) - 2):

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from collections import defaultdict
 
 import pytest
@@ -37,8 +38,13 @@ def _docs(spark):
 
 
 def _lines(text: str, k: int = 3) -> list[str]:
-    ws = text.split()
-    return [" ".join(ws[i : i + k]) for i in range(0, len(ws), k)]
+    # independent of corpus casing/spacing (the plan's words_col
+    # lowercases and splits on \s+), then the content-keyed
+    # terminal-punctuation seed the shared seg frame applies
+    ws = [w for w in re.split(r"\s+", text.lower()) if w]
+    segs = [" ".join(ws[i : i + k]) for i in range(0, len(ws), k)]
+    punct = {"e": ".", "r": "!", "n": "?"}
+    return [s + punct.get(s[-1], "") if s else s for s in segs]
 
 
 # ---------------------------------------------------------------------------
@@ -184,19 +190,25 @@ def test_line_quality_stats_replay(spark, specs):
         r["doc_id"]: r
         for r in specs["line_quality_stats"].builder(spark, SF).collect()
     }
+    punct_total = 0
     for d in _docs(spark):
         lines = _lines(d["text"])
         r = rows[d["doc_id"]]
         n_short = sum(1 for x in lines if len(x) < 14)
+        n_punct = sum(1 for x in lines if re.search(r"[.!?]$", x))
+        punct_total += n_punct
         assert r["n_lines"] == len(lines)
         assert r["n_short"] == n_short
         assert r["short_line_share"] == _rnd(n_short / len(lines), 6)
-        # alnum-only corpus: the real C4 terminal-punct rule reads 0
-        assert r["terminal_punct_line_share"] == 0.0
+        assert r["terminal_punct_line_share"] == _rnd(
+            n_punct / len(lines), 6
+        )
         assert r["avg_line_chars"] == _rnd(
             sum(len(x) for x in lines) / len(lines), 6
         )
         assert r["max_line_chars"] == max(len(x) for x in lines)
+    # the seeded signal must be NON-vacuous (round-11 verdict ask #4)
+    assert punct_total > 0
 
 
 def test_line_dedup_apply_replay(spark, specs):
@@ -383,8 +395,10 @@ def test_pii_redaction_apply_replay(spark, specs):
             + f" contact user{d['doc_id']}@{d['source']}.example.com"
             + f" or call 555-{d['doc_id'] % 10000:04d}"
         )
-        red = _re.sub(r"[a-z0-9]+@[a-z0-9.]+", "<EMAIL>", raw, count=1)
-        red = _re.sub(r"555-[0-9]{4}", "<PHONE>", red, count=1)
+        red = _re.sub(
+            r" contact user[0-9]+@[a-z0-9.]+", " contact <EMAIL>", raw
+        )
+        red = _re.sub(r" call 555-[0-9]{4}", " call <PHONE>", red)
         r = rows[d["doc_id"]]
         assert r["n_email_redactions"] == 1
         assert r["n_phone_redactions"] == 1
