@@ -103,29 +103,79 @@ def query(
 # counts as needing attestation, so re-attesting repaired entries
 # satisfies the invariant rather than violating it).
 _ATTESTATION_PRIORITY = [
-    # ==== ROUND-10 WINDOW (positions 1-50), per the round-9 verdict
-    # asks #1/#2: the 8 round-10 additions first, then the 4 entries
-    # re-planned this round AFTER their last green row (streaming-outer
-    # replay harness rework, CC oracle materialization, the two
-    # degenerate-denominator guards), then the rotation the verdict
-    # prescribed: ALL 18 remaining r1-vintage entries + the first 20
-    # (alphabetical) of the 44 r2-vintage entries — retiring the
-    # oldest-attestation tail (r1 count -> 0, r2 tail -> 24). ====
-    # -- round-10 additions (never attested) -----------------------------
-    "stream_stream_full_outer_attested",
-    "udtf_trigram_spans",
-    "gbm_depth2_trees",
+    # ==== ROUND-11 WINDOW (positions 1-50), per the round-10 verdict
+    # asks #1/#4/#6: the 1 round-11 addition (the A9 observe()
+    # promotion), then the 4 entries whose RESULTS changed this round
+    # (the content-keyed terminal-punctuation seed flows through all
+    # three line-tier entries; pii_redaction_apply's anchored patterns
+    # change chars_removed/md5), then the rotation the verdict
+    # prescribed: ALL 24 remaining r2-vintage entries + the first 21
+    # (alphabetical) of the 48 r3-vintage entries — retiring the
+    # oldest-attestation tail (r2 count -> 0, r3 tail -> 27 <= 32). ====
+    # -- round-11 addition (never attested) ------------------------------
+    "observe_layer_counts",
+    # -- round-11 re-planned entries (results changed after last green) --
     "line_quality_stats",
     "line_dedup_apply",
     "line_gate_filter",
-    "aqi_recommendation_rollup",
     "pii_redaction_apply",
-    # -- round-10 re-planned entries (stale green rows) ------------------
+    # -- r2-vintage rotation probes (ALL 24 remaining) -------------------
+    "minhash_near_dups",
+    "minhash_signatures",
+    "multimodal_decode",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_bulk_suppliers",
+    "q21_sole_returner",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q7_nation_pair_revenue",
+    "q8_market_share",
+    "q9_nation_profit",
+    "quality_scores",
+    "ranking_suite",
+    "rolling_features",
+    "rollup_order_stats",
+    "set_ops",
+    "text_to_embedding",
+    "time_features",
+    "time_split_counts",
+    "token_stats",
+    # -- r3-vintage rotation probes (alphabetical first 21 of 48) --------
+    "approx_distinct_audit",
+    "asof_tolerance_join",
+    "bigram_logprob",
+    "bloom_dedup_prefilter",
+    "bm25_retrieval",
+    "boilerplate_ngrams",
+    "bpe_pair_counts",
+    "contamination_check",
+    "corpus_composition",
+    "corpus_mix",
+    "dedup_apply",
+    "diversity_sample",
+    "embedding_quantize",
+    "feature_hashing",
+    "feature_scaling",
+    "frame_sample",
+    "hash_split",
+    "incremental_dedup",
+    "inverted_index",
+    "knn_batch",
+    "knn_quantized",
+    # -- behind the window: prior rounds' order preserved --------------
+    # (round-10 window first, then the r1/r2 rotation it displaced)
+    "stream_stream_full_outer_attested",
+    "udtf_trigram_spans",
+    "gbm_depth2_trees",
+    "aqi_recommendation_rollup",
     "stream_stream_outer_attested",
     "connected_components_minlabel",
     "neyman_allocation",
     "cohens_d_effect",
-    # -- r1-vintage rotation probes (the LAST 18 r1-attested entries) ----
     "q12_shipmode_priority",
     "q14_promo_share",
     "q18_large_orders",
@@ -144,7 +194,6 @@ _ATTESTATION_PRIORITY = [
     "value_histogram",
     "value_outliers",
     "weekly_retention",
-    # -- r2-vintage rotation probes (alphabetical first 20 of 44) --------
     "ann_lsh_buckets",
     "ann_lsh_query",
     "asof_join_events",
@@ -165,9 +214,6 @@ _ATTESTATION_PRIORITY = [
     "knn_brute_force",
     "label_encode",
     "lang_id_confusion",
-    # -- behind the window: prior rounds' order preserved --------------
-    "minhash_near_dups",
-    "minhash_signatures",
     "url_canonicalize",
     "domain_share_stats",
     "domain_blocklist_filter",

@@ -69,6 +69,9 @@ SIDE_EFFECTFUL = {
     "streaming_availablenow_attested",
     # round 10
     "stream_stream_full_outer_attested",
+    # round 11: the builder drives one noop-write action so observe()
+    # metrics materialize; the result frame is the 3-row metric readout
+    "observe_layer_counts",
 }
 
 # SinglePartition exchanges that are CORRECT: the funneled frame is a
