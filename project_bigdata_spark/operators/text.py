@@ -46,9 +46,12 @@ def type_token_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    # a zero-word document scores 0.0 by definition (exact integer
+    # predicate BEFORE the division — ANSI Spark throws DIVIDE_BY_ZERO
+    # where DuckDB renders NULL; both oracles carry the same CASE)
     ws = words_col(text)
     hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
-    return hits / F.size(ws)
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -61,7 +64,8 @@ def punct_ratio(text: Column) -> Column:
     """
     n = F.length(text)
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9_\s]", ""))
-    return punct / n
+    # empty text -> ratio 0.0 by definition (see stopword_ratio note)
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column, ws: Column | None = None) -> Column:
@@ -86,7 +90,10 @@ def quality_score(text: Column, ws: Column | None = None) -> Column:
         stop_r = stopword_ratio(text, LANG_PROFILES["en"])
     else:
         sw = LANG_PROFILES["en"]
-        stop_r = F.size(F.filter(ws, lambda w: w.isin(*sw))) / F.size(ws)
+        stop_r = F.when(
+            F.size(ws) > 0,
+            F.size(F.filter(ws, lambda w: w.isin(*sw))) / F.size(ws),
+        ).otherwise(F.lit(0.0))
     stop_c = F.least(stop_r / F.lit(0.3), F.lit(1.0))
     punct_p = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
     return length_c * 0.4 + stop_c * 0.3 + punct_p * 0.3

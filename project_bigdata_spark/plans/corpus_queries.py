@@ -31,8 +31,9 @@ VOCAB_SIZE = 4096
 QUALITY_SQL = f"""round(
   least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
   + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0) * 3.0e-1
-  + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
-                   / length(text) * 5, 1.0e0)) * 3.0e-1,
+  + (1.0e0 - least(CASE WHEN length(text) = 0 THEN 0.0e0
+                   ELSE CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
+                   / length(text) * 5 END, 1.0e0)) * 3.0e-1,
 4)"""
 
 

@@ -886,7 +886,12 @@ x{tag} AS (
   SELECT sqrt(list_reduce(list(xd * xd ORDER BY j), (a, b) -> a + b)) AS nrm
   FROM x{tag}
 ), w{tag} AS (
-  SELECT x.j AS i, {N.sql_cents("x.xd / n.nrm", 1_000_000_000)} AS w9
+  -- a zero matvec (single-class scatter B = 0) makes nrm exactly 0:
+  -- keep the weight at 0 instead of 0/0 (ANSI Spark throws, DuckDB
+  -- NULLs; both sides carry this CASE)
+  SELECT x.j AS i,
+         CASE WHEN n.nrm = 0.0e0 THEN CAST(0 AS BIGINT)
+              ELSE {N.sql_cents("x.xd / n.nrm", 1_000_000_000)} END AS w9
   FROM x{tag} x CROSS JOIN n{tag} n
 )"""
 
@@ -931,7 +936,8 @@ WITH vint AS MATERIALIZED (
     + f"""
 SELECT CAST(w.i AS BIGINT) AS dim,
        round(CAST(w.w9 AS DOUBLE) / 1e9, 6) AS loading,
-       round(n.nrm / (t.tr * 1e9), 6) AS ev_ratio
+       CASE WHEN t.tr = 0.0e0 THEN 0.0e0
+            ELSE round(n.nrm / (t.tr * 1e9), 6) END AS ev_ratio
 FROM w{_PCA_ITERS} w
 CROSS JOIN n{_PCA_ITERS} n CROSS JOIN trace t"""
 )
@@ -1035,9 +1041,17 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.crossJoin(F.broadcast(nrm))
             .select(
                 F.col("j").alias("i"),
-                N.cents(F.col("xd") / F.col("nrm"), scale=1_000_000_000).alias(
-                    "w9"
-                ),
+                # nrm is exactly 0 iff the matvec is all zeros (single
+                # class -> B = 0); keep weights at 0 instead of 0/0
+                F.when(
+                    F.col("nrm") == 0.0, F.lit(0).cast("bigint")
+                )
+                .otherwise(
+                    N.cents(
+                        F.col("xd") / F.col("nrm"), scale=1_000_000_000
+                    )
+                )
+                .alias("w9"),
             )
             .localCheckpoint(eager=True)  # 64 rows; resets round lineage
         )
@@ -1049,9 +1063,14 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.rnd(F.col("w9").cast("double") / F.lit(1e9), 6).alias("loading"),
             # nrm carries the 1e-9 weight grid's 1e9 factor (x = B * w9);
             # divide it back out so the ratio is ||Bw|| / trace(B)
-            N.rnd(F.col("nrm") / (F.col("tr") * F.lit(1e9)), 6).alias(
-                "ev_ratio"
-            ),
+            F.when(
+                F.col("tr") == 0.0,
+                F.lit(0.0),
+            )
+            .otherwise(
+                N.rnd(F.col("nrm") / (F.col("tr") * F.lit(1e9)), 6)
+            )
+            .alias("ev_ratio"),
         )
     )
 
@@ -2013,8 +2032,12 @@ SELECT a.c_total AS n_transitions,
        round(CAST(a.num AS DOUBLE) / a.c_total / 1e9, 6)
          AS entropy_rate_nats,
        round(ln(CAST(s.n_states AS DOUBLE)), 6) AS max_entropy_nats,
-       round(CAST(a.num AS DOUBLE) / a.c_total / 1e9
-             / ln(CAST(s.n_states AS DOUBLE)), 6) AS predictability_gap
+       -- one observed state makes ln(k) exactly 0: decide on the
+       -- exact integer state count BEFORE the division
+       CASE WHEN s.n_states < 2 THEN 0.0e0 ELSE
+         round(CAST(a.num AS DOUBLE) / a.c_total / 1e9
+               / ln(CAST(s.n_states AS DOUBLE)), 6) END
+         AS predictability_gap
 FROM agg a CROSS JOIN states s""",
     doc="Entropy rate of the per-user event-type Markov process: H = "
     "sum_ij (c_ij/C) * ln(c_i/c_ij) over the empirical transition "
@@ -2071,7 +2094,12 @@ def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.rnd(F.log(F.col("n_states").cast("double")), 6).alias(
             "max_entropy_nats"
         ),
-        N.rnd(h / F.log(F.col("n_states").cast("double")), 6).alias(
+        F.when(
+            F.col("n_states") >= 2,
+            N.rnd(h / F.log(F.col("n_states").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(
             "predictability_gap"
         ),
     )
@@ -2184,6 +2212,7 @@ WITH keyed AS (
          (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) + 0.5) / 4294967296.0 AS u
   FROM documents
+  WHERE n_chars > 0
 ), scored AS (
   SELECT doc_id, lang, n_chars,
          {N.sql_cents("ln(CAST(n_chars AS DOUBLE))", 10**9)}
@@ -2211,7 +2240,12 @@ ORDER BY key9 DESC, doc_id LIMIT {_GUMBEL_K}""",
     survey_ids=("M7-P5",),
 )
 def gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # zero-weight (empty) documents are unsampleable by definition
+    # (ln(0) diverges; Gumbel key would be -inf) — exclude them on the
+    # exact integer weight BEFORE the log, mirrored in the oracle
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
     u32 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")

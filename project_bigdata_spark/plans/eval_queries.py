@@ -313,10 +313,12 @@ SELECT round(thr.t6 / 1e6, 1) AS threshold,
        CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN 1 - q.pos ELSE 0 END)
             AS BIGINT) AS fp,
        tot.p AS n_pos, tot.n AS n_neg,
-       round(CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN q.pos ELSE 0 END)
-                  AS DOUBLE) / tot.p, 6) AS tpr,
-       round(CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN 1 - q.pos ELSE 0 END)
-                  AS DOUBLE) / tot.n, 6) AS fpr
+       CASE WHEN tot.p = 0 THEN 0.0e0 ELSE
+         round(CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN q.pos ELSE 0 END)
+                    AS DOUBLE) / tot.p, 6) END AS tpr,
+       CASE WHEN tot.n = 0 THEN 0.0e0 ELSE
+         round(CAST(sum(CASE WHEN q.s6 >= thr.t6 THEN 1 - q.pos ELSE 0 END)
+                    AS DOUBLE) / tot.n, 6) END AS fpr
 FROM qscored q CROSS JOIN thr CROSS JOIN tot
 GROUP BY thr.t6, tot.p, tot.n""".format(qscored=_qscored_sql()),
     doc="Exact ROC operating points of the composite quality score as a "
@@ -355,12 +357,20 @@ def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp",
             "n_pos",
             "n_neg",
-            N.rnd(F.col("tp").cast("double") / F.col("n_pos"), 6).alias(
-                "tpr"
-            ),
-            N.rnd(F.col("fp").cast("double") / F.col("n_neg"), 6).alias(
-                "fpr"
-            ),
+            # an empty class makes the rate a 0/0 — decide on the exact
+            # integer total BEFORE the division (ANSI throws, DuckDB NULLs)
+            F.when(
+                F.col("n_pos") > 0,
+                N.rnd(F.col("tp").cast("double") / F.col("n_pos"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tpr"),
+            F.when(
+                F.col("n_neg") > 0,
+                N.rnd(F.col("fp").cast("double") / F.col("n_neg"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fpr"),
         )
     )
 

@@ -963,7 +963,12 @@ def _ridge_alg() -> tuple[list[str], list[str], list[str]]:
             f"(sp - ({w[0]} * sq + {w[1]} * sd + {w[2]} * st)) / n / 100", 4
         )
         + " END AS intercept_usd",
-        f"{guard} " + N.sql_rnd(f"1 - {sse} / cpp", 6) + " END AS r2",
+        # R^2 needs its own guard: a constant target makes cpp exactly
+        # 0 (an integer-derived double) while the ridge det stays
+        # positive — ANSI Spark would throw on sse/cpp
+        "CASE WHEN det = 0 OR cpp = 0 THEN NULL ELSE "
+        + N.sql_rnd(f"1 - {sse} / cpp", 6)
+        + " END AS r2",
     ]
     return layer1, layer2, layer3
 

@@ -565,7 +565,8 @@ WITH cents AS (
   SELECT event_type,
          CAST(count(*) AS HUGEINT) AS ng,
          sum(CAST(c AS HUGEINT)) AS sg,
-         sum(CAST(c AS HUGEINT) * c) AS qg
+         sum(CAST(c AS HUGEINT) * c) AS qg,
+         min(c) AS ming, max(c) AS maxg
   FROM cents GROUP BY event_type
 ), tot AS (
   -- each group's S_g^2/n_g is snapped to the 1e-2 grid BEFORE the
@@ -575,7 +576,10 @@ WITH cents AS (
          CAST(sum(sg) AS HUGEINT) AS s,
          CAST(sum(qg) AS HUGEINT) AS q,
          CAST(sum({N.sql_cents("CAST(sg AS DOUBLE) * sg / ng", 100)})
-              AS DOUBLE) / 100 AS ssg
+              AS DOUBLE) / 100 AS ssg,
+         CAST(sum(maxg - ming) AS BIGINT) AS wspread,
+         CAST(min(ming) AS BIGINT) AS cmin,
+         CAST(max(maxg) AS BIGINT) AS cmax
   FROM grp
 )
 SELECT k AS k_groups,
@@ -583,12 +587,19 @@ SELECT k AS k_groups,
        round((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE)) / 1e4, 4)
          AS ss_between,
        round((CAST(q AS DOUBLE) - ssg) / 1e4, 4) AS ss_within,
-       round(((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE)) / (k - 1))
-             / ((CAST(q AS DOUBLE) - ssg) / (CAST(n AS DOUBLE) - k)), 4)
-         AS f_stat,
-       round((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
-             / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s
-                                      / CAST(n AS DOUBLE)), 6) AS eta_sq
+       -- degenerate dfs decided on EXACT INTEGER predicates before the
+       -- float division: k<2 (between df 0), n<=k (within df 0), or
+       -- zero within-group spread (SSW exactly 0 on the cents grid)
+       CASE WHEN k < 2 OR n <= k OR wspread = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE round(((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                        / (k - 1))
+                       / ((CAST(q AS DOUBLE) - ssg)
+                          / (CAST(n AS DOUBLE) - k)), 4) END AS f_stat,
+       CASE WHEN cmin = cmax THEN CAST(NULL AS DOUBLE)
+            ELSE round((ssg - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                       / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s
+                                                / CAST(n AS DOUBLE)), 6)
+            END AS eta_sq
 FROM tot""",
     doc="One-way ANOVA across event types on the exact cents grid: "
     "SS_between = sum_g S_g^2/n_g - S^2/n, SS_within = sum c^2 - "
@@ -614,6 +625,8 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.count(F.lit(1))).alias("ng"),
         F.sum(dec(F.col("c"))).alias("sg"),
         F.sum(dec(F.col("c")) * F.col("c")).alias("qg"),
+        F.min("c").alias("ming"),
+        F.max("c").alias("maxg"),
     )
     tot = grp.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -631,6 +644,11 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / 100
         ).alias("ssg"),
+        F.sum(F.col("maxg") - F.col("ming")).cast("bigint").alias(
+            "wspread"
+        ),
+        F.min("ming").cast("bigint").alias("cmin"),
+        F.max("maxg").cast("bigint").alias("cmax"),
     )
     ssb = F.col("ssg") - F.col("s").cast("double") * F.col("s") / F.col(
         "n"
@@ -639,16 +657,28 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
         "s"
     ) / F.col("n").cast("double")
+    # degenerate dfs decided on EXACT INTEGER predicates before the
+    # float division (see the oracle's CASE twins)
+    f_ok = (
+        (F.col("k") >= 2)
+        & (F.col("n") > F.col("k"))
+        & (F.col("wspread") != 0)
+    )
     return tot.select(
         F.col("k").alias("k_groups"),
         F.col("n").cast("bigint").alias("n_events"),
         N.rnd(ssb / 1e4).alias("ss_between"),
         N.rnd(ssw / 1e4).alias("ss_within"),
-        N.rnd(
-            (ssb / (F.col("k") - 1))
-            / (ssw / (F.col("n").cast("double") - F.col("k")))
+        F.when(
+            f_ok,
+            N.rnd(
+                (ssb / (F.col("k") - 1))
+                / (ssw / (F.col("n").cast("double") - F.col("k")))
+            ),
         ).alias("f_stat"),
-        N.rnd(ssb / sst, 6).alias("eta_sq"),
+        F.when(F.col("cmin") != F.col("cmax"), N.rnd(ssb / sst, 6)).alias(
+            "eta_sq"
+        ),
     )
 
 
@@ -3509,10 +3539,13 @@ SELECT t.nt AS n_events,
              / CAST(t.nt AS DOUBLE) / 1e9, 6) AS mi_nats,
        round((SELECT CAST(sum(e9) AS DOUBLE) / 1e9 FROM hx), 6)
          AS h_type_nats,
-       round(CAST(sum(CAST(terms.n AS HUGEINT) * terms.l9) AS DOUBLE)
-             / CAST(t.nt AS DOUBLE)
-             / (SELECT CAST(sum(e9) AS DOUBLE) / 1e9 FROM hx) / 1e9, 6)
-         AS uncertainty_coefficient
+       -- a single type makes H(type) exactly 0: decide U on the exact
+       -- integer type count BEFORE the division (ANSI Spark throws)
+       CASE WHEN (SELECT count(*) FROM margins) < 2 THEN 0.0e0 ELSE
+         round(CAST(sum(CAST(terms.n AS HUGEINT) * terms.l9) AS DOUBLE)
+               / CAST(t.nt AS DOUBLE)
+               / (SELECT CAST(sum(e9) AS DOUBLE) / 1e9 FROM hx) / 1e9, 6)
+         END AS uncertainty_coefficient
 FROM terms CROSS JOIN tot t
 GROUP BY t.nt""",
     doc="Mutual information between event type and hour-of-day, with the "
@@ -3566,7 +3599,10 @@ def mutual_information_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10**9,
             ).alias("e9")
         )
-        .agg(F.sum(dec(F.col("e9"))).alias("h9"))
+        .agg(
+            F.sum(dec(F.col("e9"))).alias("h9"),
+            F.count(F.lit(1)).cast("bigint").alias("ktypes"),
+        )
     )
     mi = terms.groupBy("nt").agg(
         F.sum(dec(F.col("n")) * F.col("l9")).alias("s9")
@@ -3577,7 +3613,9 @@ def mutual_information_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_events"),
         N.rnd(mi_nats, 6).alias("mi_nats"),
         N.rnd(h_nats, 6).alias("h_type_nats"),
-        N.rnd(mi_nats / h_nats, 6).alias("uncertainty_coefficient"),
+        F.when(F.col("ktypes") >= 2, N.rnd(mi_nats / h_nats, 6))
+        .otherwise(F.lit(0.0))
+        .alias("uncertainty_coefficient"),
     )
 
 
@@ -3827,12 +3865,20 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MWU_U = "(u2 / 2.0e0)"
+# Degenerate strata decided on EXACT INTEGER predicates before the
+# float ratios (ANSI Spark throws DIVIDE_BY_ZERO where DuckDB renders
+# NaN/inf): an empty comparison side (na/nbr), n<2, or an all-tied
+# grid (nd<2 distinct values makes the tie-corrected variance 0).
 _MWU_Z = (
-    "((u2 / 2.0e0 - (na * 1.0e0) * nbr / 2.0e0)"
+    "(CASE WHEN na < 1 OR nbr < 1 OR n < 2 OR nd < 2 THEN 0.0e0"
+    " ELSE (u2 / 2.0e0 - (na * 1.0e0) * nbr / 2.0e0)"
     " / sqrt(((na * 1.0e0) * nbr / 1.2e1)"
-    " * ((n + 1) - (tcorr * 1.0e0) / ((n * 1.0e0) * (n - 1)))))"
+    " * ((n + 1) - (tcorr * 1.0e0) / ((n * 1.0e0) * (n - 1)))) END)"
 )
-_MWU_RB = "(1.0e0 - (u2 * 1.0e0) / ((na * 1.0e0) * nbr))"
+_MWU_RB = (
+    "(CASE WHEN na < 1 OR nbr < 1 THEN 0.0e0"
+    " ELSE 1.0e0 - (u2 * 1.0e0) / ((na * 1.0e0) * nbr) END)"
+)
 
 
 @query(
@@ -3853,7 +3899,8 @@ WITH c AS MATERIALIZED (
   FROM c GROUP BY 1, 2
 ), scal AS (
   SELECT CAST(sum(t) AS BIGINT) AS n,
-         CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+         CAST(sum(t * t * t - t) AS BIGINT) AS tcorr,
+         CAST(count(*) AS BIGINT) AS nd
   FROM g
 ), per AS (
   SELECT ta.event_type,
@@ -3862,7 +3909,7 @@ WITH c AS MATERIALIZED (
   FROM ta JOIN gc USING (c) GROUP BY 1
 ), s AS (
   SELECT p.event_type, p.na, (scal.n - p.na) AS nbr, scal.n, scal.tcorr,
-         (p.r2 - p.na * (p.na + 1)) AS u2
+         scal.nd, (p.r2 - p.na * (p.na + 1)) AS u2
   FROM per p CROSS JOIN scal
 )
 SELECT event_type, na AS n_type, nbr AS n_rest,
@@ -3906,6 +3953,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("bigint")
         .alias("tcorr"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
     )
     per = (
         ta.join(gc, "c")
@@ -3925,6 +3973,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("na")).alias("nbr"),
         "n",
         "tcorr",
+        "nd",
         (F.col("r2") - F.col("na") * (F.col("na") + 1)).alias("u2"),
     )
     return s.select(
@@ -4368,7 +4417,8 @@ WITH c AS MATERIALIZED (
   FROM c GROUP BY 1, 2
 ), scal AS (
   SELECT CAST(sum(t) AS BIGINT) AS n,
-         CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+         CAST(sum(t * t * t - t) AS BIGINT) AS tcorr,
+         CAST(count(*) AS BIGINT) AS nd
   FROM g
 ), per AS (
   SELECT ta.event_type,
@@ -4430,6 +4480,7 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
         .cast("bigint")
         .alias("tcorr"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
     )
     per = (
         ta.join(gc, "c")
@@ -4473,8 +4524,12 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the per-group S_j^2/n_j terms snapped to the cents grid before
 # the k-term sum (the kruskal_wallis discipline). Grid scale cancels
 # in the F ratio.
+# Degenerate dfs (k<2 or n<=k) decided on exact integer predicates
+# BEFORE the float ratio — ANSI Spark would otherwise throw
+# DIVIDE_BY_ZERO where DuckDB renders inf/NaN.
 _BF_F = (
-    "(CASE WHEN (sq - s2c / 1.0e2) <= 0.0e0 THEN 0.0e0"
+    "(CASE WHEN k < 2 OR n <= k THEN 0.0e0"
+    " WHEN (sq - s2c / 1.0e2) <= 0.0e0 THEN 0.0e0"
     " ELSE ((s2c / 1.0e2 - ((1.0e0 * st) * st) / n) / (k - 1))"
     " / ((sq - s2c / 1.0e2) / (n - k)) END)"
 )

@@ -23,10 +23,15 @@ PUNCT_RE_SQL = r"'[^A-Za-z0-9_\s]'"
 
 
 def _profile_score_sql(stopwords: list[str]) -> str:
+    # zero-word documents score 0.0 by definition — the exact integer
+    # len() predicate decides BEFORE the division (mirrors
+    # operators/text.py stopword_ratio; DuckDB would render NULL,
+    # ANSI Spark would throw)
     inlist = ", ".join(f"'{w}'" for w in stopwords)
     return (
+        f"(CASE WHEN len({WORDS_SQL}) = 0 THEN 0.0e0 ELSE "
         f"CAST(len(list_filter({WORDS_SQL}, w -> w IN ({inlist}))) AS DOUBLE)"
-        f" / len({WORDS_SQL})"
+        f" / len({WORDS_SQL}) END)"
     )
 
 
@@ -63,8 +68,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(
          least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
          + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0) * 3.0e-1
-         + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
-                          / length(text) * 5, 1.0e0)) * 3.0e-1,
+         + (1.0e0 - least(CASE WHEN length(text) = 0 THEN 0.0e0
+                          ELSE CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
+                          / length(text) * 5 END, 1.0e0)) * 3.0e-1,
        4) AS quality
 FROM documents""",
     doc="Quality scoring: length saturation + stopword density + "
@@ -178,8 +184,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_SQL = f"""
          least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
          + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0) * 3.0e-1
-         + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
-                          / length(text) * 5, 1.0e0)) * 3.0e-1"""
+         + (1.0e0 - least(CASE WHEN length(text) = 0 THEN 0.0e0
+                          ELSE CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL})) AS DOUBLE)
+                          / length(text) * 5 END, 1.0e0)) * 3.0e-1"""
 
 
 @query(
@@ -696,8 +703,9 @@ _QUALITY_SQL = f"""
 least(CAST(length(text) AS DOUBLE) / 5.0e2, 1.0e0) * 4.0e-1
   + least(({_profile_score_sql(TX.LANG_PROFILES['en'])}) / 3.0e-1, 1.0e0)
     * 3.0e-1
-  + (1.0e0 - least(CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL}))
-                        AS DOUBLE) / length(text) * 5, 1.0e0)) * 3.0e-1
+  + (1.0e0 - least(CASE WHEN length(text) = 0 THEN 0.0e0
+                        ELSE CAST(len(regexp_extract_all(text, {PUNCT_RE_SQL}))
+                        AS DOUBLE) / length(text) * 5 END, 1.0e0)) * 3.0e-1
 """
 
 
