@@ -231,6 +231,10 @@ QUERIES = [
     "line_dedup_apply",
     "line_gate_filter",
     "aqi_recommendation_rollup",
+    # round-11 additions: the zero-shuffle redaction projection (the
+    # missing seventh round-10 row) and the observe() metric pipeline
+    "pii_redaction_apply",
+    "observe_layer_counts",
 ]
 
 
@@ -371,10 +375,79 @@ def organic_main(keep: bool) -> None:
         shutil.rmtree(DST_ORGANIC, ignore_errors=True)
 
 
+def _write_named_section(title: str, intro: list[str], rows,
+                         receipts: str) -> None:
+    """Append-or-replace a named '## <title>' section at the END of
+    BENCH_SCALING.md (after the decade table, which full runs truncate
+    at its own marker — named sections placed after it survive only
+    until the next full regeneration, which re-measures them anyway)."""
+    md = Path(__file__).resolve().parent.parent / "BENCH_SCALING.md"
+    text = md.read_text()
+    marker = f"\n## {title}"
+    if marker in text:
+        start = text.index(marker)
+        rest = text[start + 1:]
+        nxt = rest.find("\n## ")
+        text = text[:start] + ("\n" + rest[nxt + 1:] if nxt != -1 else "\n")
+    lines = [f"## {title}", ""] + intro + [
+        "",
+        "| query | sf0.1 | sf1 (synth) | x10 slope |",
+        "|---|---|---|---|",
+    ]
+    for name, a, b, sl in rows:
+        lines.append(f"| `{name}` | {a:.2f}s | {b:.2f}s | {sl:.1f}x |")
+    lines += ["", receipts, ""]
+    md.write_text(text.rstrip() + "\n\n" + "\n".join(lines).rstrip() + "\n")
+
+
+def headliner_main(keep: bool) -> None:
+    """Round-11 verdict ask #3: a MEASURED sf1 sweep of all 15 headline
+    queries (plus named extras), idle, with self-describing receipts
+    (loadavg before/after + best-of-2 raw cells)."""
+    import os
+
+    spark = get_spark(app_name="bench-sf1-headliners", cpus=32)
+    t0 = time.time()
+    synthesize(spark)
+    print(f"synthesized 10x sf0.1 -> {DST} in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    la0 = os.getloadavg()
+    names = [s.name for s in load_all().values() if s.headline]
+    extras = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rows = _time_queries(spark, names + extras, SRC, DST)
+    la1 = os.getloadavg()
+    receipts = (
+        f"Receipts: loadavg before {la0[0]:.2f}/{la0[1]:.2f} after "
+        f"{la1[0]:.2f}/{la1[1]:.2f}; best-of-2 per cell on local[32]; "
+        "synthetic sf1 = 10x key-shifted sf0.1 (near-duplicate document "
+        "copies)."
+    )
+    _write_named_section(
+        "Headliner sf1 sweep (round 11, measured idle)",
+        ["All 15 `bench.py` headliners re-measured on the second decade",
+         "in one idle session (`python tools/bench_sf1.py --headliners`),",
+         "so the headline scaling story rests on fresh receipts rather",
+         "than the round-7 table."],
+        rows,
+        receipts,
+    )
+    print(json.dumps({
+        "probe": "sf1_headliners",
+        "loadavg_before": la0, "loadavg_after": la1,
+        "queries": {n: {"sf0.1": round(a, 3), "sf1": round(b, 3),
+                        "slope": round(sl, 2)} for n, a, b, sl in rows},
+    }))
+    if not keep:
+        shutil.rmtree(DST, ignore_errors=True)
+
+
 def main() -> None:
     keep = "--keep" in sys.argv
     if "--organic" in sys.argv:
         organic_main(keep)
+        return
+    if "--headliners" in sys.argv:
+        headliner_main(keep)
         return
     spark = get_spark(app_name="bench-sf1", cpus=32)
     t0 = time.time()
