@@ -59,6 +59,31 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out_by_key(df: DataFrame, *cols: str) -> DataFrame:
+    """`fan_out` variant that hash-partitions on the downstream clustering
+    key instead of round-robin.
+
+    The repartition then *replaces* the next keyed exchange rather than
+    adding one: hash partitioning on a subset of an aggregation's grouping
+    keys (or exactly a window's partition spec) satisfies the required
+    clustered distribution, so EnsureRequirements inserts no further
+    shuffle. And because an explicit REPARTITION_BY_NUM is exempt from AQE
+    partition coalescing, the expensive post-shuffle operators (windows,
+    wide aggregates) run at full parallelism even when their input is only
+    a few MB — the case where AQE's 1 MB min-partition floor would coalesce
+    them onto one or two cores.
+
+    No-op when the scan already has enough splits: at scale the natural
+    layout wins — partial aggregation upstream of an ENSURE_REQUIREMENTS
+    exchange shuffles fewer bytes than raw rows, and AQE sizes/skew-splits
+    that exchange itself.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df
+
+
 def words_col(text: Column) -> Column:
     """Lowercased whitespace tokens, empties dropped (mirrors the oracle's
     ``list_filter(string_split_regex(lower(text), '\\s+'), ...)``)."""
@@ -109,10 +134,18 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def bow_fingerprint(text: Column) -> Column:
+def bow_fingerprint(text: Column, ws: Column | None = None) -> Column:
     """Order-insensitive digest: md5 of the sorted distinct word bag —
-    catches exact copies up to word order/whitespace."""
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_col(text)))))
+    catches exact copies up to word order/whitespace.
+
+    ``ws``: optional pre-projected ``words_col(text)`` column so hot
+    callers that also need the tokens elsewhere split the text once
+    (see the :func:`shingles_from_words` projection note)."""
+    return F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(words_col(text) if ws is None else ws))
+        )
+    )
 
 
 def minhash_signatures(

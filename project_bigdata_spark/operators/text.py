@@ -30,9 +30,12 @@ HASH_MOD = 1_000_000_007
 HASH_BASE = 31
 
 
-def token_count_ws(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words_col(text)).cast("bigint")
+def token_count_ws(text: Column, ws: Column | None = None) -> Column:
+    """Whitespace token count.
+
+    ``ws``: optional pre-projected ``words_col(text)`` column, for callers
+    that already tokenized (see :func:`quality_score` rationale)."""
+    return F.size(words_col(text) if ws is None else ws).cast("bigint")
 
 
 def token_count_bpe(text: Column) -> Column:

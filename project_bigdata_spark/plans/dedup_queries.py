@@ -188,7 +188,10 @@ WHERE CAST(len(list_intersect(list_distinct(sa.shingles),
     survey_ids=("M7-D4",),
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: the md5/shingle signature pass is CPU-bound and the corpus
+    # arrives as one parquet split — without it the whole pass runs on one
+    # task (no-op when the input already has enough splits)
+    d = DD.fan_out(load_table(spark, sf_dir, "documents"))
     # the signature frame feeds three plan branches (banding + both sides
     # of the verification join): persist it so the md5/shingle work — the
     # dominant cost — runs once, not three times

@@ -112,7 +112,11 @@ WINDOW
     survey_ids=("W3", "W4"),
 )
 def rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    from project_bigdata_spark.operators.dedup import fan_out_by_key
+
+    # entity-keyed fan-out: replaces the window's own exchange and keeps
+    # the five rolling aggregates wide under AQE (no-op at scale)
+    e = fan_out_by_key(load_table(spark, sf_dir, "events"), "user_id")
     e = FE.add_rolling_features(
         e,
         "value",
@@ -267,6 +271,11 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from project_bigdata_spark.plans.medallion_queries import GOLD_CTE  # noqa: E402
 
+# Event types whose per-hour "first value" feeds the v_<type> features —
+# first element of the (type, value)-sorted pairs array == min(value) of
+# that type within the hour (see feature_frame doc).
+_PTYPE_TYPES = ("click", "view", "purchase", "signup", "error")
+
 _GD = N.sql_cents("max_value")
 _WO = "PARTITION BY user_id ORDER BY hour_ts"
 _W7 = f"{_WO} ROWS BETWEEN 167 PRECEDING AND CURRENT ROW"
@@ -345,16 +354,45 @@ FROM feat"""
     "(min_periods=1, ddof=1), entity label-encode (two-phase distributed "
     "rank — no global window), per-type first-value unnest with fill-0 (F6), "
     "and the shifted(-1) target. One shuffle for gold + one for the "
-    "entity windows.",
+    "entity windows. r11 re-plan: the per-type 'first value of the "
+    "(type, value)-sorted pairs array' is exactly min(value) FILTER "
+    "(event_type = t), so the slim gold aggregate computes five "
+    "conditional mins instead of gold_hourly's sorted collect_list — a "
+    "codegen'd HashAggregate whose shuffle carries 7 numeric aggregates "
+    "per partial group, not every (type, value) pair (ObjectHashAggregate "
+    "and the whole-pair exchange both gone; oracle unchanged).",
     headline=True,
     survey_ids=("W1", "W2", "W3", "W4", "F4", "F6", "F7"),
 )
 def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import medallion as M
 
-    e = load_table(spark, sf_dir, "events")
+    from project_bigdata_spark.operators.dedup import fan_out_by_key
+
+    # entity-keyed fan-out: ONE explicit user_id exchange (exempt from AQE
+    # coalescing) satisfies the gold aggregate, all four entity windows,
+    # AND the label-encode dictionary's distinct — ReuseExchange collapses
+    # the two plan branches onto the same shuffle (no-op at scale)
+    e = fan_out_by_key(load_table(spark, sf_dir, "events"), "user_id")
     silver = M.silver(M.bronze(e))
-    gold = M.gold_hourly(silver)
+    # Slim gold at the same (user, hour) grain as M.gold_hourly (year/
+    # month/day are functions of hour_ts, so the groups are identical):
+    # only the aggregates this frame consumes. pairs[first occurrence of
+    # t] in the struct-sorted array == min(value) over type t (silver
+    # admits no NULL/NaN values), so the parallel arrays never need to
+    # be materialized here.
+    gold = silver.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("value"))).alias(
+                f"_first_{t}"
+            )
+            for t in _PTYPE_TYPES
+        ],
+    )
     g = FE.add_time_features(gold, "hour_ts")
     g = FE.add_lag_features(
         g, "max_value", order_by=["hour_ts"], lags=(1, 24, 168)
@@ -374,10 +412,8 @@ def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ptype(t: str) -> F.Column:
-        pos = F.array_position(F.col("event_types"), t)
-        return F.when(pos == 0, F.lit(0.0)).otherwise(
-            F.round(F.element_at("values", pos.cast("int")), 4)
-        )
+        m = F.col(f"_first_{t}")
+        return F.when(m.isNull(), F.lit(0.0)).otherwise(F.round(m, 4))
 
     return g.select(
         N.big("user_id").alias("user_id"),

@@ -65,6 +65,19 @@ def _bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.bronze(load_table(spark, sf_dir, "events"))
 
 
+def _bronze_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze over an entity-keyed fan-out of the scan, for the gold-grain
+    consumers: hash-partitioning on ``user_id`` (a subset of the gold
+    grouping key) replaces the aggregation's own exchange and — being an
+    explicit REPARTITION_BY_NUM — is exempt from AQE's small-partition
+    coalescing, so the heavy (entity, hour) aggregate runs wide even when
+    the input arrives as one parquet split. No-op at scale (enough splits:
+    the partial-agg-then-ENSURE exchange shuffles fewer bytes there)."""
+    from project_bigdata_spark.operators.dedup import fan_out_by_key
+
+    return M.bronze(fan_out_by_key(load_table(spark, sf_dir, "events"), "user_id"))
+
+
 @query(
     "bronze_ingest",
     oracle="WITH"
@@ -145,7 +158,7 @@ FROM gold""",
     survey_ids=("A1", "P7", "F3"),
 )
 def gold_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = M.gold_hourly(M.silver(_bronze(spark, sf_dir)))
+    g = M.gold_hourly(M.silver(_bronze_keyed(spark, sf_dir)))
     return g.select(
         N.big("user_id").alias("user_id"),
         N.ts_str("hour_ts").alias("hour_ts"),
@@ -183,7 +196,7 @@ GROUP BY user_id % 10""".format(
     survey_ids=("A4", "O1"),
 )
 def gold_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = M.gold_hourly(M.silver(_bronze(spark, sf_dir)))
+    g = M.gold_hourly(M.silver(_bronze_keyed(spark, sf_dir)))
     return (
         g.groupBy((F.col("user_id") % 10).cast("bigint").alias("cohort"))
         .agg(
@@ -213,7 +226,7 @@ FROM gold""",
     survey_ids=("F6", "A1"),
 )
 def gold_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = M.gold_hourly(M.silver(_bronze(spark, sf_dir)))
+    g = M.gold_hourly(M.silver(_bronze_keyed(spark, sf_dir)))
     exploded = g.select(
         N.big("user_id").alias("user_id"),
         N.ts_str("hour_ts").alias("hour_ts"),

@@ -285,7 +285,12 @@ FROM sess GROUP BY user_id, session_idx""",
     survey_ids=("W1", "W3", "A1"),
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    from project_bigdata_spark.operators.dedup import fan_out_by_key
+
+    # entity-keyed fan-out: one explicit exchange feeds both windows AND
+    # the session rollup (all keyed on user_id), wide under AQE; no-op at
+    # scale where the scan has enough splits
+    e = fan_out_by_key(load_table(spark, sf_dir, "events"), "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # µs precision: a cast-to-long gap is whole seconds and would disagree
     # with the oracle's exact INTERVAL comparison on fractional-second gaps

@@ -87,9 +87,13 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
     survey_ids=("M7-S2",),
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
-    scored = e.crossJoin(
+    # fan_out the scored corpus side: the interpreted-HOF cosine is the
+    # whole cost and a one-split parquet caps it at a single task
+    scored = fan_out(e).crossJoin(
         F.broadcast(q.select(SIM.as_double(F.col("embedding")).alias("_qvec")))
     ).select(
         F.col("vec_id"),
@@ -379,12 +383,18 @@ ORDER BY cosine DESC, a.vec_id LIMIT 5""",
     survey_ids=("M7-S4",),
 )
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_bigdata_spark.operators.dedup import fan_out
+
     e = load_table(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     qdf = e.filter(F.col("vec_id") == 0).select("embedding")
-    out = SIM.ivf_search(e, cents, qdf, k=5, nprobe=2, rnd=N.rnd)
+    # fan_out ONLY the corpus side: nearest-centroid assignment folds 8
+    # interpreted cosines per row, and a one-split parquet would run the
+    # whole pass on a single task; the 8-row centroid/query branches stay
+    # on the cheap unsplit scan
+    out = SIM.ivf_search(fan_out(e), cents, qdf, k=5, nprobe=2, rnd=N.rnd)
     return out.select(
         N.big("vec_id").alias("vec_id"),
         N.big("centroid_id").alias("centroid_id"),

@@ -221,13 +221,27 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from project_bigdata_spark.operators import dedup as DDp
 
+    # (measured r11: fan_out HURTS here — one regex split per doc is too
+    # light to repay shuffling the full text column; see OPTIMIZATION_r11)
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
+    # tokenize ONCE: words_col is the most expensive expression of the
+    # scoring pass (regex split per doc) and three components consume it
+    # (stopword density, bow digest, token count). A multiply-referenced
+    # projection stays materialized (CollapseProject keeps it), so the
+    # split runs once per doc instead of three times (guide §4.2 spirit:
+    # do the heavy lifting once; see operators/dedup.py shingles note).
+    pre = d.select(
         "doc_id",
         "lang",
-        TX.quality_score(F.col("text")).alias("quality"),
-        DDp.bow_fingerprint(F.col("text")).alias("bow"),
-        TX.token_count_ws(F.col("text")).alias("n_tokens"),
+        "text",
+        DDp.words_col(F.col("text")).alias("_ws"),
+    )
+    scored = pre.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text"), ws=F.col("_ws")).alias("quality"),
+        DDp.bow_fingerprint(F.col("text"), ws=F.col("_ws")).alias("bow"),
+        TX.token_count_ws(F.col("text"), ws=F.col("_ws")).alias("n_tokens"),
     )
     w = Window.partitionBy("bow").orderBy("doc_id")
     survivors = (
@@ -365,6 +379,8 @@ LIMIT 5""".replace("{COS}", _cos_sql("e.v", "q.qv")),
 def chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_bigdata_spark.operators import similarity as SIM
 
+    # (measured r11: fan_out does NOT pay here — the stub encoder is too
+    # light to repay shuffling the text; see OPTIMIZATION_r11)
     d = load_table(spark, sf_dir, "documents")
     ch = TX.chunk_documents_with_text(d).select(
         (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("cid"),
