@@ -1331,30 +1331,49 @@ def _gbm_oracle() -> str:
     survey_ids=("M7-ML23",),
 )
 def gbm_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 re-plan to the histogram method already proven on
+    # gbm_depth2_trees: every split predicate and leaf adjustment is a
+    # function of hour alone, so 24 (h) cells carrying exact
+    # (n, sum res6, sum res6²) sufficient statistics replace the
+    # row × 23-theta fan-out that previously re-read the volume every
+    # round over a lineage that grew by one crossJoin per round. The
+    # cell-state update s' = s - n·δ, q' = q - 2δ·s + n·δ² (δ BIGINT on
+    # the 1e-6 grid, products in DECIMAL(38,0)) is bit-identical to
+    # subtracting δ from every row, so the unrolled row-wise oracle is
+    # unchanged. Volume is read ONCE; rounds run on 24-row frames.
     ev = load_table(spark, sf_dir, "events")
     gl, gr = _gbm_leaf_exprs()
     base = ev.select(
         F.hour("ts").alias("h"), N.cents("value", 10**6).alias("res6")
     )
+    cells = (
+        base.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("res6").cast("bigint").alias("s"),
+            F.sum(F.col("res6").cast("decimal(38,0)") * F.col("res6"))
+            .alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
     thetas = spark.range(0, 23).select(F.col("id").cast("int").alias("theta"))
     rows = []
     for r in range(1, _GBM_ROUNDS + 1):
         agg = (
-            base.crossJoin(F.broadcast(thetas))
+            cells.crossJoin(F.broadcast(thetas))
             .groupBy("theta")
             .agg(
                 F.expr(
-                    "CAST(sum(CASE WHEN h <= theta THEN 1 ELSE 0 END)"
+                    "CAST(sum(CASE WHEN h <= theta THEN n ELSE 0 END)"
                     " AS BIGINT)"
                 ).alias("nl"),
                 F.expr(
-                    "CAST(sum(CASE WHEN h <= theta THEN res6 ELSE 0 END)"
+                    "CAST(sum(CASE WHEN h <= theta THEN s ELSE 0 END)"
                     " AS BIGINT)"
                 ).alias("sl"),
-                F.expr("CAST(count(*) AS BIGINT)").alias("n"),
-                F.expr("CAST(sum(res6) AS BIGINT)").alias("st"),
-                F.sum(F.col("res6").cast("decimal(38,0)") * F.col("res6"))
-                .alias("ss"),
+                F.expr("CAST(sum(n) AS BIGINT)").alias("n"),
+                F.expr("CAST(sum(s) AS BIGINT)").alias("st"),
+                F.sum("q").alias("ss"),
             )
         )
         best = (
@@ -1382,14 +1401,19 @@ def gbm_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        base = base.crossJoin(F.broadcast(best.select("theta", "gl6", "gr6"))).select(
-            "h",
-            (
-                F.col("res6")
-                - F.when(F.col("h") <= F.col("theta"), F.col("gl6")).otherwise(
-                    F.col("gr6")
-                )
-            ).alias("res6"),
+        delta = "(CASE WHEN h <= theta THEN gl6 ELSE gr6 END)"
+        cells = (
+            cells.crossJoin(F.broadcast(best.select("theta", "gl6", "gr6")))
+            .select(
+                "h",
+                "n",
+                F.expr(f"CAST(s - n * {delta} AS BIGINT)").alias("s"),
+                F.expr(
+                    f"q - 2 * CAST({delta} AS DECIMAL(38,0)) * s"
+                    f" + CAST({delta} AS DECIMAL(38,0)) * {delta} * n"
+                ).alias("q"),
+            )
+            .localCheckpoint(eager=True)
         )
     out = rows[0]
     for df in rows[1:]:

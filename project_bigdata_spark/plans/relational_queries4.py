@@ -705,6 +705,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("v")
     )
+    # r11: pin the edge list — it feeds FIVE consumers (degree census ×2,
+    # the keyed orientation, the edge count, and through `oriented` the
+    # wedge/closing sides), so without the pin the items self-join was
+    # replayed per consumer (measured 4.4 s warm; ~2 s pinned)
     edges = (
         items.withColumnRenamed("l_partkey", "u")
         .join(b, "l_orderkey")
@@ -713,6 +717,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     ends = edges.select(F.col("u").alias("n")).unionAll(
         edges.select(F.col("v").alias("n"))
@@ -734,11 +739,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i")).alias("kv"),
         )
     )
+    # pinned for the same reason: three consumers (both wedge sides + the
+    # closing semi-join) would otherwise each replay the degree joins
     oriented = keyed.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).select("src", "dst", "kdst")
+    ).select("src", "dst", "kdst").localCheckpoint(eager=True)
     o1 = oriented.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
     o2 = oriented.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
     wedges = o1.join(o2, "src").filter(F.col("kb") < F.col("kc"))
@@ -1970,10 +1977,19 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def half_step(scores: DataFrame, from_key: str, to_key: str) -> DataFrame:
+        # r11: checkpoint the per-half-step aggregate — `raw` is consumed
+        # TWICE (the `tot` renormalizer and the normalized projection), so
+        # without the pin every half-step doubled the recompute of all
+        # earlier rounds (2^6 replays of the edge join by the final plan;
+        # measured 14.9 s warm at sf0.1, 2.0 s with the pins). The frame
+        # is node-cardinality, never edge-cardinality, and the pinned
+        # sizes also let AQE pick the broadcast side of the next join
+        # from real statistics.
         raw = (
             edges.join(scores, from_key)
             .groupBy(to_key)
             .agg(F.sum("units").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         tot = raw.agg(F.sum("raw").cast("bigint").alias("tot"))
         return raw.crossJoin(F.broadcast(tot)).select(
