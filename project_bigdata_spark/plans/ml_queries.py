@@ -1192,8 +1192,13 @@ def logistic_gd_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = base.crossJoin(F.broadcast(w)).agg(
             *[F.expr(e) for e in _logit_grad_exprs()]
         )
-        w = w.crossJoin(F.broadcast(g)).select(
-            *[F.expr(e) for e in _logit_update_exprs()]
+        # r11: pin the 1-row weight frame per step — each step references
+        # the previous w twice (through g and directly), so the unpinned
+        # unroll replayed the base gradient aggregate 2^steps times
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(*[F.expr(e) for e in _logit_update_exprs()])
+            .localCheckpoint(eager=True)
         )
     fit = base.crossJoin(F.broadcast(w)).agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("n"),
@@ -1917,8 +1922,15 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("srx2"),
         )
-        p = g.crossJoin(F.broadcast(init)).selectExpr(
-            *[f"{v} AS {k}" for k, v in _GMM_STEP.items()], *_GMM_CARRY
+        # r11: pin the 1-row parameter frame per round (the logistic/svm
+        # discipline) — keeps the E/M unroll's plan flat instead of
+        # nesting a fresh copy of the base aggregate per reference
+        p = (
+            g.crossJoin(F.broadcast(init))
+            .selectExpr(
+                *[f"{v} AS {k}" for k, v in _GMM_STEP.items()], *_GMM_CARRY
+            )
+            .localCheckpoint(eager=True)
         )
     fin = base.crossJoin(F.broadcast(p)).agg(
         F.expr(
@@ -2098,8 +2110,13 @@ def svm_hinge_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = base.crossJoin(F.broadcast(w)).agg(
             *[F.expr(e) for e in _svm_grad_exprs()]
         )
-        w = w.crossJoin(F.broadcast(g)).select(
-            *[F.expr(e) for e in _svm_update_exprs()]
+        # r11: pin the 1-row weight frame per step (see
+        # logistic_gd_classifier) — unpinned, the unroll replayed the
+        # hinge-gradient aggregate 2^steps times
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(*[F.expr(e) for e in _svm_update_exprs()])
+            .localCheckpoint(eager=True)
         )
     fit = base.crossJoin(F.broadcast(w)).agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("n"),

@@ -1059,6 +1059,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.lit(step).alias("sel_rank"), "vec_id")
         )
+        # (r11: measured a per-step localCheckpoint pin here — no win; the
+        # doubly-referenced frames are 20-row, so the replays cost less
+        # than the extra checkpoint jobs. Left unpinned.)
         sel = sel.unionByName(pick)
     return sel.join(cands.select("vec_id", "simq"), "vec_id").select(
         N.big("sel_rank").alias("sel_rank"),

@@ -2877,6 +2877,11 @@ def raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = cells.select(
         "et", "b", "n_raw", (F.col("n_raw") * 1_000_000).alias("w6")
     )
+    # r11: pin w after each half-iteration — every half-step consumes the
+    # previous w TWICE (marginal-sum aggregate + rescale projection), so
+    # the unpinned 3x2 unroll replayed the chain 2^6 times (15.1 s warm
+    # at sf0.1 for a ~20-cell frame; ~1 s pinned). Same discipline as the
+    # hits/pca/cc per-round checkpoints.
     for _ in range(3):
         # widen to DECIMAL(38,0) like the module's dec() idiom — a BIGINT
         # sum would silently wrap (Spark non-ANSI) near ~9e12 events while
@@ -2898,7 +2903,7 @@ def raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     scale=1,
                 ).alias("w6"),
             )
-        )
+        ).localCheckpoint(eager=True)
         cs = w.groupBy("b").agg(
             F.sum(F.col("w6").cast("decimal(38,0)")).alias("cs")
         )
@@ -2916,7 +2921,7 @@ def raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     scale=1,
                 ).alias("w6"),
             )
-        )
+        ).localCheckpoint(eager=True)
     return w.select(
         F.col("et").alias("event_type"),
         F.col("b").alias("hour_bucket"),
