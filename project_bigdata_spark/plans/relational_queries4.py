@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from project_bigdata_spark.operators.dedup import fan_out_by_key
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
@@ -665,6 +666,21 @@ def json_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_items(li: DataFrame) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) pairs, fanned out on l_orderkey.
+
+    Shared first step of every co-purchase graph entry. The explicit
+    l_orderkey repartition (a no-op when the scan already has enough
+    splits — i.e. always at scale) lets the distinct run WITHOUT its own
+    exchange (subset-key partitioning satisfies the (orderkey, partkey)
+    clustered distribution) and keeps the order-local self-join that
+    follows at full parallelism instead of the single task a one-split
+    parquet scan would pin it to (guide §2.5 input skew)."""
+    return fan_out_by_key(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey"
+    ).distinct()
+
+
 @query(
     "triangle_count",
     oracle="""
@@ -701,7 +717,7 @@ SELECT CAST((SELECT count(*) FROM
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_items(li)
     b = items.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("v")
     )
@@ -818,7 +834,7 @@ QUALIFY row_number() OVER (ORDER BY units DESC, n) <= 20""",
 )
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_items(li)
     b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
     pairs = (
         items.withColumnRenamed("l_partkey", "u")
@@ -990,7 +1006,7 @@ FROM first_reach GROUP BY 1"""
 )
 def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_items(li)
     a, b = items.alias("a"), items.alias("b")
     pairs = (
         a.join(
@@ -1262,7 +1278,7 @@ FROM lab3 GROUP BY lab HAVING count(*) >= 2""",
 )
 def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_items(li)
     a, b = items.alias("a"), items.alias("b")
     edges = (
         a.join(
@@ -1371,28 +1387,7 @@ LIMIT {AA_TOP_K}""",
     survey_ids=("M4", "M7-G4"),
 )
 def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
-    bi = edges.select(
-        F.col("u").alias("n"), F.col("v").alias("m")
-    ).unionByName(
-        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
-    )
+    edges, bi = _copurchase_edges(spark, sf_dir)
     deg = bi.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     contrib = (
         bi.join(F.broadcast(deg), "n")
@@ -1476,28 +1471,7 @@ FROM s""",
     survey_ids=("M4", "M7-G5"),
 )
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
-    bi = edges.select(
-        F.col("u").alias("n"), F.col("v").alias("m")
-    ).unionByName(
-        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
-    )
+    edges, bi = _copurchase_edges(spark, sf_dir)
     deg = bi.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pairs = (
@@ -1585,6 +1559,10 @@ FROM m CROSS JOIN within w CROSS JOIN dsum d""",
 )
 def modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # r11: _order_items fan-out MEASURED AND REJECTED here (4.66 s →
+    # 5.21 s best-of-5): the wide checkpoint of `bi` makes the three
+    # tiny LPA rounds and the three readout consumers pay ~10× the
+    # task-scheduling overhead, which outweighs the faster edge build.
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
     edges = (
@@ -1682,7 +1660,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     """(edges(u<v), bi(n,m)) of the co-purchase graph — the shared
     derivation of the graph-mining family (same SQL: _LPA_EDGES)."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_items(li)
     a, b = items.alias("a"), items.alias("b")
     edges = (
         a.join(
@@ -1697,6 +1675,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        # r11: pin once — every caller consumes edges/bi through several
+        # plan branches (degree census, wedge sides, anti-join), and the
+        # edge list is node²-bounded, never corpus-sized
+        .localCheckpoint(eager=True)
     )
     bi = edges.select(
         F.col("u").alias("n"), F.col("v").alias("m")
@@ -2089,7 +2071,7 @@ def connected_components_minlabel(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = _order_items(li)
     a, b = items.alias("a"), items.alias("b")
     pairs = (
         a.join(
