@@ -664,7 +664,12 @@ def shingle_containment(
     hash-join exploded corpus shingles against it; the corpus side stays
     a narrow explode + two-level aggregate, no corpus-vs-corpus join.
     """
-    doc_sh = docs.select(
+    # r11: keyed fan-out — the shingle build is the dominant full-corpus
+    # CPU and a one-split scan pins it to a single task; partitioning by
+    # the doc id also satisfies the per-doc aggregate below, so the
+    # explicit exchange REPLACES the aggregate's rather than adding one
+    # (measured 4.96 s -> 0.98 s at sf0.1/32 cpus; no-op at scale).
+    doc_sh = fan_out_by_key(docs.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias(
             "_sh"
