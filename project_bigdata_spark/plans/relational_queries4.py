@@ -2096,20 +2096,21 @@ def connected_components_minlabel(
         "n", F.col("n").alias("lbl")
     ).localCheckpoint(eager=True)
     prev = lbl
+    # r11: each round is ONE union + grouped min (the min_label_clusters
+    # shape) instead of left-join-then-least — algebraically identical
+    # (every node carries its own label into the union, so the grouped
+    # min IS least(own, min(neighbors))) and one join exchange cheaper
+    # per round (measured 6.71 s -> 5.28 s best-of-3 at sf0.1/32 cpus).
     for _ in range(4):
         prev = lbl
         nb = edges.join(
             lbl.select(F.col("n").alias("dst"), F.col("lbl").alias("nl")),
             "dst",
-        ).select(F.col("src").alias("n"), "nl")
+        ).select(F.col("src").alias("n"), F.col("nl").alias("lbl"))
         lbl = (
-            lbl.join(nb.groupBy("n").agg(F.min("nl").alias("mn")), "n", "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+            lbl.unionByName(nb)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
     chg = (

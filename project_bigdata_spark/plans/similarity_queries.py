@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from project_bigdata_spark.operators import dedup as DD
 from project_bigdata_spark.operators import similarity as SIM
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
@@ -604,7 +605,8 @@ WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_T}""",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    k = e.agg(
+    k = e.agg(  # k/cents read the cheap natural scan; only `fanned` below
+        # pays the centroid-assignment fold
         F.least(
             F.greatest(
                 F.lit(8).cast("bigint"),
@@ -618,8 +620,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("centroid_id"), "embedding")
     )
+    # r11: keyed fan-out — the per-row centroid-assignment fold (k
+    # interpreted cosines) ran on the one-split scan's single task;
+    # vec_id partitioning also co-partitions the members self-join, so
+    # no exchange is added (round-robin measured WORSE: it shuffles the
+    # embedding arrays twice). 5.26 s -> 4.08 s best-of-4 at sf0.1/32.
+    fanned = DD.fan_out_by_key(e, "vec_id")
     pairs = SIM.semantic_dedup_pairs(
-        e, cents, threshold=_SEMDEDUP_T, max_cluster=1000,
+        fanned, cents, threshold=_SEMDEDUP_T, max_cluster=1000,
         round_to=6, rnd=N.rnd,
     )
     return pairs.select(
