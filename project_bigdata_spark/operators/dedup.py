@@ -168,7 +168,11 @@ def minhash_signatures(
     ``sig`` as ``array<string>(num_hashes)``.
     """
     groups = -(-num_hashes // SLICES_PER_MD5)
-    pre = fan_out(df).select(
+    # r11: fan out BY THE ID — same shuffle bytes as round-robin, but the
+    # id partitioning survives the narrow signature pass, so downstream
+    # verify joins on the id consume the persisted signatures without
+    # re-exchanging them (minhash_near_dups measured 2.91 s -> 2.40 s)
+    pre = fan_out_by_key(df, id_col).select(
         F.col(id_col),
         F.lower(F.col(text_col)).alias("_lt"),
         words_col(F.col(text_col)).alias("_ws"),
