@@ -163,9 +163,10 @@ def minhash_signatures(
     hash functions. Fixed-width hex slices keep lexicographic min ==
     numeric min.
 
-    Pure column expressions — one narrow pass, no shuffle, no UDF.
-    Returns id, the shingle array (for exact-Jaccard verification), and
-    ``sig`` as ``array<string>(num_hashes)``.
+    Pure column expressions — one narrow pass, no UDF; the only shuffle
+    is the gated id-keyed fan-out below (a no-op once the scan has
+    natural splits). Returns id, the shingle array (for exact-Jaccard
+    verification), and ``sig`` as ``array<string>(num_hashes)``.
     """
     groups = -(-num_hashes // SLICES_PER_MD5)
     # r11: fan out BY THE ID — same shuffle bytes as round-robin, but the
