@@ -43,6 +43,15 @@ SIG_PREFIX = 8  # hex chars per signature component (32 bits)
 HASH_GROUPS = NUM_HASHES // SLICES_PER_MD5  # md5 calls per shingle
 
 
+# Gate-state receipt (round-11 verdict ask #1): every fan_out /
+# fan_out_by_key call appends (helper, input_partitions, target, engaged)
+# here so a bench run can PROVE whether the scale gate engaged (single-split
+# local input -> repartition) or disengaged (multi-split input -> no-op, the
+# 100 TB behavior). Plain list, no behavior change; callers that care (the
+# sf1 scaling bench) clear and read it around a plan build.
+GATE_LOG: list[tuple[str, int, int, bool]] = []
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Repartition a small-file input up to the session's parallelism.
 
@@ -54,7 +63,9 @@ def fan_out(df: DataFrame) -> DataFrame:
     has enough splits.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = df.rdd.getNumPartitions()
+    GATE_LOG.append(("fan_out", n, target, n < target))
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -79,7 +90,9 @@ def fan_out_by_key(df: DataFrame, *cols: str) -> DataFrame:
     that exchange itself.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = df.rdd.getNumPartitions()
+    GATE_LOG.append(("fan_out_by_key", n, target, n < target))
+    if n < target:
         return df.repartition(target, *[F.col(c) for c in cols])
     return df
 

@@ -77,3 +77,22 @@ def salted_join(
     )
     out = l_salted.join(r_salted, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def order_items(li: DataFrame) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) pairs, fanned out on l_orderkey.
+
+    Shared first step of every co-purchase graph entry (and of
+    copurchase_affinity). The explicit l_orderkey repartition (a no-op
+    when the scan already has enough splits — i.e. always at scale) lets
+    the distinct run WITHOUT its own exchange (subset-key partitioning
+    satisfies the (orderkey, partkey) clustered distribution) and keeps
+    the order-local self-join that follows at full parallelism instead of
+    the single task a one-split parquet scan would pin it to (guide §2.5
+    input skew).
+    """
+    from project_bigdata_spark.operators.dedup import fan_out_by_key
+
+    return fan_out_by_key(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey"
+    ).distinct()

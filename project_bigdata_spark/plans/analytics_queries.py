@@ -340,11 +340,14 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = [0.5, 0.95, 0.99]
     # r11: fan out the sketch pass — exact-percentile/HLL/distinct buffers
     # are the dominant map-side CPU and a one-split scan pins them to a
-    # single task (guide §2.5); every aggregate here is a mergeable,
-    # order-free summary so round-robin placement cannot change the
-    # result. The rank pass below stays on the natural scan: its map side
-    # is one comparison per row (measured: fanning it costs more than it
-    # saves). 4.91 s -> 2.09 s best-of-4 at sf0.1/32 cpus.
+    # single task (guide §2.5). Placement-invariance (r12 ADVICE reword):
+    # the exact aggregates (count_distinct, percentile, count) and HLL are
+    # placement-invariant; percentile_approx's GK estimate (_ap) CAN shift
+    # with partition/merge topology, but the declared output only asserts
+    # the eps*n+2 rank guarantee via rank_ok below, which any placement
+    # satisfies. The rank pass below stays on the natural scan: its map
+    # side is one comparison per row (measured: fanning it costs more than
+    # it saves). 4.91 s -> 2.09 s best-of-4 at sf0.1/32 cpus.
     agg = DD.fan_out(
         e.select("event_type", "user_id", "value")
     ).groupBy("event_type").agg(

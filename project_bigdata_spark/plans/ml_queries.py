@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_bigdata_spark.operators import similarity as SIM
+from project_bigdata_spark.operators.dedup import fan_out_by_key
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
@@ -394,8 +395,6 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dominant CPU and ran on the one-split scan's single task
     # (anchors stay on the natural scan: their md5 order + limit must not
     # move). 2.38 s -> 1.20 s best-of-4 at sf0.1/32; no-op at scale.
-    from project_bigdata_spark.operators.dedup import fan_out_by_key
-
     cand = fan_out_by_key(e, "vec_id").select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("n_label"),

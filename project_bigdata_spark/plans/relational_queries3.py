@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_bigdata_spark.operators import joins as J
-from project_bigdata_spark.operators.dedup import fan_out_by_key
+from project_bigdata_spark.operators.joins import order_items
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.plans.relational_queries import (
@@ -393,12 +393,10 @@ QUALIFY row_number() OVER (ORDER BY lift DESC, part_a, part_b) <= 20""",
 )
 def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # r11: same keyed fan-out as the graph family's _order_items — the
-    # order-local self-join otherwise runs on a one-split scan's single
-    # task (no-op once the scan has natural splits)
-    items = fan_out_by_key(
-        li.select("l_orderkey", "l_partkey"), "l_orderkey"
-    ).distinct()
+    # r11: same keyed fan-out as the graph family — the order-local
+    # self-join otherwise runs on a one-split scan's single task (no-op
+    # once the scan has natural splits). r12 (ADVICE): shared helper.
+    items = order_items(li)
     tot = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )

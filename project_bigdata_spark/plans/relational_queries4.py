@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from project_bigdata_spark.operators.dedup import fan_out_by_key
+from project_bigdata_spark.operators.joins import order_items
 from project_bigdata_spark.plans import _norm as N
 from project_bigdata_spark.plans.catalog import query
 from project_bigdata_spark.sources import load_table
@@ -666,19 +666,10 @@ def json_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _order_items(li: DataFrame) -> DataFrame:
-    """Distinct (l_orderkey, l_partkey) pairs, fanned out on l_orderkey.
-
-    Shared first step of every co-purchase graph entry. The explicit
-    l_orderkey repartition (a no-op when the scan already has enough
-    splits — i.e. always at scale) lets the distinct run WITHOUT its own
-    exchange (subset-key partitioning satisfies the (orderkey, partkey)
-    clustered distribution) and keeps the order-local self-join that
-    follows at full parallelism instead of the single task a one-split
-    parquet scan would pin it to (guide §2.5 input skew)."""
-    return fan_out_by_key(
-        li.select("l_orderkey", "l_partkey"), "l_orderkey"
-    ).distinct()
+# r12 (ADVICE): hoisted into operators/joins.py so relational_queries3's
+# copurchase_affinity shares the exact same derivation instead of
+# re-inlining the pattern.
+_order_items = order_items
 
 
 @query(
@@ -1677,7 +1668,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
         .select("u", "v")
         # r11: pin once — every caller consumes edges/bi through several
         # plan branches (degree census, wedge sides, anti-join), and the
-        # edge list is node²-bounded, never corpus-sized
+        # edge list is node²-bounded, never corpus-sized. Trade (r12
+        # ADVICE): localCheckpoint truncates lineage, so on executor loss
+        # the query FAILS and is resubmitted rather than recomputing; the
+        # checkpointed edge list also occupies executor local storage for
+        # the query's lifetime (bounded as above; see SCALE.md rule 7).
         .localCheckpoint(eager=True)
     )
     bi = edges.select(
@@ -2070,49 +2065,41 @@ FROM sizes GROUP BY sz""",
 def connected_components_minlabel(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    items = _order_items(li)
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
+    # r12 (round-11 verdict ask #4): the edge build is the shared
+    # _copurchase_edges derivation (was re-inlined here); and each label
+    # round used to reference the previous frame TWICE (own-label union +
+    # neighbor join), which forced an eager localCheckpoint per round.
+    # Adding explicit SELF-LOOPS to the pinned edge list makes a round a
+    # single join + grouped min that references the label frame ONCE:
+    #   min over {lbl(m) : m in N(n) ∪ {n}}  ==  least(own, min(neighbors))
+    # — algebraically identical to the r11 union+grouped-min shape. Only
+    # lbl3 keeps a pin: it is genuinely consumed twice (round 4 + the
+    # convergence census). Rounds 1-3 run as linear lineage in one job.
+    _, bi = _copurchase_edges(spark, sf_dir)
+    nodes = bi.select(F.col("n").alias("src")).distinct()
+    edges = (
+        bi.select(F.col("n").alias("src"), F.col("m").alias("dst"))
+        .unionByName(nodes.select("src", F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
     )
-    edges = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=True)
-    lbl = edges.select(F.col("src").alias("n")).distinct().select(
-        "n", F.col("n").alias("lbl")
-    ).localCheckpoint(eager=True)
+    lbl = edges.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("n"), F.col("src").alias("lbl")
+    )
     prev = lbl
-    # r11: each round is ONE union + grouped min (the min_label_clusters
-    # shape) instead of left-join-then-least — algebraically identical
-    # (every node carries its own label into the union, so the grouped
-    # min IS least(own, min(neighbors))) and one join exchange cheaper
-    # per round (measured 6.71 s -> 5.28 s best-of-3 at sf0.1/32 cpus).
-    for _ in range(4):
+    for rnd in range(4):
         prev = lbl
-        nb = edges.join(
-            lbl.select(F.col("n").alias("dst"), F.col("lbl").alias("nl")),
-            "dst",
-        ).select(F.col("src").alias("n"), F.col("nl").alias("lbl"))
+        if rnd == 3:
+            prev = prev.localCheckpoint(eager=True)
         lbl = (
-            lbl.unionByName(nb)
+            edges.join(
+                prev.select(F.col("n").alias("dst"), F.col("lbl")), "dst"
+            )
+            .select(F.col("src").alias("n"), "lbl")
             .groupBy("n")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
+    # lbl4 is consumed twice (flip census + size census) — pin once
+    lbl = lbl.localCheckpoint(eager=True)
     chg = (
         lbl.alias("a")
         .join(prev.alias("b"), F.col("a.n") == F.col("b.n"))

@@ -1040,38 +1040,77 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    sel = (
-        cands.orderBy(F.col("simq").desc(), "vec_id")
-        .limit(1)
-        .select(F.lit(1).alias("sel_rank"), "vec_id")
+    # r12 (round-11 verdict ask #7): the greedy loop used to keep `sel` as
+    # a growing union and reference it TWICE per step (the remaining-pool
+    # anti-join + the max-diversity join), so the final plan replayed the
+    # pick chain 2^4 times — dozens of tiny TakeOrdered/broadcast subtrees
+    # and their driver round-trips. Re-planned as ONE 20-row state frame
+    # carrying (vec_id, simq, maxdiv, sel_rank), updated per step with
+    # whole-frame windows and a single left join against the pinned `pw`:
+    #   - maxdiv is the running max of s(c, pick_j) over picked j — equal
+    #     to max over the picked set, since max is associative;
+    #   - the previous pick is read in-frame via max(when(sel_rank=k-1))
+    #     over the whole window, so `state` is referenced ONCE per step
+    #     (linear lineage, no pins, one job);
+    #   - the arg-max keeps the exact original order (mmr DESC, vec_id)
+    #     restricted to unpicked rows by sorting picked rows last.
+    # Windows are 20-row by construction (the top-20 pool) — scale-safe.
+    # Measured best-of-5 warm at sf0.1/32: see OPTIMIZATION_r12.md.
+    wall = Window.partitionBy(F.lit(1))
+    state = cands.select("vec_id", "simq").select(
+        "vec_id",
+        "simq",
+        F.when(
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.col("simq").desc(), "vec_id"
+                )
+            )
+            == 1,
+            F.lit(1),
+        ).alias("sel_rank"),
+        F.lit(None).cast("double").alias("maxdiv"),
     )
     for step in range(2, 6):
-        rem = cands.join(sel.select("vec_id"), "vec_id", "left_anti")
-        div = (
-            pw.join(
-                sel.select(F.col("vec_id").alias("cb")), "cb"
-            )
-            .groupBy("ca")
-            .agg(F.max("s").alias("maxdiv"))
-            .withColumnRenamed("ca", "vec_id")
+        prev = state.withColumn(
+            "cb",
+            F.max(
+                F.when(F.col("sel_rank") == step - 1, F.col("vec_id"))
+            ).over(wall),
         )
-        pick = (
-            rem.join(div, "vec_id")
+        upd = (
+            prev.join(
+                pw.select(F.col("ca").alias("vec_id"), "cb", "s"),
+                ["vec_id", "cb"],
+                "left",
+            )
             .select(
                 "vec_id",
-                (F.lit(0.7) * F.col("simq") - F.lit(0.3) * F.col("maxdiv")).alias(
-                    "mmr"
-                ),
+                "simq",
+                "sel_rank",
+                F.greatest(F.col("maxdiv"), F.col("s")).alias("maxdiv"),
             )
-            .orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-            .select(F.lit(step).alias("sel_rank"), "vec_id")
+            .withColumn(
+                "mmr",
+                F.lit(0.7) * F.col("simq") - F.lit(0.3) * F.col("maxdiv"),
+            )
         )
-        # (r11: measured a per-step localCheckpoint pin here — no win; the
-        # doubly-referenced frames are 20-row, so the replays cost less
-        # than the extra checkpoint jobs. Left unpinned.)
-        sel = sel.unionByName(pick)
-    return sel.join(cands.select("vec_id", "simq"), "vec_id").select(
+        rn = F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("sel_rank").isNotNull().cast("int"),
+                F.col("mmr").desc_nulls_last(),
+                "vec_id",
+            )
+        )
+        state = upd.select(
+            "vec_id",
+            "simq",
+            F.coalesce(
+                F.col("sel_rank"), F.when(rn == 1, F.lit(step))
+            ).alias("sel_rank"),
+            "maxdiv",
+        )
+    return state.filter(F.col("sel_rank").isNotNull()).select(
         N.big("sel_rank").alias("sel_rank"),
         N.big("vec_id").alias("vec_id"),
         F.col("simq").alias("sim_to_query"),

@@ -1,13 +1,13 @@
 """Simulate the driver: import __spark_entry__, smoke entry(), then run every
 queries() entry at sf0.01 and compare to oracle_sql() via DuckDB (row count +
 schema + order-insensitive value multiset)."""
-import sys, time, math
+import os, sys, time, math
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
 from project_bigdata_spark.session import get_spark
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 spark = get_spark(app_name="verify-drive", cpus=8)
 
 t0 = time.time()
