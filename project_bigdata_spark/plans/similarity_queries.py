@@ -998,9 +998,10 @@ FROM sel JOIN cands c ON c.vec_id = sel.vec_id""",
     "unrolls the 5 steps as chained CTEs. Scale shape: ONE corpus pass "
     "produces the candidate pool (bounded top-k, the knn_batch "
     "machinery), which is then localCheckpoint'ed — the 5 greedy "
-    "iterations run on the 20-row cached frame (tiny broadcast joins), "
-    "never touching the corpus again. The standard diversity stage "
-    "between ANN retrieval and an LLM context window.",
+    "iterations run as whole-frame window updates over ONE 20-row "
+    "state frame (r12 re-plan: linear lineage, no per-step subtree "
+    "replays), never touching the corpus again. The standard diversity "
+    "stage between ANN retrieval and an LLM context window.",
     survey_ids=("W5", "M7-R6"),
 )
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,7 +1056,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   - the arg-max keeps the exact original order (mmr DESC, vec_id)
     #     restricted to unpicked rows by sorting picked rows last.
     # Windows are 20-row by construction (the top-20 pool) — scale-safe.
-    # Measured best-of-5 warm at sf0.1/32: see OPTIMIZATION_r12.md.
+    # Measured (alternated fresh-process best-of-4, sf0.1/32): r11 shape
+    # 3.534/3.905 s vs this re-plan 1.624/2.942 s; plan dump Exchange
+    # refs 326 -> 14 (plans/r12/mmr_rerank_before|after.txt).
     wall = Window.partitionBy(F.lit(1))
     state = cands.select("vec_id", "simq").select(
         "vec_id",

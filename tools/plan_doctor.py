@@ -80,6 +80,9 @@ SINGLE_PARTITION_OK = {
     # global scalar aggregates (one output row)
     "heaps_law_fit": "OLS moments reduced over the #(lang,source)-slice "
     "frame (~100 rows at any SF) -> one scalar row",
+    "mmr_rerank": "r12 state-frame re-plan: whole-frame windows over the "
+    "TOP-20 candidate pool (bounded by the limit upstream, never corpus "
+    "rows); the corpus pass itself stays partitioned and is pinned once",
     "temperature_mix_allocation": "largest-remainder rank window over the "
     "#langs-row weight frame (vocabulary-bounded); corpus touched once "
     "upstream",
