@@ -2078,8 +2078,9 @@ def connected_components_minlabel(
     # lbl3 and lbl4 keep pins — each is genuinely consumed twice (lbl3:
     # round 4 + the flip census; lbl4: flip census + size census).
     # Rounds 1-3 run as linear lineage inside one job.
-    # Measured (alternated fresh-process best-of-4, sf0.1/32): r11 shape
-    # 5.600/5.988 s vs this re-plan 4.378 s.
+    # Measured (alternated fresh-process best-of-4, sf0.1/32, both
+    # orders): r11 shape 5.600/5.988/5.582/5.203 s vs this re-plan
+    # 4.378/4.478/4.291 s.
     _, bi = _copurchase_edges(spark, sf_dir)
     nodes = bi.select(F.col("n").alias("src")).distinct()
     edges = (
